@@ -1,0 +1,14 @@
+from .database import ITEM_COLUMNS, Database, deserialize_item_row, json_ids
+from .sources_db import add_source, get_source, list_sources, update_source, update_source_status
+
+__all__ = [
+    "Database",
+    "ITEM_COLUMNS",
+    "deserialize_item_row",
+    "json_ids",
+    "list_sources",
+    "get_source",
+    "add_source",
+    "update_source",
+    "update_source_status",
+]
