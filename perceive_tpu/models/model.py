@@ -1,0 +1,187 @@
+"""Model façade: tokenizer + params + jitted encode functions.
+
+Role of the reference's Model (/root/reference/crates/perceive-core/
+model.rs:68-190): owns the tokenizer, loads weights, exposes
+``encode([texts]) -> vectors`` and ``encode_tokens``.  The reference shipped
+every encode through a dedicated worker thread over a bounded channel because
+libtorch wants single-threaded ownership; JAX dispatch is thread-safe and
+async, so the device queue itself plays that role — callers just invoke the
+jitted function (the ingest pipeline adds host-side backpressure in
+perceive_tpu.pipeline).
+
+Shape policy: token batches are padded to (batch bucket) x (seq bucket) so a
+handful of jit specializations cover all traffic; each specialization is
+compiled once and cached by XLA.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .encoder import EncoderArch, HeadConfig, encode_tokens as _encode_tokens, init_params, output_dim
+from .registry import ModelType, checkpoint_path
+from .tokenize import TextTokenizer, TokenBatch
+
+BATCH_BUCKETS = (1, 8, 16, 32, 64, 128, 256)
+
+
+def batch_bucket(n: int) -> int:
+    for b in BATCH_BUCKETS:
+        if b >= n:
+            return b
+    return BATCH_BUCKETS[-1]
+
+
+class ModelError(Exception):
+    """Encode failed (reference model.rs:29-48 ModelError)."""
+
+
+class Model:
+    def __init__(
+        self,
+        params,
+        arch: EncoderArch,
+        head: HeadConfig,
+        tokenizer: TextTokenizer,
+        *,
+        model_id: int = -1,
+        model_version: int = 0,
+        compute_dtype=jnp.bfloat16,
+        attention_impl: str = "auto",
+        name: str = "custom",
+    ):
+        self.params = params
+        self.arch = arch
+        self.head = head
+        self.tokenizer = tokenizer
+        self.model_id = model_id
+        self.model_version = model_version
+        self.name = name
+        if attention_impl == "auto":
+            attention_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.attention_impl = attention_impl
+        self.compute_dtype = compute_dtype
+
+        def fn(params, ids, mask, type_ids):
+            return _encode_tokens(
+                params,
+                arch,
+                head,
+                ids,
+                mask,
+                type_ids,
+                compute_dtype=compute_dtype,
+                attention_impl=self.attention_impl,
+            )
+
+        self._encode_jit = jax.jit(fn)
+
+    # -- constructors --------------------------------------------------------
+
+    @classmethod
+    def new_pretrained(
+        cls,
+        model_type: ModelType | str | Path,
+        *,
+        compute_dtype=jnp.bfloat16,
+        attention_impl: str = "auto",
+    ) -> "Model":
+        """Load a sentence-transformers checkpoint (registry entry or path).
+
+        Analog of reference Model::new_pretrained (model.rs:68-174).
+        """
+        from .convert import load_sentence_transformer
+
+        model_id, version, name = -1, 0, str(model_type)
+        if isinstance(model_type, str) and not Path(model_type).exists():
+            model_type = ModelType.parse(model_type)
+        if isinstance(model_type, ModelType):
+            path = checkpoint_path(model_type)
+            if path is None:
+                raise ModelError(
+                    f"no checkpoint for {model_type.value} under the model-data dir; "
+                    "place a sentence-transformers export there "
+                    "(see perceive_tpu/models/registry.py)"
+                )
+            model_id, name = model_type.model_id, model_type.value
+        else:
+            path = Path(model_type)
+
+        params, arch, head, max_seq = load_sentence_transformer(path)
+        tokenizer = TextTokenizer.from_dir(path, max_seq_length=max_seq)
+        return cls(
+            params,
+            arch,
+            head,
+            tokenizer,
+            model_id=model_id,
+            model_version=version,
+            compute_dtype=compute_dtype,
+            attention_impl=attention_impl,
+            name=name,
+        )
+
+    @classmethod
+    def random(
+        cls,
+        arch: EncoderArch,
+        head: HeadConfig,
+        tokenizer: TextTokenizer,
+        *,
+        seed: int = 0,
+        compute_dtype=jnp.float32,
+        attention_impl: str = "xla",
+        model_id: int = -1,
+    ) -> "Model":
+        """Randomly initialized model (tests, benchmarks, fixtures)."""
+        params = init_params(jax.random.PRNGKey(seed), arch, head)
+        return cls(
+            params,
+            arch,
+            head,
+            tokenizer,
+            model_id=model_id,
+            compute_dtype=compute_dtype,
+            attention_impl=attention_impl,
+            name="random",
+        )
+
+    # -- encoding ------------------------------------------------------------
+
+    @property
+    def dim(self) -> int:
+        return output_dim(self.arch, self.head)
+
+    def encode_token_batch(self, batch: TokenBatch) -> np.ndarray:
+        """(B, S) token arrays -> (B, dim) f32 embeddings."""
+        try:
+            out = self._encode_jit(
+                self.params,
+                jnp.asarray(batch.input_ids),
+                jnp.asarray(batch.attention_mask),
+                jnp.asarray(batch.token_type_ids),
+            )
+            return np.asarray(out)
+        except Exception as e:  # error isolation per batch (worker.rs:71-74)
+            raise ModelError(f"encode failed: {e}") from e
+
+    def encode(self, texts: Sequence[str], *, max_batch: int = 256) -> np.ndarray:
+        """Texts -> (N, dim) f32 embeddings, chunked into bucketed batches."""
+        if not texts:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        outs = []
+        for start in range(0, len(texts), max_batch):
+            chunk = list(texts[start : start + max_batch])
+            tb = self.tokenizer.encode_batch(chunk, pad_batch_to=batch_bucket(len(chunk)))
+            emb = self.encode_token_batch(tb)
+            outs.append(emb[: len(chunk)])
+        return np.concatenate(outs, axis=0)
+
+    def encode_query(self, query: str) -> np.ndarray:
+        """Single query -> (dim,) f32 (reference search.rs:262-264)."""
+        return self.encode([query])[0]

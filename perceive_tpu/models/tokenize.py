@@ -1,0 +1,174 @@
+"""Tokenizer glue: HF `tokenizers` (Rust core) on the host, with bucketed
+padding for XLA shape stability.
+
+Role of the reference's rust_tokenizers wrapper (/root/reference/crates/
+perceive-core/model/tokenize.rs:9-78): truncate to max_seq_length, pad, build
+attention masks as ``id != pad``.  The reference padded to the longest item in
+each batch (fine for libtorch's dynamic shapes); under jit every new shape is
+a recompile, so we pad sequence length up to a fixed bucket ladder and keep
+batch size fixed per call site.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+from tokenizers import Tokenizer
+from tokenizers.models import WordPiece
+from tokenizers.normalizers import BertNormalizer
+from tokenizers.pre_tokenizers import BertPreTokenizer
+from tokenizers.processors import TemplateProcessing
+
+# Sequence-length buckets: every batch is padded up to the smallest bucket
+# >= its longest row, so jit sees a handful of shapes instead of hundreds.
+SEQ_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+
+
+def bucket_length(n: int, max_seq_length: int) -> int:
+    for b in SEQ_BUCKETS:
+        if b >= n and b <= max_seq_length:
+            return b
+    return max_seq_length
+
+
+@dataclasses.dataclass
+class TokenBatch:
+    """Device-ready token arrays (all int32, shape (B, S))."""
+
+    input_ids: np.ndarray
+    attention_mask: np.ndarray
+    token_type_ids: np.ndarray
+
+    def __len__(self) -> int:
+        return self.input_ids.shape[0]
+
+
+class TextTokenizer:
+    """Thread-safe wrapper around a `tokenizers.Tokenizer`."""
+
+    def __init__(self, tokenizer: Tokenizer, max_seq_length: int = 512, pad_id: int = 0):
+        self.tokenizer = tokenizer
+        self.max_seq_length = max_seq_length
+        self.pad_id = pad_id
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def from_dir(cls, model_dir: str | Path, max_seq_length: int = 512) -> "TextTokenizer":
+        """Load from a checkpoint dir: tokenizer.json preferred, else
+        vocab.txt WordPiece (the reference's path, configs.rs:110-112)."""
+        model_dir = Path(model_dir)
+        tj = model_dir / "tokenizer.json"
+        if tj.exists():
+            tok = Tokenizer.from_file(str(tj))
+        else:
+            vocab_file = model_dir / "vocab.txt"
+            if not vocab_file.exists():
+                raise FileNotFoundError(f"no tokenizer.json or vocab.txt in {model_dir}")
+            lower = True
+            tc = model_dir / "tokenizer_config.json"
+            if tc.exists():
+                lower = json.loads(tc.read_text()).get("do_lower_case", True)
+            vocab = {
+                w: i for i, w in enumerate(vocab_file.read_text().splitlines())
+            }
+            tok = _build_wordpiece(vocab, lowercase=lower)
+        pad_id = tok.token_to_id("[PAD]") or 0
+        return cls(tok, max_seq_length=max_seq_length, pad_id=pad_id)
+
+    @classmethod
+    def from_vocab(
+        cls, vocab: dict[str, int], max_seq_length: int = 512, lowercase: bool = True
+    ) -> "TextTokenizer":
+        """Build a BERT-style WordPiece tokenizer in memory (tests/fixtures)."""
+        tok = _build_wordpiece(vocab, lowercase=lowercase)
+        return cls(tok, max_seq_length=max_seq_length, pad_id=vocab.get("[PAD]", 0))
+
+    # -- encoding ------------------------------------------------------------
+
+    def encode_batch(
+        self,
+        texts: Sequence[str],
+        *,
+        pad_to: Optional[int] = None,
+        pad_batch_to: Optional[int] = None,
+    ) -> TokenBatch:
+        """Tokenize + truncate to max_seq_length + pad to a bucket.
+
+        ``pad_to`` forces a specific padded length (must be >= longest row);
+        ``pad_batch_to`` right-pads the batch with empty rows to a fixed batch
+        size (mask all-zero) — both keep jit shapes stable.
+        """
+        self.tokenizer.enable_truncation(self.max_seq_length)
+        self.tokenizer.no_padding()
+        encs = self.tokenizer.encode_batch(list(texts))
+        longest = max((len(e.ids) for e in encs), default=1)
+        target = pad_to or bucket_length(longest, self.max_seq_length)
+
+        n = len(encs) if pad_batch_to is None else pad_batch_to
+        ids = np.full((n, target), self.pad_id, dtype=np.int32)
+        mask = np.zeros((n, target), dtype=np.int32)
+        type_ids = np.zeros((n, target), dtype=np.int32)
+        for r, e in enumerate(encs):
+            L = min(len(e.ids), target)
+            ids[r, :L] = e.ids[:L]
+            mask[r, :L] = 1
+            type_ids[r, :L] = e.type_ids[:L]
+        return TokenBatch(ids, mask, type_ids)
+
+    def encode_untruncated(self, texts: Sequence[str]):
+        """Full-length encodings with offsets + special-token masks, for the
+        highlight engine's chunking (reference model/highlight.rs:32-38 used
+        a 1e6 'no truncation' limit)."""
+        self.tokenizer.no_truncation()
+        self.tokenizer.no_padding()
+        return self.tokenizer.encode_batch(list(texts))
+
+    def encode_token_chunks(self, chunks: Sequence[Sequence[int]]) -> TokenBatch:
+        """Pack pre-chunked token-id windows into a padded batch (highlight
+        path; reference model/tokenize.rs:9-57 generate_token_tensors)."""
+        longest = max((len(c) for c in chunks), default=1)
+        target = bucket_length(longest, self.max_seq_length)
+        n = len(chunks)
+        ids = np.full((n, target), self.pad_id, dtype=np.int32)
+        mask = np.zeros((n, target), dtype=np.int32)
+        for r, c in enumerate(chunks):
+            L = min(len(c), target)
+            ids[r, :L] = list(c)[:L]
+            mask[r, :L] = 1
+        return TokenBatch(ids, mask, np.zeros_like(ids))
+
+
+def _build_wordpiece(vocab: dict[str, int], lowercase: bool = True) -> Tokenizer:
+    tok = Tokenizer(WordPiece(vocab, unk_token="[UNK]"))
+    tok.normalizer = BertNormalizer(lowercase=lowercase)
+    tok.pre_tokenizer = BertPreTokenizer()
+    cls_id = vocab.get("[CLS]", 1)
+    sep_id = vocab.get("[SEP]", 2)
+    tok.post_processor = TemplateProcessing(
+        single="[CLS] $A [SEP]",
+        pair="[CLS] $A [SEP] $B:1 [SEP]:1",
+        special_tokens=[("[CLS]", cls_id), ("[SEP]", sep_id)],
+    )
+    return tok
+
+
+def tiny_test_vocab(words: Sequence[str]) -> dict[str, int]:
+    """Deterministic toy vocab for tests/fixtures: specials + whole words +
+    a-z single chars as subword fallbacks."""
+    vocab: dict[str, int] = {"[PAD]": 0, "[CLS]": 1, "[SEP]": 2, "[UNK]": 3, "[MASK]": 4}
+    for w in words:
+        for piece in (w.lower(),):
+            if piece not in vocab:
+                vocab[piece] = len(vocab)
+    for c in "abcdefghijklmnopqrstuvwxyz0123456789":
+        if c not in vocab:
+            vocab[c] = len(vocab)
+        cont = "##" + c
+        if cont not in vocab:
+            vocab[cont] = len(vocab)
+    return vocab

@@ -7,10 +7,16 @@ benchmarking lives in bench.py, not the test suite.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: in this container the axon TPU plugin force-prepends itself to
+# jax_platforms even when JAX_PLATFORMS=cpu is set, so the env var alone is
+# not enough — update the config programmatically before any test imports jax.
 prev = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in prev:
     os.environ["XLA_FLAGS"] = (prev + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
