@@ -1,0 +1,258 @@
+"""HBM-resident embedding matrix with an id<->row map.
+
+TPU-native replacement for the reference's per-source HNSW graphs
+(/root/reference/crates/perceive-core/search.rs:24-27,81-155): instead of an
+approximate graph per source, ONE dense (capacity, dim) matrix lives in device
+memory (bf16 by default) holding every embedding row, alongside small device
+arrays of per-row source ids and validity.  Queries are exact fused
+matmul+top-k scans (see perceive_tpu.index.searcher / perceive_tpu.ops), so
+recall@10 is parity-by-construction; source filtering is a row mask, not a
+graph fan-out.
+
+Incremental updates the HNSW couldn't do in place: rows are appended or
+overwritten by item id, deletions/hides are tombstones (valid=False), and the
+matrix doubles capacity by reallocation when full.  Row padding keeps the row
+count a multiple of 512 so kernel tiles never see ragged edges.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ROW_ALIGN = 512
+LANE_ALIGN = 128  # last-dim tile width on TPU
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _scatter_rows_impl(matrix, rows, vals):
+    return matrix.at[rows].set(vals)
+
+
+# donation lets XLA update the (potentially GBs) matrix in place
+_scatter_rows = jax.jit(_scatter_rows_impl, donate_argnums=(0,))
+_scatter_vals = jax.jit(_scatter_rows_impl, donate_argnums=(0,))
+
+
+def serialize_embedding(vec: np.ndarray) -> bytes:
+    """f32 little-endian BLOB, byte-compatible with the reference store
+    (search.rs:281-287)."""
+    return np.ascontiguousarray(vec, dtype="<f4").tobytes()
+
+
+def deserialize_embedding(blob: bytes) -> np.ndarray:
+    """(reference search.rs:289-294)"""
+    return np.frombuffer(blob, dtype="<f4").copy()
+
+
+class EmbeddingMatrix:
+    """Mutable device-resident vector store.
+
+    Host-side state: ``row_of`` (item_id -> row), ``item_ids``/``source_ids``
+    (row -> ids).  Device-side state: ``device_vectors`` (capacity, dim)
+    storage dtype, ``device_source_ids`` (capacity,) int32 with -1 for
+    invalid rows (tombstones and unallocated tail).
+
+    All mutation is host-buffered and applied in batches; ``sync()`` uploads
+    pending rows with one device_put per flush rather than per row.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        *,
+        dtype: jnp.dtype = jnp.bfloat16,
+        capacity: int = 4096,
+        device: Optional[jax.Device] = None,
+    ):
+        self.dim = dim
+        self.padded_dim = _round_up(dim, LANE_ALIGN)
+        self.dtype = dtype
+        self.capacity = _round_up(max(capacity, ROW_ALIGN), ROW_ALIGN)
+        self.device = device
+        self._lock = threading.RLock()
+
+        self.rows = 0  # high-water mark of allocated rows
+        self.row_of: dict[int, int] = {}
+        self.item_ids = np.full(self.capacity, -1, dtype=np.int64)
+        self.source_ids = np.full(self.capacity, -1, dtype=np.int32)
+        # host mirror of vectors (f32) so growth/snapshots never read device
+        self._host_vectors = np.zeros((self.capacity, self.padded_dim), dtype=np.float32)
+        self._dirty = True  # full re-upload needed (first sync / growth)
+        self._dirty_rows: set[int] = set()  # incremental row updates
+        self._device_vectors = None
+        self._device_source_ids = None
+
+    # -- device views -------------------------------------------------------
+
+    def sync(self) -> None:
+        """Upload host state to the device if anything changed.
+
+        Full uploads cast to the storage dtype on the host first (halves the
+        PCIe/ICI bytes for bf16).  Small deltas scatter in place on device so
+        steady-state ingest is O(batch), not O(corpus).
+        """
+        with self._lock:
+            if not self._dirty and not self._dirty_rows:
+                return
+            full = (
+                self._dirty
+                or self._device_vectors is None
+                or len(self._dirty_rows) * 4 > self.rows
+            )
+            if full:
+                host = self._host_vectors
+                if self.dtype != jnp.float32:
+                    host = host.astype(jax.dtypes.canonicalize_dtype(self.dtype))
+                self._device_vectors = jax.device_put(host, self.device)
+                self._device_source_ids = jax.device_put(
+                    jnp.asarray(self.source_ids), self.device
+                )
+            else:
+                rows = np.fromiter(self._dirty_rows, dtype=np.int32)
+                vals = self._host_vectors[rows].astype(
+                    jax.dtypes.canonicalize_dtype(self.dtype)
+                )
+                self._device_vectors = _scatter_rows(
+                    self._device_vectors, jnp.asarray(rows), jnp.asarray(vals)
+                )
+                self._device_source_ids = _scatter_vals(
+                    self._device_source_ids,
+                    jnp.asarray(rows),
+                    jnp.asarray(self.source_ids[rows]),
+                )
+            self._dirty = False
+            self._dirty_rows.clear()
+
+    @property
+    def device_vectors(self) -> jax.Array:
+        self.sync()
+        return self._device_vectors
+
+    @property
+    def device_source_ids(self) -> jax.Array:
+        self.sync()
+        return self._device_source_ids
+
+    # -- mutation ------------------------------------------------------------
+
+    def _grow(self, need: int) -> None:
+        new_cap = self.capacity
+        while new_cap < need:
+            new_cap *= 2
+        if new_cap == self.capacity:
+            return
+        self._dirty = True  # device arrays must be reallocated at the new shape
+        self.item_ids = np.concatenate(
+            [self.item_ids, np.full(new_cap - self.capacity, -1, dtype=np.int64)]
+        )
+        self.source_ids = np.concatenate(
+            [self.source_ids, np.full(new_cap - self.capacity, -1, dtype=np.int32)]
+        )
+        self._host_vectors = np.concatenate(
+            [
+                self._host_vectors,
+                np.zeros((new_cap - self.capacity, self.padded_dim), dtype=np.float32),
+            ]
+        )
+        self.capacity = new_cap
+
+    def upsert(
+        self,
+        item_ids: Sequence[int],
+        source_ids: Sequence[int],
+        vectors: np.ndarray,
+    ) -> None:
+        """Insert or overwrite a batch of rows keyed by item id."""
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+            raise ValueError(f"expected (N, {self.dim}) vectors, got {vectors.shape}")
+        item_ids = np.asarray(list(item_ids), dtype=np.int64)
+        source_ids = np.asarray(list(source_ids), dtype=np.int32)
+        uniq, first_idx = np.unique(item_ids, return_index=True)
+        if len(uniq) < len(item_ids):  # dedupe within batch, keep last occurrence
+            last = {int(i): idx for idx, i in enumerate(item_ids)}
+            keep = np.fromiter(last.values(), dtype=np.int64)
+            item_ids, source_ids, vectors = item_ids[keep], source_ids[keep], vectors[keep]
+        with self._lock:
+            self._grow(self.rows + len(item_ids))
+            # existing rows keep their slot; new ids get contiguous fresh rows
+            get = self.row_of.get
+            rows = np.fromiter(
+                (get(int(i), -1) for i in item_ids), dtype=np.int64, count=len(item_ids)
+            )
+            new = rows < 0
+            n_new = int(new.sum())
+            if n_new:
+                fresh = np.arange(self.rows, self.rows + n_new, dtype=np.int64)
+                rows[new] = fresh
+                self.rows += n_new
+                self.row_of.update(zip(item_ids[new].tolist(), fresh.tolist()))
+            self.item_ids[rows] = item_ids
+            self.source_ids[rows] = source_ids
+            self._host_vectors[rows, : self.dim] = vectors
+            if self.padded_dim > self.dim:
+                self._host_vectors[rows, self.dim :] = 0.0
+            self._dirty_rows.update(rows.tolist())
+
+    def remove(self, item_ids: Sequence[int]) -> int:
+        """Tombstone rows (hide/delete).  Returns how many existed."""
+        n = 0
+        with self._lock:
+            for iid in item_ids:
+                row = self.row_of.pop(iid, None)
+                if row is not None:
+                    self.source_ids[row] = -1
+                    self.item_ids[row] = -1
+                    self._dirty_rows.add(int(row))
+                    n += 1
+        return n
+
+    def remove_source(self, source_id: int) -> int:
+        """Drop every row of a source (prelude to rebuild_source)."""
+        with self._lock:
+            rows = np.nonzero(self.source_ids[: self.rows] == source_id)[0]
+            for row in rows:
+                self.row_of.pop(int(self.item_ids[row]), None)
+                self.source_ids[row] = -1
+                self.item_ids[row] = -1
+                self._dirty_rows.add(int(row))
+            return len(rows)
+
+    def __len__(self) -> int:
+        return len(self.row_of)
+
+    # -- snapshots (vector_shards manifest) -----------------------------------
+
+    def save_snapshot(self, path: str) -> None:
+        """Persist to .npz for fast startup (device matrix reload without
+        rescanning every embedding BLOB)."""
+        with self._lock:
+            np.savez(
+                path,
+                vectors=self._host_vectors[: self.rows, : self.dim],
+                item_ids=self.item_ids[: self.rows],
+                source_ids=self.source_ids[: self.rows],
+                dim=self.dim,
+            )
+
+    @classmethod
+    def load_snapshot(cls, path: str, *, dtype: jnp.dtype = jnp.bfloat16) -> "EmbeddingMatrix":
+        z = np.load(path)
+        dim = int(z["dim"])
+        rows = len(z["item_ids"])
+        m = cls(dim, dtype=dtype, capacity=max(rows, 1))
+        live = z["source_ids"] >= 0
+        m.upsert(
+            z["item_ids"][live].tolist(),
+            z["source_ids"][live].tolist(),
+            z["vectors"][live],
+        )
+        return m

@@ -1,0 +1,286 @@
+"""Searcher: exact top-k query engine over the device matrix.
+
+Role of the reference Searcher (/root/reference/crates/perceive-core/
+search.rs:38-259) with the HNSW fan-out replaced by an exact scan compiled
+for the TPU:
+
+    build()           SELECT all live embeddings -> device matrix   (:38-56)
+    rebuild_source()  drop + reload one source's rows               (:58-79)
+    search_vector()   q -> top-k (item_id, score)                   (:157-182)
+    *_and_retrieve()  join ids back to SQLite rows                  (:195-259)
+
+Scoring is a plain dot product (cosine when the model L2-normalizes), NOT the
+reference's NdArrayDistance quirk of dividing by vector *dimension*
+(search.rs:266-279) — that was only monotonicity-correct for normalized
+embeddings; exact dot keeps identical ranking there and is correct elsewhere.
+Hidden items are excluded both in SQL at build time and by tombstone at
+hide time (the reference kept an in-memory `hidden` set that search never
+consulted; search.rs:34).
+
+Engine selection: "xla" = einsum + lax.top_k (always available);
+"pallas" = fused matmul + streaming top-k kernel (TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..db import ITEM_COLUMNS, Database, deserialize_item_row, json_ids
+from ..types import Item, Source
+from .matrix import EmbeddingMatrix, deserialize_embedding
+
+K_BUCKETS = (16, 32, 64, 128, 256)
+MAX_SOURCE_FILTER = 16  # fixed-size filter list keeps jit shapes stable
+ALLOW_ALL = -2
+
+
+def _k_bucket(k: int, n: int) -> int:
+    for b in K_BUCKETS:
+        if b >= k:
+            return min(b, max(n, 1))
+    return min(K_BUCKETS[-1], max(n, 1))
+
+
+@dataclasses.dataclass
+class SearchResult:
+    item: Item
+    score: float
+    source_name: str = ""
+    highlight: Optional[str] = None
+
+
+def _scan_topk_xla_impl(matrix, source_ids, q, allowed, k: int):
+    """Exact scan: (Q,D) queries x (N,D) matrix -> top-k values/rows.
+
+    Static k (bucketed by caller).  ``allowed`` is (MAX_SOURCE_FILTER,) int32,
+    first element ALLOW_ALL to disable filtering; invalid rows carry
+    source_id -1 and are always masked.
+    """
+    qm = q.astype(matrix.dtype)
+    scores = jnp.einsum("qd,nd->qn", qm, matrix, preferred_element_type=jnp.float32)
+    valid = source_ids >= 0
+    allow_all = allowed[0] == ALLOW_ALL
+    src_ok = jnp.isin(source_ids, allowed) | allow_all
+    scores = jnp.where((valid & src_ok)[None, :], scores, -jnp.inf)
+    return jax.lax.top_k(scores, k)
+
+
+_scan_topk_xla = jax.jit(_scan_topk_xla_impl, static_argnames=("k",))
+
+
+class Searcher:
+    def __init__(
+        self,
+        model_id: int,
+        model_version: int,
+        dim: int,
+        *,
+        dtype: jnp.dtype = jnp.bfloat16,
+        engine: str = "auto",
+    ):
+        self.model_id = model_id
+        self.model_version = model_version
+        self.matrix = EmbeddingMatrix(dim, dtype=dtype)
+        if engine == "auto":
+            engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.engine = engine
+
+    # -- build ---------------------------------------------------------------
+
+    _BUILD_SQL = """
+        SELECT items.id, items.source_id, ie.embedding
+        FROM items
+        JOIN item_embeddings ie ON ie.item_id = items.id
+          AND ie.model_id = ? AND ie.model_version = ?
+        WHERE items.skipped IS NULL AND items.hidden_at IS NULL
+    """
+
+    @classmethod
+    def build(
+        cls,
+        db: Database,
+        model_id: int,
+        model_version: int,
+        dim: int,
+        *,
+        dtype: jnp.dtype = jnp.bfloat16,
+        engine: str = "auto",
+    ) -> "Searcher":
+        """Load every live embedding for (model_id, model_version)
+        (reference search.rs:38-56 + build_sources :81-155)."""
+        s = cls(model_id, model_version, dim, dtype=dtype, engine=engine)
+        s._load(db, extra_sql="", params=())
+        return s
+
+    def _load(self, db: Database, extra_sql: str, params: tuple) -> int:
+        rows = db.read().execute(
+            self._BUILD_SQL + extra_sql, (self.model_id, self.model_version, *params)
+        ).fetchall()
+        if not rows:
+            return 0
+        item_ids = [r[0] for r in rows]
+        source_ids = [r[1] for r in rows]
+        vecs = np.stack([deserialize_embedding(r[2]) for r in rows])
+        self.matrix.upsert(item_ids, source_ids, vecs)
+        return len(rows)
+
+    def rebuild_source(self, db: Database, source_id: int) -> int:
+        """Drop + reload one source's rows (reference search.rs:58-79)."""
+        self.matrix.remove_source(source_id)
+        n = self._load(db, " AND items.source_id = ?", (source_id,))
+        self.matrix.sync()
+        return n
+
+    # -- incremental updates (pipeline hooks; HNSW couldn't do these) --------
+
+    def upsert_embeddings(
+        self, item_ids: Sequence[int], source_ids: Sequence[int], vectors: np.ndarray
+    ) -> None:
+        self.matrix.upsert(item_ids, source_ids, vectors)
+
+    def remove_items(self, item_ids: Sequence[int]) -> int:
+        return self.matrix.remove(item_ids)
+
+    # -- query ---------------------------------------------------------------
+
+    def _scan(self, q: np.ndarray, k: int, allowed: np.ndarray):
+        m = self.matrix
+        m.sync()
+        kb = _k_bucket(k, m.rows)
+        if m.padded_dim > m.dim:  # zero-pad queries to the lane-aligned width
+            q = np.concatenate(
+                [q, np.zeros((q.shape[0], m.padded_dim - m.dim), q.dtype)], axis=1
+            )
+        if self.engine == "pallas":
+            from ..ops.topk import scan_topk_pallas
+
+            vals, rows = scan_topk_pallas(
+                m.device_vectors, m.device_source_ids, jnp.asarray(q), jnp.asarray(allowed), kb
+            )
+        else:
+            vals, rows = _scan_topk_xla(
+                m.device_vectors, m.device_source_ids, jnp.asarray(q), jnp.asarray(allowed), kb
+            )
+        return np.asarray(vals), np.asarray(rows)
+
+    def _allowed_array(self, source_ids: Optional[Sequence[int]]) -> np.ndarray:
+        allowed = np.full(MAX_SOURCE_FILTER, -9, dtype=np.int32)
+        if source_ids is None:
+            allowed[0] = ALLOW_ALL
+        else:
+            ids = list(source_ids)[:MAX_SOURCE_FILTER]
+            allowed[: len(ids)] = ids
+        return allowed
+
+    def search_vector(
+        self,
+        vec: np.ndarray,
+        k: int,
+        source_ids: Optional[Sequence[int]] = None,
+    ) -> list[tuple[int, float]]:
+        """One query vector -> [(item_id, score)] best-first
+        (reference search.rs:157-182)."""
+        if len(self.matrix) == 0:
+            return []
+        q = np.asarray(vec, dtype=np.float32).reshape(1, -1)
+        vals, rows = self._scan(q, k, self._allowed_array(source_ids))
+        out = []
+        for score, row in zip(vals[0], rows[0]):
+            if not np.isfinite(score) or len(out) >= k:
+                break
+            iid = int(self.matrix.item_ids[row])
+            if iid >= 0:
+                out.append((iid, float(score)))
+        return out
+
+    def search_vectors_batch(
+        self,
+        vecs: np.ndarray,
+        k: int,
+        source_ids: Optional[Sequence[int]] = None,
+    ) -> list[list[tuple[int, float]]]:
+        """Batched queries — the TPU-native serving path: one device sweep
+        scores every query in the batch."""
+        if len(self.matrix) == 0:
+            return [[] for _ in range(len(vecs))]
+        q = np.asarray(vecs, dtype=np.float32)
+        vals, rows = self._scan(q, k, self._allowed_array(source_ids))
+        results = []
+        for qi in range(len(q)):
+            out = []
+            for score, row in zip(vals[qi], rows[qi]):
+                if not np.isfinite(score) or len(out) >= k:
+                    break
+                iid = int(self.matrix.item_ids[row])
+                if iid >= 0:
+                    out.append((iid, float(score)))
+            results.append(out)
+        return results
+
+    def search(
+        self,
+        model,
+        query: str,
+        k: int,
+        source_ids: Optional[Sequence[int]] = None,
+    ) -> list[tuple[int, float]]:
+        """Encode + scan (reference search.rs:184-193 + encode_query :262)."""
+        return self.search_vector(model.encode_query(query), k, source_ids)
+
+    # -- retrieve (reference search.rs:195-259) -------------------------------
+
+    def retrieve(
+        self, db: Database, matches: list[tuple[int, float]]
+    ) -> list[SearchResult]:
+        if not matches:
+            return []
+        by_id = {iid: score for iid, score in matches}
+        qualified = ", ".join(f"items.{c.strip()}" for c in ITEM_COLUMNS.split(","))
+        rows = db.read().execute(
+            f"""SELECT {qualified}, sources.name FROM items
+                JOIN sources ON sources.id = items.source_id
+                WHERE items.id IN (SELECT value FROM json_each(?))
+                  AND items.hidden_at IS NULL""",
+            (json_ids(by_id.keys()),),
+        ).fetchall()
+        results = [
+            SearchResult(item=deserialize_item_row(r), score=by_id[r[0]], source_name=r[-1])
+            for r in rows
+        ]
+        results.sort(key=lambda r: r.score, reverse=True)
+        return results
+
+    def search_and_retrieve(
+        self,
+        db: Database,
+        model,
+        query: str,
+        k: int,
+        source_ids: Optional[Sequence[int]] = None,
+    ) -> list[SearchResult]:
+        return self.retrieve(db, self.search(model, query, k, source_ids))
+
+    def search_vector_and_retrieve(
+        self,
+        db: Database,
+        vec: np.ndarray,
+        k: int,
+        source_ids: Optional[Sequence[int]] = None,
+    ) -> list[SearchResult]:
+        return self.retrieve(db, self.search_vector(vec, k, source_ids))
+
+    def stored_embedding(self, db: Database, item_id: int) -> Optional[np.ndarray]:
+        """Fetch an item's stored vector (the `--like <item-id>` search,
+        reference cmd/search.rs:66-71)."""
+        row = db.read().execute(
+            """SELECT embedding FROM item_embeddings
+               WHERE model_id = ? AND model_version = ? AND item_id = ?""",
+            (self.model_id, self.model_version, item_id),
+        ).fetchone()
+        return deserialize_embedding(row[0]) if row else None

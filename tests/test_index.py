@@ -1,0 +1,174 @@
+"""Index/searcher tests: exact-scan correctness vs a numpy oracle, source
+filtering, tombstones, incremental updates, snapshots, DB round trip."""
+
+import numpy as np
+import pytest
+
+from perceive_tpu.db import add_source
+from perceive_tpu.index import EmbeddingMatrix, Searcher, deserialize_embedding, serialize_embedding
+from perceive_tpu.types import Source
+
+DIM = 64
+
+
+def _rand_vecs(rng, n, normalize=True):
+    v = rng.standard_normal((n, DIM)).astype(np.float32)
+    if normalize:
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return v
+
+
+def _oracle_topk(vectors, q, k):
+    scores = vectors @ q
+    order = np.argsort(-scores)[:k]
+    return order, scores[order]
+
+
+def test_serialize_roundtrip():
+    v = np.random.default_rng(0).standard_normal(384).astype(np.float32)
+    assert np.array_equal(deserialize_embedding(serialize_embedding(v)), v)
+
+
+def test_matrix_upsert_and_remove():
+    m = EmbeddingMatrix(DIM, capacity=8)  # forces growth
+    rng = np.random.default_rng(0)
+    v = _rand_vecs(rng, 1000)
+    m.upsert(range(1000), [7] * 1000, v)
+    assert len(m) == 1000
+    assert m.capacity % 512 == 0 and m.capacity >= 1000
+    # overwrite keeps the same row
+    row_before = m.row_of[5]
+    m.upsert([5], [7], v[:1])
+    assert m.row_of[5] == row_before and len(m) == 1000
+    assert m.remove([5, 6, 99999]) == 2
+    assert len(m) == 998
+
+
+@pytest.mark.parametrize("dtype_name", ["float32", "bfloat16"])
+def test_searcher_exact_topk_matches_oracle(dtype_name):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    n = 3000
+    vecs = _rand_vecs(rng, n)
+    s = Searcher(0, 0, DIM, dtype=getattr(jnp, dtype_name), engine="xla")
+    s.matrix.upsert(range(n), [1] * n, vecs)
+
+    q = _rand_vecs(rng, 1)[0]
+    got = s.search_vector(q, 10)
+    oracle_rows, oracle_scores = _oracle_topk(vecs, q, 10)
+    got_ids = [iid for iid, _ in got]
+    if dtype_name == "float32":
+        assert got_ids == list(oracle_rows)
+        np.testing.assert_allclose([sc for _, sc in got], oracle_scores, rtol=1e-5)
+    else:
+        # bf16 storage: recall@10 against the f32 oracle must stay high
+        assert len(set(got_ids) & set(oracle_rows.tolist())) >= 9
+
+
+def test_searcher_source_filter_and_tombstones():
+    rng = np.random.default_rng(2)
+    n = 500
+    vecs = _rand_vecs(rng, n)
+    s = Searcher(0, 0, DIM, engine="xla")
+    sources = ([1] * 250) + ([2] * 250)
+    s.matrix.upsert(range(n), sources, vecs)
+
+    q = vecs[300]  # an item from source 2
+    top = s.search_vector(q, 5, source_ids=[2])
+    assert top[0][0] == 300
+    assert all(250 <= iid < 500 for iid, _ in top)
+
+    only_1 = s.search_vector(q, 5, source_ids=[1])
+    assert all(iid < 250 for iid, _ in only_1)
+
+    # tombstone the best match; it must vanish from results
+    s.remove_items([300])
+    top2 = s.search_vector(q, 5, source_ids=[2])
+    assert 300 not in [iid for iid, _ in top2]
+
+
+def test_searcher_batch_queries():
+    rng = np.random.default_rng(3)
+    n = 400
+    vecs = _rand_vecs(rng, n)
+    s = Searcher(0, 0, DIM, engine="xla")
+    s.matrix.upsert(range(n), [1] * n, vecs)
+    qs = vecs[[10, 20, 30]]
+    res = s.search_vectors_batch(qs, 3)
+    assert [r[0][0] for r in res] == [10, 20, 30]
+
+
+def test_searcher_k_larger_than_rows():
+    rng = np.random.default_rng(4)
+    vecs = _rand_vecs(rng, 5)
+    s = Searcher(0, 0, DIM, engine="xla")
+    s.matrix.upsert(range(5), [1] * 5, vecs)
+    got = s.search_vector(vecs[0], 20)
+    assert len(got) == 5
+    assert got[0][0] == 0
+
+
+def test_searcher_empty():
+    s = Searcher(0, 0, DIM, engine="xla")
+    assert s.search_vector(np.zeros(DIM, np.float32), 10) == []
+
+
+def test_build_and_rebuild_from_db(tmp_db):
+    rng = np.random.default_rng(5)
+    src1 = add_source(tmp_db, Source(name="a", location="x", config={"type": "fs"}))
+    src2 = add_source(tmp_db, Source(name="b", location="y", config={"type": "fs"}))
+    vecs = _rand_vecs(rng, 6)
+    with tmp_db.write() as conn:
+        ids = []
+        for i in range(6):
+            sid = src1.id if i < 3 else src2.id
+            cur = conn.execute(
+                "INSERT INTO items (source_id, external_id, hash, content) VALUES (?, ?, '', 'c')",
+                (sid, f"doc{i}"),
+            )
+            ids.append(cur.lastrowid)
+            conn.execute(
+                """INSERT INTO item_embeddings
+                   (model_id, model_version, item_id, item_index_version, embedding)
+                   VALUES (0, 0, ?, 1, ?)""",
+                (ids[-1], serialize_embedding(vecs[i])),
+            )
+        # one hidden + one skipped item that must NOT load
+        conn.execute("UPDATE items SET hidden_at = 1 WHERE id = ?", (ids[0],))
+        conn.execute("UPDATE items SET skipped = 'not_found' WHERE id = ?", (ids[1],))
+
+    s = Searcher.build(tmp_db, 0, 0, DIM, engine="xla")
+    assert len(s.matrix) == 4
+
+    top = s.search_vector(vecs[2], 3)
+    assert top[0][0] == ids[2]
+
+    # retrieve joins back to items + source names
+    results = s.search_vector_and_retrieve(tmp_db, vecs[2], 3)
+    assert results[0].item.external_id == "doc2"
+    assert results[0].source_name == "a"
+
+    # rebuild one source after deleting an item's embedding
+    with tmp_db.write() as conn:
+        conn.execute("DELETE FROM item_embeddings WHERE item_id = ?", (ids[5],))
+    n = s.rebuild_source(tmp_db, src2.id)
+    assert n == 2  # doc3 + doc4 remain for source b (doc5's embedding deleted)
+    assert s.stored_embedding(tmp_db, ids[2]) is not None
+    assert s.stored_embedding(tmp_db, ids[5]) is None
+
+
+def test_snapshot_roundtrip(tmp_path):
+    rng = np.random.default_rng(6)
+    vecs = _rand_vecs(rng, 100)
+    m = EmbeddingMatrix(DIM)
+    m.upsert(range(100), [3] * 100, vecs)
+    m.remove([7])
+    p = str(tmp_path / "snap.npz")
+    m.save_snapshot(p)
+    m2 = EmbeddingMatrix.load_snapshot(p)
+    assert len(m2) == 99
+    assert 7 not in m2.row_of
+    np.testing.assert_allclose(
+        m2._host_vectors[m2.row_of[42], :DIM], vecs[42], rtol=1e-6
+    )
