@@ -32,12 +32,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..db import ITEM_COLUMNS, Database, deserialize_item_row, json_ids
+from ..ops.topk import ALLOW_ALL
 from ..types import Item, Source
 from .matrix import EmbeddingMatrix, deserialize_embedding
 
 K_BUCKETS = (16, 32, 64, 128, 256)
 MAX_SOURCE_FILTER = 16  # fixed-size filter list keeps jit shapes stable
-ALLOW_ALL = -2
 
 
 def _k_bucket(k: int, n: int) -> int:

@@ -1,0 +1,167 @@
+"""Fused exact-scan similarity + streaming top-k Pallas kernel.
+
+TPU-native replacement for the reference's HNSW query fan-out
+(/root/reference/crates/perceive-core/search.rs:157-182).  One kernel sweeps
+the whole (N, D) embedding matrix tile by tile:
+
+    per tile:  scores = Q @ tile.T        (MXU, bf16 x bf16 -> f32)
+               mask invalid / filtered rows
+               merge into a running (Q, K) top-k buffer     (VPU)
+
+The top-k buffer lives in the output VMEM block (constant index_map, so the
+same block is carried across all grid steps) — per-tile scores NEVER round-trip
+to HBM, which is what makes the scan HBM-bandwidth-bound on the matrix read
+alone (the speed-of-light for exact search).
+
+Merge strategy: threshold-pruned selection.  Each tile first checks
+``max(tile scores) > min(buffer)`` per query; tiles that cannot contribute
+(the overwhelming majority once the buffer is warm) cost one extra VPU
+reduction.  Contributing tiles run a while-loop that repeatedly moves the
+tile's max into the buffer's min slot — at most K iterations, usually 1-2.
+
+Exactness: every row's score is computed and compared, so results match the
+jnp.einsum + lax.top_k oracle bit-for-bit at equal dtypes (recall parity by
+construction, see SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ALLOW_ALL = -2  # sentinel in allowed[0]: disable source filtering
+_BIG = 2**30
+
+# Row-tile candidates; EmbeddingMatrix capacity is always a multiple of 512
+# (index/matrix.py ROW_ALIGN) so at least the last divides.
+_TILES = (4096, 2048, 1024, 512)
+
+
+def _pick_tile(n: int) -> int:
+    for t in _TILES:
+        if n % t == 0:
+            return t
+    raise ValueError(f"matrix rows {n} not a multiple of {_TILES[-1]}")
+
+
+def _argmax2d(x, iota):
+    """(rows, idx) of the per-row max via the iota trick (2D keepdims only —
+    avoids 1D argmax lowering in Mosaic).  Ties pick the lowest index."""
+    m = jnp.max(x, axis=1, keepdims=True)
+    idx = jnp.min(jnp.where(x == m, iota, _BIG), axis=1, keepdims=True)
+    return m, idx
+
+
+def _argmin2d(x, iota):
+    m = jnp.min(x, axis=1, keepdims=True)
+    idx = jnp.min(jnp.where(x == m, iota, _BIG), axis=1, keepdims=True)
+    return m, idx
+
+
+def _scan_kernel(allowed_ref, q_ref, m_ref, src_ref, vals_ref, rows_ref, *, k, tile_n, n_filter):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        vals_ref[:] = jnp.full(vals_ref.shape, -jnp.inf, vals_ref.dtype)
+        rows_ref[:] = jnp.full(rows_ref.shape, -1, rows_ref.dtype)
+
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        m_ref[:],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Q, TILE_N)
+
+    src = src_ref[:]  # (1, TILE_N) int32; -1 marks tombstones/unallocated
+    ok = src == allowed_ref[0]
+    for f in range(1, n_filter):
+        ok = ok | (src == allowed_ref[f])
+    allow_all = allowed_ref[0] == ALLOW_ALL
+    mask = (src >= 0) & (ok | allow_all)
+    scores = jnp.where(mask, scores, -jnp.inf)
+
+    bv = vals_ref[:]  # (Q, K) carried across tiles
+    br = rows_ref[:]
+    base = t * tile_n
+    n_iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1)
+
+    def cond(state):
+        j, sc, bv, br = state
+        improve = jnp.max(sc, axis=1) > jnp.min(bv, axis=1)
+        return (j < k) & jnp.any(improve)
+
+    def body(state):
+        j, sc, bv, br = state
+        tv, ti = _argmax2d(sc, n_iota)  # (Q,1) tile best + its column
+        bmin, bpos = _argmin2d(bv, k_iota)  # (Q,1) buffer worst + its slot
+        improve = tv > bmin
+        sel = (k_iota == bpos) & improve
+        bv = jnp.where(sel, tv, bv)
+        br = jnp.where(sel, base + ti, br)
+        sc = jnp.where((n_iota == ti) & improve, -jnp.inf, sc)
+        return j + 1, sc, bv, br
+
+    _, _, bv, br = jax.lax.while_loop(cond, body, (jnp.int32(0), scores, bv, br))
+    vals_ref[:] = bv
+    rows_ref[:] = br
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _scan_topk(matrix, source_ids, q, allowed, k: int, interpret: bool):
+    n, d = matrix.shape
+    nq = q.shape[0]
+    tile_n = _pick_tile(n)
+    n_filter = allowed.shape[0]
+    qc = q.astype(matrix.dtype)
+    src2d = source_ids.reshape(1, n)
+
+    kernel = functools.partial(_scan_kernel, k=k, tile_n=tile_n, n_filter=n_filter)
+    vals, rows = pl.pallas_call(
+        kernel,
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # allowed (F,)
+            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nq, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, k), jnp.float32),
+            jax.ShapeDtypeStruct((nq, k), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nq * n * d,
+            bytes_accessed=n * d * matrix.dtype.itemsize + nq * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(allowed, qc, matrix, src2d)
+
+    # Buffer is an unordered k-set; order it best-first (tiny (Q,K) op).
+    svals, perm = jax.lax.top_k(vals, k)
+    srows = jnp.take_along_axis(rows, perm, axis=1)
+    return svals, srows
+
+
+def scan_topk_pallas(matrix, source_ids, q, allowed, k: int):
+    """Exact top-k of ``q @ matrix.T`` with row validity/source filtering.
+
+    matrix: (N, D) storage dtype (bf16/f32), N a multiple of 512.
+    source_ids: (N,) int32, -1 = invalid row.
+    q: (Q, D) float32 queries (cast to the matrix dtype for the MXU).
+    allowed: (F,) int32 source filter; allowed[0] == ALLOW_ALL disables.
+    Returns ((Q, k) f32 scores best-first, (Q, k) int32 row indices);
+    slots past the number of matching rows carry -inf / -1.
+    """
+    interpret = jax.default_backend() != "tpu"
+    return _scan_topk(matrix, source_ids, q, allowed, k, interpret)
