@@ -182,6 +182,31 @@ class Model:
             outs.append(emb[: len(chunk)])
         return np.concatenate(outs, axis=0)
 
+    def encode_dispatch(self, texts: Sequence[str]):
+        """Tokenize + launch the jitted encode WITHOUT materializing.
+
+        Returns a device array future; call ``np.asarray`` on it (or
+        ``materialize``) later.  This is the double-buffering hook for the
+        ingest pipeline: JAX dispatch is async, so the host can tokenize the
+        next batch while the TPU encodes this one (replaces the reference's
+        worker-thread channel hop, model.rs:161-190).
+        """
+        chunk = list(texts)
+        tb = self.tokenizer.encode_batch(chunk, pad_batch_to=batch_bucket(len(chunk)))
+        out = self._encode_jit(
+            self.params,
+            jnp.asarray(tb.input_ids),
+            jnp.asarray(tb.attention_mask),
+            jnp.asarray(tb.token_type_ids),
+        )
+        return out, len(chunk)
+
+    @staticmethod
+    def materialize(dispatched) -> np.ndarray:
+        """Block on a dispatched encode and trim batch padding."""
+        out, n = dispatched
+        return np.asarray(out)[:n]
+
     def encode_query(self, query: str) -> np.ndarray:
         """Single query -> (dim,) f32 (reference search.rs:262-264)."""
         return self.encode([query])[0]

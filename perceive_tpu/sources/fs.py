@@ -1,0 +1,282 @@
+"""Filesystem connector: gitignore-aware tree walk -> Items.
+
+Behavior parity with the reference FileScanner (/root/reference/crates/
+perceive-core/sources/fs.rs:17-193): glob filter over a root directory,
+hidden/.gitignore'd entries skipped, mtime/atime captured at scan time,
+``read`` loads UTF-8 text (Omit on binary/empty), YAML front matter becomes
+name/description/author metadata with the body as content and the original
+bytes zstd(3)-compressed into raw_content, and ``reprocess`` re-parses front
+matter from stored raw bytes.
+
+The glob and gitignore matchers are implemented here (no pathspec in the
+image): ``_glob_to_regex`` supports *, **, ?, [...] like the reference's
+globset; gitignore handling covers the common pattern forms (name, dir/,
+anchored /, *, negation !).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional
+
+import yaml
+import zstandard
+
+from ..types import Item, ItemCompareStrategy, ItemMetadata
+from .scanner import FoundItem, ReadResult
+
+ZSTD_LEVEL = 3
+
+
+def compress_raw(data: bytes) -> bytes:
+    return zstandard.ZstdCompressor(level=ZSTD_LEVEL).compress(data)
+
+
+def decompress_raw(data: bytes) -> bytes:
+    return zstandard.ZstdDecompressor().decompress(data)
+
+
+# -- glob matching -----------------------------------------------------------
+
+
+def _glob_to_regex(glob: str) -> str:
+    """Translate a globset-style pattern to a regex over the full path."""
+    out, i, n = [], 0, len(glob)
+    while i < n:
+        c = glob[i]
+        if c == "*":
+            if glob[i : i + 3] == "**/":
+                out.append("(?:[^/]+/)*")
+                i += 3
+                continue
+            if glob[i : i + 2] == "**":
+                out.append(".*")
+                i += 2
+                continue
+            out.append("[^/]*")
+        elif c == "?":
+            out.append("[^/]")
+        elif c == "[":
+            j = i + 1
+            if j < n and glob[j] in "!^":
+                j += 1
+            if j < n and glob[j] == "]":
+                j += 1
+            while j < n and glob[j] != "]":
+                j += 1
+            if j < n:
+                cls = glob[i + 1 : j].replace("!", "^", 1) if glob[i + 1] == "!" else glob[i + 1 : j]
+                out.append(f"[{cls}]")
+                i = j
+            else:
+                out.append(re.escape(c))
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "".join(out)
+
+
+class GlobSet:
+    """Match a path against any of several glob patterns.
+
+    Like the reference (fs.rs:26-34): empty set matches everything; a bare
+    pattern with no slash matches against the basename (globset semantics
+    for patterns like ``*.md``).
+    """
+
+    def __init__(self, globs: list[str]):
+        self._basename: list[re.Pattern] = []
+        self._full: list[re.Pattern] = []
+        for g in globs:
+            rx = re.compile(_glob_to_regex(g) + r"\Z")
+            (self._full if "/" in g else self._basename).append(rx)
+        self.match_all = not globs
+
+    def matches(self, path: str) -> bool:
+        if self.match_all:
+            return True
+        base = os.path.basename(path)
+        return any(r.match(base) for r in self._basename) or any(
+            r.match(path) for r in self._full
+        )
+
+
+# -- gitignore ---------------------------------------------------------------
+
+
+class _GitignoreRules:
+    def __init__(self, lines: list[str], base: str):
+        self.base = base.rstrip("/")
+        self.rules: list[tuple[re.Pattern, bool, bool]] = []  # (rx, negate, dir_only)
+        for raw in lines:
+            line = raw.rstrip("\n")
+            if not line.strip() or line.startswith("#"):
+                continue
+            negate = line.startswith("!")
+            if negate:
+                line = line[1:]
+            dir_only = line.endswith("/")
+            line = line.rstrip("/")
+            anchored = line.startswith("/") or "/" in line
+            line = line.lstrip("/")
+            body = _glob_to_regex(line)
+            if anchored:
+                rx = re.compile(body + r"\Z")
+            else:  # match at any depth
+                rx = re.compile(r"(?:.*/)?" + body + r"\Z")
+            self.rules.append((rx, negate, dir_only))
+
+    def ignored(self, rel: str, is_dir: bool) -> Optional[bool]:
+        """Last matching rule wins (gitignore semantics); None = no opinion."""
+        verdict: Optional[bool] = None
+        for rx, negate, dir_only in self.rules:
+            if dir_only and not is_dir:
+                continue
+            if rx.match(rel):
+                verdict = not negate
+        return verdict
+
+
+# -- front matter ------------------------------------------------------------
+
+_FM_RE = re.compile(r"\A---\s*\n(.*?)\n---\s*\n?", re.DOTALL)
+
+
+def parse_front_matter(content: str, metadata: ItemMetadata) -> Optional[str]:
+    """YAML front matter -> metadata; returns the body, or None when the file
+    has no front matter (reference fs.rs:103-114)."""
+    m = _FM_RE.match(content)
+    if not m:
+        return None
+    try:
+        data = yaml.safe_load(m.group(1)) or {}
+    except yaml.YAMLError:
+        return None
+    if not isinstance(data, dict):
+        return None
+    metadata.name = data.get("title") or data.get("name") or metadata.name
+    metadata.description = data.get("description") or data.get("summary") or metadata.description
+    author = data.get("author")
+    metadata.author = str(author) if author is not None else metadata.author
+    return content[m.end() :]
+
+
+# -- scanner -----------------------------------------------------------------
+
+
+class FileScanner:
+    """(reference fs.rs:17-101)"""
+
+    def __init__(self, source_id: int, location: str, config: dict):
+        self.source_id = source_id
+        self.location = location
+        self.globs = GlobSet(list(config.get("globs", [])))
+
+    def scan(self, emit) -> None:
+        """Walk ``location``, emitting an Item per matching file with
+        mtime/atime stamped (content loaded later by ``read``)."""
+        ignore_stack: list[_GitignoreRules] = []
+        root = os.path.abspath(self.location)
+
+        def walk(dirpath: str) -> None:
+            gi_path = os.path.join(dirpath, ".gitignore")
+            pushed = False
+            if os.path.isfile(gi_path):
+                try:
+                    with open(gi_path, encoding="utf-8", errors="replace") as f:
+                        ignore_stack.append(_GitignoreRules(f.read().splitlines(), dirpath))
+                    pushed = True
+                except OSError:
+                    pass
+            try:
+                entries = sorted(os.scandir(dirpath), key=lambda e: e.name)
+            except OSError:
+                entries = []
+            for entry in entries:
+                if entry.name.startswith("."):  # hidden (ignore-crate default)
+                    continue
+                try:
+                    is_dir = entry.is_dir(follow_symlinks=False)
+                    is_file = entry.is_file(follow_symlinks=False)
+                except OSError:
+                    continue
+                if self._ignored(entry.path, is_dir, ignore_stack):
+                    continue
+                if is_dir:
+                    walk(entry.path)
+                elif is_file and self.globs.matches(entry.path):
+                    try:
+                        st = entry.stat(follow_symlinks=False)
+                    except OSError:
+                        continue
+                    emit(
+                        Item(
+                            id=-1,
+                            source_id=self.source_id,
+                            external_id=entry.path,
+                            metadata=ItemMetadata(
+                                mtime=int(st.st_mtime), atime=int(st.st_atime)
+                            ),
+                        )
+                    )
+            if pushed:
+                ignore_stack.pop()
+
+        walk(root)
+
+    @staticmethod
+    def _ignored(path: str, is_dir: bool, stack: list[_GitignoreRules]) -> bool:
+        verdict = False
+        for rules in stack:  # outer rules first; inner files override
+            rel = os.path.relpath(path, rules.base).replace(os.sep, "/")
+            v = rules.ignored(rel, is_dir)
+            if v is not None:
+                verdict = v
+        return verdict
+
+    def read(
+        self,
+        existing: Optional[FoundItem],
+        compare_strategy: ItemCompareStrategy,
+        item: Item,
+    ) -> ReadResult:
+        """(reference fs.rs:48-78): Omit on unreadable/binary/empty; front
+        matter split -> metadata + compressed raw."""
+        try:
+            with open(item.external_id, "rb") as f:
+                data = f.read()
+            content = data.decode("utf-8")
+        except (OSError, UnicodeDecodeError):
+            return ReadResult.OMIT
+        if not content.strip():
+            return ReadResult.OMIT
+
+        body = parse_front_matter(content, item.metadata)
+        if body is not None:
+            item.content = body
+            item.raw_content = compress_raw(data)
+        else:
+            item.content = content
+        return ReadResult.FOUND
+
+    def latest_process_version(self) -> int:
+        return 0
+
+    def reprocess(self, item: Item) -> ReadResult:
+        """Re-run front-matter extraction from stored raw bytes
+        (reference fs.rs:84-100)."""
+        if item.raw_content is not None:
+            try:
+                content = decompress_raw(item.raw_content).decode("utf-8")
+            except (zstandard.ZstdError, UnicodeDecodeError):
+                return ReadResult.UNCHANGED
+        elif item.content is not None:
+            content = item.content
+        else:
+            return ReadResult.UNCHANGED
+        body = parse_front_matter(content, item.metadata)
+        if body is not None:
+            item.content = body
+            return ReadResult.FOUND
+        return ReadResult.UNCHANGED

@@ -1,0 +1,498 @@
+"""The 5-stage ingest pipeline: scan -> match -> read -> TPU embed -> write.
+
+Host feeder with the same stage/queue/backpressure structure as the reference
+(/root/reference/crates/perceive-core/sources/pipeline/import.rs:12-116):
+bounded queues between stages so a slow stage throttles the ones above it.
+The embed stage is the TPU boundary and differs by design:
+
+  * batches are TPU-sized (default 256 vs the reference's 64,
+    pipeline.rs:76) and padded to bucket shapes for jit stability;
+  * encodes are double-buffered — batch i+1 tokenizes on the host while
+    batch i runs on the chip (Model.encode_dispatch / materialize), which
+    replaces the reference's single-threaded model worker channel
+    (model.rs:161-190) with the device queue itself;
+  * an embed failure poisons only its batch (items written without
+    embeddings, re-embedded next scan), not the whole scan — the reference
+    aborted the stage (calculate_embeddings.rs error path).
+
+Stage-death safety: every stage wrapper drains its input on error so bounded
+queues never deadlock the remaining stages.
+"""
+
+from __future__ import annotations
+
+import queue
+import sys
+import threading
+import traceback
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..db import Database
+from ..index.matrix import serialize_embedding
+from ..types import Item, ItemCompareStrategy, SkipReason, Source
+from ..utils import BatchSender
+from .scanner import (
+    FoundItem,
+    ReadResult,
+    ScanItem,
+    ScanItemState,
+    ScanStats,
+    SourceScanner,
+    create_scanner,
+)
+
+SCAN_BATCH_SIZE = 64  # items per scanner batch (reference fs.rs:116)
+EMBED_BATCH_SIZE = 256  # TPU batch (reference used 64, pipeline.rs:76)
+READ_PARALLELISM = 8  # reference import.rs:60
+MATCH_QUEUE = 256
+EMBED_QUEUE_BATCHES = 8
+
+_SENTINEL = None
+
+
+def _drain_queue(q: queue.Queue):
+    while True:
+        v = q.get()
+        if v is _SENTINEL:
+            return
+        yield v
+
+
+class _Stage(threading.Thread):
+    """Runs ``fn``; on error, logs, flags, and drains ``in_q`` so upstream
+    producers never block forever (reference pipeline.rs:133-158 logged and
+    aborted; we additionally keep the pipe flowing)."""
+
+    def __init__(self, name: str, fn: Callable[[], None], in_q: Optional[queue.Queue], errors: list):
+        super().__init__(name=name, daemon=True)
+        self._fn = fn
+        self._in_q = in_q
+        self._errors = errors
+
+    def run(self) -> None:
+        try:
+            self._fn()
+        except Exception as e:  # noqa: BLE001 — stage isolation boundary
+            print(f"stage {self.name} failed: {e}", file=sys.stderr)
+            traceback.print_exc()
+            self._errors.append((self.name, e))
+            if self._in_q is not None:
+                for _ in _drain_queue(self._in_q):
+                    pass
+
+
+# -- stage 2: match against existing rows ------------------------------------
+
+
+def _match_stage(
+    db: Database,
+    model_id: int,
+    model_version: int,
+    source_id: int,
+    compare_strategy: ItemCompareStrategy,
+    in_q: queue.Queue,
+    out_q: queue.Queue,
+) -> None:
+    """Batch SQL lookup + New/Changed/Found/Unchanged classification
+    (reference match_existing_items.rs:9-112; decision table :81-96)."""
+    from ..db import json_ids
+
+    compare_mtime = compare_strategy.should_compare_mtime
+    mtime_sufficient = compare_strategy is ItemCompareStrategy.MTIME
+    want_content = compare_strategy.should_compare_content
+    content_col = "content" if want_content else "''"
+    conn = db.read()
+    sql = f"""
+        SELECT external_id, id, hash, modified, last_accessed, skipped,
+               {content_col}, ie.item_id IS NOT NULL
+        FROM items
+        LEFT JOIN item_embeddings ie ON ie.item_id = items.id
+          AND ie.model_id = ? AND ie.model_version = ?
+        WHERE source_id = ? AND external_id IN (SELECT value FROM json_each(?))
+    """
+
+    for batch in _drain_queue(in_q):
+        rows = conn.execute(
+            sql, (model_id, model_version, source_id, json_ids(i.external_id for i in batch))
+        ).fetchall()
+        found = {
+            r[0]: (
+                r[1],
+                FoundItem(
+                    hash=r[2] or "",
+                    modified=r[3],
+                    last_accessed=r[4],
+                    skipped=SkipReason.parse(r[5]),
+                    content=r[6] or "",
+                    has_embedding=bool(r[7]),
+                ),
+            )
+            for r in rows
+        }
+        for item in batch:
+            hit = found.pop(item.external_id, None)
+            if hit is None:
+                out_q.put(ScanItem(state=ScanItemState.NEW, item=item))
+                continue
+            row_id, existing = hit
+            same_time = None
+            if compare_mtime and item.metadata.mtime is not None and existing.modified is not None:
+                same_time = item.metadata.mtime == existing.modified
+            force = compare_strategy is ItemCompareStrategy.FORCE or not existing.has_embedding
+            if force:
+                state = ScanItemState.CHANGED
+            elif same_time is False:
+                state = ScanItemState.CHANGED
+            elif same_time is True:
+                state = ScanItemState.UNCHANGED if mtime_sufficient else ScanItemState.FOUND
+            else:  # no mtime info or not comparing mtime
+                state = ScanItemState.FOUND
+            item.id = row_id
+            out_q.put(ScanItem(state=state, item=item, existing=existing))
+
+
+# -- stage 3: read content ---------------------------------------------------
+
+
+def _read_stage(
+    stats: ScanStats,
+    compare_strategy: ItemCompareStrategy,
+    scanner: SourceScanner,
+    in_q: queue.Queue,
+    out_q: queue.Queue,
+) -> None:
+    """(reference read_items.rs:6-70)"""
+    for si in _drain_queue(in_q):
+        with stats.read_time.track():
+            if si.state is ScanItemState.UNCHANGED:
+                out_q.put(si)
+                continue
+            stats.reading.add()
+            try:
+                result = scanner.read(si.existing, compare_strategy, si.item)
+            except Exception as e:  # noqa: BLE001 — per-item isolation
+                print(f"{si.item.external_id}: {e}", file=sys.stderr)
+                continue
+            finally:
+                stats.reading.sub()
+                stats.fetched.add()
+
+            if result is ReadResult.OMIT:
+                continue
+            state = ScanItemState.UNCHANGED if result is ReadResult.UNCHANGED else si.state
+
+            if state is ScanItemState.FOUND:
+                # settle changed-ness by content comparison
+                if si.existing is None:
+                    state = ScanItemState.NEW
+                elif (
+                    si.item.skipped is None
+                    and compare_strategy.should_compare_content
+                    and si.existing.content != (si.item.content or "")
+                ):
+                    state = ScanItemState.CHANGED
+                else:
+                    state = ScanItemState.UNCHANGED
+            si.state = state
+            out_q.put(si)
+
+
+# -- stage 4: TPU embed ------------------------------------------------------
+
+
+def build_document(item: Item) -> Optional[str]:
+    """Document text = name + description + content, newline-joined, skipping
+    blanks (reference calculate_embeddings.rs:55-74)."""
+    meta = item.metadata
+    if meta.name is None and meta.description is None:
+        doc = (item.content or "").strip()
+        return doc or None
+    parts = [p for p in (meta.name, meta.description, item.content) if p and p.strip()]
+    doc = "\n".join(parts)
+    return doc or None
+
+
+def _embed_stage(
+    stats: ScanStats,
+    model,
+    in_q: queue.Queue,
+    out_q: queue.Queue,
+    batch_size: int,
+) -> None:
+    """Double-buffered device encode (reference calculate_embeddings.rs:38-100
+    restructured for async dispatch)."""
+    buf: list[ScanItem] = []
+    docs: list[str] = []
+    pending = None  # (dispatched, items)
+
+    def materialize(p):
+        dispatched, items = p
+        with stats.encode_time.track():
+            try:
+                embs = model.materialize(dispatched)
+            except Exception as e:  # noqa: BLE001 — batch isolation
+                print(f"embed batch failed: {e}", file=sys.stderr)
+                embs = None
+        stats.embedding.sub(len(items))
+        if embs is None:
+            out_q.put([(si, None) for si in items])
+        else:
+            stats.encoded.add(len(items))
+            out_q.put(list(zip(items, embs)))
+
+    def dispatch():
+        nonlocal pending, buf, docs
+        items, texts = buf, docs
+        buf, docs = [], []
+        stats.embedding.add(len(items))
+        with stats.encode_time.track():
+            try:
+                d = model.encode_dispatch(texts)
+            except Exception as e:  # noqa: BLE001
+                print(f"embed dispatch failed: {e}", file=sys.stderr)
+                stats.embedding.sub(len(items))
+                out_q.put([(si, None) for si in items])
+                return
+        prev, pending = pending, (d, items)
+        if prev is not None:
+            materialize(prev)
+
+    for si in _drain_queue(in_q):
+        if (
+            si.state in (ScanItemState.UNCHANGED, ScanItemState.FOUND)
+            or si.item.skipped is not None
+        ):
+            out_q.put([(si, None)])
+            continue
+        doc = build_document(si.item)
+        if doc is None:
+            out_q.put([(si, None)])
+            continue
+        buf.append(si)
+        docs.append(doc)
+        if len(buf) >= batch_size:
+            dispatch()
+    if buf:
+        dispatch()
+    if pending is not None:
+        materialize(pending)
+
+
+# -- stage 5: write ----------------------------------------------------------
+
+
+def _write_stage(
+    stats: ScanStats,
+    db: Database,
+    model_id: int,
+    model_version: int,
+    index_version: int,
+    in_q: queue.Queue,
+    on_embeddings: Optional[Callable[[list[int], list[int], np.ndarray], None]],
+) -> None:
+    """Single writer, one transaction per batch (reference update_db.rs:8-139).
+    ``on_embeddings`` receives (item_ids, source_ids, vectors) after each
+    commit — the incremental device-matrix update hook the HNSW never had."""
+    for batch in _drain_queue(in_q):
+        with stats.write_time.track(), db.write() as conn:
+            new = changed = unchanged = 0
+            dev_ids: list[int] = []
+            dev_srcs: list[int] = []
+            dev_vecs: list[np.ndarray] = []
+            for si, emb in batch:
+                item = si.item
+                meta = item.metadata
+                if si.state is ScanItemState.UNCHANGED:
+                    conn.execute(
+                        "UPDATE items SET version = ?, last_accessed = ? WHERE id = ?",
+                        (index_version, meta.atime, item.id),
+                    )
+                    unchanged += 1
+                    item_id = item.id
+                elif si.state is ScanItemState.NEW:
+                    cur = conn.execute(
+                        """INSERT INTO items (source_id, external_id, version, hash,
+                             content, raw_content, process_version, name, author,
+                             description, modified, last_accessed, skipped)
+                           VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?)""",
+                        (
+                            item.source_id,
+                            item.external_id,
+                            index_version,
+                            item.hash or "",
+                            item.content or "",
+                            item.raw_content,
+                            item.process_version,
+                            meta.name,
+                            meta.author,
+                            meta.description,
+                            meta.mtime,
+                            meta.atime,
+                            str(item.skipped) if item.skipped else None,
+                        ),
+                    )
+                    item.id = item_id = cur.lastrowid
+                    new += 1
+                else:  # FOUND or CHANGED: full row update
+                    conn.execute(
+                        """UPDATE items SET version=?, hash=?, content=?,
+                             raw_content=?, process_version=?, name=?, author=?,
+                             description=?, modified=?, last_accessed=?, skipped=?
+                           WHERE id=?""",
+                        (
+                            index_version,
+                            item.hash or "",
+                            item.content or "",
+                            item.raw_content,
+                            item.process_version,
+                            meta.name,
+                            meta.author,
+                            meta.description,
+                            meta.mtime,
+                            meta.atime,
+                            str(item.skipped) if item.skipped else None,
+                            item.id,
+                        ),
+                    )
+                    changed += 1
+                    item_id = item.id
+                if emb is not None:
+                    conn.execute(
+                        """INSERT INTO item_embeddings
+                             (item_id, item_index_version, embedding, model_id, model_version)
+                           VALUES (?,?,?,?,?)
+                           ON CONFLICT (item_id, model_id, model_version) DO UPDATE
+                             SET item_index_version=excluded.item_index_version,
+                                 embedding=excluded.embedding""",
+                        (item_id, index_version, serialize_embedding(emb), model_id, model_version),
+                    )
+                    dev_ids.append(item_id)
+                    dev_srcs.append(item.source_id)
+                    dev_vecs.append(np.asarray(emb, dtype=np.float32))
+        stats.added.add(new)
+        stats.changed.add(changed)
+        stats.unchanged.add(unchanged)
+        if on_embeddings is not None and dev_ids:
+            on_embeddings(dev_ids, dev_srcs, np.stack(dev_vecs))
+
+
+# -- orchestration -----------------------------------------------------------
+
+
+def scan_source(
+    db: Database,
+    model,
+    source: Source,
+    *,
+    stats: Optional[ScanStats] = None,
+    compare_strategy: Optional[ItemCompareStrategy] = None,
+    scanner: Optional[SourceScanner] = None,
+    on_embeddings: Optional[Callable] = None,
+    embed_batch_size: int = EMBED_BATCH_SIZE,
+) -> tuple[ScanStats, bool]:
+    """Run the full scan pipeline for one source (reference import.rs:12-116).
+
+    Returns (stats, ok).  ``on_embeddings(item_ids, source_ids, vectors)``
+    fires after each committed batch for live device-matrix updates.
+    """
+    stats = stats or ScanStats()
+    scanner = scanner or create_scanner(source)
+    strategy = compare_strategy or source.compare_strategy
+    errors: list = []
+
+    q_items: queue.Queue = queue.Queue()
+    q_matched: queue.Queue = queue.Queue(MATCH_QUEUE)
+    q_content: queue.Queue = queue.Queue(embed_batch_size)
+    q_embedded: queue.Queue = queue.Queue(EMBED_QUEUE_BATCHES)
+
+    def scan_fn():
+        with stats.scan_time.track():
+            sender: BatchSender[Item] = BatchSender(q_items, SCAN_BATCH_SIZE)
+
+            def emit(item: Item) -> None:
+                stats.scanned.add()
+                sender.add(item)
+
+            try:
+                scanner.scan(emit)
+            finally:
+                sender.close()
+
+    t_scan = _Stage("scanner", scan_fn, None, errors)
+    t_match = _Stage(
+        "match_existing",
+        lambda: _match_stage(
+            db, model.model_id, model.model_version, source.id, strategy, q_items, q_matched
+        ),
+        q_items,
+        errors,
+    )
+    readers = [
+        _Stage(
+            f"read_items_{i}",
+            lambda: _read_stage(stats, strategy, scanner, q_matched, q_content),
+            q_matched,
+            errors,
+        )
+        for i in range(READ_PARALLELISM)
+    ]
+    t_embed = _Stage(
+        "embed",
+        lambda: _embed_stage(stats, model, q_content, q_embedded, embed_batch_size),
+        q_content,
+        errors,
+    )
+    t_write = _Stage(
+        "update_db",
+        lambda: _write_stage(
+            stats,
+            db,
+            model.model_id,
+            model.model_version,
+            source.index_version,
+            q_embedded,
+            on_embeddings,
+        ),
+        q_embedded,
+        errors,
+    )
+
+    for t in (t_scan, t_match, *readers, t_embed, t_write):
+        t.start()
+    t_scan.join()
+    q_items.put(_SENTINEL)
+    t_match.join()
+    for _ in readers:
+        q_matched.put(_SENTINEL)  # one per reader; each consumes exactly one
+    for r in readers:
+        r.join()
+    q_content.put(_SENTINEL)
+    t_embed.join()
+    q_embedded.put(_SENTINEL)
+    t_write.join()
+
+    return stats, not errors
+
+
+def prune_missing_items(db: Database, source: Source) -> list[int]:
+    """Delete items of ``source`` whose version was not bumped to the current
+    index_version (they vanished from the source).  The reference left this
+    as a TODO (import.rs:110-114); here it is an explicit opt-in step whose
+    removed ids are also evicted from the device matrix by the caller.
+    """
+    rows = db.read().execute(
+        "SELECT id FROM items WHERE source_id = ? AND version < ?",
+        (source.id, source.index_version),
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    if ids:
+        from ..db import json_ids
+
+        with db.write() as conn:
+            conn.execute(
+                "DELETE FROM items WHERE id IN (SELECT value FROM json_each(?))",
+                (json_ids(ids),),
+            )
+    return ids

@@ -1,0 +1,196 @@
+"""Ingest pipeline integration tests: temp-dir fs source -> scan -> embed ->
+SQLite -> searcher (SURVEY.md §4: fake connectors over temp dirs)."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from perceive_tpu.db import add_source, get_source
+from perceive_tpu.index.searcher import Searcher
+from perceive_tpu.models import EncoderArch, HeadConfig, Model, TextTokenizer, tiny_test_vocab
+from perceive_tpu.sources import ScanItemState, build_document, prune_missing_items, scan_source
+from perceive_tpu.sources.fs import FileScanner, GlobSet, parse_front_matter
+from perceive_tpu.types import Item, ItemCompareStrategy, ItemMetadata, Source
+
+
+@pytest.fixture(scope="module")
+def model():
+    words = ["alpha", "beta", "gamma", "delta", "news", "notes", "hello", "world"]
+    tok = TextTokenizer.from_vocab(tiny_test_vocab(words), max_seq_length=32)
+    arch = EncoderArch(
+        vocab_size=len(tiny_test_vocab(words)), hidden_size=32, num_layers=1,
+        num_heads=4, intermediate_size=64, max_position_embeddings=32,
+    )
+    m = Model.random(arch, HeadConfig(pooling="mean", normalize=True), tok, seed=0)
+    m.model_id, m.model_version = 0, 0
+    return m
+
+
+def _make_tree(root):
+    root.mkdir(parents=True, exist_ok=True)
+    (root / "a.md").write_text("---\ntitle: Alpha Doc\nauthor: ann\n---\nalpha beta gamma\n")
+    (root / "b.txt").write_text("hello world notes\n")
+    sub = root / "sub"
+    sub.mkdir()
+    (sub / "c.md").write_text("delta news\n")
+    (root / "skip.bin").write_bytes(b"\xff\xfe\x00\x01binary")
+    (root / "empty.txt").write_text("   \n")
+    (root / ".hidden.txt").write_text("should not appear")
+    return root
+
+
+def _add_fs_source(db, root, **kw):
+    return add_source(
+        db,
+        Source(name="docs", config={"type": "fs"}, location=str(root), **kw),
+    )
+
+
+def test_scan_end_to_end(tmp_db, tmp_path, model):
+    root = _make_tree(tmp_path / "docs")
+    src = _add_fs_source(tmp_db, root)
+
+    searcher = Searcher(0, 0, model.dim, engine="xla")
+    stats, ok = scan_source(
+        tmp_db, model, src, on_embeddings=searcher.upsert_embeddings, embed_batch_size=2
+    )
+    assert ok
+    # 3 text files indexed; binary + empty omitted; hidden skipped
+    assert stats.added.value == 3
+    assert stats.encoded.value == 3
+    rows = tmp_db.read().execute(
+        "SELECT external_id, name, author, content FROM items ORDER BY external_id"
+    ).fetchall()
+    assert len(rows) == 3
+    by_name = {os.path.basename(r[0]): r for r in rows}
+    assert by_name["a.md"][1] == "Alpha Doc"
+    assert by_name["a.md"][2] == "ann"
+    assert "alpha beta gamma" in by_name["a.md"][3]
+    assert by_name["a.md"][3].startswith("alpha")  # front matter stripped
+
+    # embeddings landed in SQLite and in the device matrix
+    n_emb = tmp_db.read().execute("SELECT COUNT(*) FROM item_embeddings").fetchone()[0]
+    assert n_emb == 3
+    assert len(searcher.matrix) == 3
+
+    # search round-trips
+    hits = searcher.search_and_retrieve(tmp_db, model, "alpha beta", 5)
+    assert hits and any("a.md" in h.item.external_id for h in hits)
+
+
+def test_rescan_unchanged(tmp_db, tmp_path, model):
+    root = _make_tree(tmp_path / "docs2")
+    src = _add_fs_source(tmp_db, root)
+    scan_source(tmp_db, model, src, embed_batch_size=4)
+
+    stats2, ok = scan_source(tmp_db, model, src, embed_batch_size=4)
+    assert ok
+    assert stats2.added.value == 0
+    assert stats2.changed.value == 0
+    assert stats2.unchanged.value == 3
+    assert stats2.encoded.value == 0  # no re-embedding of unchanged items
+
+    # touch one file with new content + new mtime -> exactly one re-embed
+    time.sleep(0.01)
+    (root / "b.txt").write_text("hello world notes CHANGED\n")
+    os.utime(root / "b.txt", (time.time() + 5, time.time() + 5))
+    stats3, ok = scan_source(tmp_db, model, src, embed_batch_size=4)
+    assert ok
+    assert stats3.changed.value == 1
+    assert stats3.unchanged.value == 2
+    assert stats3.encoded.value == 1
+
+
+def test_rescan_content_compare_same_mtime(tmp_db, tmp_path, model):
+    """mtime equal but content differs: MTIME trusts mtime, CONTENT catches it."""
+    root = tmp_path / "docs3"
+    root.mkdir()
+    f = root / "x.txt"
+    f.write_text("hello world")
+    src = _add_fs_source(tmp_db, root, compare_strategy=ItemCompareStrategy.MTIME)
+    scan_source(tmp_db, model, src, embed_batch_size=4)
+
+    st = f.stat()
+    f.write_text("hello world beta")
+    os.utime(f, (st.st_atime, st.st_mtime))  # restore mtime
+
+    stats, _ = scan_source(tmp_db, model, src, embed_batch_size=4)
+    assert stats.unchanged.value == 1  # MTIME: equal mtime is sufficient
+
+    src.compare_strategy = ItemCompareStrategy.MTIME_AND_CONTENT
+    stats, _ = scan_source(tmp_db, model, src, embed_batch_size=4)
+    assert stats.changed.value == 1  # equal mtime still content-compared => caught
+    row = tmp_db.read().execute("SELECT content FROM items WHERE external_id = ?", (str(f),)).fetchone()
+    assert row[0] == "hello world beta"
+
+
+def test_force_rescan(tmp_db, tmp_path, model):
+    root = tmp_path / "docs4"
+    root.mkdir()
+    (root / "x.txt").write_text("hello world")
+    src = _add_fs_source(tmp_db, root)
+    scan_source(tmp_db, model, src, embed_batch_size=4)
+    stats, _ = scan_source(
+        tmp_db, model, src, compare_strategy=ItemCompareStrategy.FORCE, embed_batch_size=4
+    )
+    assert stats.changed.value == 1
+    assert stats.encoded.value == 1
+
+
+def test_prune_missing(tmp_db, tmp_path, model):
+    root = tmp_path / "docs5"
+    root.mkdir()
+    (root / "keep.txt").write_text("hello")
+    (root / "gone.txt").write_text("world")
+    src = _add_fs_source(tmp_db, root)
+    scan_source(tmp_db, model, src, embed_batch_size=4)
+
+    (root / "gone.txt").unlink()
+    src.index_version += 1
+    stats, _ = scan_source(tmp_db, model, src, embed_batch_size=4)
+    removed = prune_missing_items(tmp_db, src)
+    assert len(removed) == 1
+    n = tmp_db.read().execute("SELECT COUNT(*) FROM items").fetchone()[0]
+    assert n == 1
+
+
+def test_globs_and_front_matter():
+    gs = GlobSet(["*.md", "docs/**/*.txt"])
+    assert gs.matches("/x/y/note.md")
+    assert gs.matches("docs/a/b/c.txt")
+    assert not gs.matches("/x/y/note.rst")
+    assert not gs.matches("other/a.txt")
+    assert GlobSet([]).matches("anything/at.all")
+
+    meta = ItemMetadata()
+    body = parse_front_matter("---\nname: N\nsummary: S\n---\nBody text", meta)
+    assert body == "Body text"
+    assert meta.name == "N" and meta.description == "S"
+    assert parse_front_matter("no front matter", meta) is None
+
+
+def test_build_document():
+    it = Item(content="  body  ")
+    assert build_document(it) == "body"
+    it2 = Item(content="body", metadata=ItemMetadata(name="T", description="D"))
+    assert build_document(it2) == "T\nD\nbody"
+    assert build_document(Item(content="   ")) is None
+
+
+def test_gitignore(tmp_db, tmp_path, model):
+    root = tmp_path / "docs6"
+    root.mkdir()
+    (root / ".gitignore").write_text("ignored/\n*.log\n!keep.log\n")
+    (root / "a.txt").write_text("hello")
+    (root / "x.log").write_text("log file")
+    (root / "keep.log").write_text("kept log")
+    ig = root / "ignored"
+    ig.mkdir()
+    (ig / "b.txt").write_text("world")
+    src = _add_fs_source(tmp_db, root)
+    stats, ok = scan_source(tmp_db, model, src, embed_batch_size=4)
+    assert ok
+    paths = {os.path.basename(r[0]) for r in tmp_db.read().execute("SELECT external_id FROM items")}
+    assert paths == {"a.txt", "keep.log"}
