@@ -70,13 +70,17 @@ class EmbeddingMatrix:
         *,
         dtype: jnp.dtype = jnp.bfloat16,
         capacity: int = 4096,
-        device: Optional[jax.Device] = None,
+        device=None,  # jax.Device or jax.sharding.Sharding (mesh placement)
+        ids_device=None,  # separate placement for the 1D per-row arrays
+        row_align: int = ROW_ALIGN,
     ):
         self.dim = dim
         self.padded_dim = _round_up(dim, LANE_ALIGN)
         self.dtype = dtype
-        self.capacity = _round_up(max(capacity, ROW_ALIGN), ROW_ALIGN)
+        self.row_align = row_align
+        self.capacity = _round_up(max(capacity, row_align), row_align)
         self.device = device
+        self.ids_device = ids_device if ids_device is not None else device
         self._lock = threading.RLock()
 
         self.rows = 0  # high-water mark of allocated rows
@@ -113,7 +117,7 @@ class EmbeddingMatrix:
                     host = host.astype(jax.dtypes.canonicalize_dtype(self.dtype))
                 self._device_vectors = jax.device_put(host, self.device)
                 self._device_source_ids = jax.device_put(
-                    jnp.asarray(self.source_ids), self.device
+                    jnp.asarray(self.source_ids), self.ids_device
                 )
             else:
                 rows = np.fromiter(self._dirty_rows, dtype=np.int32)

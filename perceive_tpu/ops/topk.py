@@ -41,10 +41,20 @@ _BIG = 2**30
 _TILES = (4096, 2048, 1024, 512)
 
 
-def _pick_tile(n: int) -> int:
+_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
+
+
+def _pick_tile(n: int, nq: int = 1, d: int = 128, itemsize: int = 2) -> int:
+    """Largest row tile that divides n AND fits VMEM: double-buffered matrix
+    tiles + the (Q, TILE) f32 scores (carried twice through the while-loop)."""
     for t in _TILES:
-        if n % t == 0:
+        if n % t:
+            continue
+        vmem = 2 * t * d * itemsize + 2 * nq * t * 4
+        if vmem <= _VMEM_BUDGET:
             return t
+    if n % _TILES[-1] == 0:
+        return _TILES[-1]
     raise ValueError(f"matrix rows {n} not a multiple of {_TILES[-1]}")
 
 
@@ -112,14 +122,16 @@ def _scan_kernel(allowed_ref, q_ref, m_ref, src_ref, vals_ref, rows_ref, *, k, t
     rows_ref[:] = br
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def _scan_topk(matrix, source_ids, q, allowed, k: int, interpret: bool):
+def pallas_topk_unsorted(matrix, src2d, qc, allowed, k: int, interpret: bool):
+    """Raw kernel invocation: unsorted (Q,K) candidate buffer.
+
+    Callable inside jit/shard_map (per-shard local top-k for the sharded
+    searcher).  ``src2d`` is (1, N) int32; ``qc`` already in matrix dtype.
+    """
     n, d = matrix.shape
-    nq = q.shape[0]
-    tile_n = _pick_tile(n)
+    nq = qc.shape[0]
+    tile_n = _pick_tile(n, nq, d, matrix.dtype.itemsize)
     n_filter = allowed.shape[0]
-    qc = q.astype(matrix.dtype)
-    src2d = source_ids.reshape(1, n)
 
     kernel = functools.partial(_scan_kernel, k=k, tile_n=tile_n, n_filter=n_filter)
     vals, rows = pl.pallas_call(
@@ -146,7 +158,14 @@ def _scan_topk(matrix, source_ids, q, allowed, k: int, interpret: bool):
         ),
         interpret=interpret,
     )(allowed, qc, matrix, src2d)
+    return vals, rows
 
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _scan_topk(matrix, source_ids, q, allowed, k: int, interpret: bool):
+    qc = q.astype(matrix.dtype)
+    src2d = source_ids.reshape(1, matrix.shape[0])
+    vals, rows = pallas_topk_unsorted(matrix, src2d, qc, allowed, k, interpret)
     # Buffer is an unordered k-set; order it best-first (tiny (Q,K) op).
     svals, perm = jax.lax.top_k(vals, k)
     srows = jnp.take_along_axis(rows, perm, axis=1)

@@ -1,0 +1,122 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4: mesh/pjit/collective tests via host platform device count)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from perceive_tpu.parallel import (
+    ShardedSearcher,
+    batch_sharding,
+    make_mesh,
+    shard_params,
+    sharded_scan_topk,
+)
+from perceive_tpu.parallel.mesh import rows_1d_sharding, rows_sharding
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = make_mesh(8, model_parallel=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_sharded_scan_matches_oracle():
+    mesh = make_mesh(8)
+    n, d, nq, k = 4096, 64, 3, 16
+    rng = np.random.default_rng(0)
+    matrix = rng.standard_normal((n, d)).astype(np.float32)
+    source_ids = rng.integers(0, 4, n).astype(np.int32)
+    source_ids[::17] = -1
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    allowed = np.full(16, -9, np.int32)
+    allowed[0] = -2  # ALLOW_ALL
+
+    dm = jax.device_put(jnp.asarray(matrix), rows_sharding(mesh))
+    ds = jax.device_put(jnp.asarray(source_ids), rows_1d_sharding(mesh))
+    vals, rows = sharded_scan_topk(mesh, dm, ds, jnp.asarray(q), jnp.asarray(allowed), k)
+
+    scores = np.where(source_ids[None, :] >= 0, q @ matrix.T, -np.inf)
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    np.testing.assert_allclose(np.asarray(vals), np.take_along_axis(scores, idx, 1), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(rows), idx)
+
+
+def test_sharded_scan_source_filter():
+    mesh = make_mesh(4)
+    n, d, k = 2048, 32, 8
+    rng = np.random.default_rng(1)
+    matrix = rng.standard_normal((n, d)).astype(np.float32)
+    source_ids = (np.arange(n) % 5).astype(np.int32)
+    q = rng.standard_normal((1, d)).astype(np.float32)
+    allowed = np.full(16, -9, np.int32)
+    allowed[:2] = [2, 4]
+
+    dm = jax.device_put(jnp.asarray(matrix), rows_sharding(mesh))
+    ds = jax.device_put(jnp.asarray(source_ids), rows_1d_sharding(mesh))
+    vals, rows = sharded_scan_topk(mesh, dm, ds, jnp.asarray(q), jnp.asarray(allowed), k)
+    rows = np.asarray(rows)[np.asarray(vals) > -np.inf]
+    assert len(rows) == k
+    assert np.isin(source_ids[rows], [2, 4]).all()
+
+
+def test_sharded_searcher_end_to_end():
+    from perceive_tpu.index.searcher import Searcher
+
+    mesh = make_mesh(8)
+    n, d = 3000, 48
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    ids = list(range(1, n + 1))
+    srcs = [i % 3 for i in range(n)]
+
+    ss = ShardedSearcher(0, 0, d, mesh, dtype=jnp.float32)
+    s1 = Searcher(0, 0, d, dtype=jnp.float32, engine="xla")
+    ss.upsert_embeddings(ids, srcs, vecs)
+    s1.upsert_embeddings(ids, srcs, vecs)
+
+    qv = rng.standard_normal(d).astype(np.float32)
+    h_s = ss.search_vector(qv, 12)
+    h_1 = s1.search_vector(qv, 12)
+    assert [i for i, _ in h_s] == [i for i, _ in h_1]
+    np.testing.assert_allclose([v for _, v in h_s], [v for _, v in h_1], rtol=1e-5)
+
+    # filtered + removal consistency
+    h_s = ss.search_vector(qv, 12, source_ids=[1])
+    h_1 = s1.search_vector(qv, 12, source_ids=[1])
+    assert [i for i, _ in h_s] == [i for i, _ in h_1]
+
+    ss.remove_items([h_s[0][0]])
+    h_s2 = ss.search_vector(qv, 12, source_ids=[1])
+    assert h_s2[0][0] == h_s[1][0]
+
+
+def test_tensor_parallel_encoder():
+    """TP-sharded params give the same embeddings as replicated params."""
+    from perceive_tpu.models import EncoderArch, HeadConfig
+    from perceive_tpu.models.encoder import init_params, make_encode_fn
+
+    mesh = make_mesh(8, model_parallel=2)
+    arch = EncoderArch(
+        vocab_size=100, hidden_size=64, num_layers=2, num_heads=4,
+        intermediate_size=128, max_position_embeddings=32,
+    )
+    head = HeadConfig(pooling="mean", normalize=True)
+    params = init_params(jax.random.PRNGKey(0), arch, head)
+    fn = make_encode_fn(arch, head, compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(0, 100, (8, 16)).astype(np.int32))
+    mask = jnp.ones_like(ids)
+    types = jnp.zeros_like(ids)
+    want = np.asarray(fn(params, ids, mask, types))
+
+    with mesh:
+        sp = shard_params(params, mesh)
+        ids_s = jax.device_put(ids, batch_sharding(mesh))
+        mask_s = jax.device_put(mask, batch_sharding(mesh))
+        types_s = jax.device_put(types, batch_sharding(mesh))
+        got = np.asarray(fn(sp, ids_s, mask_s, types_s))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
