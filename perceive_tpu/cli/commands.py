@@ -1,0 +1,309 @@
+"""CLI command handlers (reference /root/reference/crates/perceive-cli/cmd/).
+
+Each handler takes (state, args) from the argparse tree in main.py.  Fixes
+over the reference are noted inline: working unhide (cmd/hide.rs:16 always
+hid), working `model set` (cmd/model.rs:30-32 stub), working `refresh`
+(cmd.rs:31 stub), working `source edit` (cmd/source.rs:114 stub).
+"""
+
+from __future__ import annotations
+
+import sys
+import threading
+import time
+from typing import Optional
+
+from ..db import add_source, get_source, update_source, update_source_status
+from ..index.searcher import SearchResult
+from ..models import ModelType
+from ..sources import ScanStats, prune_missing_items, scan_source
+from ..sources.fs import decompress_raw
+from ..sources.reprocess import reprocess_source
+from ..types import ItemCompareStrategy, Source, SourceStatus, SourceTypeTag
+
+BOLD = "\x1b[1m"
+RESET = "\x1b[0m"
+
+
+# -- source ------------------------------------------------------------------
+
+
+def source_add(state, args) -> None:
+    kind = args.source_type
+    if kind == "fs":
+        config = {"type": "fs", "globs": args.glob or []}
+    elif kind == "browser-history":
+        config = {"type": "chromium_history", "skip": args.skip or []}
+    elif kind == "bookmarks":
+        config = {"type": "chromium_bookmarks", "skip": args.skip or []}
+    else:
+        raise ValueError(f"unknown source type {kind}")
+    src = Source(
+        name=args.name,
+        config=config,
+        location=args.location,
+        compare_strategy=ItemCompareStrategy(args.compare_strategy),
+        status=SourceStatus.ready(0, 0),
+    )
+    src = add_source(state.db, src)
+    state.refresh_sources()
+    print(f"Added source {src.name} (id {src.id})")
+
+
+def source_list(state, args) -> None:
+    state.refresh_sources()
+    for s in state.sources:
+        st = s.status
+        extra = (
+            f"scanned {st.scanned} in {st.duration}s" if st.status == "ready"
+            else st.error if st.status == "error" else "indexing"
+        )
+        print(f"{s.id:4d}  {s.name:24s} {s.source_type:18s} {s.location}  [{st.status}: {extra}]")
+
+
+def _progress_ticker(stats: ScanStats, stop: threading.Event) -> None:
+    """10 Hz live progress line (reference cmd/source.rs:254-281); suppressed
+    when stderr is not a terminal (piped output would repeat the line)."""
+    if not sys.stderr.isatty():
+        stop.wait()
+        return
+    while not stop.wait(0.1):
+        s = stats.summary()
+        line = (
+            f"\rscanned {s['scanned']} | fetched {s['fetched']} | encoded {s['encoded']} | "
+            f"new {s['added']} changed {s['changed']} unchanged {s['unchanged']}"
+        )
+        print(line, end="", flush=True, file=sys.stderr)
+    print(file=sys.stderr)
+
+
+def _run_scan(state, src: Source, compare_strategy: Optional[ItemCompareStrategy], prune: bool):
+    """Bump index_version, Indexing -> scan -> Ready (cmd/source.rs:237-314).
+    The searcher updates incrementally through on_embeddings instead of the
+    reference's full per-source HNSW rebuild."""
+    src.index_version += 1
+    src.status = SourceStatus.indexing(int(time.time()))
+    update_source(state.db, src)
+
+    stats = ScanStats()
+    stop = threading.Event()
+    ticker = threading.Thread(target=_progress_ticker, args=(stats, stop), daemon=True)
+    ticker.start()
+    start = time.time()
+    on_emb = state.searcher.upsert_embeddings if state.searcher else None
+    try:
+        stats, ok = scan_source(
+            state.db, state.model, src, stats=stats, compare_strategy=compare_strategy,
+            on_embeddings=on_emb,
+        )
+    finally:
+        stop.set()
+        ticker.join()
+    duration = int(time.time() - start)
+
+    if ok:
+        src.status = SourceStatus.ready(stats.scanned.value, duration)
+        src.last_indexed = int(time.time())
+    else:
+        src.status = SourceStatus.err("scan failed; see stderr")
+    update_source(state.db, src)
+
+    if ok and prune:
+        removed = prune_missing_items(state.db, src)
+        if state.searcher and removed:
+            state.searcher.remove_items(removed)
+        if removed:
+            print(f"Pruned {len(removed)} vanished items")
+
+    s = stats.summary()
+    print(
+        f"Finished in {duration} seconds: {s['scanned']} scanned, {s['added']} new, "
+        f"{s['changed']} changed, {s['unchanged']} unchanged "
+        f"(scan {s['scan_time']}s read {s['read_time']}s encode {s['encode_time']}s "
+        f"write {s['write_time']}s)"
+    )
+    return ok
+
+
+def source_scan(state, args) -> None:
+    src = state.source_by_name(args.name)
+    if src is None:
+        print(f"No source named {args.name}", file=sys.stderr)
+        return
+    compare = None
+    if getattr(args, "force", False):
+        compare = ItemCompareStrategy.FORCE
+    elif getattr(args, "by_content", False):
+        compare = ItemCompareStrategy.CONTENT
+    _run_scan(state, src, compare, getattr(args, "prune", False))
+    state.refresh_sources()
+
+
+def refresh(state, args) -> None:
+    """Scan every source (the reference's top-level `refresh` was a stub)."""
+    state.refresh_sources()
+    for src in state.sources:
+        print(f"== {src.name}")
+        _run_scan(state, src, None, getattr(args, "prune", False))
+
+
+def source_reprocess(state, args) -> None:
+    src = state.source_by_name(args.name)
+    if src is None:
+        print(f"No source named {args.name}", file=sys.stderr)
+        return
+    on_emb = state.searcher.upsert_embeddings if state.searcher else None
+    stats, ok = reprocess_source(state.db, state.model, src, on_embeddings=on_emb)
+    s = stats.summary()
+    print(f"Reprocessed {s['scanned']} items, {s['fetched']} changed, {s['encoded']} re-encoded")
+
+
+def source_rebuild_search(state, args) -> None:
+    src = state.source_by_name(args.name)
+    if src is None or state.searcher is None:
+        print(f"No source named {args.name}", file=sys.stderr)
+        return
+    start = time.time()
+    n = state.searcher.rebuild_source(state.db, src.id)
+    print(f"Rebuilt source search ({n} rows) in {time.time() - start:.1f} seconds")
+
+
+def source_edit(state, args) -> None:
+    """Working version of the reference's unimplemented `source edit`."""
+    src = state.source_by_name(args.name)
+    if src is None:
+        print(f"No source named {args.name}", file=sys.stderr)
+        return
+    if args.new_name:
+        src.name = args.new_name
+    if args.compare_strategy:
+        src.compare_strategy = ItemCompareStrategy(args.compare_strategy)
+    if args.glob is not None and src.source_type == "fs":
+        src.config["globs"] = args.glob
+    if args.skip is not None and src.source_type in ("chromium_history", "chromium_bookmarks"):
+        src.config["skip"] = args.skip
+    update_source(state.db, src)
+    state.refresh_sources()
+    print(f"Updated source {src.id}")
+
+
+# -- search ------------------------------------------------------------------
+
+
+def _resolve_source_filter(state, args) -> Optional[list[int]]:
+    """--source name / --type tag -> source-id list (cmd/search.rs:40-57)."""
+    if getattr(args, "source", None):
+        src = state.source_by_name(args.source)
+        if src is None:
+            raise SystemExit(f"No source named {args.source}")
+        return [src.id]
+    if getattr(args, "type", None):
+        tag = SourceTypeTag(args.type)
+        ids = [s.id for s in state.sources if s.matches_tag(tag)]
+        return ids or None
+    return None
+
+
+def format_result(r: SearchResult, highlight: Optional[str]) -> str:
+    title = r.item.metadata.name or r.item.external_id
+    lines = [f"{r.source_name} ({r.item.id}): {BOLD}{title}{RESET}  [{r.score:.4f}]"]
+    if highlight:
+        lines.append("  " + highlight.replace("\n", " • "))
+    return "\n".join(lines)
+
+
+def search(state, args) -> list[SearchResult]:
+    if state.searcher is None:
+        print("searcher not built", file=sys.stderr)
+        return []
+    source_ids = _resolve_source_filter(state, args)
+    k = args.num_results
+
+    if getattr(args, "like", None):
+        vec = state.searcher.stored_embedding(state.db, int(args.like))
+        if vec is None:
+            raise SystemExit(f"item {args.like} has no stored embedding")
+        results = state.searcher.search_vector_and_retrieve(state.db, vec, k, source_ids)
+    else:
+        query = " ".join(args.query)
+        if not query:
+            raise SystemExit("search needs a query or --like <item-id>")
+        results = state.searcher.search_and_retrieve(state.db, state.model, query, k, source_ids)
+
+    docs = [r.item.content or "" for r in results]
+    query_text = " ".join(args.query) if args.query else ""
+    highlights = (
+        state.highlights_model.highlight(query_text, docs) if query_text and docs else [None] * len(docs)
+    )
+    for r, h in zip(results, highlights):
+        r.highlight = h
+        print(format_result(r, h))
+    return results
+
+
+# -- item commands -----------------------------------------------------------
+
+
+def print_item(state, args) -> None:
+    """(reference cmd/print.rs:16-56)"""
+    item = state.db.read_item(int(args.item_id))
+    if item is None:
+        print(f"No item {args.item_id}", file=sys.stderr)
+        return
+    m = item.metadata
+    print(f"id: {item.id}\nsource: {item.source_id}\nexternal_id: {item.external_id}")
+    for k, v in (
+        ("name", m.name), ("author", m.author), ("description", m.description),
+        ("mtime", m.mtime), ("atime", m.atime), ("skipped", item.skipped),
+        ("process_version", item.process_version),
+    ):
+        if v is not None:
+            print(f"{k}: {v}")
+    print("---")
+    print(item.content or "")
+    if args.raw and item.raw_content:
+        print("--- raw ---")
+        try:
+            print(decompress_raw(item.raw_content).decode("utf-8", "replace"))
+        except Exception as e:  # noqa: BLE001
+            print(f"(raw decode failed: {e})")
+
+
+def hide(state, args) -> None:
+    """Hide or unhide; the reference parsed --unhide but always hid
+    (cmd/hide.rs:11-16) — fixed here, including the device tombstone."""
+    item_id = int(args.item_id)
+    unhide = getattr(args, "unhide", False)
+    state.db.set_item_hidden(item_id, not unhide)
+    if state.searcher is not None:
+        if unhide:
+            item = state.db.read_item(item_id)
+            vec = state.searcher.stored_embedding(state.db, item_id)
+            if item is not None and vec is not None:
+                state.searcher.upsert_embeddings([item_id], [item.source_id], vec.reshape(1, -1))
+        else:
+            state.searcher.remove_items([item_id])
+    print(("Unhid" if unhide else "Hid") + f" item {item_id}")
+
+
+# -- model -------------------------------------------------------------------
+
+
+def model_cmd(state, args) -> None:
+    if args.model_action == "list":
+        current = state.model.name
+        for mt in ModelType:
+            marker = " *" if mt.value in current else ""
+            print(f"{mt.model_id}: {mt.value}{marker}")
+    elif args.model_action == "set":
+        mt = ModelType.parse(args.model_name)
+        with state.db.write() as conn:
+            conn.execute(
+                "INSERT INTO config (key, value) VALUES ('model', ?) "
+                "ON CONFLICT (key) DO UPDATE SET value = excluded.value",
+                (mt.value,),
+            )
+        print(
+            f"Default model set to {mt.value} (id {mt.model_id}). "
+            "Restart to load it; re-scan sources to embed under the new model."
+        )

@@ -1,0 +1,156 @@
+"""CLI entry: argparse command tree + dispatch (reference
+/root/reference/crates/perceive-cli/{main.rs,cmd.rs}).
+
+``perceive-tpu [--db PATH] [command ...]``; no command starts the REPL
+(main.rs:28-31), which re-dispatches lines through this same tree
+(repl.rs:104-116).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional, Sequence
+
+from . import commands
+
+COMPARE_CHOICES = ["m_time_and_content", "m_time", "content", "force"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="perceive-tpu", description="Semantic search for your life, TPU-native")
+    p.add_argument("--db", help="database path (default: data dir)")
+    sub = p.add_subparsers(dest="command")
+
+    # source
+    ps = sub.add_parser("source", help="manage sources")
+    ssub = ps.add_subparsers(dest="source_command", required=True)
+
+    pa = ssub.add_parser("add", help="add a source")
+    asub = pa.add_subparsers(dest="source_type", required=True)
+    for kind, loc_help in (
+        ("fs", "root directory to index"),
+        ("browser-history", "Chromium profile dir containing History"),
+        ("bookmarks", "Chromium profile dir containing Bookmarks"),
+    ):
+        pk = asub.add_parser(kind)
+        pk.add_argument("location", help=loc_help)
+        pk.add_argument("--name", required=True)
+        pk.add_argument("--compare-strategy", choices=COMPARE_CHOICES, default="m_time_and_content")
+        if kind == "fs":
+            pk.add_argument("--glob", action="append", help="filename glob (repeatable)")
+        else:
+            pk.add_argument("--skip", action="append", help="domain suffix to skip (repeatable)")
+
+    pl = ssub.add_parser("list", help="list sources")
+
+    pscan = ssub.add_parser("scan", help="scan a source")
+    pscan.add_argument("name")
+    pscan.add_argument("--force", action="store_true", help="re-read and re-embed everything")
+    pscan.add_argument("--by-content", action="store_true", help="compare by content only")
+    pscan.add_argument("--prune", action="store_true", help="delete items that vanished")
+
+    pre = ssub.add_parser("reprocess", help="re-run content post-processing")
+    pre.add_argument("name")
+
+    prb = ssub.add_parser("rebuild-search", help="rebuild one source's index rows")
+    prb.add_argument("name")
+
+    ped = ssub.add_parser("edit", help="edit a source")
+    ped.add_argument("name")
+    ped.add_argument("--new-name")
+    ped.add_argument("--compare-strategy", choices=COMPARE_CHOICES)
+    ped.add_argument("--glob", action="append")
+    ped.add_argument("--skip", action="append")
+
+    # refresh
+    pr = sub.add_parser("refresh", help="scan every source")
+    pr.add_argument("--prune", action="store_true")
+
+    # search
+    pq = sub.add_parser("search", help="semantic search")
+    pq.add_argument("query", nargs="*")
+    pq.add_argument("-n", "--num-results", type=int, default=20)
+    pq.add_argument("--source", help="restrict to one source by name")
+    pq.add_argument("--type", choices=["local", "web", "bookmarks"])
+    pq.add_argument("--like", help="item id: find items similar to this one")
+
+    # print / hide
+    pp = sub.add_parser("print", help="print an item")
+    pp.add_argument("item_id")
+    pp.add_argument("--raw", action="store_true")
+
+    ph = sub.add_parser("hide", help="hide (or unhide) an item from results")
+    ph.add_argument("item_id")
+    ph.add_argument("--unhide", action="store_true")
+
+    # model
+    pm = sub.add_parser("model", help="model registry")
+    msub = pm.add_subparsers(dest="model_action", required=True)
+    msub.add_parser("list")
+    pms = msub.add_parser("set")
+    pms.add_argument("model_name")
+
+    # serve
+    pserve = sub.add_parser("serve", help="HTTP API (status/sources/search)")
+    pserve.add_argument("--host", default="127.0.0.1")
+    pserve.add_argument("--port", type=int, default=5807)
+
+    return p
+
+
+def dispatch(state, args) -> None:
+    cmd = args.command
+    if cmd == "source":
+        sc = args.source_command
+        if sc == "add":
+            commands.source_add(state, args)
+        elif sc == "list":
+            commands.source_list(state, args)
+        elif sc == "scan":
+            commands.source_scan(state, args)
+        elif sc == "reprocess":
+            commands.source_reprocess(state, args)
+        elif sc == "rebuild-search":
+            commands.source_rebuild_search(state, args)
+        elif sc == "edit":
+            commands.source_edit(state, args)
+    elif cmd == "refresh":
+        commands.refresh(state, args)
+    elif cmd == "search":
+        commands.search(state, args)
+    elif cmd == "print":
+        commands.print_item(state, args)
+    elif cmd == "hide":
+        commands.hide(state, args)
+    elif cmd == "model":
+        commands.model_cmd(state, args)
+    elif cmd == "serve":
+        from ..serve import serve
+
+        serve(state, host=args.host, port=args.port)
+
+
+def main(argv: Optional[Sequence[str]] = None, state=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+
+    if state is None:
+        from .state import AppState
+
+        state = AppState(args.db)
+    try:
+        if args.command is None:
+            from .repl import repl
+
+            repl(state, parser)
+        else:
+            dispatch(state, args)
+    except SystemExit as e:
+        if e.code not in (0, None):
+            return int(e.code) if isinstance(e.code, int) else 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

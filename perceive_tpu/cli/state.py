@@ -1,0 +1,122 @@
+"""CLI application state: database + models + searcher.
+
+Parity with the reference AppState (/root/reference/crates/perceive-cli/
+state.rs:10-70): open the store, then build the Searcher and load the main +
+highlight models concurrently, then list sources.  The main model defaults to
+MsMarcoBertBaseDotV5 and highlights to AllMiniLmL6V2 (state.rs:24,47-48),
+overridable via the ``config`` table's "model" key (the reference's `model
+set` was a stub, cmd/model.rs:30-32; here it works).
+
+When no converted checkpoint exists on disk the CLI stays usable: it falls
+back to a deterministic randomly-initialized MiniLM-class encoder (cosine
+rankings are meaningless but every pipeline and kernel is exercised), with a
+loud warning.  Set PERCEIVE_TPU_REQUIRE_CHECKPOINT=1 to fail instead.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import threading
+import time
+from typing import Optional
+
+from ..db import Database, list_sources
+from ..index.searcher import Searcher
+from ..models import Model, ModelError, ModelType
+from ..paths import database_path
+from ..types import Source
+
+DEFAULT_MODEL = ModelType.MSMARCO_BERT_BASE_DOT_V5
+DEFAULT_HIGHLIGHT_MODEL = ModelType.ALL_MINILM_L6_V2
+
+
+def _random_fallback(model_type: ModelType) -> Model:
+    from ..models import EncoderArch, HeadConfig, TextTokenizer
+    from ..models.tokenize import tiny_test_vocab
+
+    print(
+        f"WARNING: no checkpoint for {model_type.value}; using a random-weight "
+        "MiniLM-class encoder (rankings are not meaningful). Place a "
+        "sentence-transformers export under model_data/ for real embeddings.",
+        file=sys.stderr,
+    )
+    vocab = tiny_test_vocab(["the", "a", "and", "search", "semantic"])
+    tok = TextTokenizer.from_vocab(vocab, max_seq_length=128)
+    arch = EncoderArch(
+        vocab_size=len(vocab), hidden_size=128, num_layers=2, num_heads=4,
+        intermediate_size=256, max_position_embeddings=128,
+    )
+    m = Model.random(arch, HeadConfig(pooling="mean", normalize=True), tok, seed=0)
+    m.model_id = model_type.model_id
+    m.name = f"random-fallback:{model_type.value}"
+    return m
+
+
+def load_model(model_type: ModelType) -> Model:
+    try:
+        return Model.new_pretrained(model_type)
+    except (ModelError, FileNotFoundError):
+        if os.environ.get("PERCEIVE_TPU_REQUIRE_CHECKPOINT"):
+            raise
+        return _random_fallback(model_type)
+
+
+class AppState:
+    def __init__(
+        self,
+        db_path: Optional[str] = None,
+        *,
+        model: Optional[Model] = None,
+        highlights_model: Optional[Model] = None,
+        engine: str = "auto",
+        build_searcher: bool = True,
+    ):
+        self.db = Database(db_path or database_path())
+
+        cfg_model = self.db.read().execute(
+            "SELECT value FROM config WHERE key = 'model'"
+        ).fetchone()
+        model_type = ModelType.parse(cfg_model[0]) if cfg_model else DEFAULT_MODEL
+
+        results: dict = {}
+
+        def load_main():
+            results["model"] = model or load_model(model_type)
+
+        def load_highlight():
+            if highlights_model is not None:
+                results["highlights"] = highlights_model
+            elif model is not None:
+                results["highlights"] = model
+            else:
+                results["highlights"] = load_model(DEFAULT_HIGHLIGHT_MODEL)
+
+        t1 = threading.Thread(target=load_main)
+        t2 = threading.Thread(target=load_highlight)
+        t1.start(), t2.start(), t1.join(), t2.join()
+        self.model: Model = results["model"]
+        self.highlights_model: Model = results["highlights"]
+
+        self.searcher: Optional[Searcher] = None
+        if build_searcher:
+            start = time.time()
+            self.searcher = Searcher.build(
+                self.db, self.model.model_id, self.model.model_version, self.model.dim,
+                engine=engine,
+            )
+            if len(self.searcher.matrix):
+                print(f"Built search in {time.time() - start:.1f} seconds")
+        self.sources: list[Source] = list_sources(self.db)
+
+    def refresh_sources(self) -> None:
+        self.sources = list_sources(self.db)
+
+    def source_by_name(self, name: str) -> Optional[Source]:
+        for s in self.sources:
+            if s.name == name or str(s.id) == name:
+                return s
+        return None
+
+    def close(self) -> None:
+        self.db.close()

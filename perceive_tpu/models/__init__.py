@@ -1,4 +1,5 @@
 from .encoder import EncoderArch, HeadConfig, encode_tokens, init_params, make_encode_fn, output_dim, pool
+from .highlight import highlight
 from .model import BATCH_BUCKETS, Model, ModelError, batch_bucket
 from .registry import ModelType, ModelVersion, checkpoint_path, model_data_dir
 from .tokenize import SEQ_BUCKETS, TextTokenizer, TokenBatch, bucket_length, tiny_test_vocab
@@ -11,6 +12,7 @@ __all__ = [
     "make_encode_fn",
     "output_dim",
     "pool",
+    "highlight",
     "Model",
     "ModelError",
     "ModelType",

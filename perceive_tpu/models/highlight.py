@@ -1,0 +1,109 @@
+"""Highlight engine: find the best-matching snippet of each result document.
+
+Algorithm parity with the reference (/root/reference/crates/perceive-core/
+model/highlight.rs:23-164): tokenize each document untruncated, slide
+CHUNK_SIZE-token windows with CHUNK_OVERLAP (env-tunable), keep each
+window's longest run of non-special tokens (dropping windows shorter than
+CHUNK_SIZE/2), batch-encode every chunk on the device (this reuses the bulk
+embed path — one TPU dispatch scores all chunks of all documents), dot each
+chunk against the query embedding, and map each document's argmax chunk back
+to a character range of the original text.
+
+The HF tokenizer hands back char offsets directly, so the reference's
+byte-offset -> char_indices dance (highlight.rs:129-158) collapses to a
+min/max over the chunk's offsets.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def _chunk_sizes() -> tuple[int, int]:
+    """(CHUNK_SIZE, CHUNK_OVERLAP), env-tunable (highlight.rs:7-18)."""
+
+    def env_int(name: str, default: int) -> int:
+        try:
+            return int(os.environ.get(name, ""))
+        except ValueError:
+            return default
+
+    return env_int("CHUNK_SIZE", 20), env_int("CHUNK_OVERLAP", 4)
+
+
+def _longest_nonspecial_run(special_mask: Sequence[int]) -> tuple[int, int]:
+    """(start, length) of the longest consecutive run of non-special tokens."""
+    best_start = best_len = cur_start = cur_len = 0
+    for i, is_special in enumerate(special_mask):
+        if not is_special:
+            if cur_len == 0:
+                cur_start = i
+            cur_len += 1
+            if cur_len > best_len:
+                best_start, best_len = cur_start, cur_len
+        else:
+            cur_len = 0
+    return best_start, best_len
+
+
+def highlight(model, query: str, documents: Sequence[str]) -> list[Optional[str]]:
+    """Best snippet per document, or None when a document yields no chunks."""
+    if not documents:
+        return []
+    chunk_size, chunk_overlap = _chunk_sizes()
+    step = max(chunk_size - chunk_overlap, 1)
+
+    query_emb = model.encode([query])[0]  # (dim,)
+    encs = model.tokenizer.encode_untruncated(list(documents))
+
+    token_chunks: list[list[int]] = []
+    chunk_token_ranges: list[tuple[int, int]] = []  # in doc-token coordinates
+    doc_chunk_ends: list[int] = []
+    for enc in encs:
+        n = len(enc.ids)
+        i = 0
+        while i + chunk_overlap < n:
+            end = min(i + chunk_size, n)
+            start, length = _longest_nonspecial_run(enc.special_tokens_mask[i:end])
+            abs_start = i + start
+            abs_end = min(abs_start + length, end)
+            if abs_end - abs_start >= chunk_size // 2:
+                token_chunks.append(list(enc.ids[abs_start:abs_end]))
+                chunk_token_ranges.append((abs_start, abs_end))
+            i += step
+        doc_chunk_ends.append(len(token_chunks))
+
+    if token_chunks:
+        embs = []
+        for s in range(0, len(token_chunks), 256):
+            tb = model.tokenizer.encode_token_chunks(token_chunks[s : s + 256])
+            embs.append(model.encode_token_batch(tb))
+        chunk_embs = np.concatenate(embs, axis=0)
+        scores = chunk_embs @ query_emb  # (n_chunks,)
+    else:
+        scores = np.zeros((0,), np.float32)
+
+    out: list[Optional[str]] = []
+    start_idx = 0
+    for doc_i, end_idx in enumerate(doc_chunk_ends):
+        doc_scores = scores[start_idx:end_idx]
+        if len(doc_scores) == 0:
+            out.append(None)
+            start_idx = end_idx
+            continue
+        best = start_idx + int(np.argmax(doc_scores))
+        t0, t1 = chunk_token_ranges[best]
+        offsets = [
+            o for o in encs[doc_i].offsets[t0:t1] if o is not None and o != (0, 0)
+        ] or [o for o in encs[doc_i].offsets[t0:t1] if o is not None]
+        if not offsets:
+            out.append(None)
+        else:
+            c0 = min(o[0] for o in offsets)
+            c1 = max(o[1] for o in offsets)
+            out.append(documents[doc_i][c0:c1])
+        start_idx = end_idx
+    return out

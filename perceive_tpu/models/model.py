@@ -210,3 +210,9 @@ class Model:
     def encode_query(self, query: str) -> np.ndarray:
         """Single query -> (dim,) f32 (reference search.rs:262-264)."""
         return self.encode([query])[0]
+
+    def highlight(self, query: str, documents: Sequence[str]):
+        """Best snippet per document (reference model/highlight.rs:23)."""
+        from .highlight import highlight as _highlight
+
+        return _highlight(self, query, documents)

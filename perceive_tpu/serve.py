@@ -1,0 +1,171 @@
+"""HTTP service: the desktop-app host analog.
+
+The reference's Tauri host exposes three commands to its webview —
+load_status, get_sources, search (/root/reference/crates/perceive-tauri/
+src-tauri/main.rs:25-55).  Here they are a small JSON-over-HTTP API on the
+stdlib threading server (no web framework in the image):
+
+    GET  /status              -> {"model_loaded": bool, "searcher_built": bool, ...}
+    GET  /sources             -> [{id, name, type, location, status}, ...]
+    GET  /search?q=...&k=10   -> [{id, score, title, url, snippet, source}, ...]
+    POST /search {"q": ...}   -> same
+
+Models and the searcher load on background threads at startup (the
+AsyncBuilder pattern, src-tauri/app_state.rs:75-127): requests before
+readiness get 503 {"status": "loading"} rather than blocking.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlsplit
+
+
+class ServeState:
+    """Readiness-gated holder (AsyncBuilder analog)."""
+
+    def __init__(self, builder):
+        self.ready = threading.Event()
+        self.error: Optional[str] = None
+        self.app = None
+
+        def build():
+            try:
+                self.app = builder()
+            except Exception as e:  # noqa: BLE001
+                self.error = str(e)
+            finally:
+                self.ready.set()
+
+        threading.Thread(target=build, daemon=True).start()
+
+
+def _result_json(r) -> dict:
+    return {
+        "id": r.item.id,
+        "score": r.score,
+        "title": r.item.metadata.name or r.item.external_id,
+        "url": r.item.external_id,
+        "source": r.source_name,
+        "snippet": r.highlight or (r.item.content or "")[:240],
+    }
+
+
+def make_handler(holder: ServeState):
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, payload) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _search(self, query: str, k: int, source: Optional[str]):
+            app = holder.app
+            source_ids = None
+            if source:
+                src = app.source_by_name(source)
+                if src is None:
+                    return self._json(404, {"error": f"no source {source}"})
+                source_ids = [src.id]
+            results = app.searcher.search_and_retrieve(
+                app.db, app.model, query, k, source_ids
+            )
+            docs = [r.item.content or "" for r in results]
+            if docs:
+                for r, h in zip(results, app.highlights_model.highlight(query, docs)):
+                    r.highlight = h
+            self._json(200, [_result_json(r) for r in results])
+
+        def _gate(self) -> bool:
+            if not holder.ready.is_set() or holder.app is None:
+                self._json(503, {"status": "loading", "error": holder.error})
+                return False
+            return True
+
+        def do_GET(self):
+            parts = urlsplit(self.path)
+            if parts.path == "/status":
+                self._json(
+                    200,
+                    {
+                        "model_loaded": holder.ready.is_set() and holder.error is None,
+                        "searcher_built": bool(holder.app and holder.app.searcher),
+                        "rows": len(holder.app.searcher.matrix) if holder.app and holder.app.searcher else 0,
+                        "error": holder.error,
+                    },
+                )
+            elif parts.path == "/sources":
+                if not self._gate():
+                    return
+                holder.app.refresh_sources()
+                self._json(
+                    200,
+                    [
+                        {
+                            "id": s.id,
+                            "name": s.name,
+                            "type": s.source_type,
+                            "location": s.location,
+                            "status": s.status.status,
+                        }
+                        for s in holder.app.sources
+                    ],
+                )
+            elif parts.path == "/search":
+                if not self._gate():
+                    return
+                q = parse_qs(parts.query)
+                query = (q.get("q") or [""])[0]
+                if not query:
+                    return self._json(400, {"error": "missing q"})
+                k = int((q.get("k") or ["10"])[0])
+                self._search(query, k, (q.get("source") or [None])[0])
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            parts = urlsplit(self.path)
+            if parts.path != "/search":
+                return self._json(404, {"error": "not found"})
+            if not self._gate():
+                return
+            try:
+                n = int(self.headers.get("Content-Length") or 0)
+                payload = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError):
+                return self._json(400, {"error": "bad json"})
+            query = payload.get("q") or payload.get("query")
+            if not query:
+                return self._json(400, {"error": "missing q"})
+            self._search(query, int(payload.get("k", 10)), payload.get("source"))
+
+    return Handler
+
+
+def start_server(builder, host: str = "127.0.0.1", port: int = 5807) -> ThreadingHTTPServer:
+    """Start serving in the background; returns the server (``.server_address``
+    has the bound port when port=0)."""
+    holder = ServeState(builder)
+    server = ThreadingHTTPServer((host, port), make_handler(holder))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server
+
+
+def serve(state, host: str = "127.0.0.1", port: int = 5807) -> None:
+    """Blocking CLI entry (`perceive-tpu serve`)."""
+    holder = ServeState(lambda: state)
+    server = ThreadingHTTPServer((host, port), make_handler(holder))
+    print(f"Serving on http://{host}:{server.server_address[1]}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass

@@ -1,0 +1,144 @@
+"""CLI command tree + HTTP serve tests (reference cmd/* and Tauri analog)."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from perceive_tpu.cli import AppState, build_parser, dispatch
+from perceive_tpu.models import EncoderArch, HeadConfig, Model, TextTokenizer, tiny_test_vocab
+
+
+@pytest.fixture(scope="module")
+def model():
+    words = "jax tpu pallas kernels alpha beta gamma notes hello world".split()
+    vocab = tiny_test_vocab(words)
+    tok = TextTokenizer.from_vocab(vocab, max_seq_length=32)
+    arch = EncoderArch(vocab_size=len(vocab), hidden_size=32, num_layers=1, num_heads=4,
+                       intermediate_size=64, max_position_embeddings=32)
+    m = Model.random(arch, HeadConfig(pooling="mean", normalize=True), tok, seed=4)
+    m.model_id = 0
+    return m
+
+
+@pytest.fixture()
+def state(tmp_path, model):
+    st = AppState(str(tmp_path / "db.sqlite3"), model=model, engine="xla")
+    yield st
+    st.close()
+
+
+def run(state, argv):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    dispatch(state, args)
+
+
+def test_cli_end_to_end(state, tmp_path, capsys):
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "a.md").write_text("---\ntitle: Jax Notes\n---\njax tpu pallas kernels\n")
+    (docs / "b.txt").write_text("hello world notes\n")
+
+    run(state, ["source", "add", "fs", str(docs), "--name", "docs"])
+    assert "Added source docs" in capsys.readouterr().out
+
+    run(state, ["source", "scan", "docs"])
+    out = capsys.readouterr().out
+    assert "2 scanned, 2 new" in out
+
+    run(state, ["source", "list"])
+    out = capsys.readouterr().out
+    assert "docs" in out and "[ready" in out
+
+    run(state, ["search", "jax", "tpu", "-n", "2"])
+    out = capsys.readouterr().out
+    assert "Jax Notes" in out
+
+    # item id of a.md
+    row = state.db.read().execute("SELECT id FROM items WHERE name = 'Jax Notes'").fetchone()
+    item_id = str(row[0])
+
+    run(state, ["print", item_id])
+    out = capsys.readouterr().out
+    assert "jax tpu pallas" in out
+
+    run(state, ["hide", item_id])
+    capsys.readouterr()
+    run(state, ["search", "jax", "tpu", "-n", "2"])
+    out = capsys.readouterr().out
+    assert "Jax Notes" not in out
+
+    run(state, ["hide", item_id, "--unhide"])
+    capsys.readouterr()
+    run(state, ["search", "jax", "tpu", "-n", "2"])
+    out = capsys.readouterr().out
+    assert "Jax Notes" in out
+
+    # --like search returns the item itself first
+    run(state, ["search", "--like", item_id, "-n", "2"])
+    out = capsys.readouterr().out
+    assert "Jax Notes" in out
+
+    run(state, ["model", "set", "AllMiniLmL12V2"])
+    assert state.db.read().execute(
+        "SELECT value FROM config WHERE key='model'"
+    ).fetchone()[0] == "AllMiniLmL12V2"
+
+    run(state, ["source", "edit", "docs", "--glob", "*.md"])
+    capsys.readouterr()
+    state.refresh_sources()
+    assert state.sources[0].config["globs"] == ["*.md"]
+
+
+def test_cli_scan_prune(state, tmp_path, capsys):
+    docs = tmp_path / "docs2"
+    docs.mkdir()
+    (docs / "x.txt").write_text("hello world")
+    (docs / "y.txt").write_text("alpha beta")
+    run(state, ["source", "add", "fs", str(docs), "--name", "d2"])
+    run(state, ["source", "scan", "d2"])
+    (docs / "y.txt").unlink()
+    run(state, ["source", "scan", "d2", "--prune"])
+    out = capsys.readouterr().out
+    assert "Pruned 1 vanished items" in out
+    assert len(state.searcher.matrix) == 1
+
+
+def test_serve(state, tmp_path, capsys):
+    from perceive_tpu.serve import start_server
+
+    docs = tmp_path / "docs3"
+    docs.mkdir()
+    (docs / "a.md").write_text("---\ntitle: Jax Notes\n---\njax tpu pallas kernels\n")
+    run(state, ["source", "add", "fs", str(docs), "--name", "d3"])
+    run(state, ["source", "scan", "d3"])
+    capsys.readouterr()
+
+    server = start_server(lambda: state, port=0)
+    port = server.server_address[1]
+    try:
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                return json.loads(r.read())
+
+        status = get("/status")
+        assert status["model_loaded"] and status["searcher_built"]
+        sources = get("/sources")
+        assert any(s["name"] == "d3" for s in sources)
+        hits = get("/search?q=jax%20tpu&k=3")
+        assert hits and hits[0]["title"] == "Jax Notes"
+        assert "score" in hits[0] and "snippet" in hits[0]
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search",
+            data=json.dumps({"q": "jax", "k": 2}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            hits2 = json.loads(r.read())
+        assert hits2
+    finally:
+        server.shutdown()

@@ -1,0 +1,280 @@
+"""Web connectors over canned fixtures: fake HTTP session, canned History
+SQLite, canned Bookmarks JSON (SURVEY.md §4: recorded HTTP / fake connectors)."""
+
+import json
+import sqlite3
+
+import numpy as np
+import pytest
+
+from perceive_tpu.db import add_source
+from perceive_tpu.sources import scan_source
+from perceive_tpu.sources.chromium_bookmarks import ChromiumBookmarksScanner
+from perceive_tpu.sources.chromium_history import (
+    ChromiumHistoryScanner,
+    normalize_url,
+    webkit_to_unix,
+)
+from perceive_tpu.sources.fs import decompress_raw
+from perceive_tpu.sources.parse_html import (
+    extract_html_article,
+    fetch_html,
+    reprocess_html_article,
+    should_skip,
+)
+from perceive_tpu.sources.scanner import FoundItem, ReadResult
+from perceive_tpu.types import Item, ItemCompareStrategy, ItemMetadata, SkipReason, Source
+
+PAGE = """<html><head><title>JAX on TPU</title></head><body>
+<nav><a href="/">Home</a><a href="/about">About</a></nav>
+<article><h1>JAX on TPU</h1>
+<p>JAX compiles numerical programs for tensor processing units using XLA.</p>
+<p>Pallas exposes the memory hierarchy so kernels can stream from HBM through VMEM.</p>
+</article>
+<footer>Copyright Footer Inc</footer></body></html>"""
+
+
+class FakeResponse:
+    def __init__(self, status=200, headers=None, text=""):
+        self.status_code = status
+        self.headers = headers or {}
+        self.text = text
+
+
+class FakeSession:
+    def __init__(self, responses):
+        self.responses = responses  # url -> FakeResponse | Exception
+        self.requests = []  # (url, headers)
+
+    def get(self, url, headers=None, timeout=None, allow_redirects=False):
+        self.requests.append((url, headers or {}))
+        r = self.responses[url]
+        if isinstance(r, Exception):
+            raise r
+        return r
+
+
+def test_extract_article():
+    title, text = extract_html_article("https://x.test/a", PAGE.encode())
+    assert title == "JAX on TPU"
+    assert "compiles numerical programs" in text
+    assert "Copyright Footer" not in text
+    assert "Home" not in text
+
+
+def test_should_skip():
+    assert should_skip([], "https://accounts.google.com/login")
+    assert should_skip(["example.com"], "https://sub.example.com/x")
+    assert not should_skip(["example.com"], "https://example.org/x")
+
+
+def test_fetch_html_ok_and_conditional():
+    url = "https://x.test/a"
+    sess = FakeSession(
+        {url: FakeResponse(200, {"Content-Type": "text/html; charset=utf-8", "ETag": '"v1"'}, PAGE)}
+    )
+    item = Item(external_id=url, metadata=ItemMetadata(mtime=1700000000))
+    assert fetch_html(sess, None, item) is ReadResult.FOUND
+    assert item.metadata.name == "JAX on TPU"
+    assert "Pallas exposes" in item.content
+    assert item.hash == '"v1"'
+    assert decompress_raw(item.raw_content).decode().startswith("<html>")
+    # conditional headers were sent
+    _, headers = sess.requests[0]
+    assert "If-Modified-Since" in headers
+
+    # 304 path with stored etag
+    sess2 = FakeSession({url: FakeResponse(304)})
+    item2 = Item(external_id=url)
+    assert (
+        fetch_html(sess2, FoundItem(hash='"v1"'), item2) is ReadResult.UNCHANGED
+    )
+    assert sess2.requests[0][1].get("If-None-Match") == '"v1"'
+
+
+@pytest.mark.parametrize(
+    "status,reason",
+    [(404, SkipReason.NOT_FOUND), (403, SkipReason.UNAUTHORIZED), (401, SkipReason.UNAUTHORIZED),
+     (301, SkipReason.REDIRECTED), (500, SkipReason.FETCH_ERROR)],
+)
+def test_fetch_html_status_skips(status, reason):
+    url = "https://x.test/s"
+    sess = FakeSession({url: FakeResponse(status)})
+    item = Item(external_id=url)
+    assert fetch_html(sess, None, item) is ReadResult.FOUND
+    assert item.skipped is reason
+
+
+def test_fetch_html_non_text_and_empty():
+    url = "https://x.test/f.pdf"
+    sess = FakeSession({url: FakeResponse(200, {"Content-Type": "application/pdf"}, "x")})
+    item = Item(external_id=url)
+    assert fetch_html(sess, None, item) is ReadResult.FOUND
+    assert item.content == "" and item.skipped is None
+
+    url2 = "https://x.test/empty"
+    sess = FakeSession({url2: FakeResponse(200, {"Content-Type": "text/html"}, "")})
+    item2 = Item(external_id=url2)
+    fetch_html(sess, None, item2)
+    assert item2.skipped is SkipReason.NO_CONTENT
+
+    url3 = "https://x.test/err"
+    sess = FakeSession({url3: ConnectionError("boom")})
+    item3 = Item(external_id=url3)
+    fetch_html(sess, None, item3)
+    assert item3.skipped is SkipReason.FETCH_ERROR
+
+
+def test_reprocess_html_article():
+    url = "https://x.test/a"
+    sess = FakeSession({url: FakeResponse(200, {"Content-Type": "text/html"}, PAGE)})
+    item = Item(external_id=url)
+    fetch_html(sess, None, item)
+    # unchanged content -> UNCHANGED
+    assert reprocess_html_article(item) is ReadResult.UNCHANGED
+    # wipe extraction -> re-extracts from raw
+    item.content = "stale"
+    assert reprocess_html_article(item) is ReadResult.FOUND
+    assert "Pallas exposes" in item.content
+
+
+# -- chromium history --------------------------------------------------------
+
+
+def _make_history_db(path, rows):
+    conn = sqlite3.connect(path)
+    conn.execute("CREATE TABLE urls (id INTEGER PRIMARY KEY, url TEXT, title TEXT, last_visit_time INTEGER)")
+    conn.executemany("INSERT INTO urls (url, title, last_visit_time) VALUES (?,?,?)", rows)
+    conn.commit()
+    conn.close()
+
+
+WEBKIT_2023 = (1_700_000_000 + 11_644_473_600) * 1_000_000
+
+
+def test_history_scan(tmp_path):
+    _make_history_db(
+        tmp_path / "History",
+        [
+            ("http://example.com/page#frag", "Example", WEBKIT_2023),
+            ("https://example.com/page", "Example", WEBKIT_2023 + 5_000_000),
+            ("https://example.com/page/", "Example slash", WEBKIT_2023),  # dedupe
+            ("https://accounts.google.com/x", "Skip me", WEBKIT_2023),
+            ("chrome-extension://junk", "Nope", WEBKIT_2023),
+            ("https://other.org/a", "Other", WEBKIT_2023),
+        ],
+    )
+    scanner = ChromiumHistoryScanner(1, str(tmp_path), {"skip": []})
+    items = []
+    scanner.scan(items.append)
+    urls = sorted(i.external_id for i in items)
+    assert urls == ["https://example.com/page", "https://other.org/a"]
+    ex = next(i for i in items if "example" in i.external_id)
+    assert ex.metadata.atime in (1_700_000_000, 1_700_000_005)
+    assert ex.metadata.name == "Example"
+
+
+def test_history_read_gates():
+    scanner = ChromiumHistoryScanner(1, "/nonexistent", {"skip": []})
+    # permanent skip honored
+    item = Item(external_id="https://x.test/a", metadata=ItemMetadata(atime=100))
+    existing = FoundItem(skipped=SkipReason.NOT_FOUND, last_accessed=50)
+    assert scanner.read(existing, ItemCompareStrategy.MTIME_AND_CONTENT, item) is ReadResult.UNCHANGED
+    assert item.skipped is SkipReason.NOT_FOUND
+    # not newer access -> unchanged without fetch
+    item2 = Item(external_id="https://x.test/a", metadata=ItemMetadata(atime=40))
+    assert scanner.read(FoundItem(last_accessed=50), ItemCompareStrategy.MTIME_AND_CONTENT, item2) is ReadResult.UNCHANGED
+
+
+def test_normalize_url():
+    assert normalize_url("http://a.com/x#frag") == ("https://a.com/x", "https://a.com/x")
+    f, d = normalize_url("https://a.com/x/")
+    assert f == "https://a.com/x/" and d == "https://a.com/x"
+    assert normalize_url("notaurl") is None
+    assert webkit_to_unix(WEBKIT_2023) == 1_700_000_000
+
+
+# -- chromium bookmarks ------------------------------------------------------
+
+
+def test_bookmarks_scan(tmp_path):
+    bookmarks = {
+        "roots": {
+            "bookmark_bar": {
+                "type": "folder",
+                "id": "1",
+                "name": "Bar",
+                "children": [
+                    {"type": "url", "id": "2", "url": "https://keep.org/a", "name": "Keep",
+                     "date_added": str(WEBKIT_2023), "date_last_used": "0"},
+                    {"type": "folder", "id": "3", "name": "Sub", "children": [
+                        {"type": "url", "id": "4", "url": "https://nested.org/b", "name": "Nested",
+                         "date_added": "0", "date_last_used": str(WEBKIT_2023 + 9_000_000)},
+                    ]},
+                    {"type": "url", "id": "5", "url": "https://googleapis.com/x", "name": "Skip",
+                     "date_added": "0", "date_last_used": "0"},
+                    {"type": "url", "id": "6", "url": "bogus", "name": "Bad",
+                     "date_added": "0", "date_last_used": "0"},
+                ],
+            }
+        }
+    }
+    (tmp_path / "Bookmarks").write_text(json.dumps(bookmarks))
+    scanner = ChromiumBookmarksScanner(1, str(tmp_path), {"skip": []})
+    items = []
+    scanner.scan(items.append)
+    urls = sorted(i.external_id for i in items)
+    assert urls == ["https://keep.org/a", "https://nested.org/b"]
+    keep = next(i for i in items if "keep" in i.external_id)
+    assert keep.metadata.atime == 1_700_000_000  # date_added fallback, WebKit-converted
+    nested = next(i for i in items if "nested" in i.external_id)
+    assert nested.metadata.atime == 1_700_000_009
+
+
+# -- end-to-end web scan through the pipeline --------------------------------
+
+
+def test_history_pipeline_end_to_end(tmp_db, tmp_path):
+    from perceive_tpu.index.searcher import Searcher
+    from perceive_tpu.models import EncoderArch, HeadConfig, Model, TextTokenizer, tiny_test_vocab
+
+    vocab = tiny_test_vocab("jax tpu pallas kernels memory example other".split())
+    tok = TextTokenizer.from_vocab(vocab, max_seq_length=32)
+    arch = EncoderArch(vocab_size=len(vocab), hidden_size=32, num_layers=1, num_heads=4,
+                       intermediate_size=64, max_position_embeddings=32)
+    model = Model.random(arch, HeadConfig(pooling="mean", normalize=True), tok, seed=1)
+    model.model_id = 0
+
+    _make_history_db(
+        tmp_path / "History",
+        [("https://x.test/a", "A", WEBKIT_2023), ("https://x.test/missing", "B", WEBKIT_2023)],
+    )
+    src = add_source(
+        tmp_db,
+        Source(name="hist", config={"type": "chromium_history", "skip": []}, location=str(tmp_path)),
+    )
+    scanner = ChromiumHistoryScanner(src.id, str(tmp_path), {"skip": []})
+    scanner.session = FakeSession(
+        {
+            "https://x.test/a": FakeResponse(200, {"Content-Type": "text/html", "ETag": '"e1"'}, PAGE),
+            "https://x.test/missing": FakeResponse(404),
+        }
+    )
+    searcher = Searcher(0, 0, model.dim, engine="xla")
+    stats, ok = scan_source(
+        tmp_db, model, src, scanner=scanner, on_embeddings=searcher.upsert_embeddings,
+        embed_batch_size=4,
+    )
+    assert ok
+    rows = {r[0]: r for r in tmp_db.read().execute(
+        "SELECT external_id, name, skipped, content FROM items")}
+    assert rows["https://x.test/a"][1] == "JAX on TPU"
+    assert rows["https://x.test/missing"][2] == "not_found"
+    assert len(searcher.matrix) == 1  # only the fetched page embedded
+
+    # second scan: 404 is permanent -> no refetch; page not newer -> unchanged
+    scanner.session.requests.clear()
+    stats2, ok = scan_source(tmp_db, model, src, scanner=scanner, embed_batch_size=4)
+    assert ok
+    assert scanner.session.requests == []
+    assert stats2.encoded.value == 0
