@@ -150,6 +150,14 @@ MIGRATIONS: list[str] = [
       PRIMARY KEY (model_id, model_version)
     );
     """,
+    # -- 5: monotonic embedding write sequence (TPU-native addition) --
+    # Every embedding insert/update stamps a global seq so a device-matrix
+    # snapshot records max(seq) and startup only replays rows written after
+    # it, instead of rescanning every BLOB.
+    """
+    ALTER TABLE item_embeddings ADD COLUMN seq BIGINT NOT NULL DEFAULT 0;
+    CREATE INDEX item_embeddings_seq_idx ON item_embeddings(seq);
+    """,
 ]
 
 

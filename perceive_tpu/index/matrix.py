@@ -93,6 +93,18 @@ class EmbeddingMatrix:
         self._dirty_rows: set[int] = set()  # incremental row updates
         self._device_vectors = None
         self._device_source_ids = None
+        self._device_scales = None  # (capacity,) f32 per-row scales, int8 mode
+
+    @property
+    def quantized(self) -> bool:
+        return self.dtype == jnp.int8
+
+    def _quantize(self, rows_f32: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Per-row symmetric int8: scale = max|v|/127 (min-clamped so all-zero
+        rows stay representable); returns (int8 values, f32 scales)."""
+        scales = np.maximum(np.abs(rows_f32).max(axis=1), 1e-12) / 127.0
+        q = np.clip(np.rint(rows_f32 / scales[:, None]), -127, 127).astype(np.int8)
+        return q, scales.astype(np.float32)
 
     # -- device views -------------------------------------------------------
 
@@ -113,7 +125,10 @@ class EmbeddingMatrix:
             )
             if full:
                 host = self._host_vectors
-                if self.dtype != jnp.float32:
+                if self.quantized:
+                    host, scales = self._quantize(host)
+                    self._device_scales = jax.device_put(jnp.asarray(scales), self.ids_device)
+                elif self.dtype != jnp.float32:
                     host = host.astype(jax.dtypes.canonicalize_dtype(self.dtype))
                 self._device_vectors = jax.device_put(host, self.device)
                 self._device_source_ids = jax.device_put(
@@ -121,9 +136,14 @@ class EmbeddingMatrix:
                 )
             else:
                 rows = np.fromiter(self._dirty_rows, dtype=np.int32)
-                vals = self._host_vectors[rows].astype(
-                    jax.dtypes.canonicalize_dtype(self.dtype)
-                )
+                vals = self._host_vectors[rows]
+                if self.quantized:
+                    vals, scales = self._quantize(vals)
+                    self._device_scales = _scatter_vals(
+                        self._device_scales, jnp.asarray(rows), jnp.asarray(scales)
+                    )
+                else:
+                    vals = vals.astype(jax.dtypes.canonicalize_dtype(self.dtype))
                 self._device_vectors = _scatter_rows(
                     self._device_vectors, jnp.asarray(rows), jnp.asarray(vals)
                 )
@@ -144,6 +164,16 @@ class EmbeddingMatrix:
     def device_source_ids(self) -> jax.Array:
         self.sync()
         return self._device_source_ids
+
+    @property
+    def device_scales(self):
+        """(capacity,) f32 per-row scales (int8 mode only, else None)."""
+        self.sync()
+        return self._device_scales
+
+    def host_vectors_for(self, rows) -> np.ndarray:
+        """f32 host mirror rows (exact rerank of quantized candidates)."""
+        return self._host_vectors[rows, : self.dim]
 
     # -- mutation ------------------------------------------------------------
 

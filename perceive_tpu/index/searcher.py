@@ -74,6 +74,30 @@ def _scan_topk_xla_impl(matrix, source_ids, q, allowed, k: int):
 _scan_topk_xla = jax.jit(_scan_topk_xla_impl, static_argnames=("k",))
 
 
+def _scan_topk_xla_int8_impl(matrix, scales, source_ids, q, allowed, k: int):
+    from ..ops.topk import quantize_queries
+
+    qi8, qscale = quantize_queries(q)
+    iscores = jax.lax.dot_general(
+        qi8, matrix, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    scores = iscores.astype(jnp.float32) * scales[None, :] * qscale
+    valid = source_ids >= 0
+    allow_all = allowed[0] == ALLOW_ALL
+    src_ok = jnp.isin(source_ids, allowed) | allow_all
+    scores = jnp.where((valid & src_ok)[None, :], scores, -jnp.inf)
+    return jax.lax.top_k(scores, k)
+
+
+_scan_topk_xla_int8 = jax.jit(_scan_topk_xla_int8_impl, static_argnames=("k",))
+
+# int8 scan over-fetches candidates by this factor, then reranks them against
+# the f32 host mirror — exact top-k provided the true winners land in the
+# int8 top-(factor*k), which per-row symmetric quantization makes near-certain
+# (SURVEY.md §7 "rerank-in-f32-of-top-candidates fallback").
+RERANK_FACTOR = 4
+
+
 class Searcher:
     def __init__(
         self,
@@ -111,12 +135,87 @@ class Searcher:
         *,
         dtype: jnp.dtype = jnp.bfloat16,
         engine: str = "auto",
+        use_snapshot: bool = True,
     ) -> "Searcher":
         """Load every live embedding for (model_id, model_version)
-        (reference search.rs:38-56 + build_sources :81-155)."""
+        (reference search.rs:38-56 + build_sources :81-155).
+
+        When a vector_shards snapshot exists (save_snapshot), startup loads
+        the matrix from the .npz and replays only embeddings written after
+        it (seq > snapshot max_seq), instead of deserializing every BLOB —
+        the fast-reload path of SURVEY.md §5.4.
+        """
         s = cls(model_id, model_version, dim, dtype=dtype, engine=engine)
+        if use_snapshot and s._load_snapshot(db):
+            return s
         s._load(db, extra_sql="", params=())
         return s
+
+    # -- snapshots (vector_shards manifest; TPU-native fast startup) ---------
+
+    def save_snapshot(self, db: Database, path: str) -> None:
+        """Persist the matrix + record (path, max seq) in vector_shards."""
+        row = db.read().execute(
+            "SELECT COALESCE(MAX(seq),0) FROM item_embeddings WHERE model_id=? AND model_version=?",
+            (self.model_id, self.model_version),
+        ).fetchone()
+        self.matrix.save_snapshot(path)
+        with db.write() as conn:
+            conn.execute(
+                """INSERT INTO vector_shards
+                     (model_id, model_version, path, max_item_id, rows, dim, dtype, created_at)
+                   VALUES (?,?,?,?,?,?,?,?)
+                   ON CONFLICT (model_id, model_version) DO UPDATE SET
+                     path=excluded.path, max_item_id=excluded.max_item_id,
+                     rows=excluded.rows, dim=excluded.dim, dtype=excluded.dtype,
+                     created_at=excluded.created_at""",
+                (
+                    self.model_id,
+                    self.model_version,
+                    str(path),
+                    row[0],  # max seq replayed from on incremental load
+                    len(self.matrix),
+                    self.matrix.dim,
+                    str(np.dtype(jax.dtypes.canonicalize_dtype(self.matrix.dtype))),
+                    int(time.time()),
+                ),
+            )
+
+    def _load_snapshot(self, db: Database) -> bool:
+        import os
+
+        manifest = db.read().execute(
+            "SELECT path, max_item_id FROM vector_shards WHERE model_id=? AND model_version=?",
+            (self.model_id, self.model_version),
+        ).fetchone()
+        if manifest is None or not os.path.exists(manifest[0]):
+            return False
+        path, max_seq = manifest
+        try:
+            loaded = EmbeddingMatrix.load_snapshot(path, dtype=self.matrix.dtype)
+        except Exception:  # corrupt snapshot -> full rebuild
+            return False
+        if loaded.dim != self.matrix.dim:
+            return False
+        self.matrix = loaded
+        # replay embeddings written after the snapshot
+        self._load(db, " AND ie.seq > ?", (max_seq,))
+        # tombstone rows hidden/skipped/deleted since the snapshot — an
+        # ids-only scan (no BLOB deserialization), cheap relative to a build
+        live = {
+            r[0]
+            for r in db.read().execute(
+                """SELECT items.id FROM items
+                   JOIN item_embeddings ie ON ie.item_id = items.id
+                     AND ie.model_id = ? AND ie.model_version = ?
+                   WHERE items.skipped IS NULL AND items.hidden_at IS NULL""",
+                (self.model_id, self.model_version),
+            )
+        }
+        dead = [iid for iid in list(self.matrix.row_of) if iid not in live]
+        if dead:
+            self.matrix.remove(dead)
+        return True
 
     def _load(self, db: Database, extra_sql: str, params: tuple) -> int:
         rows = db.read().execute(
@@ -152,22 +251,53 @@ class Searcher:
     def _scan(self, q: np.ndarray, k: int, allowed: np.ndarray):
         m = self.matrix
         m.sync()
-        kb = _k_bucket(k, m.rows)
+        kb = _k_bucket(RERANK_FACTOR * k if m.quantized else k, m.rows)
+        qp = q
         if m.padded_dim > m.dim:  # zero-pad queries to the lane-aligned width
-            q = np.concatenate(
+            qp = np.concatenate(
                 [q, np.zeros((q.shape[0], m.padded_dim - m.dim), q.dtype)], axis=1
             )
+        if m.quantized:
+            if self.engine == "pallas":
+                from ..ops.topk import scan_topk_pallas_int8
+
+                vals, rows = scan_topk_pallas_int8(
+                    m.device_vectors, m.device_scales, m.device_source_ids,
+                    jnp.asarray(qp), jnp.asarray(allowed), kb,
+                )
+            else:
+                vals, rows = _scan_topk_xla_int8(
+                    m.device_vectors, m.device_scales, m.device_source_ids,
+                    jnp.asarray(qp), jnp.asarray(allowed), kb,
+                )
+            return self._rerank(q, np.asarray(vals), np.asarray(rows))
         if self.engine == "pallas":
             from ..ops.topk import scan_topk_pallas
 
             vals, rows = scan_topk_pallas(
-                m.device_vectors, m.device_source_ids, jnp.asarray(q), jnp.asarray(allowed), kb
+                m.device_vectors, m.device_source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
             )
         else:
             vals, rows = _scan_topk_xla(
-                m.device_vectors, m.device_source_ids, jnp.asarray(q), jnp.asarray(allowed), kb
+                m.device_vectors, m.device_source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
             )
         return np.asarray(vals), np.asarray(rows)
+
+    def _rerank(self, q: np.ndarray, vals: np.ndarray, rows: np.ndarray):
+        """Exact f32 rescoring of int8 candidates against the host mirror."""
+        m = self.matrix
+        out_vals = np.full_like(vals, -np.inf)
+        out_rows = np.full_like(rows, -1)
+        for qi in range(len(q)):
+            finite = vals[qi] > -np.inf
+            cand = rows[qi][finite]
+            if len(cand) == 0:
+                continue
+            exact = m.host_vectors_for(cand) @ q[qi, : m.dim]
+            order = np.argsort(-exact, kind="stable")
+            out_vals[qi, : len(cand)] = exact[order]
+            out_rows[qi, : len(cand)] = cand[order]
+        return out_vals, out_rows
 
     def _allowed_array(self, source_ids: Optional[Sequence[int]]) -> np.ndarray:
         allowed = np.full(MAX_SOURCE_FILTER, -9, dtype=np.int32)

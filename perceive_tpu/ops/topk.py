@@ -122,6 +122,124 @@ def _scan_kernel(allowed_ref, q_ref, m_ref, src_ref, vals_ref, rows_ref, *, k, t
     rows_ref[:] = br
 
 
+def _scan_kernel_int8(
+    allowed_ref, q_ref, qscale_ref, m_ref, src_ref, scales_ref, vals_ref, rows_ref,
+    *, k, tile_n, n_filter,
+):
+    """Int8 variant: int8 x int8 -> int32 on the MXU, dequantized to f32 by
+    per-row scales x per-query scale before the streaming merge.  Halves HBM
+    bytes per sweep vs bf16 (the scan is bandwidth-bound, so ~2x QPS)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        vals_ref[:] = jnp.full(vals_ref.shape, -jnp.inf, vals_ref.dtype)
+        rows_ref[:] = jnp.full(rows_ref.shape, -1, rows_ref.dtype)
+
+    iscores = jax.lax.dot_general(
+        q_ref[:], m_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (Q, TILE_N) int32
+    scores = iscores.astype(jnp.float32) * scales_ref[:] * qscale_ref[:]
+
+    src = src_ref[:]
+    ok = src == allowed_ref[0]
+    for f in range(1, n_filter):
+        ok = ok | (src == allowed_ref[f])
+    allow_all = allowed_ref[0] == ALLOW_ALL
+    mask = (src >= 0) & (ok | allow_all)
+    scores = jnp.where(mask, scores, -jnp.inf)
+
+    bv = vals_ref[:]
+    br = rows_ref[:]
+    base = t * tile_n
+    n_iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1)
+
+    def cond(state):
+        j, sc, bv, br = state
+        improve = jnp.max(sc, axis=1) > jnp.min(bv, axis=1)
+        return (j < k) & jnp.any(improve)
+
+    def body(state):
+        j, sc, bv, br = state
+        tv, ti = _argmax2d(sc, n_iota)
+        bmin, bpos = _argmin2d(bv, k_iota)
+        improve = tv > bmin
+        sel = (k_iota == bpos) & improve
+        bv = jnp.where(sel, tv, bv)
+        br = jnp.where(sel, base + ti, br)
+        sc = jnp.where((n_iota == ti) & improve, -jnp.inf, sc)
+        return j + 1, sc, bv, br
+
+    _, _, bv, br = jax.lax.while_loop(cond, body, (jnp.int32(0), scores, bv, br))
+    vals_ref[:] = bv
+    rows_ref[:] = br
+
+
+def pallas_topk_int8_unsorted(matrix, scales2d, src2d, qi8, qscale, allowed, k: int, interpret: bool):
+    """Raw int8 kernel invocation (unsorted buffer); callable inside
+    jit/shard_map.  matrix (N,D) int8; scales2d (1,N) f32; qi8 (Q,D) int8;
+    qscale (Q,1) f32."""
+    n, d = matrix.shape
+    nq = qi8.shape[0]
+    tile_n = _pick_tile(n, nq, d, 1)
+    n_filter = allowed.shape[0]
+
+    kernel = functools.partial(_scan_kernel_int8, k=k, tile_n=tile_n, n_filter=n_filter)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # allowed (F,)
+            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nq, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, k), jnp.float32),
+            jax.ShapeDtypeStruct((nq, k), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nq * n * d,
+            bytes_accessed=n * d + n * 4 + nq * d,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(allowed, qi8, qscale, matrix, src2d, scales2d)
+
+
+def quantize_queries(q):
+    """(Q, D) f32 -> ((Q, D) int8, (Q, 1) f32 scales), symmetric per query."""
+    scale = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True), 1e-12) / 127.0
+    qi8 = jnp.clip(jnp.rint(q / scale), -127, 127).astype(jnp.int8)
+    return qi8, scale
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _scan_topk_int8(matrix, scales, source_ids, q, allowed, k: int, interpret: bool):
+    n = matrix.shape[0]
+    qi8, qscale = quantize_queries(q)
+    vals, rows = pallas_topk_int8_unsorted(
+        matrix, scales.reshape(1, n), source_ids.reshape(1, n), qi8, qscale, allowed, k, interpret
+    )
+    svals, perm = jax.lax.top_k(vals, k)
+    return svals, jnp.take_along_axis(rows, perm, axis=1)
+
+
+def scan_topk_pallas_int8(matrix, scales, source_ids, q, allowed, k: int):
+    """Int8 exact-scan top-k (approximate scores; combine with f32 rerank of
+    the candidate set for exact results — index.Searcher does this)."""
+    interpret = jax.default_backend() != "tpu"
+    return _scan_topk_int8(matrix, scales, source_ids, q, allowed, k, interpret)
+
+
 def pallas_topk_unsorted(matrix, src2d, qc, allowed, k: int, interpret: bool):
     """Raw kernel invocation: unsorted (Q,K) candidate buffer.
 

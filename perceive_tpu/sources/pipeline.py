@@ -361,11 +361,14 @@ def _write_stage(
                 if emb is not None:
                     conn.execute(
                         """INSERT INTO item_embeddings
-                             (item_id, item_index_version, embedding, model_id, model_version)
-                           VALUES (?,?,?,?,?)
+                             (item_id, item_index_version, embedding, model_id,
+                              model_version, seq)
+                           VALUES (?,?,?,?,?,
+                             (SELECT COALESCE(MAX(seq),0)+1 FROM item_embeddings))
                            ON CONFLICT (item_id, model_id, model_version) DO UPDATE
                              SET item_index_version=excluded.item_index_version,
-                                 embedding=excluded.embedding""",
+                                 embedding=excluded.embedding,
+                                 seq=excluded.seq""",
                         (item_id, index_version, serialize_embedding(emb), model_id, model_version),
                     )
                     dev_ids.append(item_id)
