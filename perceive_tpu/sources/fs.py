@@ -175,9 +175,32 @@ class FileScanner:
 
     def scan(self, emit) -> None:
         """Walk ``location``, emitting an Item per matching file with
-        mtime/atime stamped (content loaded later by ``read``)."""
-        ignore_stack: list[_GitignoreRules] = []
+        mtime/atime stamped (content loaded later by ``read``).
+
+        Uses the native parallel walker (perceive_tpu.native.fastwalk, the
+        C++ analog of the reference's `ignore` crate parallel walk) when the
+        toolchain is available, else the Python walk below."""
         root = os.path.abspath(self.location)
+
+        from ..native import fastwalk
+
+        entries = fastwalk(root)
+        if entries is not None:
+            for path, mtime, atime in sorted(entries):
+                if self.globs.matches(path):
+                    emit(
+                        Item(
+                            id=-1,
+                            source_id=self.source_id,
+                            external_id=path,
+                            metadata=ItemMetadata(mtime=mtime, atime=atime),
+                        )
+                    )
+            return
+        self._scan_python(root, emit)
+
+    def _scan_python(self, root: str, emit) -> None:
+        ignore_stack: list[_GitignoreRules] = []
 
         def walk(dirpath: str) -> None:
             gi_path = os.path.join(dirpath, ".gitignore")
