@@ -38,6 +38,8 @@ def source_add(state, args) -> None:
         config = {"type": "chromium_bookmarks", "skip": args.skip or []}
     else:
         raise ValueError(f"unknown source type {kind}")
+    if getattr(args, "chunk_tokens", 0):
+        config["chunk_tokens"] = args.chunk_tokens
     src = Source(
         name=args.name,
         config=config,

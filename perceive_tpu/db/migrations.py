@@ -158,6 +158,33 @@ MIGRATIONS: list[str] = [
     ALTER TABLE item_embeddings ADD COLUMN seq BIGINT NOT NULL DEFAULT 0;
     CREATE INDEX item_embeddings_seq_idx ON item_embeddings(seq);
     """,
+    # -- 6: chunk embeddings (TPU-native addition) --
+    # Long documents can be embedded as overlapping chunks (one vector per
+    # chunk, chunk_idx 0..N-1) instead of the reference's head-truncation
+    # (model/tokenize.rs:64-71) — the matrix indexes every chunk and search
+    # dedupes back to items.  PK gains chunk_idx (table rebuild: SQLite
+    # can't alter PKs in place).
+    """
+    CREATE TABLE item_embeddings_new (
+      model_id INT NOT NULL,
+      model_version INT NOT NULL,
+      item_id BIGINT NOT NULL REFERENCES items(id) ON DELETE CASCADE,
+      chunk_idx INT NOT NULL DEFAULT 0,
+      item_index_version BIGINT NOT NULL,
+      embedding BLOB NOT NULL,
+      seq BIGINT NOT NULL DEFAULT 0,
+      FOREIGN KEY(model_id, model_version)
+        REFERENCES model_versions(model_id, version) ON DELETE CASCADE,
+      PRIMARY KEY (model_id, model_version, item_id, chunk_idx)
+    );
+    INSERT INTO item_embeddings_new
+      (model_id, model_version, item_id, chunk_idx, item_index_version, embedding, seq)
+      SELECT model_id, model_version, item_id, 0, item_index_version, embedding, seq
+      FROM item_embeddings;
+    DROP TABLE item_embeddings;
+    ALTER TABLE item_embeddings_new RENAME TO item_embeddings;
+    CREATE INDEX item_embeddings_seq_idx ON item_embeddings(seq);
+    """,
 ]
 
 

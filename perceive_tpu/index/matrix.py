@@ -27,6 +27,18 @@ import numpy as np
 ROW_ALIGN = 512
 LANE_ALIGN = 128  # last-dim tile width on TPU
 
+# Row keys are (item_id, chunk_idx) packed as item_id * CHUNK_STRIDE +
+# chunk_idx, so one item's chunk vectors group under integer division.
+CHUNK_STRIDE = 4096
+
+
+def chunk_key(item_id: int, chunk_idx: int = 0) -> int:
+    return item_id * CHUNK_STRIDE + chunk_idx
+
+
+def key_item(key: int) -> int:
+    return key // CHUNK_STRIDE
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -85,6 +97,8 @@ class EmbeddingMatrix:
 
         self.rows = 0  # high-water mark of allocated rows
         self.row_of: dict[int, int] = {}
+        # key-group index: item id -> set of chunk keys currently stored
+        self.groups: dict[int, set[int]] = {}
         self.item_ids = np.full(self.capacity, -1, dtype=np.int64)
         self.source_ids = np.full(self.capacity, -1, dtype=np.int32)
         # host mirror of vectors (f32) so growth/snapshots never read device
@@ -229,6 +243,8 @@ class EmbeddingMatrix:
                 rows[new] = fresh
                 self.rows += n_new
                 self.row_of.update(zip(item_ids[new].tolist(), fresh.tolist()))
+            for k in item_ids.tolist():
+                self.groups.setdefault(k // CHUNK_STRIDE, set()).add(k)
             self.item_ids[rows] = item_ids
             self.source_ids[rows] = source_ids
             self._host_vectors[rows, : self.dim] = vectors
@@ -243,18 +259,33 @@ class EmbeddingMatrix:
             for iid in item_ids:
                 row = self.row_of.pop(iid, None)
                 if row is not None:
+                    g = self.groups.get(iid // CHUNK_STRIDE)
+                    if g is not None:
+                        g.discard(iid)
+                        if not g:
+                            del self.groups[iid // CHUNK_STRIDE]
                     self.source_ids[row] = -1
                     self.item_ids[row] = -1
                     self._dirty_rows.add(int(row))
                     n += 1
         return n
 
+    def keys_of_group(self, item_id: int) -> list[int]:
+        """All chunk keys currently stored for an item."""
+        return list(self.groups.get(item_id, ()))
+
     def remove_source(self, source_id: int) -> int:
         """Drop every row of a source (prelude to rebuild_source)."""
         with self._lock:
             rows = np.nonzero(self.source_ids[: self.rows] == source_id)[0]
             for row in rows:
-                self.row_of.pop(int(self.item_ids[row]), None)
+                key = int(self.item_ids[row])
+                self.row_of.pop(key, None)
+                g = self.groups.get(key // CHUNK_STRIDE)
+                if g is not None:
+                    g.discard(key)
+                    if not g:
+                        del self.groups[key // CHUNK_STRIDE]
                 self.source_ids[row] = -1
                 self.item_ids[row] = -1
                 self._dirty_rows.add(int(row))

@@ -34,7 +34,7 @@ import numpy as np
 from ..db import ITEM_COLUMNS, Database, deserialize_item_row, json_ids
 from ..ops.topk import ALLOW_ALL
 from ..types import Item, Source
-from .matrix import EmbeddingMatrix, deserialize_embedding
+from .matrix import EmbeddingMatrix, chunk_key, deserialize_embedding, key_item
 
 K_BUCKETS = (16, 32, 64, 128, 256)
 MAX_SOURCE_FILTER = 16  # fixed-size filter list keeps jit shapes stable
@@ -118,7 +118,7 @@ class Searcher:
     # -- build ---------------------------------------------------------------
 
     _BUILD_SQL = """
-        SELECT items.id, items.source_id, ie.embedding
+        SELECT items.id, items.source_id, ie.embedding, ie.chunk_idx
         FROM items
         JOIN item_embeddings ie ON ie.item_id = items.id
           AND ie.model_id = ? AND ie.model_version = ?
@@ -203,16 +203,16 @@ class Searcher:
         # tombstone rows hidden/skipped/deleted since the snapshot — an
         # ids-only scan (no BLOB deserialization), cheap relative to a build
         live = {
-            r[0]
+            chunk_key(r[0], r[1])
             for r in db.read().execute(
-                """SELECT items.id FROM items
+                """SELECT items.id, ie.chunk_idx FROM items
                    JOIN item_embeddings ie ON ie.item_id = items.id
                      AND ie.model_id = ? AND ie.model_version = ?
                    WHERE items.skipped IS NULL AND items.hidden_at IS NULL""",
                 (self.model_id, self.model_version),
             )
         }
-        dead = [iid for iid in list(self.matrix.row_of) if iid not in live]
+        dead = [key for key in list(self.matrix.row_of) if key not in live]
         if dead:
             self.matrix.remove(dead)
         return True
@@ -223,10 +223,10 @@ class Searcher:
         ).fetchall()
         if not rows:
             return 0
-        item_ids = [r[0] for r in rows]
+        keys = [chunk_key(r[0], r[3]) for r in rows]
         source_ids = [r[1] for r in rows]
         vecs = np.stack([deserialize_embedding(r[2]) for r in rows])
-        self.matrix.upsert(item_ids, source_ids, vecs)
+        self.matrix.upsert(keys, source_ids, vecs)
         return len(rows)
 
     def rebuild_source(self, db: Database, source_id: int) -> int:
@@ -239,19 +239,43 @@ class Searcher:
     # -- incremental updates (pipeline hooks; HNSW couldn't do these) --------
 
     def upsert_embeddings(
-        self, item_ids: Sequence[int], source_ids: Sequence[int], vectors: np.ndarray
+        self, item_ids: Sequence, source_ids: Sequence[int], vectors: np.ndarray
     ) -> None:
-        self.matrix.upsert(item_ids, source_ids, vectors)
+        """Stream vectors into the device matrix.
+
+        ``item_ids`` entries are plain item ids (chunk 0) or
+        (item_id, chunk_idx) pairs for chunk-embedded documents.  Chunk keys
+        no longer present for an item (document shrank) are tombstoned.
+        """
+        keys: list[int] = []
+        per_item: dict[int, set[int]] = {}
+        for e in item_ids:
+            iid, ci = e if isinstance(e, tuple) else (int(e), 0)
+            keys.append(chunk_key(iid, ci))
+            per_item.setdefault(iid, set()).add(keys[-1])
+        stale = []
+        for iid, new in per_item.items():
+            stale.extend(k for k in self.matrix.keys_of_group(iid) if k not in new)
+        if stale:
+            self.matrix.remove(stale)
+        self.matrix.upsert(keys, source_ids, vectors)
 
     def remove_items(self, item_ids: Sequence[int]) -> int:
-        return self.matrix.remove(item_ids)
+        """Tombstone every chunk of each item."""
+        keys = [k for iid in item_ids for k in self.matrix.keys_of_group(int(iid))]
+        return self.matrix.remove(keys)
 
     # -- query ---------------------------------------------------------------
 
     def _scan(self, q: np.ndarray, k: int, allowed: np.ndarray):
         m = self.matrix
         m.sync()
-        kb = _k_bucket(RERANK_FACTOR * k if m.quantized else k, m.rows)
+        want = k
+        if m.quantized:
+            want = RERANK_FACTOR * want
+        if any(len(g) > 1 for g in m.groups.values()):
+            want = 2 * want  # chunk dedupe needs extra candidates
+        kb = _k_bucket(want, m.rows)
         qp = q
         if m.padded_dim > m.dim:  # zero-pad queries to the lane-aligned width
             qp = np.concatenate(
@@ -320,14 +344,7 @@ class Searcher:
             return []
         q = np.asarray(vec, dtype=np.float32).reshape(1, -1)
         vals, rows = self._scan(q, k, self._allowed_array(source_ids))
-        out = []
-        for score, row in zip(vals[0], rows[0]):
-            if not np.isfinite(score) or len(out) >= k:
-                break
-            iid = int(self.matrix.item_ids[row])
-            if iid >= 0:
-                out.append((iid, float(score)))
-        return out
+        return self._decode_hits(vals[0], rows[0], k)
 
     def search_vectors_batch(
         self,
@@ -341,17 +358,25 @@ class Searcher:
             return [[] for _ in range(len(vecs))]
         q = np.asarray(vecs, dtype=np.float32)
         vals, rows = self._scan(q, k, self._allowed_array(source_ids))
-        results = []
-        for qi in range(len(q)):
-            out = []
-            for score, row in zip(vals[qi], rows[qi]):
-                if not np.isfinite(score) or len(out) >= k:
-                    break
-                iid = int(self.matrix.item_ids[row])
-                if iid >= 0:
-                    out.append((iid, float(score)))
-            results.append(out)
-        return results
+        return [self._decode_hits(vals[qi], rows[qi], k) for qi in range(len(q))]
+
+    def _decode_hits(self, vals, rows, k: int) -> list[tuple[int, float]]:
+        """Rows -> (item_id, score) best-first; chunk hits of one document
+        dedupe to the item keeping its best-scoring chunk."""
+        out: list[tuple[int, float]] = []
+        seen: set[int] = set()
+        for score, row in zip(vals, rows):
+            if not np.isfinite(score) or len(out) >= k:
+                break
+            key = int(self.matrix.item_ids[row])
+            if key < 0:
+                continue
+            iid = key_item(key)
+            if iid in seen:
+                continue
+            seen.add(iid)
+            out.append((iid, float(score)))
+        return out
 
     def search(
         self,
@@ -410,7 +435,8 @@ class Searcher:
         reference cmd/search.rs:66-71)."""
         row = db.read().execute(
             """SELECT embedding FROM item_embeddings
-               WHERE model_id = ? AND model_version = ? AND item_id = ?""",
+               WHERE model_id = ? AND model_version = ? AND item_id = ?
+                 AND chunk_idx = 0""",
             (self.model_id, self.model_version, item_id),
         ).fetchone()
         return deserialize_embedding(row[0]) if row else None

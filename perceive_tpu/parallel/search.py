@@ -123,10 +123,19 @@ class ShardedSearcher:
         )
 
     def upsert_embeddings(self, item_ids, source_ids, vectors) -> None:
-        self.matrix.upsert(item_ids, source_ids, vectors)
+        """item_ids: plain ids or (item_id, chunk_idx) pairs (see
+        index.Searcher.upsert_embeddings)."""
+        from ..index.matrix import chunk_key
+
+        keys = [
+            chunk_key(*e) if isinstance(e, tuple) else chunk_key(int(e))
+            for e in item_ids
+        ]
+        self.matrix.upsert(keys, source_ids, vectors)
 
     def remove_items(self, item_ids) -> int:
-        return self.matrix.remove(item_ids)
+        keys = [k for iid in item_ids for k in self.matrix.keys_of_group(int(iid))]
+        return self.matrix.remove(keys)
 
     def search_vectors_batch(
         self, vecs: np.ndarray, k: int, source_ids: Optional[Sequence[int]] = None
@@ -155,16 +164,24 @@ class ShardedSearcher:
             kb,
             engine=self.engine,
         )
+        from ..index.matrix import key_item
+
         vals, rows = np.asarray(vals), np.asarray(rows)
         out = []
         for qi in range(len(q)):
             hits = []
+            seen: set[int] = set()
             for score, row in zip(vals[qi], rows[qi]):
                 if not np.isfinite(score) or len(hits) >= k:
                     break
-                iid = int(m.item_ids[row])
-                if iid >= 0:
-                    hits.append((iid, float(score)))
+                key = int(m.item_ids[row])
+                if key < 0:
+                    continue
+                iid = key_item(key)
+                if iid in seen:
+                    continue
+                seen.add(iid)
+                hits.append((iid, float(score)))
             out.append(hits)
         return out
 

@@ -214,48 +214,110 @@ def build_document(item: Item) -> Optional[str]:
     return doc or None
 
 
+def chunk_document(tokenizer, text: str, chunk_tokens: int, overlap: int) -> list[str]:
+    """Split a document into overlapping ~chunk_tokens-token text spans.
+
+    The north-star long-context strategy (SURVEY.md §5.7): instead of the
+    reference's head-truncation at max_seq_length (model/tokenize.rs:64-71),
+    every chunk is embedded and indexed, so matches deep in long documents
+    are findable.  Spans are cut on token boundaries via the tokenizer's
+    char offsets; specials are excluded from the windows.
+    """
+    enc = tokenizer.encode_untruncated([text])[0]
+    offs = [
+        o
+        for o, m in zip(enc.offsets, enc.special_tokens_mask)
+        if not m and o is not None
+    ]
+    if len(offs) <= chunk_tokens:
+        return [text]
+    step = max(chunk_tokens - overlap, 1)
+    chunks = []
+    start = 0
+    while start < len(offs):
+        window = offs[start : start + chunk_tokens]
+        c0 = window[0][0]
+        c1 = max(o[1] for o in window)
+        chunks.append(text[c0:c1])
+        if start + chunk_tokens >= len(offs):
+            break
+        start += step
+    return chunks
+
+
+class _PendingItem:
+    """Chunks of one item in flight across device batches."""
+
+    __slots__ = ("si", "expected", "chunks")
+
+    def __init__(self, si: ScanItem, expected: int):
+        self.si = si
+        self.expected = expected
+        self.chunks: list = []
+
+
 def _embed_stage(
     stats: ScanStats,
     model,
     in_q: queue.Queue,
     out_q: queue.Queue,
     batch_size: int,
+    chunk_tokens: int = 0,
+    chunk_overlap: int = 0,
 ) -> None:
     """Double-buffered device encode (reference calculate_embeddings.rs:38-100
-    restructured for async dispatch)."""
-    buf: list[ScanItem] = []
-    docs: list[str] = []
-    pending = None  # (dispatched, items)
+    restructured for async dispatch).  With chunk_tokens > 0 each document
+    becomes one entry per chunk; an item is released downstream only when all
+    its chunk vectors have materialized."""
+    buf: list[tuple[_PendingItem, int]] = []
+    texts: list[str] = []
+    pending = None  # (dispatched, entries)
+
+    def release(done: list[tuple[ScanItem, Optional[list]]]):
+        if done:
+            out_q.put(done)
+
+    def collect(entries, embs) -> None:
+        done = []
+        by_item: dict[int, _PendingItem] = {}
+        for (pi, ci), emb in zip(entries, [None] * len(entries) if embs is None else embs):
+            pi.chunks.append((ci, None if embs is None else emb))
+            by_item[id(pi)] = pi
+        for pi in by_item.values():
+            if len(pi.chunks) == pi.expected:
+                if any(e is None for _, e in pi.chunks):
+                    done.append((pi.si, None))  # batch failure poisons the item
+                else:
+                    pi.chunks.sort(key=lambda t: t[0])
+                    stats.encoded.add(1)
+                    done.append((pi.si, pi.chunks))
+        release(done)
 
     def materialize(p):
-        dispatched, items = p
+        dispatched, entries = p
         with stats.encode_time.track():
             try:
                 embs = model.materialize(dispatched)
             except Exception as e:  # noqa: BLE001 — batch isolation
                 print(f"embed batch failed: {e}", file=sys.stderr)
                 embs = None
-        stats.embedding.sub(len(items))
-        if embs is None:
-            out_q.put([(si, None) for si in items])
-        else:
-            stats.encoded.add(len(items))
-            out_q.put(list(zip(items, embs)))
+        stats.embedding.sub(len(entries))
+        collect(entries, embs)
 
     def dispatch():
-        nonlocal pending, buf, docs
-        items, texts = buf, docs
-        buf, docs = [], []
-        stats.embedding.add(len(items))
+        nonlocal pending, buf, texts
+        entries, batch_texts = buf, texts
+        buf, texts = [], []
+        stats.embedding.add(len(entries))
         with stats.encode_time.track():
             try:
-                d = model.encode_dispatch(texts)
+                d = model.encode_dispatch(batch_texts)
             except Exception as e:  # noqa: BLE001
                 print(f"embed dispatch failed: {e}", file=sys.stderr)
-                stats.embedding.sub(len(items))
-                out_q.put([(si, None) for si in items])
+                stats.embedding.sub(len(entries))
+                collect(entries, None)
                 return
-        prev, pending = pending, (d, items)
+        prev, pending = pending, (d, entries)
         if prev is not None:
             materialize(prev)
 
@@ -264,16 +326,22 @@ def _embed_stage(
             si.state in (ScanItemState.UNCHANGED, ScanItemState.FOUND)
             or si.item.skipped is not None
         ):
-            out_q.put([(si, None)])
+            release([(si, None)])
             continue
         doc = build_document(si.item)
         if doc is None:
-            out_q.put([(si, None)])
+            release([(si, None)])
             continue
-        buf.append(si)
-        docs.append(doc)
-        if len(buf) >= batch_size:
-            dispatch()
+        if chunk_tokens > 0:
+            parts = chunk_document(model.tokenizer, doc, chunk_tokens, chunk_overlap)
+        else:
+            parts = [doc]
+        pi = _PendingItem(si, len(parts))
+        for ci, part in enumerate(parts):
+            buf.append((pi, ci))
+            texts.append(part)
+            if len(buf) >= batch_size:
+                dispatch()
     if buf:
         dispatch()
     if pending is not None:
@@ -293,15 +361,16 @@ def _write_stage(
     on_embeddings: Optional[Callable[[list[int], list[int], np.ndarray], None]],
 ) -> None:
     """Single writer, one transaction per batch (reference update_db.rs:8-139).
-    ``on_embeddings`` receives (item_ids, source_ids, vectors) after each
-    commit — the incremental device-matrix update hook the HNSW never had."""
+    ``on_embeddings`` receives (keys, source_ids, vectors) after each commit
+    — keys are (item_id, chunk_idx) pairs — the incremental device-matrix
+    update hook the HNSW never had."""
     for batch in _drain_queue(in_q):
         with stats.write_time.track(), db.write() as conn:
             new = changed = unchanged = 0
-            dev_ids: list[int] = []
+            dev_ids: list[tuple[int, int]] = []
             dev_srcs: list[int] = []
             dev_vecs: list[np.ndarray] = []
-            for si, emb in batch:
+            for si, embs in batch:
                 item = si.item
                 meta = item.metadata
                 if si.state is ScanItemState.UNCHANGED:
@@ -358,27 +427,45 @@ def _write_stage(
                     )
                     changed += 1
                     item_id = item.id
-                if emb is not None:
+                if embs is not None:
+                    for chunk_idx, emb in embs:
+                        conn.execute(
+                            """INSERT INTO item_embeddings
+                                 (item_id, chunk_idx, item_index_version, embedding,
+                                  model_id, model_version, seq)
+                               VALUES (?,?,?,?,?,?,
+                                 (SELECT COALESCE(MAX(seq),0)+1 FROM item_embeddings))
+                               ON CONFLICT (item_id, chunk_idx, model_id, model_version)
+                               DO UPDATE
+                                 SET item_index_version=excluded.item_index_version,
+                                     embedding=excluded.embedding,
+                                     seq=excluded.seq""",
+                            (item_id, chunk_idx, index_version,
+                             serialize_embedding(emb), model_id, model_version),
+                        )
+                        dev_ids.append((item_id, chunk_idx))
+                        dev_srcs.append(item.source_id)
+                        dev_vecs.append(np.asarray(emb, dtype=np.float32))
+                    # drop stale chunk rows past the new count (doc shrank)
                     conn.execute(
-                        """INSERT INTO item_embeddings
-                             (item_id, item_index_version, embedding, model_id,
-                              model_version, seq)
-                           VALUES (?,?,?,?,?,
-                             (SELECT COALESCE(MAX(seq),0)+1 FROM item_embeddings))
-                           ON CONFLICT (item_id, model_id, model_version) DO UPDATE
-                             SET item_index_version=excluded.item_index_version,
-                                 embedding=excluded.embedding,
-                                 seq=excluded.seq""",
-                        (item_id, index_version, serialize_embedding(emb), model_id, model_version),
+                        """DELETE FROM item_embeddings
+                           WHERE item_id=? AND model_id=? AND model_version=?
+                             AND chunk_idx >= ?""",
+                        (item_id, model_id, model_version, len(embs)),
                     )
-                    dev_ids.append(item_id)
-                    dev_srcs.append(item.source_id)
-                    dev_vecs.append(np.asarray(emb, dtype=np.float32))
         stats.added.add(new)
         stats.changed.add(changed)
         stats.unchanged.add(unchanged)
         if on_embeddings is not None and dev_ids:
             on_embeddings(dev_ids, dev_srcs, np.stack(dev_vecs))
+
+
+def chunk_config(source: Source) -> tuple[int, int]:
+    """(chunk_tokens, chunk_overlap) from the source config; 0 = embed whole
+    documents with head truncation (the reference's behavior)."""
+    ct = int(source.config.get("chunk_tokens", 0) or 0)
+    co = int(source.config.get("chunk_overlap", ct // 8) or 0) if ct else 0
+    return ct, co
 
 
 # -- orchestration -----------------------------------------------------------
@@ -441,9 +528,13 @@ def scan_source(
         )
         for i in range(READ_PARALLELISM)
     ]
+    chunk_tokens, chunk_overlap = chunk_config(source)
     t_embed = _Stage(
         "embed",
-        lambda: _embed_stage(stats, model, q_content, q_embedded, embed_batch_size),
+        lambda: _embed_stage(
+            stats, model, q_content, q_embedded, embed_batch_size,
+            chunk_tokens, chunk_overlap,
+        ),
         q_content,
         errors,
     )

@@ -26,6 +26,7 @@ from .pipeline import (
     _embed_stage,
     _Stage,
     _write_stage,
+    chunk_config,
 )
 from .scanner import ReadResult, ScanItem, ScanItemState, ScanStats, create_scanner
 
@@ -88,9 +89,13 @@ def reprocess_source(
 
     t_read = _Stage("read_rows", read_rows, None, errors)
     t_proc = _Stage("reprocess", process, q_rows, errors)
+    chunk_tokens, chunk_overlap = chunk_config(source)
     t_embed = _Stage(
         "embed",
-        lambda: _embed_stage(stats, model, q_processed, q_embedded, embed_batch_size),
+        lambda: _embed_stage(
+            stats, model, q_processed, q_embedded, embed_batch_size,
+            chunk_tokens, chunk_overlap,
+        ),
         q_processed,
         errors,
     )

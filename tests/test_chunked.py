@@ -1,0 +1,127 @@
+"""Chunked long-document embedding: one vector per chunk, dedupe at search."""
+
+import numpy as np
+import pytest
+
+from perceive_tpu.db import add_source
+from perceive_tpu.index.searcher import Searcher
+from perceive_tpu.models import EncoderArch, HeadConfig, Model, TextTokenizer, tiny_test_vocab
+from perceive_tpu.sources import scan_source
+from perceive_tpu.sources.pipeline import chunk_document
+from perceive_tpu.types import Source
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta music pizza".split()
+
+
+@pytest.fixture(scope="module")
+def model():
+    vocab = tiny_test_vocab(WORDS)
+    tok = TextTokenizer.from_vocab(vocab, max_seq_length=16)
+    arch = EncoderArch(vocab_size=len(vocab), hidden_size=32, num_layers=1, num_heads=4,
+                       intermediate_size=64, max_position_embeddings=16)
+    m = Model.random(arch, HeadConfig(pooling="mean", normalize=True), tok, seed=7)
+    m.model_id = 0
+    return m
+
+
+def test_chunk_document(model):
+    text = " ".join(WORDS * 5)  # 50 tokens
+    chunks = chunk_document(model.tokenizer, text, 10, 2)
+    assert len(chunks) > 3
+    for c in chunks:
+        assert c in text  # verbatim spans
+    # short doc -> single chunk (whole text)
+    assert chunk_document(model.tokenizer, "alpha beta", 10, 2) == ["alpha beta"]
+
+
+def test_chunked_scan_and_search(tmp_db, tmp_path, model):
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    # long doc: head is music words, tail is pizza (out of truncation range
+    # for max_seq_length=16 whole-doc embedding)
+    head = " ".join(["music theta eta"] * 8)
+    (docs / "long.txt").write_text(f"{head} pizza pizza pizza epsilon pizza")
+    (docs / "short.txt").write_text("alpha beta gamma")
+    src = add_source(
+        tmp_db,
+        Source(name="d", config={"type": "fs", "chunk_tokens": 8, "chunk_overlap": 2},
+               location=str(docs)),
+    )
+    searcher = Searcher(0, 0, model.dim, engine="xla")
+    stats, ok = scan_source(
+        tmp_db, model, src, on_embeddings=searcher.upsert_embeddings, embed_batch_size=4
+    )
+    assert ok and stats.added.value == 2
+
+    # multiple chunk rows for the long doc, chunk 0 for the short one
+    rows = tmp_db.read().execute(
+        """SELECT items.external_id, COUNT(*) FROM item_embeddings ie
+           JOIN items ON items.id = ie.item_id GROUP BY ie.item_id"""
+    ).fetchall()
+    counts = {r[0].split("/")[-1]: r[1] for r in rows}
+    assert counts["short.txt"] == 1
+    assert counts["long.txt"] >= 4
+    assert len(searcher.matrix) == sum(counts.values())
+
+    # tail-content query finds the long doc (truncated whole-doc embedding
+    # could not see "pizza") and the doc appears ONCE despite many chunks
+    hits = searcher.search(model, "pizza pizza", 5)
+    ids = [i for i, _ in hits]
+    assert len(ids) == len(set(ids))
+    long_id = tmp_db.read().execute(
+        "SELECT id FROM items WHERE external_id LIKE '%long.txt'"
+    ).fetchone()[0]
+    assert long_id in ids
+
+    # rescan unchanged: nothing re-encoded, chunk rows stable
+    stats2, ok = scan_source(tmp_db, model, src, embed_batch_size=4)
+    assert ok and stats2.encoded.value == 0
+    n_emb = tmp_db.read().execute("SELECT COUNT(*) FROM item_embeddings").fetchone()[0]
+    assert n_emb == sum(counts.values())
+
+
+def test_chunked_shrink_drops_stale_chunks(tmp_db, tmp_path, model):
+    docs = tmp_path / "docs2"
+    docs.mkdir()
+    f = docs / "doc.txt"
+    f.write_text(" ".join(["alpha beta gamma delta"] * 10))
+    src = add_source(
+        tmp_db,
+        Source(name="d2", config={"type": "fs", "chunk_tokens": 8}, location=str(docs)),
+    )
+    searcher = Searcher(0, 0, model.dim, engine="xla")
+    scan_source(tmp_db, model, src, on_embeddings=searcher.upsert_embeddings, embed_batch_size=4)
+    n_before = tmp_db.read().execute("SELECT COUNT(*) FROM item_embeddings").fetchone()[0]
+    assert n_before > 2
+
+    import os, time
+    f.write_text("alpha beta")  # shrinks to one chunk
+    os.utime(f, (time.time() + 9, time.time() + 9))
+    scan_source(tmp_db, model, src, on_embeddings=searcher.upsert_embeddings, embed_batch_size=4)
+    n_after = tmp_db.read().execute("SELECT COUNT(*) FROM item_embeddings").fetchone()[0]
+    assert n_after == 1
+    assert len(searcher.matrix) == 1  # stale device chunks tombstoned
+
+    # searcher rebuilt from DB agrees
+    s2 = Searcher.build(tmp_db, 0, 0, model.dim, engine="xla", use_snapshot=False)
+    assert len(s2.matrix) == 1
+
+
+def test_chunked_sharded_searcher(model):
+    from perceive_tpu.parallel import ShardedSearcher, make_mesh
+
+    mesh = make_mesh(4)
+    import jax.numpy as jnp
+
+    ss = ShardedSearcher(0, 0, 8, mesh, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    # item 1 has 3 chunks, items 2..4 one each
+    pairs = [(1, 0), (1, 1), (1, 2), (2, 0), (3, 0), (4, 0)]
+    vecs = rng.standard_normal((6, 8)).astype(np.float32)
+    ss.upsert_embeddings(pairs, [0] * 6, vecs)
+    hits = ss.search_vector(vecs[1], 4)
+    ids = [i for i, _ in hits]
+    assert ids[0] == 1 and len(ids) == len(set(ids))
+    ss.remove_items([1])
+    hits = ss.search_vector(vecs[1], 4)
+    assert 1 not in [i for i, _ in hits]

@@ -52,7 +52,7 @@ def test_searcher_exact_topk_matches_oracle(dtype_name):
     n = 3000
     vecs = _rand_vecs(rng, n)
     s = Searcher(0, 0, DIM, dtype=getattr(jnp, dtype_name), engine="xla")
-    s.matrix.upsert(range(n), [1] * n, vecs)
+    s.upsert_embeddings(range(n), [1] * n, vecs)
 
     q = _rand_vecs(rng, 1)[0]
     got = s.search_vector(q, 10)
@@ -72,7 +72,7 @@ def test_searcher_source_filter_and_tombstones():
     vecs = _rand_vecs(rng, n)
     s = Searcher(0, 0, DIM, engine="xla")
     sources = ([1] * 250) + ([2] * 250)
-    s.matrix.upsert(range(n), sources, vecs)
+    s.upsert_embeddings(range(n), sources, vecs)
 
     q = vecs[300]  # an item from source 2
     top = s.search_vector(q, 5, source_ids=[2])
@@ -93,7 +93,7 @@ def test_searcher_batch_queries():
     n = 400
     vecs = _rand_vecs(rng, n)
     s = Searcher(0, 0, DIM, engine="xla")
-    s.matrix.upsert(range(n), [1] * n, vecs)
+    s.upsert_embeddings(range(n), [1] * n, vecs)
     qs = vecs[[10, 20, 30]]
     res = s.search_vectors_batch(qs, 3)
     assert [r[0][0] for r in res] == [10, 20, 30]
@@ -103,7 +103,7 @@ def test_searcher_k_larger_than_rows():
     rng = np.random.default_rng(4)
     vecs = _rand_vecs(rng, 5)
     s = Searcher(0, 0, DIM, engine="xla")
-    s.matrix.upsert(range(5), [1] * 5, vecs)
+    s.upsert_embeddings(range(5), [1] * 5, vecs)
     got = s.search_vector(vecs[0], 20)
     assert len(got) == 5
     assert got[0][0] == 0

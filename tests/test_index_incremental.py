@@ -17,19 +17,19 @@ def test_incremental_upsert_and_tombstone_after_sync():
     rng = np.random.default_rng(0)
     s = Searcher(0, 0, DIM, engine="xla")
     base = _vecs(rng, 2000)
-    s.matrix.upsert(range(2000), [1] * 2000, base)
+    s.upsert_embeddings(range(2000), [1] * 2000, base)
     s.matrix.sync()  # full upload
     assert not s.matrix._dirty and not s.matrix._dirty_rows
 
     # incremental append (delta << rows/4 -> scatter path)
     extra = _vecs(rng, 10)
-    s.matrix.upsert(range(5000, 5010), [2] * 10, extra)
+    s.upsert_embeddings(range(5000, 5010), [2] * 10, extra)
     assert s.matrix._dirty_rows and not s.matrix._dirty
     top = s.search_vector(extra[3], 3)
     assert top[0][0] == 5003
 
     # incremental overwrite: item 0 becomes a duplicate of extra[3]
-    s.matrix.upsert([0], [1], extra[3:4])
+    s.upsert_embeddings([0], [1], extra[3:4])
     top = s.search_vector(extra[3], 3)
     assert {top[0][0], top[1][0]} == {0, 5003}
 
@@ -40,6 +40,6 @@ def test_incremental_upsert_and_tombstone_after_sync():
 
     # growth after sync forces a clean full re-upload
     big = _vecs(rng, 3000)
-    s.matrix.upsert(range(10000, 13000), [3] * 3000, big)
+    s.upsert_embeddings(range(10000, 13000), [3] * 3000, big)
     top = s.search_vector(big[7], 1)
     assert top[0][0] == 10007

@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from perceive_tpu.db import add_source
-from perceive_tpu.index.matrix import serialize_embedding
+from perceive_tpu.index.matrix import chunk_key, serialize_embedding
 from perceive_tpu.index.searcher import Searcher
 from perceive_tpu.types import Source, SourceStatus
 
@@ -52,9 +52,9 @@ def test_snapshot_roundtrip_and_incremental(seeded, tmp_path):
 
     s2 = Searcher.build(db, 0, 0, 16, engine="xla")
     assert len(s2.matrix) == 9  # 10 - hidden - deleted + new
-    assert new_id in s2.matrix.row_of
-    assert ids[0] not in s2.matrix.row_of
-    assert ids[1] not in s2.matrix.row_of
+    assert chunk_key(new_id) in s2.matrix.row_of
+    assert chunk_key(ids[0]) not in s2.matrix.row_of
+    assert chunk_key(ids[1]) not in s2.matrix.row_of
 
     # results identical to a from-scratch build
     s3 = Searcher.build(db, 0, 0, 16, engine="xla", use_snapshot=False)
