@@ -25,6 +25,56 @@ from typing import Optional
 from urllib.parse import parse_qs, urlsplit
 
 
+# Minimal search page (the reference shipped a SvelteKit webview,
+# perceive-tauri/src/routes/+page.svelte — a debounced search box + result
+# list + load-status banner; same UX, zero build step).
+_INDEX_HTML = """<!doctype html>
+<meta charset="utf-8">
+<title>perceive-tpu</title>
+<style>
+  body { font: 15px/1.45 system-ui, sans-serif; max-width: 46rem; margin: 2rem auto; padding: 0 1rem; color: #1a1a1a; }
+  input { width: 100%; font-size: 1.1rem; padding: .55rem .8rem; border: 1px solid #bbb; border-radius: 8px; }
+  .r { margin: 1rem 0; }
+  .t { font-weight: 600; }
+  .m { color: #777; font-size: .82rem; }
+  .s { color: #444; margin-top: .15rem; }
+  #status { color: #777; font-size: .85rem; margin-bottom: .8rem; }
+</style>
+<div id="status">loading…</div>
+<input id="q" placeholder="Semantic search for your life" autofocus>
+<div id="out"></div>
+<script>
+const q = document.getElementById('q'), out = document.getElementById('out'),
+      status = document.getElementById('status');
+let timer = null;
+async function refreshStatus() {
+  const s = await (await fetch('/status')).json();
+  status.textContent = s.model_loaded ? `ready — ${s.rows} vectors indexed` : 'loading model…';
+  if (!s.model_loaded) setTimeout(refreshStatus, 1000);
+}
+refreshStatus();
+q.addEventListener('input', () => {
+  clearTimeout(timer);
+  timer = setTimeout(search, 120);
+});
+async function search() {
+  const query = q.value.trim();
+  if (!query) { out.innerHTML = ''; return; }
+  const res = await fetch('/search?q=' + encodeURIComponent(query) + '&k=10');
+  if (!res.ok) return;
+  const hits = await res.json();
+  out.innerHTML = hits.map(h => `
+    <div class="r">
+      <div class="t">${esc(h.title)}</div>
+      <div class="m">${esc(h.source)} · ${esc(h.url)} · ${h.score.toFixed(3)}</div>
+      <div class="s">${esc(h.snippet || '')}</div>
+    </div>`).join('');
+}
+function esc(s) { return String(s).replace(/[&<>"]/g, c => ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;'}[c])); }
+</script>
+"""
+
+
 class ServeState:
     """Readiness-gated holder (AsyncBuilder analog)."""
 
@@ -93,7 +143,14 @@ def make_handler(holder: ServeState):
 
         def do_GET(self):
             parts = urlsplit(self.path)
-            if parts.path == "/status":
+            if parts.path in ("/", "/index.html"):
+                body = _INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif parts.path == "/status":
                 self._json(
                     200,
                     {

@@ -142,3 +142,17 @@ def test_serve(state, tmp_path, capsys):
         assert hits2
     finally:
         server.shutdown()
+
+
+def test_serve_index_page(state):
+    from perceive_tpu.serve import start_server
+
+    server = start_server(lambda: state, port=0)
+    port = server.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            body = r.read().decode()
+        assert r.headers["Content-Type"].startswith("text/html")
+        assert "perceive-tpu" in body and "/search?q=" in body
+    finally:
+        server.shutdown()
