@@ -41,7 +41,11 @@ _BIG = 2**30
 _TILES = (4096, 2048, 1024, 512)
 
 
-_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
+# Tile-choice budget: pallas_call passes vmem_limit_bytes=14MB below, so
+# sizing against 12MB leaves pipeline headroom while letting batch-512
+# queries keep 2048-row tiles (small tiles pay per-grid-step overhead).
+_VMEM_BUDGET = 12 * 1024 * 1024
+_VMEM_LIMIT = 14 * 1024 * 1024
 
 
 def _pick_tile(n: int, nq: int = 1, d: int = 128, itemsize: int = 2) -> int:
@@ -211,6 +215,7 @@ def pallas_topk_int8_unsorted(matrix, scales2d, src2d, qi8, qscale, allowed, k: 
             bytes_accessed=n * d + n * 4 + nq * d,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(allowed, qi8, qscale, matrix, src2d, scales2d)
 
@@ -274,6 +279,7 @@ def pallas_topk_unsorted(matrix, src2d, qc, allowed, k: int, interpret: bool):
             bytes_accessed=n * d * matrix.dtype.itemsize + nq * d * 4,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(allowed, qc, matrix, src2d)
     return vals, rows
