@@ -124,7 +124,42 @@ def _run_scan(state, src: Source, compare_strategy: Optional[ItemCompareStrategy
         f"(scan {s['scan_time']}s read {s['read_time']}s encode {s['encode_time']}s "
         f"write {s['write_time']}s)"
     )
+    if ok:
+        _autosave_snapshot(state)
     return ok
+
+
+# Persist the device matrix after scans once the corpus is big enough that a
+# cold rebuild (full BLOB rescan) is slower than a snapshot load.
+SNAPSHOT_MIN_ROWS = 50_000
+
+
+def _snapshot_path(state) -> str:
+    from ..paths import data_dir
+
+    return str(
+        data_dir()
+        / f"matrix-{state.model.model_id}-{state.model.model_version}.npz"
+    )
+
+
+def _autosave_snapshot(state, min_rows: int = SNAPSHOT_MIN_ROWS) -> None:
+    if state.searcher is None or len(state.searcher.matrix) < min_rows:
+        return
+    try:
+        state.searcher.save_snapshot(state.db, _snapshot_path(state))
+    except Exception as e:  # noqa: BLE001 — snapshots are an optimization
+        print(f"snapshot save failed: {e}", file=sys.stderr)
+
+
+def snapshot_cmd(state, args) -> None:
+    """Explicit device-matrix snapshot save (fast startup)."""
+    if state.searcher is None:
+        print("searcher not built", file=sys.stderr)
+        return
+    path = args.path or _snapshot_path(state)
+    state.searcher.save_snapshot(state.db, path)
+    print(f"Saved {len(state.searcher.matrix)} vectors to {path}")
 
 
 def source_scan(state, args) -> None:

@@ -95,6 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
     pms = msub.add_parser("set")
     pms.add_argument("model_name")
 
+    # snapshot
+    psnap = sub.add_parser("snapshot", help="save the device matrix for fast startup")
+    psnap.add_argument("path", nargs="?", default=None)
+
     # serve
     pserve = sub.add_parser("serve", help="HTTP API (status/sources/search)")
     pserve.add_argument("--host", default="127.0.0.1")
@@ -129,6 +133,8 @@ def dispatch(state, args) -> None:
         commands.hide(state, args)
     elif cmd == "model":
         commands.model_cmd(state, args)
+    elif cmd == "snapshot":
+        commands.snapshot_cmd(state, args)
     elif cmd == "serve":
         from ..serve import serve
 

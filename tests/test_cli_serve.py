@@ -156,3 +156,21 @@ def test_serve_index_page(state):
         assert "perceive-tpu" in body and "/search?q=" in body
     finally:
         server.shutdown()
+
+
+def test_cli_snapshot(state, tmp_path, capsys):
+    docs = tmp_path / "docs4"
+    docs.mkdir()
+    (docs / "a.txt").write_text("hello world")
+    run(state, ["source", "add", "fs", str(docs), "--name", "d4"])
+    run(state, ["source", "scan", "d4"])
+    capsys.readouterr()
+    snap = str(tmp_path / "m.npz")
+    run(state, ["snapshot", snap])
+    out = capsys.readouterr().out
+    assert "Saved" in out and snap in out
+    import os
+
+    assert os.path.exists(snap)
+    row = state.db.read().execute("SELECT path, rows FROM vector_shards").fetchone()
+    assert row[0] == snap

@@ -160,3 +160,39 @@ def test_deserialize_item_row_matches_columns(tmp_db):
     assert isinstance(item, Item)
     assert isinstance(item.metadata, ItemMetadata)
     assert item.id == iid
+
+
+def test_migration_upgrade_preserves_embeddings(tmp_path):
+    """A database created at schema 5 (pre-chunk) upgrades in place: existing
+    embedding rows land at chunk_idx 0 with seq preserved."""
+    import sqlite3
+
+    from perceive_tpu.db import Database
+    from perceive_tpu.db.migrations import MIGRATIONS
+
+    path = tmp_path / "old.sqlite3"
+    conn = sqlite3.connect(path)
+    for i, sql in enumerate(MIGRATIONS[:5], start=1):
+        conn.executescript(sql)
+        conn.execute(f"PRAGMA user_version = {i}")
+    conn.execute(
+        "INSERT INTO sources (name, location, compare_strategy, status) VALUES ('s','/x','m_time','{}')"
+    )
+    conn.execute(
+        "INSERT INTO items (source_id, external_id, hash, content) VALUES (1,'doc','', 'c')"
+    )
+    conn.execute(
+        """INSERT INTO item_embeddings
+             (item_id, item_index_version, embedding, model_id, model_version, seq)
+           VALUES (1, 1, x'00000000', 0, 0, 7)"""
+    )
+    conn.commit()
+    conn.close()
+
+    db = Database(path)
+    row = db.read().execute(
+        "SELECT item_id, chunk_idx, seq FROM item_embeddings"
+    ).fetchone()
+    assert row == (1, 0, 7)
+    assert db.read().execute("PRAGMA user_version").fetchone()[0] == len(MIGRATIONS)
+    db.close()

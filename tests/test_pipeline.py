@@ -194,3 +194,30 @@ def test_gitignore(tmp_db, tmp_path, model):
     assert ok
     paths = {os.path.basename(r[0]) for r in tmp_db.read().execute("SELECT external_id FROM items")}
     assert paths == {"a.txt", "keep.log"}
+
+
+def test_model_switch_reembeds(tmp_db, tmp_path, model):
+    """Scanning under a second model id re-embeds additively: both models'
+    vectors coexist keyed by (model_id, model_version) (reference
+    migrations/00001_init.sql:64-72 versioning semantics)."""
+    root = tmp_path / "docs7"
+    root.mkdir()
+    (root / "x.txt").write_text("hello world")
+    src = _add_fs_source(tmp_db, root)
+    scan_source(tmp_db, model, src, embed_batch_size=4)
+
+    import copy
+
+    model2 = copy.copy(model)
+    model2.model_id = 5
+    stats, ok = scan_source(tmp_db, model2, src, embed_batch_size=4)
+    assert ok and stats.encoded.value == 1  # no embedding under model 5 yet
+
+    rows = tmp_db.read().execute(
+        "SELECT model_id, COUNT(*) FROM item_embeddings GROUP BY model_id ORDER BY model_id"
+    ).fetchall()
+    assert rows == [(0, 1), (5, 1)]
+
+    s0 = Searcher.build(tmp_db, 0, 0, model.dim, engine="xla", use_snapshot=False)
+    s5 = Searcher.build(tmp_db, 5, 0, model.dim, engine="xla", use_snapshot=False)
+    assert len(s0.matrix) == 1 and len(s5.matrix) == 1
