@@ -100,11 +100,24 @@ class AppState:
 
         self.searcher: Optional[Searcher] = None
         if build_searcher:
+            import jax
+
             start = time.time()
-            self.searcher = Searcher.build(
-                self.db, self.model.model_id, self.model.model_version, self.model.dim,
-                engine=engine,
-            )
+            if len(jax.devices()) > 1:
+                # multi-chip: row-shard the corpus over the whole mesh with
+                # per-chip top-k + all-gather merge
+                from ..parallel import make_mesh
+                from ..parallel.search import ShardedSearcher
+
+                self.searcher = ShardedSearcher.build(
+                    self.db, self.model.model_id, self.model.model_version,
+                    self.model.dim, make_mesh(), engine=engine,
+                )
+            else:
+                self.searcher = Searcher.build(
+                    self.db, self.model.model_id, self.model.model_version,
+                    self.model.dim, engine=engine,
+                )
             if len(self.searcher.matrix):
                 print(f"Built search in {time.time() - start:.1f} seconds")
         self.sources: list[Source] = list_sources(self.db)

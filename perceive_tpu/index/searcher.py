@@ -192,12 +192,17 @@ class Searcher:
             return False
         path, max_seq = manifest
         try:
-            loaded = EmbeddingMatrix.load_snapshot(path, dtype=self.matrix.dtype)
+            z = np.load(path)
+            if int(z["dim"]) != self.matrix.dim:
+                return False
+            live = z["source_ids"] >= 0
+            # upsert into the existing matrix so device placement (incl.
+            # mesh shardings in ShardedSearcher) is preserved
+            self.matrix.upsert(
+                z["item_ids"][live].tolist(), z["source_ids"][live].tolist(), z["vectors"][live]
+            )
         except Exception:  # corrupt snapshot -> full rebuild
             return False
-        if loaded.dim != self.matrix.dim:
-            return False
-        self.matrix = loaded
         # replay embeddings written after the snapshot
         self._load(db, " AND ie.seq > ?", (max_seq,))
         # tombstone rows hidden/skipped/deleted since the snapshot — an

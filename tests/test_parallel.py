@@ -120,3 +120,45 @@ def test_tensor_parallel_encoder():
         types_s = jax.device_put(types, batch_sharding(mesh))
         got = np.asarray(fn(sp, ids_s, mask_s, types_s))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_searcher_int8_and_build(tmp_db):
+    """ShardedSearcher inherits build/retrieve/int8-rerank from Searcher."""
+    from perceive_tpu.db import add_source
+    from perceive_tpu.index.matrix import serialize_embedding
+    from perceive_tpu.index.searcher import Searcher
+    from perceive_tpu.types import Source
+
+    mesh = make_mesh(4)
+    src = add_source(tmp_db, Source(name="s", config={"type": "fs"}, location="/x"))
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((900, 24)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    with tmp_db.write() as conn:
+        for i, v in enumerate(vecs):
+            cur = conn.execute(
+                "INSERT INTO items (source_id, external_id, hash, content) VALUES (?,?,?,?)",
+                (src.id, f"d{i}", "", "c"),
+            )
+            conn.execute(
+                """INSERT INTO item_embeddings (item_id, item_index_version, embedding,
+                     model_id, model_version, seq)
+                   VALUES (?,?,?,0,0,?)""",
+                (cur.lastrowid, 1, serialize_embedding(v), i + 1),
+            )
+
+    from perceive_tpu.parallel.search import ShardedSearcher
+
+    ss = ShardedSearcher.build(tmp_db, 0, 0, 24, mesh, dtype=jnp.int8, engine="xla")
+    s1 = Searcher.build(tmp_db, 0, 0, 24, engine="xla", dtype=jnp.float32, use_snapshot=False)
+    assert len(ss.matrix) == 900
+
+    q = vecs[123]
+    got = ss.search_vector(q, 8)
+    want = s1.search_vector(q, 8)
+    assert [i for i, _ in got] == [i for i, _ in want]  # int8+rerank exact
+    np.testing.assert_allclose([v for _, v in got], [v for _, v in want], rtol=1e-5)
+
+    # retrieve path (inherited) round-trips through SQLite
+    res = ss.search_vector_and_retrieve(tmp_db, q, 3)
+    assert res and res[0].item.external_id == "d123"

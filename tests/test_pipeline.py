@@ -221,3 +221,34 @@ def test_model_switch_reembeds(tmp_db, tmp_path, model):
     s0 = Searcher.build(tmp_db, 0, 0, model.dim, engine="xla", use_snapshot=False)
     s5 = Searcher.build(tmp_db, 5, 0, model.dim, engine="xla", use_snapshot=False)
     assert len(s0.matrix) == 1 and len(s5.matrix) == 1
+
+
+def test_embed_failure_poisons_batch_not_scan(tmp_db, tmp_path, model):
+    """A dying encoder fails only its batch: items are still written (without
+    embeddings) and re-embedded on the next scan (reference aborted the whole
+    stage; see pipeline.py docstring)."""
+    root = tmp_path / "docs8"
+    root.mkdir()
+    (root / "x.txt").write_text("hello world")
+    (root / "y.txt").write_text("alpha beta")
+    src = _add_fs_source(tmp_db, root)
+
+    class FailingModel:
+        model_id, model_version, dim = model.model_id, model.model_version, model.dim
+        tokenizer = model.tokenizer
+
+        def encode_dispatch(self, texts):
+            raise RuntimeError("device on fire")
+
+        materialize = staticmethod(model.materialize)
+
+    stats, ok = scan_source(tmp_db, FailingModel(), src, embed_batch_size=4)
+    assert ok  # pipeline completed
+    assert stats.added.value == 2
+    assert stats.encoded.value == 0
+    assert tmp_db.read().execute("SELECT COUNT(*) FROM item_embeddings").fetchone()[0] == 0
+
+    # healthy rescan: missing embeddings force re-embed (has_embedding false)
+    stats2, ok = scan_source(tmp_db, model, src, embed_batch_size=4)
+    assert ok and stats2.encoded.value == 2
+    assert tmp_db.read().execute("SELECT COUNT(*) FROM item_embeddings").fetchone()[0] == 2
