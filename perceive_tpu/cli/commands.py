@@ -13,7 +13,7 @@ import threading
 import time
 from typing import Optional
 
-from ..db import add_source, get_source, update_source, update_source_status
+from ..db import add_source, update_source
 from ..index.searcher import SearchResult
 from ..models import ModelType
 from ..sources import ScanStats, prune_missing_items, scan_source

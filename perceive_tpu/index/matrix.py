@@ -18,7 +18,7 @@ count a multiple of 512 so kernel tiles never see ragged edges.
 from __future__ import annotations
 
 import threading
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

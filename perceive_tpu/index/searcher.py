@@ -33,7 +33,7 @@ import numpy as np
 
 from ..db import ITEM_COLUMNS, Database, deserialize_item_row, json_ids
 from ..ops.topk import ALLOW_ALL
-from ..types import Item, Source
+from ..types import Item
 from .matrix import EmbeddingMatrix, chunk_key, deserialize_embedding, key_item
 
 K_BUCKETS = (16, 32, 64, 128, 256)
