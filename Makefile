@@ -1,0 +1,28 @@
+# Dev workflow (the reference used a justfile; justfile:4-5)
+
+.PHONY: test bench embed-bench install-models native clean
+
+test:
+	python -m pytest tests/ -q
+
+test-fast:
+	python -m pytest tests/ -q -x -k "not golden"
+
+bench:
+	python bench.py
+
+embed-bench:
+	python benchmarks/embed_bench.py
+
+# download sentence-transformers checkpoints into model_data/
+install-models:
+	python scripts/install_models.py
+
+# build the native fs walker explicitly (otherwise built on first use)
+native:
+	g++ -O2 -std=c++17 -shared -fPIC -pthread \
+	  perceive_tpu/native/fastwalk.cpp -o perceive_tpu/native/_fastwalk.so
+
+clean:
+	rm -f perceive_tpu/native/_fastwalk.so
+	find . -name __pycache__ -type d -exec rm -rf {} +
