@@ -172,3 +172,28 @@ def test_snapshot_roundtrip(tmp_path):
     np.testing.assert_allclose(
         m2._host_vectors[m2.row_of[42], :DIM], vecs[42], rtol=1e-6
     )
+
+
+def test_recall_at_10_parity():
+    """Recall@10 harness (SURVEY.md §4): bf16 exact scan vs f32 brute force
+    on a unit-norm random corpus.  Exact scan is parity-by-construction; the
+    only divergence source is bf16 rounding of near-ties, so recall stays
+    ~1.0 (HNSW-class ANN baselines sit well below that on worst-case data)."""
+    rng = np.random.default_rng(123)
+    n, d, k, n_queries = 5000, 64, 10, 20
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    ids = list(range(1, n + 1))
+
+    s = Searcher(0, 0, d)  # default bf16 storage
+    s.upsert_embeddings(ids, [0] * n, vecs)
+
+    hits = total = 0
+    for qi in range(n_queries):
+        q = rng.standard_normal(d).astype(np.float32)
+        q /= np.linalg.norm(q)
+        truth = set((np.argsort(-(vecs @ q))[:k] + 1).tolist())
+        got = {i for i, _ in s.search_vector(q, k)}
+        hits += len(got & truth)
+        total += k
+    assert hits / total >= 0.95, hits / total
