@@ -205,6 +205,53 @@ def source_rebuild_search(state, args) -> None:
     print(f"Rebuilt source search ({n} rows) in {time.time() - start:.1f} seconds")
 
 
+def source_remove(state, args) -> None:
+    """Delete a source with its items/embeddings (cascade) and evict its
+    rows from the device matrix.  The reference had no removal path."""
+    src = state.source_by_name(args.name)
+    if src is None:
+        print(f"No source named {args.name}", file=sys.stderr)
+        return
+    if not getattr(args, "yes", False):
+        print(f"Refusing to delete source {src.name!r} without --yes", file=sys.stderr)
+        return
+    n = state.db.read().execute(
+        "SELECT COUNT(*) FROM items WHERE source_id = ?", (src.id,)
+    ).fetchone()[0]
+    with state.db.write() as conn:
+        conn.execute("DELETE FROM sources WHERE id = ?", (src.id,))
+    if state.searcher is not None:
+        state.searcher.matrix.remove_source(src.id)
+    state.refresh_sources()
+    print(f"Removed source {src.name} and {n} items")
+
+
+def stats_cmd(state, args) -> None:
+    """Index statistics (items, embeddings per model, device matrix)."""
+    db = state.db
+    n_items = db.read().execute("SELECT COUNT(*) FROM items").fetchone()[0]
+    n_hidden = db.read().execute(
+        "SELECT COUNT(*) FROM items WHERE hidden_at IS NOT NULL"
+    ).fetchone()[0]
+    n_skipped = db.read().execute(
+        "SELECT COUNT(*) FROM items WHERE skipped IS NOT NULL"
+    ).fetchone()[0]
+    print(f"items: {n_items} ({n_hidden} hidden, {n_skipped} skipped)")
+    for mid, mv, cnt in db.read().execute(
+        "SELECT model_id, model_version, COUNT(*) FROM item_embeddings GROUP BY 1, 2"
+    ):
+        print(f"embeddings model {mid} v{mv}: {cnt}")
+    if state.searcher is not None:
+        m = state.searcher.matrix
+        dtype_bytes = 1 if m.quantized else 2
+        hbm = m.capacity * m.padded_dim * dtype_bytes / 1e6
+        print(
+            f"device matrix: {len(m)} vectors, capacity {m.capacity} x {m.padded_dim} "
+            f"({str(m.dtype.__name__ if hasattr(m.dtype, '__name__') else m.dtype)}, ~{hbm:.1f} MB HBM), "
+            f"engine {state.searcher.engine}"
+        )
+
+
 def source_edit(state, args) -> None:
     """Working version of the reference's unimplemented `source edit`."""
     src = state.source_by_name(args.name)

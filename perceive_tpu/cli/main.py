@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     prb = ssub.add_parser("rebuild-search", help="rebuild one source's index rows")
     prb.add_argument("name")
 
+    prm = ssub.add_parser("remove", help="delete a source and its items")
+    prm.add_argument("name")
+    prm.add_argument("--yes", action="store_true", help="confirm deletion")
+
     ped = ssub.add_parser("edit", help="edit a source")
     ped.add_argument("name")
     ped.add_argument("--new-name")
@@ -95,9 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
     pms = msub.add_parser("set")
     pms.add_argument("model_name")
 
-    # snapshot
+    # snapshot / stats
     psnap = sub.add_parser("snapshot", help="save the device matrix for fast startup")
     psnap.add_argument("path", nargs="?", default=None)
+    sub.add_parser("stats", help="index statistics")
 
     # serve
     pserve = sub.add_parser("serve", help="HTTP API (status/sources/search)")
@@ -121,6 +126,8 @@ def dispatch(state, args) -> None:
             commands.source_reprocess(state, args)
         elif sc == "rebuild-search":
             commands.source_rebuild_search(state, args)
+        elif sc == "remove":
+            commands.source_remove(state, args)
         elif sc == "edit":
             commands.source_edit(state, args)
     elif cmd == "refresh":
@@ -135,6 +142,8 @@ def dispatch(state, args) -> None:
         commands.model_cmd(state, args)
     elif cmd == "snapshot":
         commands.snapshot_cmd(state, args)
+    elif cmd == "stats":
+        commands.stats_cmd(state, args)
     elif cmd == "serve":
         from ..serve import serve
 

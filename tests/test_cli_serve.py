@@ -174,3 +174,30 @@ def test_cli_snapshot(state, tmp_path, capsys):
     assert os.path.exists(snap)
     row = state.db.read().execute("SELECT path, rows FROM vector_shards").fetchone()
     assert row[0] == snap
+
+
+def test_cli_source_remove_and_stats(state, tmp_path, capsys):
+    docs = tmp_path / "docs5"
+    docs.mkdir()
+    (docs / "a.txt").write_text("hello world")
+    run(state, ["source", "add", "fs", str(docs), "--name", "d5"])
+    run(state, ["source", "scan", "d5"])
+    capsys.readouterr()
+
+    run(state, ["stats"])
+    out = capsys.readouterr().out
+    assert "items:" in out and "device matrix:" in out
+
+    run(state, ["source", "remove", "d5"])  # refuses without --yes
+    assert state.source_by_name("d5") is not None
+    capsys.readouterr()
+    run(state, ["source", "remove", "d5", "--yes"])
+    out = capsys.readouterr().out
+    assert "Removed source d5" in out
+    assert state.source_by_name("d5") is None
+    n = state.db.read().execute("SELECT COUNT(*) FROM items").fetchone()[0]
+    # cascade removed d5's item (other tests' sources may persist in module db)
+    rows = state.db.read().execute(
+        "SELECT COUNT(*) FROM items WHERE external_id LIKE ?", (f"%docs5%",)
+    ).fetchone()[0]
+    assert rows == 0

@@ -197,3 +197,32 @@ def test_tokenizer_bucketing(tiny_model):
     tb2 = tiny_model.tokenizer.encode_batch(["hello"], pad_batch_to=8)
     assert tb2.input_ids.shape[0] == 8
     assert tb2.attention_mask[1:].sum() == 0
+
+
+def test_dense_head():
+    """Optional dense projection head (DistilUSE-style 2_Dense module):
+    emb -> tanh(emb @ W + b), applied after pooling, before normalize."""
+    import jax
+
+    from perceive_tpu.models.encoder import init_params, output_dim
+
+    arch = EncoderArch(
+        vocab_size=60, hidden_size=16, num_layers=1, num_heads=2,
+        intermediate_size=32, max_position_embeddings=16,
+    )
+    base_head = HeadConfig(pooling="mean")
+    dense_head = HeadConfig(pooling="mean", dense_dim=8, dense_activation="tanh")
+    assert output_dim(arch, dense_head) == 8
+
+    params = init_params(jax.random.PRNGKey(3), arch, dense_head)
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, 60, (2, 8)).astype(np.int32)
+    mask = np.ones_like(ids)
+
+    pooled = np.asarray(encode_tokens(
+        {k: v for k, v in params.items() if k != "dense"},
+        arch, base_head, ids, mask, np.zeros_like(ids),
+    ))
+    want = np.tanh(pooled @ np.asarray(params["dense"]["w"]) + np.asarray(params["dense"]["b"]))
+    got = np.asarray(encode_tokens(params, arch, dense_head, ids, mask, np.zeros_like(ids)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
