@@ -45,16 +45,26 @@ def main() -> None:
         q = jax.random.normal(jax.random.PRNGKey(seed), (batch, d), jnp.float32)
         return q / jnp.linalg.norm(q, axis=1, keepdims=True)
 
+    scan = scan_topk_pallas
     # compile + warm both shapes (np.asarray forces REAL completion; the
     # tunnel's block_until_ready can return before the device has run)
-    np.asarray(scan_topk_pallas(matrix, source_ids, queries(0, QUERY_BATCH), allowed, K)[0])
-    np.asarray(scan_topk_pallas(matrix, source_ids, queries(0, 1), allowed, K)[0])
+    try:
+        np.asarray(scan(matrix, source_ids, queries(0, QUERY_BATCH), allowed, K)[0])
+    except Exception as e:  # noqa: BLE001 — never fail the bench run outright
+        print(f"# pallas kernel unavailable ({e}); falling back to XLA engine", flush=True)
+        from perceive_tpu.index.searcher import _scan_topk_xla
+
+        def scan(m, s, q, a, k):
+            return _scan_topk_xla(m, s, q, a, k)
+
+        np.asarray(scan(matrix, source_ids, queries(0, QUERY_BATCH), allowed, K)[0])
+    np.asarray(scan(matrix, source_ids, queries(0, 1), allowed, K)[0])
 
     sweep_times = []
     for i in range(TIMED_ITERS):
         q = jax.block_until_ready(queries(100 + i, QUERY_BATCH))
         t0 = time.perf_counter()
-        np.asarray(scan_topk_pallas(matrix, source_ids, q, allowed, K)[0])
+        np.asarray(scan(matrix, source_ids, q, allowed, K)[0])
         sweep_times.append(time.perf_counter() - t0)
     sweep = float(np.median(sweep_times))
     qps = QUERY_BATCH / sweep
@@ -63,7 +73,7 @@ def main() -> None:
     for i in range(TIMED_ITERS):
         q1 = jax.block_until_ready(queries(200 + i, 1))
         t0 = time.perf_counter()
-        np.asarray(scan_topk_pallas(matrix, source_ids, q1, allowed, K)[0])
+        np.asarray(scan(matrix, source_ids, q1, allowed, K)[0])
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1e3)
 

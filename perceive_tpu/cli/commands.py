@@ -321,7 +321,27 @@ def search(state, args) -> list[SearchResult]:
     )
     for r, h in zip(results, highlights):
         r.highlight = h
-        print(format_result(r, h))
+    if getattr(args, "json", False):
+        import json as _json
+
+        print(
+            _json.dumps(
+                [
+                    {
+                        "id": r.item.id,
+                        "score": r.score,
+                        "title": r.item.metadata.name,
+                        "url": r.item.external_id,
+                        "source": r.source_name,
+                        "snippet": r.highlight,
+                    }
+                    for r in results
+                ]
+            )
+        )
+    else:
+        for r in results:
+            print(format_result(r, r.highlight))
     return results
 
 

@@ -82,6 +82,7 @@ def build_parser() -> argparse.ArgumentParser:
     pq.add_argument("--source", help="restrict to one source by name")
     pq.add_argument("--type", choices=["local", "web", "bookmarks"])
     pq.add_argument("--like", help="item id: find items similar to this one")
+    pq.add_argument("--json", action="store_true", help="machine-readable output")
 
     # print / hide
     pp = sub.add_parser("print", help="print an item")

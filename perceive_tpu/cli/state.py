@@ -119,7 +119,7 @@ class AppState:
                     self.model.dim, engine=engine,
                 )
             if len(self.searcher.matrix):
-                print(f"Built search in {time.time() - start:.1f} seconds")
+                print(f"Built search in {time.time() - start:.1f} seconds", file=sys.stderr)
         self.sources: list[Source] = list_sources(self.db)
 
     def refresh_sources(self) -> None:
