@@ -13,10 +13,12 @@ same block is carried across all grid steps) — per-tile scores NEVER round-tri
 to HBM, which is what makes the scan HBM-bandwidth-bound on the matrix read
 alone (the speed-of-light for exact search).
 
-Merge strategy: threshold-pruned selection.  Each tile first checks
-``max(tile scores) > min(buffer)`` per query; tiles that cannot contribute
-(the overwhelming majority once the buffer is warm) cost one extra VPU
-reduction.  Contributing tiles run a while-loop that repeatedly moves the
+Merge strategy: threshold-pruned selection.  Scores land in a VMEM scratch
+(mutated in place — carrying the (Q, TILE) block through a while_loop would
+copy it every iteration, measured ~1.2x whole-sweep cost at Q=512); the loop
+carry is just (iteration, per-query tile max), so tiles that cannot
+contribute (the overwhelming majority once the buffer is warm) cost one max
+reduction + one cheap (Q, K) check.  Contributing tiles repeatedly move the
 tile's max into the buffer's min slot — at most K iterations, usually 1-2.
 
 Exactness: every row's score is computed and compared, so results match the
@@ -49,12 +51,13 @@ _VMEM_LIMIT = 14 * 1024 * 1024
 
 
 def _pick_tile(n: int, nq: int = 1, d: int = 128, itemsize: int = 2) -> int:
-    """Largest row tile that divides n AND fits VMEM: double-buffered matrix
-    tiles + the (Q, TILE) f32 scores (carried twice through the while-loop)."""
+    """Largest row tile that divides n AND fits VMEM."""
     for t in _TILES:
         if n % t:
             continue
-        vmem = 2 * t * d * itemsize + 2 * nq * t * 4
+        # double-buffered matrix tiles + the (Q, TILE) f32 score scratch
+        # (mutated in place; never carried/copied through the merge loop)
+        vmem = 2 * t * d * itemsize + nq * t * 4
         if vmem <= _VMEM_BUDGET:
             return t
     if n % _TILES[-1] == 0:
@@ -76,7 +79,7 @@ def _argmin2d(x, iota):
     return m, idx
 
 
-def _scan_kernel(allowed_ref, q_ref, m_ref, src_ref, vals_ref, rows_ref, *, k, tile_n, n_filter):
+def _scan_kernel(allowed_ref, q_ref, m_ref, src_ref, vals_ref, rows_ref, sc_ref, *, k, tile_n, n_filter):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -97,38 +100,43 @@ def _scan_kernel(allowed_ref, q_ref, m_ref, src_ref, vals_ref, rows_ref, *, k, t
         ok = ok | (src == allowed_ref[f])
     allow_all = allowed_ref[0] == ALLOW_ALL
     mask = (src >= 0) & (ok | allow_all)
-    scores = jnp.where(mask, scores, -jnp.inf)
+    # scores live in a VMEM scratch so the merge loop mutates in place —
+    # carrying the (Q, TILE_N) block through a while_loop would copy it
+    # every iteration
+    sc_ref[:] = jnp.where(mask, scores, -jnp.inf)
 
-    bv = vals_ref[:]  # (Q, K) carried across tiles
-    br = rows_ref[:]
     base = t * tile_n
     n_iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], k), 1)
+
+    # Loop carry is only (j, per-query tile max): the no-insert check (the
+    # overwhelmingly common case) costs one (Q, K) min.
+    tv0 = jnp.max(sc_ref[:], axis=1, keepdims=True)
 
     def cond(state):
-        j, sc, bv, br = state
-        improve = jnp.max(sc, axis=1) > jnp.min(bv, axis=1)
-        return (j < k) & jnp.any(improve)
+        j, tv = state
+        return (j < k) & jnp.any(tv > jnp.min(vals_ref[:], axis=1, keepdims=True))
 
     def body(state):
-        j, sc, bv, br = state
-        tv, ti = _argmax2d(sc, n_iota)  # (Q,1) tile best + its column
+        j, tv = state
+        sc = sc_ref[:]
+        bv = vals_ref[:]
+        ti = jnp.min(jnp.where(sc == tv, n_iota, _BIG), axis=1, keepdims=True)
         bmin, bpos = _argmin2d(bv, k_iota)  # (Q,1) buffer worst + its slot
         improve = tv > bmin
         sel = (k_iota == bpos) & improve
-        bv = jnp.where(sel, tv, bv)
-        br = jnp.where(sel, base + ti, br)
-        sc = jnp.where((n_iota == ti) & improve, -jnp.inf, sc)
-        return j + 1, sc, bv, br
+        vals_ref[:] = jnp.where(sel, tv, bv)
+        rows_ref[:] = jnp.where(sel, base + ti, rows_ref[:])
+        scn = jnp.where((n_iota == ti) & improve, -jnp.inf, sc)
+        sc_ref[:] = scn
+        return j + 1, jnp.max(scn, axis=1, keepdims=True)
 
-    _, _, bv, br = jax.lax.while_loop(cond, body, (jnp.int32(0), scores, bv, br))
-    vals_ref[:] = bv
-    rows_ref[:] = br
+    jax.lax.while_loop(cond, body, (jnp.int32(0), tv0))
 
 
 def _scan_kernel_int8(
     allowed_ref, q_ref, qscale_ref, m_ref, src_ref, scales_ref, vals_ref, rows_ref,
-    *, k, tile_n, n_filter,
+    sc_ref, *, k, tile_n, n_filter,
 ):
     """Int8 variant: int8 x int8 -> int32 on the MXU, dequantized to f32 by
     per-row scales x per-query scale before the streaming merge.  Halves HBM
@@ -152,33 +160,32 @@ def _scan_kernel_int8(
         ok = ok | (src == allowed_ref[f])
     allow_all = allowed_ref[0] == ALLOW_ALL
     mask = (src >= 0) & (ok | allow_all)
-    scores = jnp.where(mask, scores, -jnp.inf)
+    sc_ref[:] = jnp.where(mask, scores, -jnp.inf)
 
-    bv = vals_ref[:]
-    br = rows_ref[:]
     base = t * tile_n
     n_iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], k), 1)
+    tv0 = jnp.max(sc_ref[:], axis=1, keepdims=True)
 
     def cond(state):
-        j, sc, bv, br = state
-        improve = jnp.max(sc, axis=1) > jnp.min(bv, axis=1)
-        return (j < k) & jnp.any(improve)
+        j, tv = state
+        return (j < k) & jnp.any(tv > jnp.min(vals_ref[:], axis=1, keepdims=True))
 
     def body(state):
-        j, sc, bv, br = state
-        tv, ti = _argmax2d(sc, n_iota)
+        j, tv = state
+        sc = sc_ref[:]
+        bv = vals_ref[:]
+        ti = jnp.min(jnp.where(sc == tv, n_iota, _BIG), axis=1, keepdims=True)
         bmin, bpos = _argmin2d(bv, k_iota)
         improve = tv > bmin
         sel = (k_iota == bpos) & improve
-        bv = jnp.where(sel, tv, bv)
-        br = jnp.where(sel, base + ti, br)
-        sc = jnp.where((n_iota == ti) & improve, -jnp.inf, sc)
-        return j + 1, sc, bv, br
+        vals_ref[:] = jnp.where(sel, tv, bv)
+        rows_ref[:] = jnp.where(sel, base + ti, rows_ref[:])
+        scn = jnp.where((n_iota == ti) & improve, -jnp.inf, sc)
+        sc_ref[:] = scn
+        return j + 1, jnp.max(scn, axis=1, keepdims=True)
 
-    _, _, bv, br = jax.lax.while_loop(cond, body, (jnp.int32(0), scores, bv, br))
-    vals_ref[:] = bv
-    rows_ref[:] = br
+    jax.lax.while_loop(cond, body, (jnp.int32(0), tv0))
 
 
 def pallas_topk_int8_unsorted(matrix, scales2d, src2d, qi8, qscale, allowed, k: int, interpret: bool):
@@ -210,6 +217,7 @@ def pallas_topk_int8_unsorted(matrix, scales2d, src2d, qi8, qscale, allowed, k: 
             jax.ShapeDtypeStruct((nq, k), jnp.float32),
             jax.ShapeDtypeStruct((nq, k), jnp.int32),
         ),
+        scratch_shapes=[pltpu.VMEM((nq, tile_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * nq * n * d,
             bytes_accessed=n * d + n * 4 + nq * d,
@@ -242,7 +250,18 @@ def scan_topk_pallas_int8(matrix, scales, source_ids, q, allowed, k: int):
     """Int8 exact-scan top-k (approximate scores; combine with f32 rerank of
     the candidate set for exact results — index.Searcher does this)."""
     interpret = jax.default_backend() != "tpu"
-    return _scan_topk_int8(matrix, scales, source_ids, q, allowed, k, interpret)
+    if q.shape[0] <= MAX_QUERY_SLAB:
+        return _scan_topk_int8(matrix, scales, source_ids, q, allowed, k, interpret)
+    outs = [
+        _scan_topk_int8(
+            matrix, scales, source_ids, q[s : s + MAX_QUERY_SLAB], allowed, k, interpret
+        )
+        for s in range(0, q.shape[0], MAX_QUERY_SLAB)
+    ]
+    return (
+        jnp.concatenate([v for v, _ in outs], axis=0),
+        jnp.concatenate([r for _, r in outs], axis=0),
+    )
 
 
 def pallas_topk_unsorted(matrix, src2d, qc, allowed, k: int, interpret: bool):
@@ -274,6 +293,7 @@ def pallas_topk_unsorted(matrix, src2d, qc, allowed, k: int, interpret: bool):
             jax.ShapeDtypeStruct((nq, k), jnp.float32),
             jax.ShapeDtypeStruct((nq, k), jnp.int32),
         ),
+        scratch_shapes=[pltpu.VMEM((nq, tile_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * nq * n * d,
             bytes_accessed=n * d * matrix.dtype.itemsize + nq * d * 4,
@@ -296,15 +316,30 @@ def _scan_topk(matrix, source_ids, q, allowed, k: int, interpret: bool):
     return svals, srows
 
 
+# Beyond this many queries per sweep the (Q, TILE) score scratch outgrows
+# VMEM; bigger batches run as consecutive slabs (each still a full fused scan)
+MAX_QUERY_SLAB = 512
+
+
 def scan_topk_pallas(matrix, source_ids, q, allowed, k: int):
     """Exact top-k of ``q @ matrix.T`` with row validity/source filtering.
 
     matrix: (N, D) storage dtype (bf16/f32), N a multiple of 512.
     source_ids: (N,) int32, -1 = invalid row.
-    q: (Q, D) float32 queries (cast to the matrix dtype for the MXU).
+    q: (Q, D) float32 queries (cast to the matrix dtype for the MXU); any Q
+    (slabbed at 512 per sweep).
     allowed: (F,) int32 source filter; allowed[0] == ALLOW_ALL disables.
     Returns ((Q, k) f32 scores best-first, (Q, k) int32 row indices);
     slots past the number of matching rows carry -inf / -1.
     """
     interpret = jax.default_backend() != "tpu"
-    return _scan_topk(matrix, source_ids, q, allowed, k, interpret)
+    if q.shape[0] <= MAX_QUERY_SLAB:
+        return _scan_topk(matrix, source_ids, q, allowed, k, interpret)
+    outs = [
+        _scan_topk(matrix, source_ids, q[s : s + MAX_QUERY_SLAB], allowed, k, interpret)
+        for s in range(0, q.shape[0], MAX_QUERY_SLAB)
+    ]
+    return (
+        jnp.concatenate([v for v, _ in outs], axis=0),
+        jnp.concatenate([r for _, r in outs], axis=0),
+    )

@@ -141,3 +141,25 @@ def test_searcher_pallas_engine_end_to_end(tmp_db):
     hx = s_x.search_vector(qv, 15, source_ids=[1])
     hp = s_p.search_vector(qv, 15, source_ids=[1])
     assert [i for i, _ in hx] == [i for i, _ in hp]
+
+
+def test_query_slabbing():
+    """Batches beyond MAX_QUERY_SLAB run as consecutive slabs, same results."""
+    from perceive_tpu.ops import topk as T
+
+    n, d, k = 1024, 64, 8
+    matrix, source_ids = _make(n, d, 3, seed=21, invalid_frac=0.0)
+    q = np.random.default_rng(6).standard_normal((20, d)).astype(np.float32)
+    allowed = _allowed()
+
+    orig = T.MAX_QUERY_SLAB
+    try:
+        T.MAX_QUERY_SLAB = 8  # force 3 slabs
+        vals, rows = T.scan_topk_pallas(
+            jnp.asarray(matrix), jnp.asarray(source_ids), jnp.asarray(q), jnp.asarray(allowed), k
+        )
+    finally:
+        T.MAX_QUERY_SLAB = orig
+    evals, erows = _oracle(matrix, source_ids, q, allowed, k)
+    np.testing.assert_allclose(np.asarray(vals), evals, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(rows), erows)
