@@ -303,16 +303,29 @@ def search(state, args) -> list[SearchResult]:
     source_ids = _resolve_source_filter(state, args)
     k = args.num_results
 
+    tag_items = None
+    if getattr(args, "tag", None):
+        from ..db import items_with_tag
+
+        tag_items = items_with_tag(state.db, args.tag)
+        if tag_items is None:
+            raise SystemExit(f"no tag named {args.tag}")
+    # tag filtering is a host-side post-filter; over-fetch to keep k results
+    fetch_k = 4 * k if tag_items is not None else k
+
     if getattr(args, "like", None):
         vec = state.searcher.stored_embedding(state.db, int(args.like))
         if vec is None:
             raise SystemExit(f"item {args.like} has no stored embedding")
-        results = state.searcher.search_vector_and_retrieve(state.db, vec, k, source_ids)
+        results = state.searcher.search_vector_and_retrieve(state.db, vec, fetch_k, source_ids)
     else:
         query = " ".join(args.query)
         if not query:
             raise SystemExit("search needs a query or --like <item-id>")
-        results = state.searcher.search_and_retrieve(state.db, state.model, query, k, source_ids)
+        results = state.searcher.search_and_retrieve(state.db, state.model, query, fetch_k, source_ids)
+
+    if tag_items is not None:
+        results = [r for r in results if r.item.id in tag_items][:k]
 
     docs = [r.item.content or "" for r in results]
     query_text = " ".join(args.query) if args.query else ""
@@ -388,6 +401,24 @@ def hide(state, args) -> None:
         else:
             state.searcher.remove_items([item_id])
     print(("Unhid" if unhide else "Hid") + f" item {item_id}")
+
+
+def tag_cmd(state, args) -> None:
+    """Tag management — the reference created the tags tables but never used
+    them (migrations/00002_tags.sql); these commands make them functional."""
+    from ..db import list_tags, tag_item, untag_item
+
+    if args.tag_action == "add":
+        tag_item(state.db, int(args.item_id), args.tag_name)
+        print(f"Tagged item {args.item_id} with {args.tag_name!r}")
+    elif args.tag_action == "rm":
+        if untag_item(state.db, int(args.item_id), args.tag_name):
+            print(f"Untagged item {args.item_id} from {args.tag_name!r}")
+        else:
+            print("no such tag on that item", file=sys.stderr)
+    elif args.tag_action == "list":
+        for tid, name, count in list_tags(state.db):
+            print(f"{tid:4d}  {name:24s} {count} items")
 
 
 # -- model -------------------------------------------------------------------

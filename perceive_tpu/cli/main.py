@@ -83,6 +83,7 @@ def build_parser() -> argparse.ArgumentParser:
     pq.add_argument("--type", choices=["local", "web", "bookmarks"])
     pq.add_argument("--like", help="item id: find items similar to this one")
     pq.add_argument("--json", action="store_true", help="machine-readable output")
+    pq.add_argument("--tag", help="restrict to items carrying this tag")
 
     # print / hide
     pp = sub.add_parser("print", help="print an item")
@@ -92,6 +93,17 @@ def build_parser() -> argparse.ArgumentParser:
     ph = sub.add_parser("hide", help="hide (or unhide) an item from results")
     ph.add_argument("item_id")
     ph.add_argument("--unhide", action="store_true")
+
+    # tag
+    pt = sub.add_parser("tag", help="tag items")
+    tsub = pt.add_subparsers(dest="tag_action", required=True)
+    pta = tsub.add_parser("add")
+    pta.add_argument("item_id")
+    pta.add_argument("tag_name")
+    ptr = tsub.add_parser("rm")
+    ptr.add_argument("item_id")
+    ptr.add_argument("tag_name")
+    tsub.add_parser("list")
 
     # model
     pm = sub.add_parser("model", help="model registry")
@@ -139,6 +151,8 @@ def dispatch(state, args) -> None:
         commands.print_item(state, args)
     elif cmd == "hide":
         commands.hide(state, args)
+    elif cmd == "tag":
+        commands.tag_cmd(state, args)
     elif cmd == "model":
         commands.model_cmd(state, args)
     elif cmd == "snapshot":

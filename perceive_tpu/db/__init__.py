@@ -1,5 +1,6 @@
 from .database import ITEM_COLUMNS, Database, deserialize_item_row, json_ids
 from .sources_db import add_source, get_source, list_sources, update_source, update_source_status
+from .tags import ensure_tag, items_with_tag, list_tags, tag_item, untag_item
 
 __all__ = [
     "Database",
@@ -11,4 +12,9 @@ __all__ = [
     "add_source",
     "update_source",
     "update_source_status",
+    "ensure_tag",
+    "items_with_tag",
+    "list_tags",
+    "tag_item",
+    "untag_item",
 ]

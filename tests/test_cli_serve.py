@@ -201,3 +201,32 @@ def test_cli_source_remove_and_stats(state, tmp_path, capsys):
         "SELECT COUNT(*) FROM items WHERE external_id LIKE ?", (f"%docs5%",)
     ).fetchone()[0]
     assert rows == 0
+
+
+def test_cli_tags(state, tmp_path, capsys):
+    docs = tmp_path / "docs6"
+    docs.mkdir()
+    (docs / "a.md").write_text("jax tpu pallas kernels")
+    (docs / "b.md").write_text("jax tpu pallas again")
+    run(state, ["source", "add", "fs", str(docs), "--name", "d6"])
+    run(state, ["source", "scan", "d6"])
+    capsys.readouterr()
+    rows = state.db.read().execute(
+        "SELECT id, external_id FROM items WHERE external_id LIKE '%docs6%' ORDER BY id"
+    ).fetchall()
+    a_id = str(rows[0][0])
+
+    run(state, ["tag", "add", a_id, "work"])
+    run(state, ["tag", "list"])
+    out = capsys.readouterr().out
+    assert "work" in out and "1 items" in out
+
+    run(state, ["search", "jax", "tpu", "--tag", "work", "-n", "5"])
+    out = capsys.readouterr().out
+    assert "a.md" in out and "b.md" not in out
+
+    run(state, ["tag", "rm", a_id, "work"])
+    capsys.readouterr()
+    run(state, ["search", "jax", "tpu", "--tag", "work", "-n", "5"])
+    out = capsys.readouterr().out
+    assert "a.md" not in out

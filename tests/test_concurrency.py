@@ -1,0 +1,75 @@
+"""Concurrency stress: searches run WHILE a scan streams vectors into the
+device matrix — no crashes, no lost rows, coherent results (the matrix RLock
++ single-writer SQLite discipline under real thread pressure)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from perceive_tpu.db import add_source
+from perceive_tpu.index.searcher import Searcher
+from perceive_tpu.models import EncoderArch, HeadConfig, Model, TextTokenizer, tiny_test_vocab
+from perceive_tpu.sources import scan_source
+from perceive_tpu.types import Source
+
+
+@pytest.fixture(scope="module")
+def model():
+    words = "alpha beta gamma delta epsilon zeta".split()
+    vocab = tiny_test_vocab(words)
+    tok = TextTokenizer.from_vocab(vocab, max_seq_length=16)
+    arch = EncoderArch(vocab_size=len(vocab), hidden_size=32, num_layers=1, num_heads=4,
+                       intermediate_size=64, max_position_embeddings=16)
+    m = Model.random(arch, HeadConfig(pooling="mean", normalize=True), tok, seed=9)
+    m.model_id = 0
+    return m
+
+
+def test_search_during_scan(tmp_db, tmp_path, model):
+    root = tmp_path / "docs"
+    root.mkdir()
+    words = "alpha beta gamma delta epsilon zeta".split()
+    n_docs = 120
+    for i in range(n_docs):
+        (root / f"d{i:03d}.txt").write_text(" ".join(words[j % 6] for j in range(i, i + 4)))
+    src = add_source(tmp_db, Source(name="s", config={"type": "fs"}, location=str(root)))
+
+    searcher = Searcher(0, 0, model.dim, engine="xla")
+    stop = threading.Event()
+    errors: list = []
+    queries_done = [0]
+
+    def hammer():
+        rng = np.random.default_rng(0)
+        while not stop.is_set():
+            try:
+                q = rng.standard_normal(model.dim).astype(np.float32)
+                hits = searcher.search_vector(q, 5)
+                for iid, score in hits:
+                    assert iid > 0 and np.isfinite(score)
+                queries_done[0] += 1
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=hammer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    try:
+        stats, ok = scan_source(
+            tmp_db, model, src, on_embeddings=searcher.upsert_embeddings, embed_batch_size=8
+        )
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+
+    assert not errors, errors[:1]
+    assert ok and stats.added.value == n_docs
+    assert len(searcher.matrix) == n_docs
+    assert queries_done[0] > 0
+    # post-scan results complete and coherent
+    q = np.ones(model.dim, np.float32)
+    hits = searcher.search_vector(q, 10)
+    assert len(hits) == 10
