@@ -1,10 +1,14 @@
-from .matrix import EmbeddingMatrix, deserialize_embedding, serialize_embedding
+from .executor import BatchingSearchExecutor
+from .matrix import EmbeddingMatrix, chunk_key, deserialize_embedding, key_item, serialize_embedding
 from .searcher import SearchResult, Searcher
 
 __all__ = [
+    "BatchingSearchExecutor",
     "EmbeddingMatrix",
     "serialize_embedding",
     "deserialize_embedding",
+    "chunk_key",
+    "key_item",
     "Searcher",
     "SearchResult",
 ]

@@ -1,0 +1,101 @@
+"""Micro-batching search executor: coalesce concurrent queries into one sweep.
+
+The exact scan is HBM-bound, so its cost is per-SWEEP, not per-query — one
+batch-512 sweep costs barely more than a single query (BENCH_NOTES.md).  The
+reference served one query at a time (Tauri command -> Searcher, one HNSW
+walk per call); here concurrent callers' vectors are coalesced into one
+device scan: requests enqueue, a dispatcher thread drains the queue every
+``window_ms`` (or immediately when ``max_batch`` is waiting) and answers all
+of them with a single ``search_vectors_batch``.
+
+Queries with the same (k, source-filter) signature share a sweep; mixed
+signatures are grouped per drain so correctness never depends on the mix.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import Future
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+class _Request:
+    __slots__ = ("vec", "k", "source_key", "future")
+
+    def __init__(self, vec, k, source_key):
+        self.vec = vec
+        self.k = k
+        self.source_key = source_key
+        self.future: Future = Future()
+
+
+class BatchingSearchExecutor:
+    def __init__(self, searcher, *, window_ms: float = 2.0, max_batch: int = 256):
+        self.searcher = searcher
+        self.window = window_ms / 1e3
+        self.max_batch = max_batch
+        self._queue: list[_Request] = []
+        self._lock = threading.Lock()
+        self._wake = threading.Condition(self._lock)
+        self._closed = False
+        self._thread = threading.Thread(target=self._run, daemon=True, name="search-batcher")
+        self._thread.start()
+
+    # -- client API -----------------------------------------------------------
+
+    def submit(
+        self, vec: np.ndarray, k: int, source_ids: Optional[Sequence[int]] = None
+    ) -> Future:
+        """Enqueue one query; resolves to [(item_id, score)]."""
+        key = tuple(sorted(source_ids)) if source_ids is not None else None
+        req = _Request(np.asarray(vec, np.float32).reshape(-1), k, key)
+        with self._wake:
+            if self._closed:
+                raise RuntimeError("executor closed")
+            self._queue.append(req)
+            self._wake.notify()
+        return req.future
+
+    def search(self, vec, k, source_ids=None, timeout: float = 30.0):
+        """Blocking convenience wrapper."""
+        return self.submit(vec, k, source_ids).result(timeout)
+
+    def close(self) -> None:
+        with self._wake:
+            self._closed = True
+            self._wake.notify()
+        self._thread.join(timeout=5)
+
+    # -- dispatcher ------------------------------------------------------------
+
+    def _run(self) -> None:
+        while True:
+            with self._wake:
+                while not self._queue and not self._closed:
+                    self._wake.wait()
+                if self._closed and not self._queue:
+                    return
+                # collect the burst: wait up to the window for more arrivals
+                if len(self._queue) < self.max_batch and not self._closed:
+                    self._wake.wait(self.window)
+                batch, self._queue = self._queue[: self.max_batch], self._queue[self.max_batch :]
+            self._dispatch(batch)
+
+    def _dispatch(self, batch: list[_Request]) -> None:
+        # group by (k, source filter): each group is one device sweep
+        groups: dict = {}
+        for r in batch:
+            groups.setdefault((r.k, r.source_key), []).append(r)
+        for (k, source_key), reqs in groups.items():
+            try:
+                vecs = np.stack([r.vec for r in reqs])
+                source_ids = list(source_key) if source_key is not None else None
+                results = self.searcher.search_vectors_batch(vecs, k, source_ids)
+            except Exception as e:  # noqa: BLE001 — fail the requests, not the loop
+                for r in reqs:
+                    r.future.set_exception(e)
+                continue
+            for r, hits in zip(reqs, results):
+                r.future.set_result(hits)

@@ -75,16 +75,25 @@ function esc(s) { return String(s).replace(/[&<>"]/g, c => ({'&':'&amp;','<':'&l
 
 
 class ServeState:
-    """Readiness-gated holder (AsyncBuilder analog)."""
+    """Readiness-gated holder (AsyncBuilder analog).
+
+    Once the app is built, a BatchingSearchExecutor coalesces concurrent
+    /search requests into shared device sweeps (the scan cost is per-sweep,
+    not per-query — see index/executor.py)."""
 
     def __init__(self, builder):
         self.ready = threading.Event()
         self.error: Optional[str] = None
         self.app = None
+        self.executor = None
 
         def build():
             try:
                 self.app = builder()
+                if self.app is not None and self.app.searcher is not None:
+                    from .index import BatchingSearchExecutor
+
+                    self.executor = BatchingSearchExecutor(self.app.searcher)
             except Exception as e:  # noqa: BLE001
                 self.error = str(e)
             finally:
@@ -125,9 +134,14 @@ def make_handler(holder: ServeState):
                 if src is None:
                     return self._json(404, {"error": f"no source {source}"})
                 source_ids = [src.id]
-            results = app.searcher.search_and_retrieve(
-                app.db, app.model, query, k, source_ids
-            )
+            vec = app.model.encode_query(query)
+            if holder.executor is not None:
+                hits = holder.executor.search(vec, k, source_ids)
+                results = app.searcher.retrieve(app.db, hits)
+            else:
+                results = app.searcher.search_vector_and_retrieve(
+                    app.db, vec, k, source_ids
+                )
             docs = [r.item.content or "" for r in results]
             if docs:
                 for r, h in zip(results, app.highlights_model.highlight(query, docs)):

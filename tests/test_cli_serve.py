@@ -211,10 +211,9 @@ def test_cli_tags(state, tmp_path, capsys):
     run(state, ["source", "add", "fs", str(docs), "--name", "d6"])
     run(state, ["source", "scan", "d6"])
     capsys.readouterr()
-    rows = state.db.read().execute(
-        "SELECT id, external_id FROM items WHERE external_id LIKE '%docs6%' ORDER BY id"
-    ).fetchall()
-    a_id = str(rows[0][0])
+    a_id = str(state.db.read().execute(
+        "SELECT id FROM items WHERE external_id LIKE '%docs6%a.md'"
+    ).fetchone()[0])
 
     run(state, ["tag", "add", a_id, "work"])
     run(state, ["tag", "list"])

@@ -1,0 +1,109 @@
+"""Micro-batching search executor: coalescing, correctness, error paths."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from perceive_tpu.index import BatchingSearchExecutor, Searcher
+
+
+class CountingSearcher(Searcher):
+    """Searcher that counts device sweeps."""
+
+    sweeps = 0
+
+    def search_vectors_batch(self, vecs, k, source_ids=None):
+        type(self).sweeps += 1
+        return super().search_vectors_batch(vecs, k, source_ids)
+
+
+@pytest.fixture()
+def searcher():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    n, d = 800, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    s = CountingSearcher(0, 0, d, dtype=jnp.float32, engine="xla")
+    s.upsert_embeddings(list(range(1, n + 1)), [i % 3 for i in range(n)], vecs)
+    CountingSearcher.sweeps = 0
+    return s, vecs
+
+
+def test_coalesces_concurrent_queries(searcher):
+    s, vecs = searcher
+    ex = BatchingSearchExecutor(s, window_ms=25, max_batch=64)
+    try:
+        n_clients = 24
+        results = [None] * n_clients
+        barrier = threading.Barrier(n_clients)
+
+        def client(i):
+            barrier.wait()
+            results[i] = ex.search(vecs[i], 5)
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(n_clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for i, hits in enumerate(results):
+            assert hits[0][0] == i + 1  # self-match first
+            want = s.search_vector(vecs[i], 5)
+            assert [h[0] for h in hits] == [w[0] for w in want]
+            np.testing.assert_allclose([h[1] for h in hits], [w[1] for w in want], rtol=1e-5)
+        # 24 concurrent queries used far fewer sweeps than 24
+        assert CountingSearcher.sweeps <= 4, CountingSearcher.sweeps
+    finally:
+        ex.close()
+
+
+def test_mixed_signatures_grouped(searcher):
+    s, vecs = searcher
+    ex = BatchingSearchExecutor(s, window_ms=20)
+    try:
+        f1 = ex.submit(vecs[0], 5)
+        f2 = ex.submit(vecs[1], 3, source_ids=[1])
+        f3 = ex.submit(vecs[2], 5)
+        h1, h2, h3 = f1.result(10), f2.result(10), f3.result(10)
+
+        def same(got, want):
+            assert [g[0] for g in got] == [w[0] for w in want]
+            np.testing.assert_allclose([g[1] for g in got], [w[1] for w in want], rtol=1e-5)
+
+        same(h1, s.search_vector(vecs[0], 5))
+        same(h2, s.search_vector(vecs[1], 3, source_ids=[1]))
+        same(h3, s.search_vector(vecs[2], 5))
+        assert len(h2) == 3
+    finally:
+        ex.close()
+
+
+def test_error_propagates_to_futures(searcher):
+    s, vecs = searcher
+
+    class Boom(Exception):
+        pass
+
+    def explode(*a, **k):
+        raise Boom("device on fire")
+
+    s.search_vectors_batch = explode
+    ex = BatchingSearchExecutor(s, window_ms=5)
+    try:
+        f = ex.submit(vecs[0], 5)
+        with pytest.raises(Boom):
+            f.result(10)
+    finally:
+        ex.close()
+
+
+def test_close_rejects_new_work(searcher):
+    s, vecs = searcher
+    ex = BatchingSearchExecutor(s, window_ms=5)
+    ex.close()
+    with pytest.raises(RuntimeError):
+        ex.submit(vecs[0], 5)
