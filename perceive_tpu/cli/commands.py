@@ -176,12 +176,35 @@ def source_scan(state, args) -> None:
     state.refresh_sources()
 
 
-def refresh(state, args) -> None:
-    """Scan every source (the reference's top-level `refresh` was a stub)."""
+def _due_sources(state, now: Optional[int] = None) -> list[Source]:
+    """Sources whose index_interval has elapsed since last_indexed.
+
+    Uses the schema's index_interval column (present but unused in the
+    reference, 00001_init.sql); sources without an interval are always due.
+    """
+    now = now if now is not None else int(time.time())
     state.refresh_sources()
+    due = []
     for src in state.sources:
-        print(f"== {src.name}")
-        _run_scan(state, src, None, getattr(args, "prune", False))
+        if src.index_interval is None or now - src.last_indexed >= src.index_interval:
+            due.append(src)
+    return due
+
+
+def refresh(state, args) -> None:
+    """Scan every due source (the reference's top-level `refresh` was a
+    stub); --watch keeps re-checking on a cadence."""
+    watch = getattr(args, "watch", None)
+    while True:
+        for src in _due_sources(state):
+            print(f"== {src.name}")
+            _run_scan(state, src, None, getattr(args, "prune", False))
+        if watch is None:
+            return
+        try:
+            time.sleep(watch)
+        except KeyboardInterrupt:
+            return
 
 
 def source_reprocess(state, args) -> None:
@@ -260,6 +283,8 @@ def source_edit(state, args) -> None:
         return
     if args.new_name:
         src.name = args.new_name
+    if getattr(args, "interval", None) is not None:
+        src.index_interval = args.interval or None
     if args.compare_strategy:
         src.compare_strategy = ItemCompareStrategy(args.compare_strategy)
     if args.glob is not None and src.source_type == "fs":

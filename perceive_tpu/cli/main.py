@@ -67,13 +67,18 @@ def build_parser() -> argparse.ArgumentParser:
     ped = ssub.add_parser("edit", help="edit a source")
     ped.add_argument("name")
     ped.add_argument("--new-name")
+    ped.add_argument("--interval", type=int, help="seconds between auto-refresh scans (0 clears)")
     ped.add_argument("--compare-strategy", choices=COMPARE_CHOICES)
     ped.add_argument("--glob", action="append")
     ped.add_argument("--skip", action="append")
 
     # refresh
-    pr = sub.add_parser("refresh", help="scan every source")
+    pr = sub.add_parser("refresh", help="scan every due source")
     pr.add_argument("--prune", action="store_true")
+    pr.add_argument(
+        "--watch", type=float, default=None, metavar="SECONDS",
+        help="keep running, re-checking due sources on this cadence",
+    )
 
     # search
     pq = sub.add_parser("search", help="semantic search")

@@ -11,7 +11,8 @@ from ..types import ItemCompareStrategy, Source, SourceStatus
 from .database import Database
 
 _SOURCE_COLUMNS = (
-    "id, name, config, location, compare_strategy, status, last_indexed, index_version"
+    "id, name, config, location, compare_strategy, status, last_indexed, "
+    "index_version, index_interval"
 )
 
 
@@ -25,6 +26,7 @@ def _row_to_source(row) -> Source:
         status=SourceStatus.from_json(row[5]),
         last_indexed=row[6] or 0,
         index_version=row[7] or 0,
+        index_interval=row[8],
     )
 
 
@@ -49,8 +51,9 @@ def add_source(db: Database, source: Source) -> Source:
     with db.write() as conn:
         cur = conn.execute(
             """INSERT INTO sources
-               (name, config, location, compare_strategy, status, last_indexed, index_version)
-               VALUES (?, ?, ?, ?, ?, ?, ?)""",
+               (name, config, location, compare_strategy, status, last_indexed,
+                index_version, index_interval)
+               VALUES (?, ?, ?, ?, ?, ?, ?, ?)""",
             (
                 source.name,
                 json.dumps(source.config),
@@ -59,6 +62,7 @@ def add_source(db: Database, source: Source) -> Source:
                 source.status.to_json(),
                 source.last_indexed,
                 source.index_version,
+                source.index_interval,
             ),
         )
         source.id = cur.lastrowid
@@ -69,7 +73,8 @@ def update_source(db: Database, source: Source) -> None:
     with db.write() as conn:
         conn.execute(
             """UPDATE sources SET name = ?, config = ?, location = ?,
-               compare_strategy = ?, status = ?, last_indexed = ?, index_version = ?
+               compare_strategy = ?, status = ?, last_indexed = ?,
+               index_version = ?, index_interval = ?
                WHERE id = ?""",
             (
                 source.name,
@@ -79,6 +84,7 @@ def update_source(db: Database, source: Source) -> None:
                 source.status.to_json(),
                 source.last_indexed,
                 source.index_version,
+                source.index_interval,
                 source.id,
             ),
         )

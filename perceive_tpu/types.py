@@ -180,6 +180,9 @@ class Source:
     status: SourceStatus = field(default_factory=SourceStatus)
     last_indexed: int = 0
     index_version: int = 0
+    # seconds between automatic refresh scans (None = always due);
+    # schema column existed unused in the reference (00001_init.sql:57)
+    index_interval: Optional[int] = None
 
     @property
     def source_type(self) -> str:

@@ -229,3 +229,34 @@ def test_cli_tags(state, tmp_path, capsys):
     run(state, ["search", "jax", "tpu", "--tag", "work", "-n", "5"])
     out = capsys.readouterr().out
     assert "a.md" not in out
+
+
+def test_refresh_interval_gating(state, tmp_path, capsys):
+    import time as _time
+
+    from perceive_tpu.cli.commands import _due_sources
+
+    docs = tmp_path / "docs7"
+    docs.mkdir()
+    (docs / "a.txt").write_text("hello")
+    run(state, ["source", "add", "fs", str(docs), "--name", "d7"])
+    run(state, ["source", "edit", "d7", "--interval", "3600"])
+    capsys.readouterr()
+
+    # never scanned -> due; after a scan -> not due within the hour
+    assert any(s.name == "d7" for s in _due_sources(state))
+    run(state, ["source", "scan", "d7"])
+    capsys.readouterr()
+    assert not any(s.name == "d7" for s in _due_sources(state))
+    # far future -> due again
+    assert any(s.name == "d7" for s in _due_sources(state, now=int(_time.time()) + 7200))
+
+    # refresh skips the not-due source
+    run(state, ["refresh"])
+    out = capsys.readouterr().out
+    assert "== d7" not in out
+
+    # clearing the interval makes it always due
+    run(state, ["source", "edit", "d7", "--interval", "0"])
+    capsys.readouterr()
+    assert any(s.name == "d7" for s in _due_sources(state))
