@@ -103,12 +103,19 @@ def _run_scan(state, src: Source, compare_strategy: Optional[ItemCompareStrategy
         ticker.join()
     duration = int(time.time() - start)
 
+    # re-read the row and update only scan-owned fields so a concurrent
+    # `source edit` from another process isn't reverted by this stale copy
+    from ..db import get_source
+
+    fresh = get_source(state.db, src.id) or src
+    fresh.index_version = src.index_version
     if ok:
-        src.status = SourceStatus.ready(stats.scanned.value, duration)
-        src.last_indexed = int(time.time())
+        fresh.status = SourceStatus.ready(stats.scanned.value, duration)
+        fresh.last_indexed = int(time.time())
     else:
-        src.status = SourceStatus.err("scan failed; see stderr")
-    update_source(state.db, src)
+        fresh.status = SourceStatus.err("scan failed; see stderr")
+    update_source(state.db, fresh)
+    src.status, src.last_indexed = fresh.status, fresh.last_indexed
 
     if ok and prune:
         removed = prune_missing_items(state.db, src)
@@ -192,19 +199,27 @@ def _due_sources(state, now: Optional[int] = None) -> list[Source]:
 
 
 def refresh(state, args) -> None:
-    """Scan every due source (the reference's top-level `refresh` was a
-    stub); --watch keeps re-checking on a cadence."""
+    """Scan sources (the reference's top-level `refresh` was a stub).
+
+    One-shot: scans every source (--due-only gates on index_interval).
+    --watch SECONDS: loops, scanning only due sources each tick; Ctrl-C
+    exits cleanly even mid-scan."""
     watch = getattr(args, "watch", None)
-    while True:
-        for src in _due_sources(state):
-            print(f"== {src.name}")
-            _run_scan(state, src, None, getattr(args, "prune", False))
-        if watch is None:
-            return
-        try:
+    due_only = watch is not None or getattr(args, "due_only", False)
+    try:
+        while True:
+            targets = _due_sources(state) if due_only else state.sources
+            if due_only and not targets:
+                print("no sources due")
+            for src in targets:
+                print(f"== {src.name}")
+                _run_scan(state, src, None, getattr(args, "prune", False))
+            if watch is None:
+                return
             time.sleep(watch)
-        except KeyboardInterrupt:
-            return
+    except KeyboardInterrupt:
+        print("\nrefresh interrupted")
+        return
 
 
 def source_reprocess(state, args) -> None:
@@ -284,7 +299,7 @@ def source_edit(state, args) -> None:
     if args.new_name:
         src.name = args.new_name
     if getattr(args, "interval", None) is not None:
-        src.index_interval = args.interval or None
+        src.index_interval = args.interval if args.interval > 0 else None
     if args.compare_strategy:
         src.compare_strategy = ItemCompareStrategy(args.compare_strategy)
     if args.glob is not None and src.source_type == "fs":

@@ -75,9 +75,19 @@ def build_parser() -> argparse.ArgumentParser:
     # refresh
     pr = sub.add_parser("refresh", help="scan every due source")
     pr.add_argument("--prune", action="store_true")
+    def positive_float(v: str) -> float:
+        f = float(v)
+        if f <= 0:
+            raise argparse.ArgumentTypeError("must be > 0")
+        return f
+
     pr.add_argument(
-        "--watch", type=float, default=None, metavar="SECONDS",
+        "--watch", type=positive_float, default=None, metavar="SECONDS",
         help="keep running, re-checking due sources on this cadence",
+    )
+    pr.add_argument(
+        "--due-only", action="store_true",
+        help="one-shot: scan only sources whose index_interval elapsed",
     )
 
     # search

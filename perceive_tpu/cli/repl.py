@@ -52,6 +52,8 @@ def repl(state, parser) -> None:
             continue
         try:
             dispatch(state, args)
+        except KeyboardInterrupt:
+            print("^C", file=sys.stderr)
         except SystemExit as e:
             if e.code not in (0, None):
                 print(f"error: {e}", file=sys.stderr)

@@ -251,10 +251,13 @@ def test_refresh_interval_gating(state, tmp_path, capsys):
     # far future -> due again
     assert any(s.name == "d7" for s in _due_sources(state, now=int(_time.time()) + 7200))
 
-    # refresh skips the not-due source
-    run(state, ["refresh"])
+    # due-gated refresh skips the not-due source; plain refresh scans it
+    run(state, ["refresh", "--due-only"])
     out = capsys.readouterr().out
     assert "== d7" not in out
+    run(state, ["refresh"])
+    out = capsys.readouterr().out
+    assert "== d7" in out
 
     # clearing the interval makes it always due
     run(state, ["source", "edit", "d7", "--interval", "0"])
