@@ -93,10 +93,11 @@ def _run_scan(state, src: Source, compare_strategy: Optional[ItemCompareStrategy
     ticker.start()
     start = time.time()
     on_emb = state.searcher.upsert_embeddings if state.searcher else None
+    on_rm = state.searcher.remove_items if state.searcher else None
     try:
         stats, ok = scan_source(
             state.db, state.model, src, stats=stats, compare_strategy=compare_strategy,
-            on_embeddings=on_emb,
+            on_embeddings=on_emb, on_removed=on_rm,
         )
     finally:
         stop.set()
@@ -228,7 +229,10 @@ def source_reprocess(state, args) -> None:
         print(f"No source named {args.name}", file=sys.stderr)
         return
     on_emb = state.searcher.upsert_embeddings if state.searcher else None
-    stats, ok = reprocess_source(state.db, state.model, src, on_embeddings=on_emb)
+    on_rm = state.searcher.remove_items if state.searcher else None
+    stats, ok = reprocess_source(
+        state.db, state.model, src, on_embeddings=on_emb, on_removed=on_rm
+    )
     s = stats.summary()
     print(f"Reprocessed {s['scanned']} items, {s['fetched']} changed, {s['encoded']} re-encoded")
 

@@ -99,6 +99,10 @@ class EmbeddingMatrix:
         self.row_of: dict[int, int] = {}
         # key-group index: item id -> set of chunk keys currently stored
         self.groups: dict[int, set[int]] = {}
+        # number of groups holding >1 chunk key (searchers over-fetch
+        # candidates when any document is chunk-embedded; maintained here so
+        # queries never walk the groups dict)
+        self.multi_chunk_groups = 0
         self.item_ids = np.full(self.capacity, -1, dtype=np.int64)
         self.source_ids = np.full(self.capacity, -1, dtype=np.int32)
         # host mirror of vectors (f32) so growth/snapshots never read device
@@ -185,6 +189,18 @@ class EmbeddingMatrix:
         self.sync()
         return self._device_scales
 
+    def device_view(self):
+        """Atomically capture (vectors, source_ids, scales) under the lock.
+
+        Queries MUST use this instead of the individual properties when
+        ingest may run concurrently: each property re-syncs, and an
+        incremental sync donates (invalidates) the previous device arrays —
+        capturing one property then another lets a concurrent upsert delete
+        the first array before the kernel launches."""
+        with self._lock:
+            self.sync()
+            return self._device_vectors, self._device_source_ids, self._device_scales
+
     def host_vectors_for(self, rows) -> np.ndarray:
         """f32 host mirror rows (exact rerank of quantized candidates)."""
         return self._host_vectors[rows, : self.dim]
@@ -244,7 +260,11 @@ class EmbeddingMatrix:
                 self.rows += n_new
                 self.row_of.update(zip(item_ids[new].tolist(), fresh.tolist()))
             for k in item_ids.tolist():
-                self.groups.setdefault(k // CHUNK_STRIDE, set()).add(k)
+                g = self.groups.setdefault(k // CHUNK_STRIDE, set())
+                before = len(g)
+                g.add(k)
+                if before == 1 and len(g) == 2:
+                    self.multi_chunk_groups += 1
             self.item_ids[rows] = item_ids
             self.source_ids[rows] = source_ids
             self._host_vectors[rows, : self.dim] = vectors
@@ -261,7 +281,10 @@ class EmbeddingMatrix:
                 if row is not None:
                     g = self.groups.get(iid // CHUNK_STRIDE)
                     if g is not None:
+                        before = len(g)
                         g.discard(iid)
+                        if before == 2 and len(g) == 1:
+                            self.multi_chunk_groups -= 1
                         if not g:
                             del self.groups[iid // CHUNK_STRIDE]
                     self.source_ids[row] = -1
@@ -283,7 +306,10 @@ class EmbeddingMatrix:
                 self.row_of.pop(key, None)
                 g = self.groups.get(key // CHUNK_STRIDE)
                 if g is not None:
+                    before = len(g)
                     g.discard(key)
+                    if before == 2 and len(g) == 1:
+                        self.multi_chunk_groups -= 1
                     if not g:
                         del self.groups[key // CHUNK_STRIDE]
                 self.source_ids[row] = -1

@@ -36,7 +36,8 @@ from ..ops.topk import ALLOW_ALL
 from ..types import Item
 from .matrix import EmbeddingMatrix, chunk_key, deserialize_embedding, key_item
 
-K_BUCKETS = (16, 32, 64, 128, 256)
+K_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+MAX_K = K_BUCKETS[-1]
 MAX_SOURCE_FILTER = 16  # fixed-size filter list keeps jit shapes stable
 
 
@@ -274,11 +275,12 @@ class Searcher:
 
     def _scan(self, q: np.ndarray, k: int, allowed: np.ndarray):
         m = self.matrix
-        m.sync()
+        if k > MAX_K:
+            raise ValueError(f"k={k} exceeds the maximum of {MAX_K}")
         want = k
         if m.quantized:
             want = RERANK_FACTOR * want
-        if any(len(g) > 1 for g in m.groups.values()):
+        if m.multi_chunk_groups > 0:
             want = 2 * want  # chunk dedupe needs extra candidates
         kb = _k_bucket(want, m.rows)
         qp = q
@@ -286,29 +288,30 @@ class Searcher:
             qp = np.concatenate(
                 [q, np.zeros((q.shape[0], m.padded_dim - m.dim), q.dtype)], axis=1
             )
+        # atomic capture: a concurrent upsert's donating scatter must not
+        # invalidate arrays between property reads (see matrix.device_view)
+        vectors, source_ids, scales = m.device_view()
         if m.quantized:
             if self.engine == "pallas":
                 from ..ops.topk import scan_topk_pallas_int8
 
                 vals, rows = scan_topk_pallas_int8(
-                    m.device_vectors, m.device_scales, m.device_source_ids,
-                    jnp.asarray(qp), jnp.asarray(allowed), kb,
+                    vectors, scales, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
                 )
             else:
                 vals, rows = _scan_topk_xla_int8(
-                    m.device_vectors, m.device_scales, m.device_source_ids,
-                    jnp.asarray(qp), jnp.asarray(allowed), kb,
+                    vectors, scales, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
                 )
             return self._rerank(q, np.asarray(vals), np.asarray(rows))
         if self.engine == "pallas":
             from ..ops.topk import scan_topk_pallas
 
             vals, rows = scan_topk_pallas(
-                m.device_vectors, m.device_source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
+                vectors, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
             )
         else:
             vals, rows = _scan_topk_xla(
-                m.device_vectors, m.device_source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
+                vectors, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
             )
         return np.asarray(vals), np.asarray(rows)
 
@@ -328,14 +331,32 @@ class Searcher:
             out_rows[qi, : len(cand)] = cand[order]
         return out_vals, out_rows
 
-    def _allowed_array(self, source_ids: Optional[Sequence[int]]) -> np.ndarray:
-        allowed = np.full(MAX_SOURCE_FILTER, -9, dtype=np.int32)
+    def _allowed_arrays(self, source_ids: Optional[Sequence[int]]) -> list[np.ndarray]:
+        """Fixed-size filter arrays; filters beyond MAX_SOURCE_FILTER split
+        into multiple scan groups whose results are merged (never silently
+        truncated)."""
         if source_ids is None:
+            allowed = np.full(MAX_SOURCE_FILTER, -9, dtype=np.int32)
             allowed[0] = ALLOW_ALL
-        else:
-            ids = list(source_ids)[:MAX_SOURCE_FILTER]
-            allowed[: len(ids)] = ids
-        return allowed
+            return [allowed]
+        ids = sorted(set(int(i) for i in source_ids))
+        out = []
+        for start in range(0, len(ids), MAX_SOURCE_FILTER):
+            allowed = np.full(MAX_SOURCE_FILTER, -9, dtype=np.int32)
+            group = ids[start : start + MAX_SOURCE_FILTER]
+            allowed[: len(group)] = group
+            out.append(allowed)
+        return out
+
+    def _scan_filtered(self, q: np.ndarray, k: int, source_ids) -> tuple:
+        groups = self._allowed_arrays(source_ids)
+        if len(groups) == 1:
+            return self._scan(q, k, groups[0])
+        parts = [self._scan(q, k, g) for g in groups]
+        vals = np.concatenate([p[0] for p in parts], axis=1)
+        rows = np.concatenate([p[1] for p in parts], axis=1)
+        order = np.argsort(-vals, axis=1, kind="stable")
+        return np.take_along_axis(vals, order, 1), np.take_along_axis(rows, order, 1)
 
     def search_vector(
         self,
@@ -348,7 +369,7 @@ class Searcher:
         if len(self.matrix) == 0:
             return []
         q = np.asarray(vec, dtype=np.float32).reshape(1, -1)
-        vals, rows = self._scan(q, k, self._allowed_array(source_ids))
+        vals, rows = self._scan_filtered(q, k, source_ids)
         return self._decode_hits(vals[0], rows[0], k)
 
     def search_vectors_batch(
@@ -362,7 +383,7 @@ class Searcher:
         if len(self.matrix) == 0:
             return [[] for _ in range(len(vecs))]
         q = np.asarray(vecs, dtype=np.float32)
-        vals, rows = self._scan(q, k, self._allowed_array(source_ids))
+        vals, rows = self._scan_filtered(q, k, source_ids)
         return [self._decode_hits(vals[qi], rows[qi], k) for qi in range(len(q))]
 
     def _decode_hits(self, vals, rows, k: int) -> list[tuple[int, float]]:

@@ -151,14 +151,15 @@ class ShardedSearcher(Searcher):
         return s
 
     def _scan(self, q: np.ndarray, k: int, allowed: np.ndarray):
-        from ..index.searcher import RERANK_FACTOR, _k_bucket
+        from ..index.searcher import MAX_K, RERANK_FACTOR, _k_bucket
 
         m = self.matrix
-        m.sync()
+        if k > MAX_K:
+            raise ValueError(f"k={k} exceeds the maximum of {MAX_K}")
         want = k
         if m.quantized:
             want = RERANK_FACTOR * want
-        if any(len(g) > 1 for g in m.groups.values()):
+        if m.multi_chunk_groups > 0:
             want = 2 * want  # chunk dedupe needs extra candidates
         kb = _k_bucket(want, m.rows)
         qp = q
@@ -166,15 +167,16 @@ class ShardedSearcher(Searcher):
             qp = np.concatenate(
                 [q, np.zeros((q.shape[0], m.padded_dim - m.dim), q.dtype)], axis=1
             )
+        vectors, source_ids, scales = m.device_view()  # atomic capture
         vals, rows = sharded_scan_topk(
             self.mesh,
-            m.device_vectors,
-            m.device_source_ids,
+            vectors,
+            source_ids,
             jnp.asarray(qp),
             jnp.asarray(allowed),
             kb,
             engine=self.engine,
-            scales=m.device_scales if m.quantized else None,
+            scales=scales if m.quantized else None,
         )
         vals, rows = np.asarray(vals), np.asarray(rows)
         if m.quantized:

@@ -109,7 +109,7 @@ def _match_stage(
                {content_col}, ie.item_id IS NOT NULL
         FROM items
         LEFT JOIN item_embeddings ie ON ie.item_id = items.id
-          AND ie.model_id = ? AND ie.model_version = ?
+          AND ie.model_id = ? AND ie.model_version = ? AND ie.chunk_idx = 0
         WHERE source_id = ? AND external_id IN (SELECT value FROM json_each(?))
     """
 
@@ -174,6 +174,12 @@ def _read_stage(
                 result = scanner.read(si.existing, compare_strategy, si.item)
             except Exception as e:  # noqa: BLE001 — per-item isolation
                 print(f"{si.item.external_id}: {e}", file=sys.stderr)
+                if si.item.id >= 0:
+                    # existing row: forward UNCHANGED so its version is
+                    # bumped — dropping it here would make prune_missing_items
+                    # delete a live item after a transient read error
+                    si.state = ScanItemState.UNCHANGED
+                    out_q.put(si)
                 continue
             finally:
                 stats.reading.sub()
@@ -272,10 +278,20 @@ def _embed_stage(
     buf: list[tuple[_PendingItem, int]] = []
     texts: list[str] = []
     pending = None  # (dispatched, entries)
+    # passthrough items batch up so the write stage isn't fed one-item
+    # transactions during mostly-unchanged rescans
+    passthrough: list = []
 
-    def release(done: list[tuple[ScanItem, Optional[list]]]):
-        if done:
-            out_q.put(done)
+    def release(done: list):
+        passthrough.extend(done)
+        if len(passthrough) >= SCAN_BATCH_SIZE:
+            flush_passthrough()
+
+    def flush_passthrough():
+        nonlocal passthrough
+        if passthrough:
+            out_q.put(passthrough)
+            passthrough = []
 
     def collect(entries, embs) -> None:
         done = []
@@ -330,7 +346,9 @@ def _embed_stage(
             continue
         doc = build_document(si.item)
         if doc is None:
-            release([(si, None)])
+            # changed/new item with no document text: [] clears any stored
+            # embeddings (None means "embed failed, keep what exists")
+            release([(si, [])])
             continue
         if chunk_tokens > 0:
             parts = chunk_document(model.tokenizer, doc, chunk_tokens, chunk_overlap)
@@ -346,6 +364,7 @@ def _embed_stage(
         dispatch()
     if pending is not None:
         materialize(pending)
+    flush_passthrough()
 
 
 # -- stage 5: write ----------------------------------------------------------
@@ -358,7 +377,8 @@ def _write_stage(
     model_version: int,
     index_version: int,
     in_q: queue.Queue,
-    on_embeddings: Optional[Callable[[list[int], list[int], np.ndarray], None]],
+    on_embeddings: Optional[Callable],
+    on_removed: Optional[Callable] = None,
 ) -> None:
     """Single writer, one transaction per batch (reference update_db.rs:8-139).
     ``on_embeddings`` receives (keys, source_ids, vectors) after each commit
@@ -370,6 +390,7 @@ def _write_stage(
             dev_ids: list[tuple[int, int]] = []
             dev_srcs: list[int] = []
             dev_vecs: list[np.ndarray] = []
+            removed_ids: list[int] = []
             for si, embs in batch:
                 item = si.item
                 meta = item.metadata
@@ -446,18 +467,34 @@ def _write_stage(
                         dev_ids.append((item_id, chunk_idx))
                         dev_srcs.append(item.source_id)
                         dev_vecs.append(np.asarray(emb, dtype=np.float32))
-                    # drop stale chunk rows past the new count (doc shrank)
+                    # drop stale chunk rows past the new count (doc shrank;
+                    # len 0 = document became empty, all rows go)
                     conn.execute(
                         """DELETE FROM item_embeddings
                            WHERE item_id=? AND model_id=? AND model_version=?
                              AND chunk_idx >= ?""",
                         (item_id, model_id, model_version, len(embs)),
                     )
+                    if not embs:
+                        removed_ids.append(item_id)
+                if si.state is not ScanItemState.UNCHANGED and item.skipped is not None:
+                    # item became skipped: its old vectors must leave the index
+                    conn.execute(
+                        """DELETE FROM item_embeddings
+                           WHERE item_id=? AND model_id=? AND model_version=?""",
+                        (item_id, model_id, model_version),
+                    )
+                    removed_ids.append(item_id)
+            # device hooks INSIDE the transaction: anything committed is
+            # already in the matrix, so snapshots recording MAX(seq) can
+            # never reference rows the matrix is missing
+            if on_embeddings is not None and dev_ids:
+                on_embeddings(dev_ids, dev_srcs, np.stack(dev_vecs))
+            if on_removed is not None and removed_ids:
+                on_removed(removed_ids)
         stats.added.add(new)
         stats.changed.add(changed)
         stats.unchanged.add(unchanged)
-        if on_embeddings is not None and dev_ids:
-            on_embeddings(dev_ids, dev_srcs, np.stack(dev_vecs))
 
 
 def chunk_config(source: Source) -> tuple[int, int]:
@@ -480,19 +517,22 @@ def scan_source(
     compare_strategy: Optional[ItemCompareStrategy] = None,
     scanner: Optional[SourceScanner] = None,
     on_embeddings: Optional[Callable] = None,
+    on_removed: Optional[Callable] = None,
     embed_batch_size: int = EMBED_BATCH_SIZE,
 ) -> tuple[ScanStats, bool]:
     """Run the full scan pipeline for one source (reference import.rs:12-116).
 
-    Returns (stats, ok).  ``on_embeddings(item_ids, source_ids, vectors)``
-    fires after each committed batch for live device-matrix updates.
+    Returns (stats, ok).  ``on_embeddings(keys, source_ids, vectors)`` fires
+    inside each write transaction for live device-matrix updates;
+    ``on_removed(item_ids)`` fires for items whose vectors left the index
+    (document emptied or became skipped).
     """
     stats = stats or ScanStats()
     scanner = scanner or create_scanner(source)
     strategy = compare_strategy or source.compare_strategy
     errors: list = []
 
-    q_items: queue.Queue = queue.Queue()
+    q_items: queue.Queue = queue.Queue(MATCH_QUEUE)  # backpressure on the scanner too
     q_matched: queue.Queue = queue.Queue(MATCH_QUEUE)
     q_content: queue.Queue = queue.Queue(embed_batch_size)
     q_embedded: queue.Queue = queue.Queue(EMBED_QUEUE_BATCHES)
@@ -548,6 +588,7 @@ def scan_source(
             source.index_version,
             q_embedded,
             on_embeddings,
+            on_removed,
         ),
         q_embedded,
         errors,

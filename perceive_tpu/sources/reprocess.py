@@ -41,6 +41,7 @@ def reprocess_source(
     stats: Optional[ScanStats] = None,
     scanner=None,
     on_embeddings: Optional[Callable] = None,
+    on_removed: Optional[Callable] = None,
     embed_batch_size: int = EMBED_BATCH_SIZE,
 ) -> tuple[ScanStats, bool]:
     stats = stats or ScanStats()
@@ -109,6 +110,7 @@ def reprocess_source(
             source.index_version,
             q_embedded,
             on_embeddings,
+            on_removed,
         ),
         q_embedded,
         errors,
