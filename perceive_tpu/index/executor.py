@@ -15,6 +15,7 @@ signatures are grouped per drain so correctness never depends on the mix.
 from __future__ import annotations
 
 import threading
+import time
 from concurrent.futures import Future
 from typing import Optional, Sequence
 
@@ -77,9 +78,15 @@ class BatchingSearchExecutor:
                     self._wake.wait()
                 if self._closed and not self._queue:
                     return
-                # collect the burst: wait up to the window for more arrivals
-                if len(self._queue) < self.max_batch and not self._closed:
-                    self._wake.wait(self.window)
+                # collect the burst: wait out the FULL window (notify from
+                # each new arrival would otherwise cut the wait short and
+                # dispatch 2-element batches)
+                deadline = time.monotonic() + self.window
+                while len(self._queue) < self.max_batch and not self._closed:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._wake.wait(remaining)
                 batch, self._queue = self._queue[: self.max_batch], self._queue[self.max_batch :]
             self._dispatch(batch)
 

@@ -192,6 +192,10 @@ class Model:
         worker-thread channel hop, model.rs:161-190).
         """
         chunk = list(texts)
+        if len(chunk) > BATCH_BUCKETS[-1]:
+            raise ModelError(
+                f"batch of {len(chunk)} exceeds the {BATCH_BUCKETS[-1]} dispatch limit"
+            )
         tb = self.tokenizer.encode_batch(chunk, pad_batch_to=batch_bucket(len(chunk)))
         out = self._encode_jit(
             self.params,

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import threading
 from pathlib import Path
 from typing import Optional, Sequence
 
@@ -48,12 +49,19 @@ class TokenBatch:
 
 
 class TextTokenizer:
-    """Thread-safe wrapper around a `tokenizers.Tokenizer`."""
+    """Thread-safe wrapper around a `tokenizers.Tokenizer`.
+
+    The HF Rust tokenizer's truncation/padding setters take &mut self and
+    conflict with in-flight encodes (RuntimeError: Already borrowed), and one
+    thread's no_truncation would leak into another's encode — so every
+    encode path serializes on a lock (serve's ThreadingHTTPServer and the
+    pipeline's reader threads hit this concurrently)."""
 
     def __init__(self, tokenizer: Tokenizer, max_seq_length: int = 512, pad_id: int = 0):
         self.tokenizer = tokenizer
         self.max_seq_length = max_seq_length
         self.pad_id = pad_id
+        self._lock = threading.Lock()
 
     # -- constructors -------------------------------------------------------
 
@@ -103,9 +111,12 @@ class TextTokenizer:
         ``pad_batch_to`` right-pads the batch with empty rows to a fixed batch
         size (mask all-zero) — both keep jit shapes stable.
         """
-        self.tokenizer.enable_truncation(self.max_seq_length)
-        self.tokenizer.no_padding()
-        encs = self.tokenizer.encode_batch(list(texts))
+        with self._lock:
+            self.tokenizer.enable_truncation(self.max_seq_length)
+            self.tokenizer.no_padding()
+            encs = self.tokenizer.encode_batch(list(texts))
+        if pad_batch_to is not None and len(encs) > pad_batch_to:
+            raise ValueError(f"{len(encs)} texts exceed pad_batch_to={pad_batch_to}")
         longest = max((len(e.ids) for e in encs), default=1)
         target = pad_to or bucket_length(longest, self.max_seq_length)
 
@@ -124,16 +135,21 @@ class TextTokenizer:
         """Full-length encodings with offsets + special-token masks, for the
         highlight engine's chunking (reference model/highlight.rs:32-38 used
         a 1e6 'no truncation' limit)."""
-        self.tokenizer.no_truncation()
-        self.tokenizer.no_padding()
-        return self.tokenizer.encode_batch(list(texts))
+        with self._lock:
+            self.tokenizer.no_truncation()
+            self.tokenizer.no_padding()
+            return self.tokenizer.encode_batch(list(texts))
 
     def encode_token_chunks(self, chunks: Sequence[Sequence[int]]) -> TokenBatch:
         """Pack pre-chunked token-id windows into a padded batch (highlight
         path; reference model/tokenize.rs:9-57 generate_token_tensors)."""
         longest = max((len(c) for c in chunks), default=1)
         target = bucket_length(longest, self.max_seq_length)
-        n = len(chunks)
+        # pad batch size to a bucket too: highlight chunk counts vary per
+        # query and would otherwise compile a fresh executable per count
+        from .model import batch_bucket
+
+        n = max(batch_bucket(len(chunks)), len(chunks))
         ids = np.full((n, target), self.pad_id, dtype=np.int32)
         mask = np.zeros((n, target), dtype=np.int32)
         for r, c in enumerate(chunks):

@@ -126,7 +126,15 @@ def make_handler(holder: ServeState):
         def log_message(self, *a):  # quiet
             pass
 
-        def _search(self, query: str, k: int, source: Optional[str]):
+        MAX_K = 256
+
+        def _search(self, query: str, k, source: Optional[str]):
+            try:
+                k = int(k)
+            except (TypeError, ValueError):
+                return self._json(400, {"error": "k must be an integer"})
+            if not 1 <= k <= self.MAX_K:
+                return self._json(400, {"error": f"k must be in [1, {self.MAX_K}]"})
             app = holder.app
             source_ids = None
             if source:
@@ -197,8 +205,7 @@ def make_handler(holder: ServeState):
                 query = (q.get("q") or [""])[0]
                 if not query:
                     return self._json(400, {"error": "missing q"})
-                k = int((q.get("k") or ["10"])[0])
-                self._search(query, k, (q.get("source") or [None])[0])
+                self._search(query, (q.get("k") or ["10"])[0], (q.get("source") or [None])[0])
             else:
                 self._json(404, {"error": "not found"})
 
@@ -216,7 +223,7 @@ def make_handler(holder: ServeState):
             query = payload.get("q") or payload.get("query")
             if not query:
                 return self._json(400, {"error": "missing q"})
-            self._search(query, int(payload.get("k", 10)), payload.get("source"))
+            self._search(query, payload.get("k", 10), payload.get("source"))
 
     return Handler
 

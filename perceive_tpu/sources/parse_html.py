@@ -84,7 +84,9 @@ def extract_html_article(url: str, raw: bytes) -> tuple[str, str]:
     if not title and h1 is not None:
         title = (h1.text_content() or "").strip()
 
-    for el in doc.iter():
+    # materialize before mutating: drop_tree() mid-iteration dead-ends
+    # lxml's walk inside the detached subtree and leaves later chrome intact
+    for el in list(doc.iter()):
         if el.tag in _STRIP_TAGS and el.getparent() is not None:
             el.drop_tree()
 
@@ -112,8 +114,13 @@ def extract_html_article(url: str, raw: bytes) -> tuple[str, str]:
     root = best if best is not None else doc
     parts: list[str] = []
     seen_text = set()
+    leaf_tags = tuple(t for t in _BLOCK_TAGS if t not in ("article", "section", "div"))
     for el in root.iter():
         if el.tag in _BLOCK_TAGS and el.tag != "div":
+            # only leaf blocks contribute text: a container (article/li/td
+            # holding <p>s) would duplicate every child paragraph
+            if next(el.iterdescendants(*leaf_tags), None) is not None:
+                continue
             txt = re.sub(r"\s+", " ", el.text_content() or "").strip()
             if txt and txt not in seen_text:
                 seen_text.add(txt)
@@ -150,8 +157,11 @@ def fetch_html(session, existing: Optional[FoundItem], item: Item) -> ReadResult
     allow_redirects=False)`` -> response with .status_code/.headers/.text.
     """
     headers = {"User-Agent": USER_AGENT}
-    if item.metadata.mtime is not None:
-        headers["If-Modified-Since"] = email.utils.formatdate(item.metadata.mtime, usegmt=True)
+    mtime = item.metadata.mtime
+    if mtime is None and existing is not None:
+        mtime = existing.modified  # stored Last-Modified from the prior fetch
+    if mtime is not None:
+        headers["If-Modified-Since"] = email.utils.formatdate(mtime, usegmt=True)
     etag = item.hash or (existing.hash if existing else None)
     if etag:
         headers["If-None-Match"] = etag

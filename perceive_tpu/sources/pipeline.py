@@ -530,6 +530,7 @@ def scan_source(
     stats = stats or ScanStats()
     scanner = scanner or create_scanner(source)
     strategy = compare_strategy or source.compare_strategy
+    embed_batch_size = min(embed_batch_size, EMBED_BATCH_SIZE)  # device dispatch limit
     errors: list = []
 
     q_items: queue.Queue = queue.Queue(MATCH_QUEUE)  # backpressure on the scanner too

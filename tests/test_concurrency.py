@@ -73,3 +73,36 @@ def test_search_during_scan(tmp_db, tmp_path, model):
     q = np.ones(model.dim, np.float32)
     hits = searcher.search_vector(q, 10)
     assert len(hits) == 10
+
+
+def test_tokenizer_concurrent_modes(model):
+    """Concurrent truncated encodes + untruncated highlight tokenization must
+    not crash (HF Rust tokenizer setters take &mut self) or leak modes."""
+    errors = []
+    long_text = "alpha beta gamma delta " * 40  # > max_seq_length tokens
+
+    def truncated():
+        try:
+            for _ in range(30):
+                tb = model.tokenizer.encode_batch([long_text, "alpha"])
+                assert tb.input_ids.shape[1] <= model.tokenizer.max_seq_length
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def untruncated():
+        try:
+            for _ in range(30):
+                encs = model.tokenizer.encode_untruncated([long_text])
+                assert len(encs[0].ids) > model.tokenizer.max_seq_length
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=f)
+        for f in (truncated, untruncated, truncated, untruncated)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:1]

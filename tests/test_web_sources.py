@@ -278,3 +278,35 @@ def test_history_pipeline_end_to_end(tmp_db, tmp_path):
     assert ok
     assert scanner.session.requests == []
     assert stats2.encoded.value == 0
+
+
+def test_extract_strips_all_chrome_and_no_duplicates():
+    """drop_tree mid-iteration used to leave later <script>s in the tree, and
+    container block tags duplicated every child paragraph."""
+    page = b"""<html><body>
+    <nav><a href='/'>Home</a></nav>
+    <section><article>
+      <p>First paragraph of the article body text here.</p>
+      <p>Second paragraph with more body text content.</p>
+      <script>var tracked = 'SECRET_JS_TOKEN';</script>
+    </article></section>
+    <style>.x { color: red }</style>
+    </body></html>"""
+    _, text = extract_html_article("https://x.test/p", page)
+    assert "SECRET_JS_TOKEN" not in text
+    assert "color: red" not in text
+    assert text.count("First paragraph") == 1
+    assert text.count("Second paragraph") == 1
+
+
+def test_conditional_get_uses_stored_last_modified():
+    """Re-scan items carry no mtime; If-Modified-Since must come from the
+    stored Last-Modified (FoundItem.modified)."""
+    url = "https://x.test/lm"
+    sess = FakeSession({url: FakeResponse(304)})
+    item = Item(external_id=url)  # fresh scan item, no mtime
+    existing = FoundItem(modified=1_700_000_000)
+    assert fetch_html(sess, existing, item) is ReadResult.UNCHANGED
+    headers = sess.requests[0][1]
+    assert "If-Modified-Since" in headers
+    assert "2023" in headers["If-Modified-Since"]
