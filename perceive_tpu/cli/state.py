@@ -80,21 +80,29 @@ class AppState:
         model_type = ModelType.parse(cfg_model[0]) if cfg_model else DEFAULT_MODEL
 
         results: dict = {}
+        load_errors: list = []
 
-        def load_main():
-            results["model"] = model or load_model(model_type)
+        def capture(key, fn):
+            def run():
+                try:
+                    results[key] = fn()
+                except BaseException as e:  # re-raised on the main thread
+                    load_errors.append(e)
+
+            return run
 
         def load_highlight():
             if highlights_model is not None:
-                results["highlights"] = highlights_model
-            elif model is not None:
-                results["highlights"] = model
-            else:
-                results["highlights"] = load_model(DEFAULT_HIGHLIGHT_MODEL)
+                return highlights_model
+            if model is not None:
+                return model
+            return load_model(DEFAULT_HIGHLIGHT_MODEL)
 
-        t1 = threading.Thread(target=load_main)
-        t2 = threading.Thread(target=load_highlight)
+        t1 = threading.Thread(target=capture("model", lambda: model or load_model(model_type)))
+        t2 = threading.Thread(target=capture("highlights", load_highlight))
         t1.start(), t2.start(), t1.join(), t2.join()
+        if load_errors:
+            raise load_errors[0]
         self.model: Model = results["model"]
         self.highlights_model: Model = results["highlights"]
 

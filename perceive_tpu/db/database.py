@@ -74,6 +74,8 @@ class Database:
         self._configure_write_connection(self._write_conn)
         migrations.migrate(self._write_conn)
         self._local = threading.local()
+        self._read_conns: list[sqlite3.Connection] = []
+        self._conns_lock = threading.Lock()
 
     def _configure_write_connection(self, conn: sqlite3.Connection) -> None:
         # reference: db.rs:93-98
@@ -95,7 +97,12 @@ class Database:
                 check_same_thread=False,
                 isolation_level=None,
             )
+            # readers wait for WAL checkpoints instead of failing with
+            # "database is locked" under write load
+            conn.execute("PRAGMA busy_timeout = 30000")
             self._local.conn = conn
+            with self._conns_lock:
+                self._read_conns.append(conn)
         return conn
 
     class _WriteTxn:
@@ -104,13 +111,26 @@ class Database:
 
         def __enter__(self) -> sqlite3.Connection:
             self.db._write_lock.acquire()
-            self.db._write_conn.execute("BEGIN")
+            try:
+                self.db._write_conn.execute("BEGIN")
+            except BaseException:
+                self.db._write_lock.release()  # else every later writer deadlocks
+                raise
             return self.db._write_conn
 
         def __exit__(self, exc_type, exc, tb) -> None:
             try:
                 if exc_type is None:
-                    self.db._write_conn.execute("COMMIT")
+                    try:
+                        self.db._write_conn.execute("COMMIT")
+                    except BaseException:
+                        # a failed COMMIT leaves the txn open; roll back so
+                        # the next BEGIN doesn't raise "within a transaction"
+                        try:
+                            self.db._write_conn.execute("ROLLBACK")
+                        except sqlite3.Error:
+                            pass
+                        raise
                 else:
                     self.db._write_conn.execute("ROLLBACK")
             finally:
@@ -122,9 +142,14 @@ class Database:
 
     def close(self) -> None:
         self._write_conn.close()
-        conn = getattr(self._local, "conn", None)
-        if conn is not None:
-            conn.close()
+        with self._conns_lock:
+            conns, self._read_conns = self._read_conns, []
+        for conn in conns:  # read conns from EVERY thread, not just ours
+            try:
+                conn.close()
+            except sqlite3.ProgrammingError:
+                pass  # another thread may be mid-query at shutdown
+        self._local = threading.local()
 
     # -- item helpers (reference: db.rs:111-139) --------------------------
 

@@ -188,10 +188,35 @@ MIGRATIONS: list[str] = [
 ]
 
 
+def _statements(script: str):
+    """Split a migration script into complete statements (executescript
+    autocommits per statement, which would leave a half-applied migration
+    behind a crash; we run each script inside ONE explicit transaction)."""
+    buf = ""
+    for line in script.splitlines():
+        buf += line + "\n"
+        if sqlite3.complete_statement(buf):
+            stmt = buf.strip()
+            if stmt and stmt != ";":
+                yield stmt
+            buf = ""
+    tail = buf.strip()
+    if tail and tail != ";":
+        yield tail
+
+
 def migrate(conn: sqlite3.Connection) -> None:
-    """Apply outstanding migrations, tracked via PRAGMA user_version."""
+    """Apply outstanding migrations atomically, tracked via user_version:
+    either a migration fully applies (including its version bump) or the
+    database is untouched."""
     (current,) = conn.execute("PRAGMA user_version").fetchone()
     for i, sql in enumerate(MIGRATIONS[current:], start=current + 1):
-        conn.executescript(sql)
-        conn.execute(f"PRAGMA user_version = {i}")
-        conn.commit()
+        conn.execute("BEGIN")
+        try:
+            for stmt in _statements(sql):
+                conn.execute(stmt)
+            conn.execute(f"PRAGMA user_version = {i}")
+            conn.execute("COMMIT")
+        except BaseException:
+            conn.execute("ROLLBACK")
+            raise

@@ -91,7 +91,11 @@ def fastwalk(
     finally:
         lib.fw_free(buf)
     entries = []
-    for line in data.splitlines():
-        path, mtime, atime = line.rsplit("\t", 2)
+    # records are "mtime\tatime\tpath\0": the NUL terminator and path-last
+    # layout keep filenames containing tabs/newlines parseable
+    for rec in data.split("\0"):
+        if not rec:
+            continue
+        mtime, atime, path = rec.split("\t", 2)
         entries.append((path, int(mtime), int(atime)))
     return entries

@@ -9,8 +9,9 @@
 // C ABI for ctypes (perceive_tpu/native/__init__.py):
 //   char* fw_walk(const char* root, int nthreads, int respect_gitignore,
 //                 long long* out_len);
-//     -> malloc'd buffer of "path\tmtime\tatime\n" lines (caller frees via
-//        fw_free); NULL on error.
+//     -> malloc'd buffer of "mtime\tatime\tpath\0" records (path last and
+//        NUL-terminated: filenames may contain \t or \n but never \0;
+//        caller frees via fw_free); NULL on error.
 //   void fw_free(char* buf);
 //
 // Gitignore subset (mirrors the Python fallback in sources/fs.py): blank and
@@ -70,9 +71,11 @@ std::shared_ptr<Rules> load_rules(const std::string& dir,
       p.dir_only = true;
       line.pop_back();
     }
+    // anchoring is decided BEFORE stripping the leading '/': "/build"
+    // anchors to this .gitignore's directory, it is not a basename pattern
+    p.anchored = line.find('/') != std::string::npos;
     if (!line.empty() && line[0] == '/') line.erase(0, 1);
     if (line.empty()) continue;
-    p.anchored = line.find('/') != std::string::npos;
     p.glob = line;
     rules->pats.push_back(std::move(p));
   }
@@ -91,7 +94,13 @@ int verdict_one(const Rules& r, const std::string& path, bool is_dir,
   for (const auto& p : r.pats) {
     if (p.dir_only && !is_dir) continue;
     const std::string& subject = p.anchored ? rel : name;
-    if (fnmatch(p.glob.c_str(), subject.c_str(), 0) == 0)
+    // anchored patterns must not let '*'/'?' cross '/' (mirrors the Python
+    // fallback's [^/]* translation); '**' patterns need cross-segment
+    // matching, so they keep the permissive mode
+    int flags = (p.anchored && p.glob.find("**") == std::string::npos)
+                    ? FNM_PATHNAME
+                    : 0;
+    if (fnmatch(p.glob.c_str(), subject.c_str(), flags) == 0)
       v = p.negate ? 0 : 1;
   }
   return v;
@@ -180,12 +189,14 @@ struct Walker {
       if (is_dir) {
         push(Task{path, rules});
       } else {
-        local += path;
-        local += '\t';
+        // record: mtime \t atime \t path \0 — the path goes LAST and is
+        // NUL-terminated so names containing tabs/newlines parse fine
         local += std::to_string((long long)st.st_mtime);
         local += '\t';
         local += std::to_string((long long)st.st_atime);
-        local += '\n';
+        local += '\t';
+        local += path;
+        local += '\0';
         if (local.size() > (1 << 20)) {
           std::lock_guard<std::mutex> l(out_mu);
           out += local;

@@ -187,7 +187,9 @@ class FileScanner:
         entries = fastwalk(root)
         if entries is not None:
             for path, mtime, atime in sorted(entries):
-                if self.globs.matches(path):
+                # globs match ROOT-RELATIVE paths: full-path patterns like
+                # '**/*.md' can never match an absolute path's leading '/'
+                if self.globs.matches(os.path.relpath(path, root)):
                     emit(
                         Item(
                             id=-1,
@@ -200,16 +202,16 @@ class FileScanner:
         self._scan_python(root, emit)
 
     def _scan_python(self, root: str, emit) -> None:
-        ignore_stack: list[_GitignoreRules] = []
-
-        def walk(dirpath: str) -> None:
+        # iterative walk (deep trees would blow Python's recursion limit);
+        # each stack entry carries its inherited gitignore-rule chain
+        stack: list[tuple[str, tuple[_GitignoreRules, ...]]] = [(root, ())]
+        while stack:
+            dirpath, rules = stack.pop()
             gi_path = os.path.join(dirpath, ".gitignore")
-            pushed = False
             if os.path.isfile(gi_path):
                 try:
                     with open(gi_path, encoding="utf-8", errors="replace") as f:
-                        ignore_stack.append(_GitignoreRules(f.read().splitlines(), dirpath))
-                    pushed = True
+                        rules = (*rules, _GitignoreRules(f.read().splitlines(), dirpath))
                 except OSError:
                     pass
             try:
@@ -224,11 +226,11 @@ class FileScanner:
                     is_file = entry.is_file(follow_symlinks=False)
                 except OSError:
                     continue
-                if self._ignored(entry.path, is_dir, ignore_stack):
+                if self._ignored(entry.path, is_dir, rules):
                     continue
                 if is_dir:
-                    walk(entry.path)
-                elif is_file and self.globs.matches(entry.path):
+                    stack.append((entry.path, rules))
+                elif is_file and self.globs.matches(os.path.relpath(entry.path, root)):
                     try:
                         st = entry.stat(follow_symlinks=False)
                     except OSError:
@@ -243,13 +245,9 @@ class FileScanner:
                             ),
                         )
                     )
-            if pushed:
-                ignore_stack.pop()
-
-        walk(root)
 
     @staticmethod
-    def _ignored(path: str, is_dir: bool, stack: list[_GitignoreRules]) -> bool:
+    def _ignored(path: str, is_dir: bool, stack) -> bool:
         verdict = False
         for rules in stack:  # outer rules first; inner files override
             rel = os.path.relpath(path, rules.base).replace(os.sep, "/")

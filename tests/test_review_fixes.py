@@ -125,3 +125,51 @@ def test_multi_chunk_counter():
     assert m.multi_chunk_groups == 1
     s.remove_items([1])
     assert m.multi_chunk_groups == 0
+
+
+def test_slash_globs_match_absolute_locations(tmp_db, tmp_path, model):
+    """Globs with '/' (incl. '**/*.md') are matched against ROOT-RELATIVE
+    paths — matching against absolute paths made them match nothing."""
+    root = tmp_path / "docs9"
+    (root / "sub").mkdir(parents=True)
+    (root / "top.md").write_text("alpha beta")
+    (root / "sub" / "deep.md").write_text("gamma hello")
+    (root / "sub" / "skip.txt").write_text("world")
+    src = add_source(
+        tmp_db,
+        Source(name="g", config={"type": "fs", "globs": ["**/*.md"]}, location=str(root)),
+    )
+    stats, ok = scan_source(tmp_db, model, src, embed_batch_size=4)
+    assert ok
+    names = {
+        os.path.basename(r[0])
+        for r in tmp_db.read().execute("SELECT external_id FROM items")
+    }
+    assert names == {"top.md", "deep.md"}
+
+
+def test_migration_failure_is_atomic(tmp_path):
+    """A migration that fails mid-script leaves the DB at the prior version
+    with no partial changes (crash-safe migrations)."""
+    import sqlite3 as s3
+
+    from perceive_tpu.db import migrations
+
+    path = tmp_path / "m.sqlite3"
+    conn = s3.connect(path, isolation_level=None)
+    broken = migrations.MIGRATIONS + [
+        "CREATE TABLE half_done (x INT);\nCREATE TABLE items (dupe INT);"  # 2nd stmt fails
+    ]
+    orig = migrations.MIGRATIONS
+    migrations.MIGRATIONS = broken
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(s3.OperationalError):
+            migrations.migrate(conn)
+    finally:
+        migrations.MIGRATIONS = orig
+    assert conn.execute("PRAGMA user_version").fetchone()[0] == len(orig)
+    tables = {r[0] for r in conn.execute("SELECT name FROM sqlite_master WHERE type='table'")}
+    assert "half_done" not in tables  # first statement rolled back
+    conn.close()
