@@ -11,6 +11,10 @@ When no converted checkpoint exists on disk the CLI stays usable: it falls
 back to a deterministic randomly-initialized MiniLM-class encoder (cosine
 rankings are meaningless but every pipeline and kernel is exercised), with a
 loud warning.  Set PERCEIVE_TPU_REQUIRE_CHECKPOINT=1 to fail instead.
+
+PERCEIVE_TPU_MATRIX_DTYPE selects the device-matrix storage dtype:
+bfloat16 (default), int8 (half the HBM per vector — 2x corpus per chip —
+still exact via the built-in f32 rerank), or float32.
 """
 
 from __future__ import annotations
@@ -109,7 +113,13 @@ class AppState:
         self.searcher: Optional[Searcher] = None
         if build_searcher:
             import jax
+            import jax.numpy as jnp
 
+            dtype = {
+                "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+                "int8": jnp.int8,
+                "float32": jnp.float32, "f32": jnp.float32,
+            }[os.environ.get("PERCEIVE_TPU_MATRIX_DTYPE", "bfloat16").lower()]
             start = time.time()
             if len(jax.devices()) > 1:
                 # multi-chip: row-shard the corpus over the whole mesh with
@@ -119,12 +129,12 @@ class AppState:
 
                 self.searcher = ShardedSearcher.build(
                     self.db, self.model.model_id, self.model.model_version,
-                    self.model.dim, make_mesh(), engine=engine,
+                    self.model.dim, make_mesh(), engine=engine, dtype=dtype,
                 )
             else:
                 self.searcher = Searcher.build(
                     self.db, self.model.model_id, self.model.model_version,
-                    self.model.dim, engine=engine,
+                    self.model.dim, engine=engine, dtype=dtype,
                 )
             if len(self.searcher.matrix):
                 print(f"Built search in {time.time() - start:.1f} seconds", file=sys.stderr)

@@ -263,3 +263,21 @@ def test_refresh_interval_gating(state, tmp_path, capsys):
     run(state, ["source", "edit", "d7", "--interval", "0"])
     capsys.readouterr()
     assert any(s.name == "d7" for s in _due_sources(state))
+
+
+def test_matrix_dtype_env(tmp_path, model, monkeypatch):
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("PERCEIVE_TPU_MATRIX_DTYPE", "int8")
+    st = AppState(str(tmp_path / "i8.sqlite3"), model=model, engine="xla")
+    try:
+        assert st.searcher.matrix.dtype == jnp.int8
+        docs = tmp_path / "docsq"
+        docs.mkdir()
+        (docs / "a.md").write_text("jax tpu pallas kernels")
+        run(st, ["source", "add", "fs", str(docs), "--name", "q"])
+        run(st, ["source", "scan", "q"])
+        hits = st.searcher.search_vector(st.model.encode_query("jax tpu"), 1)
+        assert hits
+    finally:
+        st.close()
