@@ -277,7 +277,14 @@ def _embed_stage(
     its chunk vectors have materialized."""
     buf: list[tuple[_PendingItem, int]] = []
     texts: list[str] = []
-    pending = None  # (dispatched, entries)
+    # in-flight dispatches: depth 1 = classic double buffering (dispatch
+    # batch i+1, then materialize batch i).  Deeper queues measured SLOWER on
+    # the tunneled bench device (overlapping dispatches contend), so 1 is the
+    # default; raise via env on directly-attached hardware if profitable.
+    import os as _os
+
+    pending: list = []
+    PIPELINE_DEPTH = max(1, int(_os.environ.get("PERCEIVE_TPU_PIPELINE_DEPTH", "1")))
     # passthrough items batch up so the write stage isn't fed one-item
     # transactions during mostly-unchanged rescans
     passthrough: list = []
@@ -321,7 +328,7 @@ def _embed_stage(
         collect(entries, embs)
 
     def dispatch():
-        nonlocal pending, buf, texts
+        nonlocal buf, texts
         entries, batch_texts = buf, texts
         buf, texts = [], []
         stats.embedding.add(len(entries))
@@ -333,9 +340,9 @@ def _embed_stage(
                 stats.embedding.sub(len(entries))
                 collect(entries, None)
                 return
-        prev, pending = pending, (d, entries)
-        if prev is not None:
-            materialize(prev)
+        pending.append((d, entries))
+        if len(pending) > PIPELINE_DEPTH:
+            materialize(pending.pop(0))
 
     for si in _drain_queue(in_q):
         if (
@@ -362,8 +369,8 @@ def _embed_stage(
                 dispatch()
     if buf:
         dispatch()
-    if pending is not None:
-        materialize(pending)
+    while pending:
+        materialize(pending.pop(0))
     flush_passthrough()
 
 
