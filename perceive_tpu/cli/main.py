@@ -9,6 +9,7 @@
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import Optional, Sequence
 
@@ -196,8 +197,17 @@ def main(argv: Optional[Sequence[str]] = None, state=None) -> int:
         else:
             dispatch(state, args)
     except SystemExit as e:
-        if e.code not in (0, None):
-            return int(e.code) if isinstance(e.code, int) else 1
+        if e.code in (0, None):
+            return 0
+        if isinstance(e.code, int):
+            return e.code
+        print(f"error: {e.code}", file=sys.stderr)  # commands raise messages
+        return 1
+    except Exception as e:  # noqa: BLE001 — one-line errors like the REPL
+        if os.environ.get("PERCEIVE_TPU_DEBUG"):
+            raise
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     return 0
 
 

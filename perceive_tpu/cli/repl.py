@@ -17,7 +17,7 @@ def repl(state, parser) -> None:
         hist = data_dir() / "repl_history"
         try:
             readline.read_history_file(hist)
-        except (FileNotFoundError, OSError):
+        except OSError:
             pass
     except ImportError:
         readline = None

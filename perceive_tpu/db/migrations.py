@@ -185,6 +185,13 @@ MIGRATIONS: list[str] = [
     ALTER TABLE item_embeddings_new RENAME TO item_embeddings;
     CREATE INDEX item_embeddings_seq_idx ON item_embeddings(seq);
     """,
+    # -- 7: unique tag names (TPU-native addition) --
+    # tags.name had only a plain index; concurrent `tag add` could create
+    # duplicate rows that silently split a tag.
+    """
+    DROP INDEX tags_name_idx;
+    CREATE UNIQUE INDEX tags_name_idx ON tags(name);
+    """,
 ]
 
 

@@ -17,9 +17,12 @@ def ensure_tag(db: Database, name: str, color: str = "#888888") -> int:
     if row:
         return row[0]
     with db.write() as conn:
-        return conn.execute(
-            "INSERT INTO tags (name, color) VALUES (?, ?)", (name, color)
-        ).lastrowid
+        # atomic against concurrent taggers (tags.name is UNIQUE, migration 7)
+        conn.execute(
+            "INSERT INTO tags (name, color) VALUES (?, ?) ON CONFLICT (name) DO NOTHING",
+            (name, color),
+        )
+        return conn.execute("SELECT id FROM tags WHERE name = ?", (name,)).fetchone()[0]
 
 
 def list_tags(db: Database) -> list[tuple[int, str, int]]:

@@ -212,7 +212,7 @@ def convert_state_dict(
             if is_weight:
                 m = m.T  # torch Linear stores (out, in)
             mats.append(m)
-        layers[ours.replace("ln1_scale", "ln1_scale")] = jnp.asarray(np.stack(mats, axis=0))
+        layers[ours] = jnp.asarray(np.stack(mats, axis=0))
 
     return {"embed": embed, "layers": layers}
 

@@ -17,10 +17,8 @@ from __future__ import annotations
 import json
 import os
 from typing import Optional
-from urllib.parse import urlsplit
-
 from ..types import Item, ItemCompareStrategy, ItemMetadata
-from .chromium_history import _stale_read_check, webkit_to_unix
+from .chromium_history import _stale_read_check, normalize_url, webkit_to_unix
 from .parse_html import HTML_PROCESS_VERSION, fetch_html, make_session, should_skip
 from .scanner import FoundItem, ReadResult
 
@@ -43,40 +41,44 @@ class ChromiumBookmarksScanner:
         self.skip = list(config.get("skip", []))
         self.session = make_session()
 
-    def _walk(self, emit, entry: dict) -> None:
+    def _walk(self, out: dict, entry: dict) -> None:
         etype = entry.get("type")
         if etype == "url":
             url = entry.get("url", "")
             atime = _parse_time(entry.get("date_last_used")) or _parse_time(
                 entry.get("date_added")
             )
-            try:
-                if not urlsplit(url).hostname:
-                    return
-            except ValueError:
+            # normalize like the history connector (https, no fragment) and
+            # dedupe by the trailing-slash-stripped key: the same page
+            # bookmarked in two folders must yield ONE item, or every scan
+            # inserts a fresh duplicate row (external_id has no unique index)
+            norm = normalize_url(url)
+            if norm is None:
                 return
-            if should_skip(self.skip, url):
+            fetch_url, dedupe_key = norm
+            if should_skip(self.skip, fetch_url) or dedupe_key in out:
                 return
-            emit(
-                Item(
-                    id=-1,
-                    source_id=self.source_id,
-                    external_id=url,
-                    process_version=HTML_PROCESS_VERSION,
-                    metadata=ItemMetadata(name=entry.get("name") or None, atime=atime),
-                )
+            out[dedupe_key] = Item(
+                id=-1,
+                source_id=self.source_id,
+                external_id=fetch_url,
+                process_version=HTML_PROCESS_VERSION,
+                metadata=ItemMetadata(name=entry.get("name") or None, atime=atime),
             )
         elif etype == "folder":
             for child in entry.get("children", []):
-                self._walk(emit, child)
+                self._walk(out, child)
 
     def scan(self, emit) -> None:
         path = os.path.join(self.location, "Bookmarks")
         with open(path, encoding="utf-8") as f:
             data = json.load(f)
+        out: dict = {}
         for root in (data.get("roots") or {}).values():
             if isinstance(root, dict):
-                self._walk(emit, root)
+                self._walk(out, root)
+        for item in out.values():
+            emit(item)
 
     def read(
         self,

@@ -281,3 +281,13 @@ def test_matrix_dtype_env(tmp_path, model, monkeypatch):
         assert hits
     finally:
         st.close()
+
+
+def test_cli_error_messages_printed(state, capsys):
+    """String SystemExit messages from commands reach stderr with exit 1
+    (they used to vanish in non-REPL mode)."""
+    from perceive_tpu.cli.main import main
+
+    rc = main(["search", "--tag", "nosuchtag", "hello"], state=state)
+    assert rc == 1
+    assert "no tag named" in capsys.readouterr().err

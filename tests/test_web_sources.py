@@ -310,3 +310,28 @@ def test_conditional_get_uses_stored_last_modified():
     headers = sess.requests[0][1]
     assert "If-Modified-Since" in headers
     assert "2023" in headers["If-Modified-Since"]
+
+
+def test_bookmarks_dedupe_and_normalize(tmp_path):
+    """The same page bookmarked in two folders yields ONE item, normalized
+    like the history connector (https, no fragment)."""
+    bookmarks = {
+        "roots": {
+            "bar": {"type": "folder", "id": "1", "name": "Bar", "children": [
+                {"type": "url", "id": "2", "url": "http://dup.org/page#frag", "name": "A",
+                 "date_added": str(WEBKIT_2023), "date_last_used": "0"},
+                {"type": "url", "id": "3", "url": "https://dup.org/page/", "name": "B",
+                 "date_added": str(WEBKIT_2023), "date_last_used": "0"},
+            ]},
+            "other": {"type": "folder", "id": "4", "name": "Other", "children": [
+                {"type": "url", "id": "5", "url": "https://dup.org/page", "name": "C",
+                 "date_added": str(WEBKIT_2023), "date_last_used": "0"},
+            ]},
+        }
+    }
+    (tmp_path / "Bookmarks").write_text(json.dumps(bookmarks))
+    scanner = ChromiumBookmarksScanner(1, str(tmp_path), {"skip": []})
+    items = []
+    scanner.scan(items.append)
+    assert len(items) == 1
+    assert items[0].external_id == "https://dup.org/page"
