@@ -4,7 +4,7 @@ Capabilities of dimfeld/perceive, re-architected TPU-first:
 
 - host feeder layer: source scanning (filesystem, Chromium history/bookmarks),
   content extraction, change detection, SQLite store (``perceive_tpu.db``,
-  ``perceive_tpu.sources``, ``perceive_tpu.pipeline``);
+  ``perceive_tpu.sources``);
 - device layer: JAX sentence-embedding encoder with Pallas fused attention
   (``perceive_tpu.models``), an HBM-resident bf16/int8 embedding matrix
   queried by an exact fused matmul + streaming-top-k Pallas kernel

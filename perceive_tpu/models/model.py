@@ -7,7 +7,7 @@ every encode through a dedicated worker thread over a bounded channel because
 libtorch wants single-threaded ownership; JAX dispatch is thread-safe and
 async, so the device queue itself plays that role — callers just invoke the
 jitted function (the ingest pipeline adds host-side backpressure in
-perceive_tpu.pipeline).
+perceive_tpu.sources.pipeline).
 
 Shape policy: token batches are padded to (batch bucket) x (seq bucket) so a
 handful of jit specializations cover all traffic; each specialization is
