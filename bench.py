@@ -11,8 +11,10 @@ Measurement notes:
     (program, args) executions, so same-args loops report fantasy numbers;
   * corpus rows are generated directly in bf16 on device (10M x 384 =
     7.7 GB; no f32 staging) and row-padded to the kernel's 4096 tile;
-  * the exact-scan kernel is HBM-bound, so QPS scales with the query batch
-    — the headline uses batch 512 (the serving path batches queries).
+  * the exact-scan kernel is HBM-bound at small Q and MXU-bound at large Q,
+    so QPS scales with the query batch up to the compute crossover — the
+    headline uses batch 2048 through the query-slabbed kernel (the serving
+    path coalesces concurrent queries; index/executor.py).
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ import numpy as np
 from perceive_tpu.ops.topk import ALLOW_ALL, scan_topk_pallas
 
 K = 10
-QUERY_BATCH = 512
+QUERY_BATCH = 2048
 TIMED_ITERS = 5
 
 
@@ -85,7 +87,7 @@ def main() -> None:
                 "unit": "QPS",
                 "vs_baseline": round(qps / 10_000.0, 3),
                 "p50_single_query_ms": round(p50_ms, 3),
-                "sweep_ms_batch512": round(sweep * 1e3, 3),
+                "sweep_ms_batch2048": round(sweep * 1e3, 3),
                 "effective_gbps": round(n * d * 2 / sweep / 1e9, 1),
                 "backend": jax.default_backend(),
                 "corpus_rows": n,

@@ -264,6 +264,108 @@ def scan_topk_pallas_int8(matrix, scales, source_ids, q, allowed, k: int):
     )
 
 
+QUERY_SLAB = 128  # MXU-width query slabs for the large-batch kernel
+
+
+def _scan_kernel_slabbed(
+    allowed_ref, q_ref, m_ref, src_ref, vals_ref, rows_ref, sc_ref,
+    *, k, tile_n, n_filter, n_slabs,
+):
+    """Large-batch variant: per grid step, iterate 128-query slabs against
+    the resident row tile.  Full-width (128-row) MXU feeds and one row-tile
+    DMA shared by all slabs — at Q>=256 the flat kernel is compute-bound on
+    skinny matmuls and VMEM-bound into small row tiles."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        vals_ref[:] = jnp.full(vals_ref.shape, -jnp.inf, vals_ref.dtype)
+        rows_ref[:] = jnp.full(rows_ref.shape, -1, rows_ref.dtype)
+
+    src = src_ref[:]
+    ok = src == allowed_ref[0]
+    for f in range(1, n_filter):
+        ok = ok | (src == allowed_ref[f])
+    allow_all = allowed_ref[0] == ALLOW_ALL
+    mask = (src >= 0) & (ok | allow_all)
+
+    base = t * tile_n
+    m_tile = m_ref[:]
+    n_iota = jax.lax.broadcasted_iota(jnp.int32, (QUERY_SLAB, tile_n), 1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (QUERY_SLAB, k), 1)
+
+    for s in range(n_slabs):  # static unroll: slab slices stay tile-aligned
+        lo = s * QUERY_SLAB
+        scores = jax.lax.dot_general(
+            q_ref[lo : lo + QUERY_SLAB, :], m_tile,
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        sc_ref[:] = jnp.where(mask, scores, -jnp.inf)
+        tv0 = jnp.max(sc_ref[:], axis=1, keepdims=True)
+
+        def cond(state, lo=lo):
+            j, tv = state
+            return (j < k) & jnp.any(
+                tv > jnp.min(vals_ref[lo : lo + QUERY_SLAB, :], axis=1, keepdims=True)
+            )
+
+        def body(state, lo=lo):
+            j, tv = state
+            sc = sc_ref[:]
+            bv = vals_ref[lo : lo + QUERY_SLAB, :]
+            ti = jnp.min(jnp.where(sc == tv, n_iota, _BIG), axis=1, keepdims=True)
+            bmin, bpos = _argmin2d(bv, k_iota)
+            improve = tv > bmin
+            sel = (k_iota == bpos) & improve
+            vals_ref[lo : lo + QUERY_SLAB, :] = jnp.where(sel, tv, bv)
+            rows_ref[lo : lo + QUERY_SLAB, :] = jnp.where(
+                sel, base + ti, rows_ref[lo : lo + QUERY_SLAB, :]
+            )
+            scn = jnp.where((n_iota == ti) & improve, -jnp.inf, sc)
+            sc_ref[:] = scn
+            return j + 1, jnp.max(scn, axis=1, keepdims=True)
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), tv0))
+
+
+def pallas_topk_slabbed(matrix, src2d, qc, allowed, k: int, interpret: bool):
+    """Raw slabbed-kernel invocation for Q a multiple of QUERY_SLAB."""
+    n, d = matrix.shape
+    nq = qc.shape[0]
+    tile_n = 4096 if n % 4096 == 0 else _pick_tile(n, QUERY_SLAB, d, matrix.dtype.itemsize)
+    n_filter = allowed.shape[0]
+    kernel = functools.partial(
+        _scan_kernel_slabbed, k=k, tile_n=tile_n, n_filter=n_filter,
+        n_slabs=nq // QUERY_SLAB,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nq, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, k), jnp.float32),
+            jax.ShapeDtypeStruct((nq, k), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((QUERY_SLAB, tile_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nq * n * d,
+            bytes_accessed=n * d * matrix.dtype.itemsize + nq * d * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(allowed, qc, matrix, src2d)
+
+
 def pallas_topk_unsorted(matrix, src2d, qc, allowed, k: int, interpret: bool):
     """Raw kernel invocation: unsorted (Q,K) candidate buffer.
 
@@ -309,16 +411,19 @@ def pallas_topk_unsorted(matrix, src2d, qc, allowed, k: int, interpret: bool):
 def _scan_topk(matrix, source_ids, q, allowed, k: int, interpret: bool):
     qc = q.astype(matrix.dtype)
     src2d = source_ids.reshape(1, matrix.shape[0])
-    vals, rows = pallas_topk_unsorted(matrix, src2d, qc, allowed, k, interpret)
+    if q.shape[0] >= 2 * QUERY_SLAB and q.shape[0] % QUERY_SLAB == 0:
+        vals, rows = pallas_topk_slabbed(matrix, src2d, qc, allowed, k, interpret)
+    else:
+        vals, rows = pallas_topk_unsorted(matrix, src2d, qc, allowed, k, interpret)
     # Buffer is an unordered k-set; order it best-first (tiny (Q,K) op).
     svals, perm = jax.lax.top_k(vals, k)
     srows = jnp.take_along_axis(rows, perm, axis=1)
     return svals, srows
 
 
-# Beyond this many queries per sweep the (Q, TILE) score scratch outgrows
-# VMEM; bigger batches run as consecutive slabs (each still a full fused scan)
-MAX_QUERY_SLAB = 512
+# Beyond this many queries per sweep VMEM runs out even for the slabbed
+# kernel; bigger batches run as consecutive sweeps
+MAX_QUERY_SLAB = 2048
 
 
 def scan_topk_pallas(matrix, source_ids, q, allowed, k: int):

@@ -163,3 +163,30 @@ def test_query_slabbing():
     evals, erows = _oracle(matrix, source_ids, q, allowed, k)
     np.testing.assert_allclose(np.asarray(vals), evals, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(rows), erows)
+
+
+def test_slabbed_kernel_matches_oracle():
+    """The large-batch (query-slabbed) kernel path is exact too."""
+    n, d, k, nq = 2048, 128, 10, 256  # nq >= 2*QUERY_SLAB triggers the slab path
+    matrix, source_ids = _make(n, d, 4, seed=33)
+    q = np.random.default_rng(8).standard_normal((nq, d)).astype(np.float32)
+    allowed = _allowed()
+    vals, rows = scan_topk_pallas(
+        jnp.asarray(matrix), jnp.asarray(source_ids), jnp.asarray(q), jnp.asarray(allowed), k
+    )
+    evals, erows = _oracle(matrix, source_ids, q, allowed, k)
+    np.testing.assert_allclose(np.asarray(vals), evals, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(rows), erows)
+
+
+def test_slabbed_kernel_source_filter():
+    n, d, k, nq = 1024, 64, 8, 256
+    matrix, source_ids = _make(n, d, 6, seed=34)
+    q = np.random.default_rng(9).standard_normal((nq, d)).astype(np.float32)
+    allowed = _allowed([2, 5])
+    vals, rows = scan_topk_pallas(
+        jnp.asarray(matrix), jnp.asarray(source_ids), jnp.asarray(q), jnp.asarray(allowed), k
+    )
+    evals, erows = _oracle(matrix, source_ids, q, allowed, k)
+    np.testing.assert_allclose(np.asarray(vals), evals, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(rows), erows)
