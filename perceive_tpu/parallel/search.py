@@ -24,7 +24,14 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..index.searcher import Searcher
-from ..ops.topk import ALLOW_ALL, pallas_topk_int8_unsorted, pallas_topk_unsorted, quantize_queries
+from ..ops.topk import (
+    ALLOW_ALL,
+    QUERY_SLAB,
+    pallas_topk_int8_unsorted,
+    pallas_topk_slabbed,
+    pallas_topk_unsorted,
+    quantize_queries,
+)
 from .mesh import ROWS_AXES, rows_1d_sharding, rows_sharding
 
 
@@ -62,9 +69,14 @@ def _sharded_scan(matrix, scales, source_ids, q, allowed, *, mesh, k, engine, in
         else:
             qc = q_.astype(m_shard.dtype)
             if engine == "pallas":
-                vals, rows = pallas_topk_unsorted(
-                    m_shard, src_shard.reshape(1, -1), qc, allowed_, k, interpret
-                )
+                if qc.shape[0] >= 2 * QUERY_SLAB and qc.shape[0] % QUERY_SLAB == 0:
+                    vals, rows = pallas_topk_slabbed(
+                        m_shard, src_shard.reshape(1, -1), qc, allowed_, k, interpret
+                    )
+                else:
+                    vals, rows = pallas_topk_unsorted(
+                        m_shard, src_shard.reshape(1, -1), qc, allowed_, k, interpret
+                    )
             else:
                 scores = jax.lax.dot_general(
                     qc, m_shard, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
