@@ -162,3 +162,26 @@ def test_sharded_searcher_int8_and_build(tmp_db):
     # retrieve path (inherited) round-trips through SQLite
     res = ss.search_vector_and_retrieve(tmp_db, q, 3)
     assert res and res[0].item.external_id == "d123"
+
+
+def test_sharded_pallas_engine_slabbed():
+    """Sharded scan with the pallas engine (interpret on CPU), large batch
+    routing through the slab kernel per shard."""
+    mesh = make_mesh(4)
+    n, d, nq, k = 8192, 64, 256, 8
+    rng = np.random.default_rng(5)
+    matrix = rng.standard_normal((n, d)).astype(np.float32)
+    source_ids = np.zeros(n, np.int32)
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    allowed = np.full(16, -9, np.int32)
+    allowed[0] = -2
+
+    dm = jax.device_put(jnp.asarray(matrix), rows_sharding(mesh))
+    ds = jax.device_put(jnp.asarray(source_ids), rows_1d_sharding(mesh))
+    vals, rows = sharded_scan_topk(
+        mesh, dm, ds, jnp.asarray(q), jnp.asarray(allowed), k, engine="pallas"
+    )
+    scores = q @ matrix.T
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    np.testing.assert_allclose(np.asarray(vals), np.take_along_axis(scores, idx, 1), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(rows), idx)
