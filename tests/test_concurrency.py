@@ -106,3 +106,61 @@ def test_tokenizer_concurrent_modes(model):
     for t in threads:
         t.join()
     assert not errors, errors[:1]
+
+
+def test_serve_under_concurrent_load(tmp_path, model):
+    """32 concurrent HTTP searches against a 50k-vector index: every request
+    succeeds through the coalescing executor with coherent results."""
+    import json
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from perceive_tpu.cli import AppState
+    from perceive_tpu.db import add_source
+    from perceive_tpu.index.matrix import serialize_embedding
+    from perceive_tpu.serve import start_server
+    from perceive_tpu.types import Source
+
+    st = AppState(str(tmp_path / "load.sqlite3"), model=model, engine="xla",
+                  build_searcher=False)
+    src = add_source(st.db, Source(name="s", config={"type": "fs"}, location="/x"))
+    rng = np.random.default_rng(0)
+    n = 50_000
+    vecs = rng.standard_normal((n, model.dim)).astype(np.float32)
+    with st.db.write() as conn:
+        conn.executemany(
+            "INSERT INTO items (id, source_id, external_id, hash, content) VALUES (?,?,?,?,?)",
+            [(i + 1, src.id, f"d{i}", "", f"doc {i} alpha beta") for i in range(n)],
+        )
+        conn.executemany(
+            """INSERT INTO item_embeddings
+                 (item_id, item_index_version, embedding, model_id, model_version, seq)
+               VALUES (?,?,?,0,0,?)""",
+            [(i + 1, 1, serialize_embedding(vecs[i]), i + 1) for i in range(n)],
+        )
+    from perceive_tpu.index.searcher import Searcher
+
+    st.searcher = Searcher.build(st.db, 0, 0, model.dim, engine="xla", use_snapshot=False)
+    assert len(st.searcher.matrix) == n
+
+    server = start_server(lambda: st, port=0)
+    port = server.server_address[1]
+    try:
+        import time as _t
+
+        _t.sleep(0.3)  # executor attaches once the builder thread finishes
+
+        def one(i):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/search?q=alpha+beta+doc&k=5", timeout=30
+            ) as r:
+                return json.loads(r.read())
+
+        with ThreadPoolExecutor(max_workers=32) as pool:
+            results = list(pool.map(one, range(32)))
+        assert all(len(r) == 5 for r in results)
+        first = [h["id"] for h in results[0]]
+        assert all([h["id"] for h in r] == first for r in results)  # coherent
+    finally:
+        server.shutdown()
+        st.close()
