@@ -83,3 +83,34 @@ def test_int8_incremental_update():
     s.upsert_embeddings([42], [0], _unit_rows(1, d, 6))
     s.upsert_embeddings([1000], [0], q.reshape(1, -1))
     assert s.search_vector(q, 1)[0][0] == 1000
+
+
+def test_int8_with_chunked_documents():
+    """int8 rerank and chunk dedupe compose: exact item ranking vs f32."""
+    d, k = 48, 6
+    rng = np.random.default_rng(7)
+    # 200 items, every 5th has 3 chunks
+    pairs, vecs, srcs = [], [], []
+    for i in range(1, 201):
+        n_chunks = 3 if i % 5 == 0 else 1
+        for c in range(n_chunks):
+            pairs.append((i, c))
+            v = rng.standard_normal(d).astype(np.float32)
+            vecs.append(v / np.linalg.norm(v))
+            srcs.append(i % 2)
+    vecs = np.stack(vecs)
+
+    s_f32 = Searcher(0, 0, d, dtype=jnp.float32, engine="xla")
+    s_i8 = Searcher(0, 0, d, dtype=jnp.int8, engine="pallas")
+    s_f32.upsert_embeddings(pairs, srcs, vecs)
+    s_i8.upsert_embeddings(pairs, srcs, vecs)
+    assert s_i8.matrix.quantized and s_i8.matrix.multi_chunk_groups == 40
+
+    for qi in range(4):
+        q = rng.standard_normal(d).astype(np.float32)
+        q /= np.linalg.norm(q)
+        want = s_f32.search_vector(q, k)
+        got = s_i8.search_vector(q, k)
+        assert [i for i, _ in got] == [i for i, _ in want]
+        assert len({i for i, _ in got}) == k  # deduped items
+        np.testing.assert_allclose([v for _, v in got], [v for _, v in want], rtol=1e-5)
