@@ -188,6 +188,104 @@ def _scan_kernel_int8(
     jax.lax.while_loop(cond, body, (jnp.int32(0), tv0))
 
 
+def _scan_kernel_int8_slabbed(
+    allowed_ref, q_ref, qscale_ref, m_ref, src_ref, scales_ref, vals_ref, rows_ref,
+    sc_ref, *, k, tile_n, n_filter, n_slabs,
+):
+    """Int8 large-batch variant (see _scan_kernel_slabbed)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        vals_ref[:] = jnp.full(vals_ref.shape, -jnp.inf, vals_ref.dtype)
+        rows_ref[:] = jnp.full(rows_ref.shape, -1, rows_ref.dtype)
+
+    src = src_ref[:]
+    ok = src == allowed_ref[0]
+    for f in range(1, n_filter):
+        ok = ok | (src == allowed_ref[f])
+    allow_all = allowed_ref[0] == ALLOW_ALL
+    mask = (src >= 0) & (ok | allow_all)
+
+    base = t * tile_n
+    m_tile = m_ref[:]
+    row_scales = scales_ref[:]
+    n_iota = jax.lax.broadcasted_iota(jnp.int32, (QUERY_SLAB, tile_n), 1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (QUERY_SLAB, k), 1)
+
+    for s in range(n_slabs):
+        lo = s * QUERY_SLAB
+        iscores = jax.lax.dot_general(
+            q_ref[lo : lo + QUERY_SLAB, :], m_tile,
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
+        )
+        scores = iscores.astype(jnp.float32) * row_scales * qscale_ref[lo : lo + QUERY_SLAB, :]
+        sc_ref[:] = jnp.where(mask, scores, -jnp.inf)
+        tv0 = jnp.max(sc_ref[:], axis=1, keepdims=True)
+
+        def cond(state, lo=lo):
+            j, tv = state
+            return (j < k) & jnp.any(
+                tv > jnp.min(vals_ref[lo : lo + QUERY_SLAB, :], axis=1, keepdims=True)
+            )
+
+        def body(state, lo=lo):
+            j, tv = state
+            sc = sc_ref[:]
+            bv = vals_ref[lo : lo + QUERY_SLAB, :]
+            ti = jnp.min(jnp.where(sc == tv, n_iota, _BIG), axis=1, keepdims=True)
+            bmin, bpos = _argmin2d(bv, k_iota)
+            improve = tv > bmin
+            sel = (k_iota == bpos) & improve
+            vals_ref[lo : lo + QUERY_SLAB, :] = jnp.where(sel, tv, bv)
+            rows_ref[lo : lo + QUERY_SLAB, :] = jnp.where(
+                sel, base + ti, rows_ref[lo : lo + QUERY_SLAB, :]
+            )
+            scn = jnp.where((n_iota == ti) & improve, -jnp.inf, sc)
+            sc_ref[:] = scn
+            return j + 1, jnp.max(scn, axis=1, keepdims=True)
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), tv0))
+
+
+def pallas_topk_int8_slabbed(matrix, scales2d, src2d, qi8, qscale, allowed, k: int, interpret: bool):
+    n, d = matrix.shape
+    nq = qi8.shape[0]
+    tile_n = 4096 if n % 4096 == 0 else _pick_tile(n, QUERY_SLAB, d, 1)
+    kernel = functools.partial(
+        _scan_kernel_int8_slabbed, k=k, tile_n=tile_n, n_filter=allowed.shape[0],
+        n_slabs=nq // QUERY_SLAB,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nq, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, k), jnp.float32),
+            jax.ShapeDtypeStruct((nq, k), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((QUERY_SLAB, tile_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nq * n * d,
+            bytes_accessed=n * d + n * 4 + nq * d,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(allowed, qi8, qscale, matrix, src2d, scales2d)
+
+
 def pallas_topk_int8_unsorted(matrix, scales2d, src2d, qi8, qscale, allowed, k: int, interpret: bool):
     """Raw int8 kernel invocation (unsorted buffer); callable inside
     jit/shard_map.  matrix (N,D) int8; scales2d (1,N) f32; qi8 (Q,D) int8;
@@ -239,9 +337,14 @@ def quantize_queries(q):
 def _scan_topk_int8(matrix, scales, source_ids, q, allowed, k: int, interpret: bool):
     n = matrix.shape[0]
     qi8, qscale = quantize_queries(q)
-    vals, rows = pallas_topk_int8_unsorted(
-        matrix, scales.reshape(1, n), source_ids.reshape(1, n), qi8, qscale, allowed, k, interpret
-    )
+    if q.shape[0] >= 2 * QUERY_SLAB and q.shape[0] % QUERY_SLAB == 0:
+        vals, rows = pallas_topk_int8_slabbed(
+            matrix, scales.reshape(1, n), source_ids.reshape(1, n), qi8, qscale, allowed, k, interpret
+        )
+    else:
+        vals, rows = pallas_topk_int8_unsorted(
+            matrix, scales.reshape(1, n), source_ids.reshape(1, n), qi8, qscale, allowed, k, interpret
+        )
     svals, perm = jax.lax.top_k(vals, k)
     return svals, jnp.take_along_axis(rows, perm, axis=1)
 

@@ -114,3 +114,26 @@ def test_int8_with_chunked_documents():
         assert [i for i, _ in got] == [i for i, _ in want]
         assert len({i for i, _ in got}) == k  # deduped items
         np.testing.assert_allclose([v for _, v in got], [v for _, v in want], rtol=1e-5)
+
+
+def test_int8_slabbed_kernel_matches_dequant_oracle():
+    """Large-batch int8 path (query-slabbed) stays exact vs the dequant oracle."""
+    n, d, k, nq = 1024, 128, 8, 256
+    vecs = _unit_rows(n, d, 31)
+    scales = np.maximum(np.abs(vecs).max(axis=1), 1e-12) / 127.0
+    mi8 = np.clip(np.rint(vecs / scales[:, None]), -127, 127).astype(np.int8)
+    src = np.zeros(n, np.int32)
+    q = _unit_rows(nq, d, 32)
+    allowed = np.full(16, -9, np.int32)
+    allowed[0] = ALLOW_ALL
+
+    vals, rows = scan_topk_pallas_int8(
+        jnp.asarray(mi8), jnp.asarray(scales.astype(np.float32)), jnp.asarray(src),
+        jnp.asarray(q), jnp.asarray(allowed), k,
+    )
+    qi8, qs = quantize_queries(jnp.asarray(q))
+    scores = (np.asarray(qi8, np.int32) @ mi8.astype(np.int32).T).astype(np.float32)
+    scores *= scales[None, :].astype(np.float32) * np.asarray(qs)
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    np.testing.assert_allclose(np.asarray(vals), np.take_along_axis(scores, idx, 1), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(rows), idx)
