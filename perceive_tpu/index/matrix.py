@@ -196,7 +196,13 @@ class EmbeddingMatrix:
         ingest may run concurrently: each property re-syncs, and an
         incremental sync donates (invalidates) the previous device arrays —
         capturing one property then another lets a concurrent upsert delete
-        the first array before the kernel launches."""
+        the first array before the kernel launches.
+
+        Concurrent searchers additionally hold ``self._lock`` from this
+        capture through kernel DISPATCH (not materialization): donation
+        invalidates arrays Python-side immediately, but an already-enqueued
+        execution pins its buffers, so capture+dispatch under the lock is
+        race-free while the blocking readback stays outside it."""
         with self._lock:
             self.sync()
             return self._device_vectors, self._device_source_ids, self._device_scales

@@ -113,7 +113,12 @@ class Searcher:
         self.model_version = model_version
         self.matrix = EmbeddingMatrix(dim, dtype=dtype)
         if engine == "auto":
-            engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+            # keyed on the matrix placement (here: the default device), not
+            # jax.default_backend() blindly — ShardedSearcher resolves "auto"
+            # from its mesh's platform before calling this
+            from ..utils.platform import platform_of
+
+            engine = "pallas" if platform_of(self.matrix.device) == "tpu" else "xla"
         self.engine = engine
 
     # -- build ---------------------------------------------------------------
@@ -288,31 +293,38 @@ class Searcher:
             qp = np.concatenate(
                 [q, np.zeros((q.shape[0], m.padded_dim - m.dim), q.dtype)], axis=1
             )
-        # atomic capture: a concurrent upsert's donating scatter must not
-        # invalidate arrays between property reads (see matrix.device_view)
-        vectors, source_ids, scales = m.device_view()
-        if m.quantized:
-            if self.engine == "pallas":
-                from ..ops.topk import scan_topk_pallas_int8
+        # Dispatch under the matrix lock: a concurrent incremental sync()
+        # donates (invalidates) the device arrays another thread captured; an
+        # ENQUEUED kernel pins its buffers, so holding the lock from capture
+        # through dispatch closes the capture->donate->launch race.  The
+        # blocking np.asarray happens outside the lock so searches don't
+        # serialize ingest (ADVICE r1: matrix.py:192).
+        quantized = m.quantized
+        with m._lock:
+            vectors, source_ids, scales = m.device_view()
+            if quantized:
+                if self.engine == "pallas":
+                    from ..ops.topk import scan_topk_pallas_int8
 
-                vals, rows = scan_topk_pallas_int8(
-                    vectors, scales, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
+                    vals, rows = scan_topk_pallas_int8(
+                        vectors, scales, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
+                    )
+                else:
+                    vals, rows = _scan_topk_xla_int8(
+                        vectors, scales, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
+                    )
+            elif self.engine == "pallas":
+                from ..ops.topk import scan_topk_pallas
+
+                vals, rows = scan_topk_pallas(
+                    vectors, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
                 )
             else:
-                vals, rows = _scan_topk_xla_int8(
-                    vectors, scales, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
+                vals, rows = _scan_topk_xla(
+                    vectors, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
                 )
+        if quantized:
             return self._rerank(q, np.asarray(vals), np.asarray(rows))
-        if self.engine == "pallas":
-            from ..ops.topk import scan_topk_pallas
-
-            vals, rows = scan_topk_pallas(
-                vectors, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
-            )
-        else:
-            vals, rows = _scan_topk_xla(
-                vectors, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
-            )
         return np.asarray(vals), np.asarray(rows)
 
     def _rerank(self, q: np.ndarray, vals: np.ndarray, rows: np.ndarray):

@@ -179,10 +179,12 @@ def _attention(
     mask: jax.Array,
     impl: str,
 ) -> jax.Array:
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_interpret"):
         from ..ops.attention import fused_attention
 
-        return fused_attention(q, k, v, mask)
+        return fused_attention(
+            q, k, v, mask, interpret=True if impl == "pallas_interpret" else None
+        )
     mask_bias = (1.0 - mask[:, None, None, :].astype(jnp.float32)) * -1e9
     return _xla_attention(q, k, v, mask_bias)
 

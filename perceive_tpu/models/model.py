@@ -63,7 +63,14 @@ class Model:
         self.model_version = model_version
         self.name = name
         if attention_impl == "auto":
-            attention_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+            # keyed on where the params live, not the process default backend
+            # (a CPU-mesh model in a TPU-attached container must not pick the
+            # compiled Pallas kernel; see utils.platform)
+            from ..utils.platform import platform_of
+
+            leaves = jax.tree.leaves(params)
+            plat = platform_of(leaves[0] if leaves else None)
+            attention_impl = "pallas" if plat == "tpu" else "xla"
         self.attention_impl = attention_impl
         self.compute_dtype = compute_dtype
 

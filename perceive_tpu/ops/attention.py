@@ -54,11 +54,19 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
     o_ref[...] = out.reshape(o_ref.shape)
 
 
-@jax.jit
-def fused_attention(q, k, v, mask):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_attention(q, k, v, mask, *, interpret: bool | None = None):
     """q/k/v: (B, S, NH, DH); mask: (B, S) 1=keep 0=pad.
     Returns (B, S, NH, DH) in q's dtype.  Drop-in for
-    perceive_tpu.models.encoder._xla_attention."""
+    perceive_tpu.models.encoder._xla_attention.
+
+    ``interpret=None`` resolves from the default backend at trace time;
+    callers that run on a non-default platform (CPU mesh in a TPU-attached
+    process) must pass it explicitly (Model keys attention_impl on the
+    params' platform, so "pallas" only reaches here for TPU-resident data
+    unless a test opts in)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, s, nh, dh = q.shape
     scale = 1.0 / math.sqrt(dh)
     # (B, NH, S, DH) so each grid step's block has only leading unit dims
@@ -82,6 +90,6 @@ def fused_attention(q, k, v, mask):
             bytes_accessed=4 * b * nh * s * dh * q.dtype.itemsize,
             transcendentals=b * nh * s * s,
         ),
-        interpret=jax.default_backend() != "tpu",
+        interpret=interpret,
     )(qt, kt, vt, mask)
     return out.transpose(0, 2, 1, 3)

@@ -352,7 +352,9 @@ def _scan_topk_int8(matrix, scales, source_ids, q, allowed, k: int, interpret: b
 def scan_topk_pallas_int8(matrix, scales, source_ids, q, allowed, k: int):
     """Int8 exact-scan top-k (approximate scores; combine with f32 rerank of
     the candidate set for exact results — index.Searcher does this)."""
-    interpret = jax.default_backend() != "tpu"
+    from ..utils.platform import platform_of
+
+    interpret = platform_of(matrix) != "tpu"  # keyed on where the matrix lives
     if q.shape[0] <= MAX_QUERY_SLAB:
         return _scan_topk_int8(matrix, scales, source_ids, q, allowed, k, interpret)
     outs = [
@@ -540,7 +542,9 @@ def scan_topk_pallas(matrix, source_ids, q, allowed, k: int):
     Returns ((Q, k) f32 scores best-first, (Q, k) int32 row indices);
     slots past the number of matching rows carry -inf / -1.
     """
-    interpret = jax.default_backend() != "tpu"
+    from ..utils.platform import platform_of
+
+    interpret = platform_of(matrix) != "tpu"  # keyed on where the matrix lives
     if q.shape[0] <= MAX_QUERY_SLAB:
         return _scan_topk(matrix, source_ids, q, allowed, k, interpret)
     outs = [

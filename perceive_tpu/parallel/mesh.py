@@ -38,6 +38,14 @@ def make_mesh(
 ) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"asked for {n_devices} devices but only {len(devices)} available "
+                f"({devices[0].platform if devices else 'none'}); pass devices= "
+                "explicitly (e.g. jax.devices('cpu') under "
+                "xla_force_host_platform_device_count) instead of silently "
+                "under-provisioning"
+            )
         devices = devices[:n_devices]
     n = len(devices)
     if n % model_parallel:

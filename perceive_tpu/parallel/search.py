@@ -114,7 +114,9 @@ def sharded_scan_topk(mesh, matrix, source_ids, q, allowed, k: int, engine: str 
     (N,) f32 per-row scales for int8 matrices (required when dtype is int8).
     Returns replicated ((Q, k) scores best-first, (Q, k) global row ids).
     """
-    interpret = jax.default_backend() != "tpu"
+    from ..utils.platform import platform_of
+
+    interpret = platform_of(mesh) != "tpu"  # keyed on the mesh's devices
     if scales is None:
         scales = jax.device_put(
             jnp.zeros((matrix.shape[0],), jnp.float32), rows_1d_sharding(mesh)
@@ -142,7 +144,12 @@ class ShardedSearcher(Searcher):
         engine: str = "auto",
     ):
         from ..index.matrix import EmbeddingMatrix
+        from ..utils.platform import platform_of
 
+        if engine == "auto":
+            # resolve from the mesh's platform, not the default backend (the
+            # base class would key on the default device, which can differ)
+            engine = "pallas" if platform_of(mesh) == "tpu" else "xla"
         super().__init__(model_id, model_version, dim, dtype=dtype, engine=engine)
         self.mesh = mesh
         self.matrix = EmbeddingMatrix(
@@ -179,17 +186,27 @@ class ShardedSearcher(Searcher):
             qp = np.concatenate(
                 [q, np.zeros((q.shape[0], m.padded_dim - m.dim), q.dtype)], axis=1
             )
-        vectors, source_ids, scales = m.device_view()  # atomic capture
-        vals, rows = sharded_scan_topk(
-            self.mesh,
-            vectors,
-            source_ids,
-            jnp.asarray(qp),
-            jnp.asarray(allowed),
-            kb,
-            engine=self.engine,
-            scales=scales if m.quantized else None,
-        )
+        from .mesh import replicated
+
+        rep = replicated(self.mesh)
+        # dispatch under the matrix lock so a concurrent incremental sync's
+        # donating scatter cannot invalidate the captured arrays before the
+        # kernel is enqueued (enqueued executions pin their buffers; the race
+        # was Python-side capture->donate->launch).  Materialize outside.
+        with m._lock:
+            vectors, source_ids, scales = m.device_view()  # atomic capture
+            vals, rows = sharded_scan_topk(
+                self.mesh,
+                vectors,
+                source_ids,
+                # explicit mesh placement: uncommitted jnp arrays would land on
+                # the DEFAULT device, which may be a different platform
+                jax.device_put(np.asarray(qp, np.float32), rep),
+                jax.device_put(np.asarray(allowed, np.int32), rep),
+                kb,
+                engine=self.engine,
+                scales=scales if m.quantized else None,
+            )
         vals, rows = np.asarray(vals), np.asarray(rows)
         if m.quantized:
             return self._rerank(q, vals, rows)

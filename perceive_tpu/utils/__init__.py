@@ -1,4 +1,5 @@
 from .batch_sender import BatchSender
+from .platform import platform_of
 from .time_tracker import TimeTracker
 
-__all__ = ["BatchSender", "TimeTracker"]
+__all__ = ["BatchSender", "TimeTracker", "platform_of"]
