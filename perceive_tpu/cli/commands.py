@@ -327,8 +327,9 @@ def _resolve_source_filter(state, args) -> Optional[list[int]]:
         return [src.id]
     if getattr(args, "type", None):
         tag = SourceTypeTag(args.type)
-        ids = [s.id for s in state.sources if s.matches_tag(tag)]
-        return ids or None
+        # [] means "matches nothing" (zero results), NOT "no filter" — the
+        # reference returns empty for a tag with no sources (ADVICE r1)
+        return [s.id for s in state.sources if s.matches_tag(tag)]
     return None
 
 
@@ -438,10 +439,16 @@ def hide(state, args) -> None:
     state.db.set_item_hidden(item_id, not unhide)
     if state.searcher is not None:
         if unhide:
+            import numpy as np
+
             item = state.db.read_item(item_id)
-            vec = state.searcher.stored_embedding(state.db, item_id)
-            if item is not None and vec is not None:
-                state.searcher.upsert_embeddings([item_id], [item.source_id], vec.reshape(1, -1))
+            chunks = state.searcher.stored_embeddings(state.db, item_id)
+            if item is not None and chunks:
+                # restore EVERY chunk row, not just chunk 0 (a chunk-embedded
+                # document must come back with all its vectors)
+                keys = [(item_id, ci) for ci, _ in chunks]
+                vecs = np.stack([v for _, v in chunks])
+                state.searcher.upsert_embeddings(keys, [item.source_id] * len(keys), vecs)
         else:
             state.searcher.remove_items([item_id])
     print(("Unhid" if unhide else "Hid") + f" item {item_id}")

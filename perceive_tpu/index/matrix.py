@@ -96,6 +96,9 @@ class EmbeddingMatrix:
         self._lock = threading.RLock()
 
         self.rows = 0  # high-water mark of allocated rows
+        # tombstoned rows available for reuse — without this, rebuild/churn
+        # grows capacity without bound (ADVICE r1: matrix.py:275)
+        self._free: list[int] = []
         self.row_of: dict[int, int] = {}
         # key-group index: item id -> set of chunk keys currently stored
         self.groups: dict[int, set[int]] = {}
@@ -252,8 +255,9 @@ class EmbeddingMatrix:
             keep = np.fromiter(last.values(), dtype=np.int64)
             item_ids, source_ids, vectors = item_ids[keep], source_ids[keep], vectors[keep]
         with self._lock:
-            self._grow(self.rows + len(item_ids))
-            # existing rows keep their slot; new ids get contiguous fresh rows
+            self._grow(self.rows + max(0, len(item_ids) - len(self._free)))
+            # existing rows keep their slot; new ids reuse tombstoned rows
+            # first, then take contiguous fresh rows at the high-water mark
             get = self.row_of.get
             rows = np.fromiter(
                 (get(int(i), -1) for i in item_ids), dtype=np.int64, count=len(item_ids)
@@ -261,9 +265,17 @@ class EmbeddingMatrix:
             new = rows < 0
             n_new = int(new.sum())
             if n_new:
-                fresh = np.arange(self.rows, self.rows + n_new, dtype=np.int64)
+                n_reuse = min(len(self._free), n_new)
+                reused = self._free[len(self._free) - n_reuse :]
+                del self._free[len(self._free) - n_reuse :]
+                fresh = np.concatenate(
+                    [
+                        np.asarray(reused, dtype=np.int64),
+                        np.arange(self.rows, self.rows + n_new - n_reuse, dtype=np.int64),
+                    ]
+                )
                 rows[new] = fresh
-                self.rows += n_new
+                self.rows += n_new - n_reuse
                 self.row_of.update(zip(item_ids[new].tolist(), fresh.tolist()))
             for k in item_ids.tolist():
                 g = self.groups.setdefault(k // CHUNK_STRIDE, set())
@@ -296,6 +308,7 @@ class EmbeddingMatrix:
                     self.source_ids[row] = -1
                     self.item_ids[row] = -1
                     self._dirty_rows.add(int(row))
+                    self._free.append(int(row))
                     n += 1
         return n
 
@@ -321,6 +334,7 @@ class EmbeddingMatrix:
                 self.source_ids[row] = -1
                 self.item_ids[row] = -1
                 self._dirty_rows.add(int(row))
+                self._free.append(int(row))
             return len(rows)
 
     def __len__(self) -> int:

@@ -38,14 +38,23 @@ from .matrix import EmbeddingMatrix, chunk_key, deserialize_embedding, key_item
 
 K_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
 MAX_K = K_BUCKETS[-1]
+# Internal over-fetch (int8 rerank x chunk dedupe) may exceed the user-facing
+# MAX_K; these buckets keep the over-fetch real instead of silently collapsing
+# it at 1024 (ADVICE r1: searcher.py:285).  8192 = MAX_K * RERANK_FACTOR * 2.
+_OVERFETCH_BUCKETS = K_BUCKETS + (2048, 4096, 8192)
 MAX_SOURCE_FILTER = 16  # fixed-size filter list keeps jit shapes stable
+
+# The Pallas kernels carry the (Q, K) candidate buffer in VMEM; past this
+# budget the sweep falls back to the XLA engine (einsum + top_k handles any
+# k), so large over-fetches stay correct instead of blowing VMEM.
+_KERNEL_TOPK_BYTES = 2 * 1024 * 1024
 
 
 def _k_bucket(k: int, n: int) -> int:
-    for b in K_BUCKETS:
+    for b in _OVERFETCH_BUCKETS:
         if b >= k:
             return min(b, max(n, 1))
-    return min(K_BUCKETS[-1], max(n, 1))
+    return min(_OVERFETCH_BUCKETS[-1], max(n, 1))
 
 
 @dataclasses.dataclass
@@ -278,32 +287,22 @@ class Searcher:
 
     # -- query ---------------------------------------------------------------
 
-    def _scan(self, q: np.ndarray, k: int, allowed: np.ndarray):
+    def _device_scan(self, qp: np.ndarray, kb: int, allowed: np.ndarray, engine: str):
+        """One device sweep -> ((Q, kb) scores, (Q, kb) rows) as host arrays
+        (quantized matrices return approximate int8 scores; _scan reranks).
+
+        Dispatch happens under the matrix lock: a concurrent incremental
+        sync() donates (invalidates) the device arrays another thread
+        captured; an ENQUEUED kernel pins its buffers, so holding the lock
+        from capture through dispatch closes the capture->donate->launch
+        race.  The blocking np.asarray stays outside the lock so searches
+        don't serialize ingest (ADVICE r1: matrix.py:192).
+        """
         m = self.matrix
-        if k > MAX_K:
-            raise ValueError(f"k={k} exceeds the maximum of {MAX_K}")
-        want = k
-        if m.quantized:
-            want = RERANK_FACTOR * want
-        if m.multi_chunk_groups > 0:
-            want = 2 * want  # chunk dedupe needs extra candidates
-        kb = _k_bucket(want, m.rows)
-        qp = q
-        if m.padded_dim > m.dim:  # zero-pad queries to the lane-aligned width
-            qp = np.concatenate(
-                [q, np.zeros((q.shape[0], m.padded_dim - m.dim), q.dtype)], axis=1
-            )
-        # Dispatch under the matrix lock: a concurrent incremental sync()
-        # donates (invalidates) the device arrays another thread captured; an
-        # ENQUEUED kernel pins its buffers, so holding the lock from capture
-        # through dispatch closes the capture->donate->launch race.  The
-        # blocking np.asarray happens outside the lock so searches don't
-        # serialize ingest (ADVICE r1: matrix.py:192).
-        quantized = m.quantized
         with m._lock:
             vectors, source_ids, scales = m.device_view()
-            if quantized:
-                if self.engine == "pallas":
+            if m.quantized:
+                if engine == "pallas":
                     from ..ops.topk import scan_topk_pallas_int8
 
                     vals, rows = scan_topk_pallas_int8(
@@ -313,7 +312,7 @@ class Searcher:
                     vals, rows = _scan_topk_xla_int8(
                         vectors, scales, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
                     )
-            elif self.engine == "pallas":
+            elif engine == "pallas":
                 from ..ops.topk import scan_topk_pallas
 
                 vals, rows = scan_topk_pallas(
@@ -323,9 +322,45 @@ class Searcher:
                 vals, rows = _scan_topk_xla(
                     vectors, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
                 )
-        if quantized:
-            return self._rerank(q, np.asarray(vals), np.asarray(rows))
         return np.asarray(vals), np.asarray(rows)
+
+    def _scan(self, q: np.ndarray, k: int, allowed: np.ndarray):
+        m = self.matrix
+        if k > MAX_K:
+            raise ValueError(f"k={k} exceeds the maximum of {MAX_K}")
+        want = k
+        if m.quantized:
+            want = RERANK_FACTOR * want
+        if m.multi_chunk_groups > 0:
+            want = 2 * want  # chunk dedupe needs extra candidates
+        qp = q
+        if m.padded_dim > m.dim:  # zero-pad queries to the lane-aligned width
+            qp = np.concatenate(
+                [q, np.zeros((q.shape[0], m.padded_dim - m.dim), q.dtype)], axis=1
+            )
+        while True:
+            kb = _k_bucket(want, m.rows)
+            engine = self.engine
+            if engine == "pallas" and q.shape[0] * kb * 8 > _KERNEL_TOPK_BYTES:
+                engine = "xla"  # (Q,K) buffer would blow VMEM; XLA is exact too
+            vals, rows = self._device_scan(qp, kb, allowed, engine)
+            if not m.quantized:
+                return vals, rows
+            evals, erows = self._rerank(q, vals, rows)
+            # Over-fetch escalation (bounds the rerank guarantee instead of
+            # asserting it): a row OUTSIDE the fetched candidate set scores
+            # at most the quantized floor (the kb-th fetched quantized
+            # score), so when the k-th EXACT score clears that floor no
+            # outside row can displace the top-k.  Otherwise re-fetch 4x
+            # deeper.  Applies per sweep; sharded merge floors dominate
+            # per-chip floors, so the same check is valid there.
+            if kb >= min(m.rows, _OVERFETCH_BUCKETS[-1]):
+                return evals, erows  # fetched everything fetchable
+            buffer_full = np.isfinite(vals[:, -1])  # else: all matches fetched
+            kth = evals[:, min(k, evals.shape[1]) - 1]
+            if not (buffer_full & (kth < vals[:, -1])).any():
+                return evals, erows
+            want = 4 * kb  # grow past the CURRENT bucket, not the request
 
     def _rerank(self, q: np.ndarray, vals: np.ndarray, rows: np.ndarray):
         """Exact f32 rescoring of int8 candidates against the host mirror."""
@@ -361,6 +396,13 @@ class Searcher:
         return out
 
     def _scan_filtered(self, q: np.ndarray, k: int, source_ids) -> tuple:
+        if source_ids is not None and len(source_ids) == 0:
+            # an explicit empty filter matches nothing (the reference returns
+            # zero results; round 1 coerced [] to "no filter" — ADVICE r1)
+            return (
+                np.full((q.shape[0], 0), -np.inf, np.float32),
+                np.full((q.shape[0], 0), -1, np.int64),
+            )
         groups = self._allowed_arrays(source_ids)
         if len(groups) == 1:
             return self._scan(q, k, groups[0])
@@ -478,3 +520,14 @@ class Searcher:
             (self.model_id, self.model_version, item_id),
         ).fetchone()
         return deserialize_embedding(row[0]) if row else None
+
+    def stored_embeddings(self, db: Database, item_id: int) -> list[tuple[int, np.ndarray]]:
+        """Every stored (chunk_idx, vector) of an item — unhide must restore
+        ALL chunk rows, not just chunk 0 (ADVICE r1: commands.py:444)."""
+        rows = db.read().execute(
+            """SELECT chunk_idx, embedding FROM item_embeddings
+               WHERE model_id = ? AND model_version = ? AND item_id = ?
+               ORDER BY chunk_idx""",
+            (self.model_id, self.model_version, item_id),
+        ).fetchall()
+        return [(int(r[0]), deserialize_embedding(r[1])) for r in rows]

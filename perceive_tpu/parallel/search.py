@@ -169,25 +169,15 @@ class ShardedSearcher(Searcher):
         s._load(db, extra_sql="", params=())
         return s
 
-    def _scan(self, q: np.ndarray, k: int, allowed: np.ndarray):
-        from ..index.searcher import MAX_K, RERANK_FACTOR, _k_bucket
-
-        m = self.matrix
-        if k > MAX_K:
-            raise ValueError(f"k={k} exceeds the maximum of {MAX_K}")
-        want = k
-        if m.quantized:
-            want = RERANK_FACTOR * want
-        if m.multi_chunk_groups > 0:
-            want = 2 * want  # chunk dedupe needs extra candidates
-        kb = _k_bucket(want, m.rows)
-        qp = q
-        if m.padded_dim > m.dim:
-            qp = np.concatenate(
-                [q, np.zeros((q.shape[0], m.padded_dim - m.dim), q.dtype)], axis=1
-            )
+    def _device_scan(self, qp: np.ndarray, kb: int, allowed: np.ndarray, engine: str):
+        """Mesh-wide sweep (overrides Searcher._device_scan; the shared _scan
+        orchestration — padding, k-bucketing, int8 rerank + over-fetch
+        escalation — lives in the base class.  The escalation floor check is
+        valid here because the merged kb-th score dominates every chip's
+        local kb-th floor)."""
         from .mesh import replicated
 
+        m = self.matrix
         rep = replicated(self.mesh)
         # dispatch under the matrix lock so a concurrent incremental sync's
         # donating scatter cannot invalidate the captured arrays before the
@@ -204,10 +194,7 @@ class ShardedSearcher(Searcher):
                 jax.device_put(np.asarray(qp, np.float32), rep),
                 jax.device_put(np.asarray(allowed, np.int32), rep),
                 kb,
-                engine=self.engine,
+                engine=engine,
                 scales=scales if m.quantized else None,
             )
-        vals, rows = np.asarray(vals), np.asarray(rows)
-        if m.quantized:
-            return self._rerank(q, vals, rows)
-        return vals, rows
+        return np.asarray(vals), np.asarray(rows)

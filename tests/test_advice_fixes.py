@@ -1,0 +1,118 @@
+"""Regression tests for the round-1 advisor findings (ADVICE.md) and the
+int8 over-fetch escalation path (VERDICT r1 #4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from perceive_tpu.index.matrix import EmbeddingMatrix
+from perceive_tpu.index.searcher import Searcher
+
+
+def test_empty_source_filter_returns_nothing():
+    """source_ids=[] means "matches nothing", not "no filter" (the round-1
+    coercion returned results from ALL sources and [] crashed _scan_filtered)."""
+    s = Searcher(0, 0, 8, dtype=jnp.float32, engine="xla")
+    vecs = np.random.default_rng(0).standard_normal((20, 8)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)  # self-match wins
+    s.upsert_embeddings(list(range(1, 21)), [1] * 20, vecs)
+    assert s.search_vector(vecs[0], 5, source_ids=[]) == []
+    assert s.search_vectors_batch(vecs[:3], 5, source_ids=[]) == [[], [], []]
+    # non-empty filters still work
+    assert s.search_vector(vecs[0], 5, source_ids=[1])[0][0] == 1
+
+
+def test_unhide_restores_all_chunks(tmp_db):
+    """hide --unhide must restore every chunk row of a chunk-embedded doc."""
+    from types import SimpleNamespace
+
+    from perceive_tpu.cli.commands import hide
+    from perceive_tpu.db import add_source
+    from perceive_tpu.index.matrix import serialize_embedding
+    from perceive_tpu.types import Source
+
+    src = add_source(tmp_db, Source(name="s", config={"type": "fs"}, location="/x"))
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((3, 8)).astype(np.float32)
+    with tmp_db.write() as conn:
+        cur = conn.execute(
+            "INSERT INTO items (source_id, external_id, hash, content) VALUES (?,?,?,?)",
+            (src.id, "doc", "", "c"),
+        )
+        iid = cur.lastrowid
+        for ci in range(3):
+            conn.execute(
+                """INSERT INTO item_embeddings (item_id, item_index_version, embedding,
+                     model_id, model_version, chunk_idx, seq)
+                   VALUES (?,?,?,0,0,?,?)""",
+                (iid, 1, serialize_embedding(vecs[ci]), ci, ci + 1),
+            )
+
+    s = Searcher.build(tmp_db, 0, 0, 8, dtype=jnp.float32, engine="xla", use_snapshot=False)
+    assert len(s.matrix) == 3
+    state = SimpleNamespace(db=tmp_db, searcher=s)
+
+    hide(state, SimpleNamespace(item_id=iid, unhide=False))
+    assert len(s.matrix) == 0
+    hide(state, SimpleNamespace(item_id=iid, unhide=True))
+    assert len(s.matrix) == 3, "unhide must restore every chunk row"
+
+
+def test_matrix_reuses_tombstoned_rows():
+    """Repeated remove+upsert churn must not grow capacity without bound."""
+    m = EmbeddingMatrix(8, dtype=jnp.float32, capacity=512)
+    rng = np.random.default_rng(2)
+    ids = list(range(1, 401))
+    m.upsert(ids, [1] * 400, rng.standard_normal((400, 8)).astype(np.float32))
+    cap0, rows0 = m.capacity, m.rows
+    for round_ in range(5):
+        m.remove_source(1)
+        assert len(m) == 0
+        m.upsert(ids, [1] * 400, rng.standard_normal((400, 8)).astype(np.float32))
+        assert len(m) == 400
+    assert m.capacity == cap0, "churn grew capacity despite tombstone reuse"
+    assert m.rows == rows0
+    # the reused rows still score correctly
+    v = np.zeros(8, np.float32)
+    v[0] = 1.0
+    m.upsert([999], [1], v.reshape(1, -1))
+    assert m.rows == rows0 or m.rows == rows0 + 1
+
+
+def test_int8_overfetch_escalation():
+    """Rows whose quantized scores OVERestimate their exact scores fill the
+    initial candidate buffer; the escalation loop must fetch deeper until the
+    true winner (accurately quantized, below the inflated floor) surfaces."""
+    d = 8
+    n_decoy = 64
+    # decoys: dim0 true 0.51*s quantizes to 1*s (2x overestimate); the big
+    # dim1 value pins the per-row scale
+    s_ = 0.01
+    decoys = np.zeros((n_decoy, d), np.float32)
+    decoys[:, 0] = 0.51 * s_
+    decoys[:, 1] = 127 * s_
+    # winner: accurate quantization, exact dim0 score 0.008 > decoy exact
+    # 0.0051 but quantized 0.008 < decoy quantized 0.01
+    winner = np.zeros((1, d), np.float32)
+    winner[0, 0] = 0.008
+    vecs = np.concatenate([decoys, winner])
+    ids = list(range(1, len(vecs) + 1))
+
+    s = Searcher(0, 0, d, dtype=jnp.int8, engine="xla")
+    s.upsert_embeddings(ids, [1] * len(ids), vecs)
+
+    q = np.zeros(d, np.float32)
+    q[0] = 1.0
+    hits = s.search_vector(q, 1)
+    assert hits[0][0] == len(vecs), (
+        f"escalation failed to surface the true winner: {hits}"
+    )
+
+
+def test_overfetch_buckets_exceed_max_k():
+    """k=MAX_K on a quantized matrix must still over-fetch (the round-1
+    bucket table silently collapsed the rerank over-fetch at 1024)."""
+    from perceive_tpu.index.searcher import MAX_K, _k_bucket
+
+    assert _k_bucket(4 * MAX_K, 10_000_000) == 4 * MAX_K
+    assert _k_bucket(8 * MAX_K, 10_000_000) == 8 * MAX_K
