@@ -6,10 +6,11 @@ If-None-Match/ETag, HTTP-status -> SkipReason mapping, non-text content
 stored with empty content (keeps title/etag so we never re-fetch), raw HTML
 zstd-compressed for reprocessing, readability-style article extraction.
 
-The extractor is in-house (no readability-lxml in the image): strip
-script/style/nav chrome, score candidate containers by text mass and link
-density, return (title, text) — same contract as the reference's
-readability::extractor (parse_html.rs:32-39).
+Article extraction lives in perceive_tpu.sources.readability — an arc90
+(Mozilla Readability) implementation matching the reference's readability
+crate semantics (parse_html.rs:164-174); extract_html_article below is the
+(title, text) façade the connectors and the reprocess pipeline call
+(parse_html.rs:32-39).
 """
 
 from __future__ import annotations
@@ -34,7 +35,9 @@ ALWAYS_SKIP = (
     "googleapis.com",
 )
 
-HTML_PROCESS_VERSION = 1
+# bumped 1 -> 2 with the arc90 extractor: `source reprocess` re-extracts
+# stored raw HTML under the new algorithm (reference parse_html.rs:30)
+HTML_PROCESS_VERSION = 2
 USER_AGENT = "perceive-tpu-search"
 FETCH_TIMEOUT = 30
 
@@ -48,87 +51,13 @@ def should_skip(skip: list[str], url: str) -> bool:
 
 # -- article extraction ------------------------------------------------------
 
-_STRIP_TAGS = {
-    "script", "style", "noscript", "template", "svg", "iframe", "form",
-    "nav", "header", "footer", "aside", "button",
-}
-_NEGATIVE_RE = re.compile(
-    r"comment|sidebar|footer|header|menu|nav|promo|related|share|social|sponsor|ad-|advert",
-    re.I,
-)
-_BLOCK_TAGS = {"p", "pre", "li", "blockquote", "h1", "h2", "h3", "h4", "td", "article", "section", "div"}
-
 
 def extract_html_article(url: str, raw: bytes) -> tuple[str, str]:
-    """(title, text) from raw HTML — readability-lite.
+    """(title, text) from raw HTML via the arc90 readability scorer
+    (perceive_tpu.sources.readability; reference parse_html.rs:32-39)."""
+    from .readability import extract_article
 
-    Candidate containers are scored by text length discounted by link
-    density; the winner's block-level text is joined with newlines.  Falls
-    back to whole-body text when no candidate scores.
-    """
-    import lxml.html
-
-    try:
-        doc = lxml.html.fromstring(raw)
-    except Exception:
-        return "", ""
-
-    title = ""
-    t = doc.find(".//title")
-    if t is not None and t.text:
-        title = t.text.strip()
-    og = doc.find('.//meta[@property="og:title"]')
-    if og is not None and og.get("content"):
-        title = og.get("content").strip() or title
-    h1 = doc.find(".//h1")
-    if not title and h1 is not None:
-        title = (h1.text_content() or "").strip()
-
-    # materialize before mutating: drop_tree() mid-iteration dead-ends
-    # lxml's walk inside the detached subtree and leaves later chrome intact
-    for el in list(doc.iter()):
-        if el.tag in _STRIP_TAGS and el.getparent() is not None:
-            el.drop_tree()
-
-    def link_len(el) -> int:
-        return sum(len((a.text_content() or "")) for a in el.findall(".//a"))
-
-    best, best_score = None, 0.0
-    for el in doc.iter():
-        if el.tag not in ("div", "article", "section", "main", "td", "body"):
-            continue
-        idcls = f"{el.get('id', '')} {el.get('class', '')}"
-        text = el.text_content() or ""
-        tl = len(text.strip())
-        if tl < 80:
-            continue
-        density = link_len(el) / tl if tl else 1.0
-        score = tl * (1.0 - density)
-        if _NEGATIVE_RE.search(idcls):
-            score *= 0.25
-        if el.tag in ("article", "main"):
-            score *= 1.5
-        if score > best_score:
-            best, best_score = el, score
-
-    root = best if best is not None else doc
-    parts: list[str] = []
-    seen_text = set()
-    leaf_tags = tuple(t for t in _BLOCK_TAGS if t not in ("article", "section", "div"))
-    for el in root.iter():
-        if el.tag in _BLOCK_TAGS and el.tag != "div":
-            # only leaf blocks contribute text: a container (article/li/td
-            # holding <p>s) would duplicate every child paragraph
-            if next(el.iterdescendants(*leaf_tags), None) is not None:
-                continue
-            txt = re.sub(r"\s+", " ", el.text_content() or "").strip()
-            if txt and txt not in seen_text:
-                seen_text.add(txt)
-                parts.append(txt)
-    if not parts:
-        txt = re.sub(r"\s+", " ", root.text_content() or "").strip()
-        parts = [txt] if txt else []
-    return title, "\n".join(parts)
+    return extract_article(raw)
 
 
 def reprocess_html_article(item: Item) -> ReadResult:

@@ -1,0 +1,87 @@
+"""Golden tests for the arc90 article extractor (VERDICT r1 #6) on saved
+realistic pages: a news article with nav/comments/related chrome, a docs
+page with sidebar/TOC, a JS-shell app, and a blog post with figure and
+newsletter chrome."""
+
+from pathlib import Path
+
+import pytest
+
+from perceive_tpu.sources.readability import extract_article
+
+PAGES = Path(__file__).resolve().parent / "fixtures" / "pages"
+
+
+def _extract(name):
+    return extract_article((PAGES / name).read_bytes())
+
+
+def test_news_article():
+    title, text = _extract("news.html")
+    assert title == "City Council Approves New Transit Plan"
+    # the five article paragraphs survive
+    for frag in (
+        "voted 7-2 on Tuesday",
+        "extend the Blue Line eleven miles",
+        "a car is an option rather than a requirement",
+        "$18 million annually",
+        "utility relocation along the eastern corridor",
+    ):
+        assert frag in text, f"article text lost: {frag!r}"
+    # chrome is gone
+    for chrome in (
+        "Subscribe now",            # nav
+        "We use cookies",           # cookie banner
+        "Transit authority names",  # related-articles rail
+        "waste of taxpayer money",  # comments
+        "All rights reserved",      # footer
+    ):
+        assert chrome not in text, f"chrome leaked: {chrome!r}"
+
+
+def test_docs_page():
+    title, text = _extract("docs.html")
+    assert "Configuring retry policies" in title
+    for frag in (
+        "retry failed operations automatically",
+        "exponential backoff with jitter",
+        "max_attempts=5",
+        "idempotency token",
+        "never retried",
+        "DeadlineExceeded",
+    ):
+        assert frag in text, f"docs content lost: {frag!r}"
+    assert "Quickstart" not in text  # sidebar
+    assert "On this page" not in text  # TOC
+
+
+def test_js_shell_app():
+    title, text = _extract("jsapp.html")
+    assert title == "Flight Tracker Pro"
+    # nothing useful to extract — must not crash and must not leak the bundle
+    assert "__APP_STATE__" not in text
+    assert "function" not in text
+
+
+def test_blog_post():
+    title, text = _extract("blog.html")
+    assert "sourdough failed at altitude" in title
+    for frag in (
+        "flat, gummy, and sour",
+        "fermentation gases expand faster",
+        "ninety-two degrees Celsius",
+        "start with less leaven",
+    ):
+        assert frag in text, f"blog content lost: {frag!r}"
+    assert "Subscribe to get new posts" not in text  # newsletter aside
+    assert "Share on social" not in text
+    assert "Unsubscribe anytime" not in text  # footer
+    # figcaption is genuine content
+    assert "the pancake era" in text
+
+
+def test_garbage_and_fragments():
+    assert extract_article(b"") == ("", "")
+    extract_article(b"\x00\xff\xfe binary")  # must not crash (lxml is lenient)
+    t, x = extract_article(b"<p>Just one paragraph, nothing else, but long enough to matter here.</p>")
+    assert "Just one paragraph" in x
