@@ -19,9 +19,17 @@
 // are anchored to their .gitignore's directory, bare patterns match the
 // basename at any depth; fnmatch(3) provides * ? [..] semantics.  Last
 // matching rule wins, inner files override outer ones.
+//
+// File sources, in ascending precedence (the reference `ignore` crate's
+// WalkBuilder defaults): the user's global gitignore and `.git/info/exclude`
+// (both loaded where a `.git` marker makes a directory a repo root), then
+// per-directory `.gitignore`, then `.ignore`.  When the walk root sits
+// inside a repository, the repo root's files and every `.gitignore`/`.ignore`
+// on the path down to the root are inherited ("parents" behavior).
 
 #include <atomic>
 #include <condition_variable>
+#include <cstdlib>
 #include <cstring>
 #include <deque>
 #include <fstream>
@@ -50,12 +58,12 @@ struct Rules {
   std::shared_ptr<Rules> parent;
 };
 
-std::shared_ptr<Rules> load_rules(const std::string& dir,
-                                  std::shared_ptr<Rules> parent) {
-  std::ifstream f(dir + "/.gitignore");
+std::shared_ptr<Rules> load_one(const std::string& file, const std::string& base,
+                                std::shared_ptr<Rules> parent) {
+  std::ifstream f(file);
   if (!f.good()) return parent;
   auto rules = std::make_shared<Rules>();
-  rules->base = dir;
+  rules->base = base;
   rules->parent = std::move(parent);
   std::string line;
   while (std::getline(f, line)) {
@@ -80,6 +88,76 @@ std::shared_ptr<Rules> load_rules(const std::string& dir,
     rules->pats.push_back(std::move(p));
   }
   if (rules->pats.empty()) return rules->parent;
+  return rules;
+}
+
+bool path_exists(const std::string& p) {
+  struct stat st;
+  return lstat(p.c_str(), &st) == 0;
+}
+
+// resolution mirrors sources/fs.py global_ignore_path(): env override,
+// core.excludesfile from ~/.gitconfig (best effort), XDG, ~/.config
+std::string global_ignore_file() {
+  const char* env = getenv("PERCEIVE_TPU_GLOBAL_GITIGNORE");
+  if (env) return path_exists(env) ? std::string(env) : std::string();
+  const char* home = getenv("HOME");
+  std::string h = home ? home : "";
+  if (!h.empty()) {
+    std::ifstream f(h + "/.gitconfig");
+    std::string line;
+    while (f.good() && std::getline(f, line)) {
+      size_t i = line.find_first_not_of(" \t");
+      if (i == std::string::npos) continue;
+      std::string l = line.substr(i);
+      if (l.rfind("excludesfile", 0) == 0 || l.rfind("excludesFile", 0) == 0) {
+        size_t eq = l.find('=');
+        if (eq == std::string::npos) continue;
+        std::string v = l.substr(eq + 1);
+        v.erase(0, v.find_first_not_of(" \t"));
+        while (!v.empty() && (v.back() == ' ' || v.back() == '\t')) v.pop_back();
+        if (!v.empty() && v[0] == '~') v = h + v.substr(1);
+        if (path_exists(v)) return v;
+      }
+    }
+  }
+  const char* xdg = getenv("XDG_CONFIG_HOME");
+  std::string p = (xdg ? std::string(xdg) : h + "/.config") + "/git/ignore";
+  return path_exists(p) ? p : std::string();
+}
+
+// this directory's ignore files appended to the chain, weakest first
+std::shared_ptr<Rules> load_rules(const std::string& dir,
+                                  std::shared_ptr<Rules> parent) {
+  auto rules = std::move(parent);
+  if (path_exists(dir + "/.git")) {  // repo root: global + info/exclude
+    std::string g = global_ignore_file();
+    if (!g.empty()) rules = load_one(g, dir, std::move(rules));
+    rules = load_one(dir + "/.git/info/exclude", dir, std::move(rules));
+  }
+  rules = load_one(dir + "/.gitignore", dir, std::move(rules));
+  rules = load_one(dir + "/.ignore", dir, std::move(rules));
+  return rules;
+}
+
+// rules inherited from ABOVE the walk root (enclosing repository)
+std::shared_ptr<Rules> root_parent_rules(const std::string& root) {
+  std::vector<std::string> ancestors;
+  std::string cur = root;
+  size_t slash;
+  bool found = false;
+  while ((slash = cur.rfind('/')) != std::string::npos && slash > 0) {
+    cur = cur.substr(0, slash);
+    ancestors.push_back(cur);
+    if (path_exists(cur + "/.git")) {
+      found = true;
+      break;
+    }
+  }
+  if (!found) return nullptr;
+  std::shared_ptr<Rules> rules;
+  for (auto it = ancestors.rbegin(); it != ancestors.rend(); ++it)
+    rules = load_rules(*it, std::move(rules));
   return rules;
 }
 
@@ -219,7 +297,7 @@ char* fw_walk(const char* root, int nthreads, int respect_gitignore,
   w.use_gitignore = respect_gitignore != 0;
   std::string r(root);
   while (r.size() > 1 && r.back() == '/') r.pop_back();
-  w.push(Task{r, nullptr});
+  w.push(Task{r, w.use_gitignore ? root_parent_rules(r) : nullptr});
   if (nthreads < 1) nthreads = 1;
   std::vector<std::thread> threads;
   threads.reserve(nthreads);

@@ -138,6 +138,89 @@ class _GitignoreRules:
         return verdict
 
 
+def global_ignore_path() -> Optional[str]:
+    """The user's global gitignore file, honored like the reference's
+    `ignore` crate (fs.rs:42-45 WalkBuilder defaults).  Resolution:
+    PERCEIVE_TPU_GLOBAL_GITIGNORE env override (also how tests pin it),
+    core.excludesfile from ~/.gitconfig (best effort), then
+    $XDG_CONFIG_HOME/git/ignore, then ~/.config/git/ignore."""
+    env = os.environ.get("PERCEIVE_TPU_GLOBAL_GITIGNORE")
+    if env is not None:
+        return env if env and os.path.isfile(env) else None
+    gitconfig = os.path.expanduser("~/.gitconfig")
+    if os.path.isfile(gitconfig):
+        try:
+            with open(gitconfig, encoding="utf-8", errors="replace") as f:
+                for line in f:
+                    line = line.strip()
+                    if line.lower().startswith("excludesfile"):
+                        _, _, val = line.partition("=")
+                        p = os.path.expanduser(val.strip())
+                        if os.path.isfile(p):
+                            return p
+        except OSError:
+            pass
+    xdg = os.environ.get("XDG_CONFIG_HOME") or os.path.expanduser("~/.config")
+    p = os.path.join(xdg, "git", "ignore")
+    return p if os.path.isfile(p) else None
+
+
+def _load_ignore_file(path: str, base: str) -> Optional[_GitignoreRules]:
+    try:
+        with open(path, encoding="utf-8", errors="replace") as f:
+            r = _GitignoreRules(f.read().splitlines(), base)
+            return r if r.rules else None
+    except OSError:
+        return None
+
+
+def _dir_rule_chain(dirpath: str, rules: tuple) -> tuple:
+    """Extend the inherited rule chain with this directory's ignore files.
+
+    Precedence (git semantics; later in the chain wins in _ignored):
+    global ignore < .git/info/exclude < .gitignore < .ignore — the first two
+    load only where a `.git` marker makes the directory a repo root.  The
+    `.ignore` file (same syntax, ignore-crate extension) outranks
+    `.gitignore` in the same directory, matching the reference's walker.
+    """
+    if os.path.exists(os.path.join(dirpath, ".git")):
+        gp = global_ignore_path()
+        if gp:
+            r = _load_ignore_file(gp, dirpath)
+            if r:
+                rules = (*rules, r)
+        r = _load_ignore_file(os.path.join(dirpath, ".git", "info", "exclude"), dirpath)
+        if r:
+            rules = (*rules, r)
+    for name in (".gitignore", ".ignore"):
+        r = _load_ignore_file(os.path.join(dirpath, name), dirpath)
+        if r:
+            rules = (*rules, r)
+    return rules
+
+
+def _root_parent_chain(root: str) -> tuple:
+    """Rules inherited from ABOVE the walk root: when the root sits inside a
+    git repository, the repo root's exclude/global files and every
+    .gitignore/.ignore on the path down to the root apply (the reference's
+    walker discovers parents the same way)."""
+    ancestors: list[str] = []
+    cur = os.path.dirname(os.path.abspath(root))
+    repo_root = None
+    while cur and cur != os.path.dirname(cur):
+        ancestors.append(cur)
+        if os.path.exists(os.path.join(cur, ".git")):
+            repo_root = cur
+            break
+        cur = os.path.dirname(cur)
+    if repo_root is None:
+        return ()
+    rules: tuple = ()
+    for d in reversed(ancestors):  # repo root first, nearest parent last
+        rules = _dir_rule_chain(d, rules)
+    return rules
+
+
 # -- front matter ------------------------------------------------------------
 
 _FM_RE = re.compile(r"\A---\s*\n(.*?)\n---\s*\n?", re.DOTALL)
@@ -203,17 +286,14 @@ class FileScanner:
 
     def _scan_python(self, root: str, emit) -> None:
         # iterative walk (deep trees would blow Python's recursion limit);
-        # each stack entry carries its inherited gitignore-rule chain
-        stack: list[tuple[str, tuple[_GitignoreRules, ...]]] = [(root, ())]
+        # each stack entry carries its inherited ignore-rule chain, seeded
+        # with rules discovered ABOVE the root (enclosing repo)
+        stack: list[tuple[str, tuple[_GitignoreRules, ...]]] = [
+            (root, _root_parent_chain(root))
+        ]
         while stack:
             dirpath, rules = stack.pop()
-            gi_path = os.path.join(dirpath, ".gitignore")
-            if os.path.isfile(gi_path):
-                try:
-                    with open(gi_path, encoding="utf-8", errors="replace") as f:
-                        rules = (*rules, _GitignoreRules(f.read().splitlines(), dirpath))
-                except OSError:
-                    pass
+            rules = _dir_rule_chain(dirpath, rules)
             try:
                 entries = sorted(os.scandir(dirpath), key=lambda e: e.name)
             except OSError:

@@ -51,6 +51,83 @@ def test_fastwalk_matches_python_walk(tmp_path):
     assert rel == {"a.txt", "keep.log", "sub/b.md", "build/in.txt", "sub/inner/d.txt"}
 
 
+def _make_repo_tree(root, global_file):
+    """Repo exercising every ignore-file source the reference honors
+    (fs.rs:42-45 `ignore` crate defaults): .gitignore, .ignore,
+    .git/info/exclude, the global gitignore."""
+    root.mkdir(parents=True)
+    (root / ".git" / "info").mkdir(parents=True)
+    (root / ".git" / "info" / "exclude").write_text("excluded.txt\n")
+    (root / ".gitignore").write_text("*.tmp\n")
+    # .ignore outranks .gitignore in the same directory
+    (root / ".ignore").write_text("private/\n!special.tmp\n")
+    global_file.write_text("*.xyz\n")
+    (root / "kept.txt").write_text("k")
+    (root / "excluded.txt").write_text("x")      # .git/info/exclude
+    (root / "note.tmp").write_text("t")          # .gitignore
+    (root / "special.tmp").write_text("s")       # negated by .ignore
+    (root / "global_hit.xyz").write_text("g")    # global gitignore
+    priv = root / "private"
+    priv.mkdir()
+    (priv / "p.txt").write_text("p")             # .ignore dir rule
+    docs = root / "docs"
+    docs.mkdir()
+    (docs / "readme.md").write_text("r")
+    (docs / "inner.tmp").write_text("i")         # outer .gitignore at depth
+    (docs / "inner.xyz").write_text("i")         # global applies at depth
+
+
+def _both_walks(root):
+    native = {p for p, _, _ in fastwalk(str(root))} if fastwalk_available() else None
+    scanner = FileScanner(1, str(root), {})
+    got: list[Item] = []
+    scanner._scan_python(str(root), got.append)
+    return native, {i.external_id for i in got}
+
+
+def test_ignore_exclude_and_global_files(tmp_path, monkeypatch):
+    """VERDICT r1 #8: .ignore, .git/info/exclude and the global gitignore
+    must all be honored, identically in both walker implementations."""
+    gf = tmp_path / "global_ignore"
+    monkeypatch.setenv("PERCEIVE_TPU_GLOBAL_GITIGNORE", str(gf))
+    root = tmp_path / "repo"
+    _make_repo_tree(root, gf)
+
+    native, python = _both_walks(root)
+    rel = {os.path.relpath(p, root) for p in python}
+    assert rel == {"kept.txt", "special.tmp", "docs/readme.md"}
+    if native is not None:
+        assert native == python
+
+
+def test_walk_root_inside_repo_inherits_parent_rules(tmp_path, monkeypatch):
+    """Scanning a SUBDIRECTORY of a repo still honors the repo's ignore
+    files above the walk root (the `ignore` crate's parents behavior)."""
+    gf = tmp_path / "global_ignore"
+    monkeypatch.setenv("PERCEIVE_TPU_GLOBAL_GITIGNORE", str(gf))
+    root = tmp_path / "repo"
+    _make_repo_tree(root, gf)
+
+    native, python = _both_walks(root / "docs")
+    rel = {os.path.relpath(p, root / "docs") for p in python}
+    assert rel == {"readme.md"}, f"parent rules not inherited: {rel}"
+    if native is not None:
+        assert native == python
+
+
+def test_no_global_env_means_no_global_rules(tmp_path, monkeypatch):
+    """An empty override disables the global file (and a missing one must
+    not crash the walk)."""
+    monkeypatch.setenv("PERCEIVE_TPU_GLOBAL_GITIGNORE", "")
+    root = tmp_path / "r2"
+    root.mkdir()
+    (root / "a.xyz").write_text("a")
+    native, python = _both_walks(root)
+    assert {os.path.basename(p) for p in python} == {"a.xyz"}
+    if native is not None:
+        assert native == python
+
+
 @pytest.mark.skipif(not fastwalk_available(), reason="no C++ toolchain")
 def test_fastwalk_stat_fields(tmp_path):
     root = tmp_path / "t2"
