@@ -1,20 +1,30 @@
 """Headline benchmark: exact top-k query throughput over the HBM-resident
-bf16 corpus (BASELINE.md config 1/5 — flat cosine top-k, fused Pallas scan).
+bf16 corpus (BASELINE.md config 1/5 — flat cosine top-k, fused Pallas scan)
+plus the ingest-side embed throughput (BASELINE.md config 2).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is measured QPS / the 10k-QPS driver target (BASELINE.json;
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...} where
+vs_baseline is measured QPS / the 10k-QPS driver target and
+embed_vs_baseline is embed docs/s / the 5k-docs/s target (BASELINE.json;
 the reference publishes no numbers, see BASELINE.md).
 
+`bench.py --ingest` instead runs the END-TO-END ingest pipeline (synthetic
+10k-doc tree -> scan -> match -> read -> embed -> SQLite) and prints its own
+JSON line with per-stage attribution (VERDICT r1 #5).
+
 Measurement notes:
-  * every timed call uses a DISTINCT query batch and blocks on its own
-    result — the serving tunnel memoizes back-to-back identical
-    (program, args) executions, so same-args loops report fantasy numbers;
+  * the serving tunnel costs ~45 ms per dispatch ROUND TRIP (a trivial
+    multiply measures the same wall as a 7.7 GB sweep), so single-call
+    walls are meaningless.  Kernel times here use the in-jit repeat method:
+    run the kernel R times inside ONE jit (fori_loop over DISTINCT query
+    slices, outputs accumulated so nothing elides) and take
+    marginal = (wall_R - wall_1) / (R - 1).  wall_1 is also reported as
+    tunnel_roundtrip_ms for transparency;
+  * every timed call still uses DISTINCT inputs — the tunnel memoizes
+    back-to-back identical (program, args) executions;
   * corpus rows are generated directly in bf16 on device (10M x 384 =
     7.7 GB; no f32 staging) and row-padded to the kernel's 4096 tile;
-  * the exact-scan kernel is HBM-bound at small Q and MXU-bound at large Q,
-    so QPS scales with the query batch up to the compute crossover — the
-    headline uses batch 2048 through the query-slabbed kernel (the serving
-    path coalesces concurrent queries; index/executor.py).
+  * the headline QPS uses batch 2048 through the query-slabbed kernel (the
+    serving path coalesces concurrent queries; index/executor.py).
 """
 
 from __future__ import annotations
@@ -31,6 +41,166 @@ from perceive_tpu.ops.topk import ALLOW_ALL, scan_topk_pallas
 K = 10
 QUERY_BATCH = 2048
 TIMED_ITERS = 5
+EMBED_BATCH, EMBED_SEQ = 256, 128
+
+
+def _marginal_sweep_s(matrix, source_ids, allowed, batch: int, k: int, *, reps, iters=3):
+    """True per-sweep seconds via the in-jit repeat method (module
+    docstring); returns (marginal_s, wall_1_s).  Falls back to the XLA
+    engine when the Pallas kernel is unavailable."""
+    from perceive_tpu.index.searcher import _scan_topk_xla_impl
+    from perceive_tpu.ops.topk import QUERY_SLAB, pallas_topk_slabbed, pallas_topk_unsorted
+
+    n, d = matrix.shape
+    src2d = jax.block_until_ready(source_ids.reshape(1, n))
+    use_slab = batch >= 2 * QUERY_SLAB and batch % QUERY_SLAB == 0
+
+    # the matrix is passed as a jit ARGUMENT everywhere — closing over it
+    # would bake a 7.7 GB captured constant into every executable
+    def one_scan_pallas(q, m, s2, s1):
+        qc = q.astype(m.dtype)
+        if use_slab:
+            return pallas_topk_slabbed(m, s2, qc, allowed, k, False)
+        return pallas_topk_unsorted(m, s2, qc, allowed, k, False)
+
+    def one_scan_xla(q, m, s2, s1):
+        return _scan_topk_xla_impl(m, s1, q, allowed, k)
+
+    def queries(seed: int, r: int):
+        q = jax.random.normal(jax.random.PRNGKey(seed), (r, batch, d), jnp.float32)
+        return jax.block_until_ready(q / jnp.linalg.norm(q, axis=2, keepdims=True))
+
+    def make(r, one_scan):
+        def f(qs, m, s2, s1):
+            def it(i, acc):
+                v, rows = one_scan(qs[i], m, s2, s1)
+                return acc + jnp.sum(v) + jnp.sum(rows.astype(jnp.float32))
+            return jax.lax.fori_loop(0, r, it, 0.0)
+        return jax.jit(f)
+
+    one_scan = one_scan_pallas
+    try:
+        np.asarray(make(1, one_scan)(queries(0, 1), matrix, src2d, source_ids))
+    except Exception as e:  # noqa: BLE001 — never fail the bench run outright
+        print(f"# pallas kernel unavailable ({e}); falling back to XLA engine", flush=True)
+        one_scan = one_scan_xla
+
+    walls = {}
+    for r in reps:
+        fn = make(r, one_scan)
+        np.asarray(fn(queries(1, r), matrix, src2d, source_ids))  # compile + warm
+        ts = []
+        for i in range(iters):
+            qs = queries(100 + 7 * i + r, r)
+            t0 = time.perf_counter()
+            np.asarray(fn(qs, matrix, src2d, source_ids))
+            ts.append(time.perf_counter() - t0)
+        walls[r] = float(np.median(ts))
+    marginal = (walls[reps[1]] - walls[reps[0]]) / (reps[1] - reps[0])
+    return max(marginal, 1e-9), walls[reps[0]]
+
+
+def _marginal_int4_s(n: int, d: int, allowed, *, reps, iters=3):
+    """Single-query marginal sweep of the int4 packed candidate pass
+    (k=128 over-fetch, i.e. RERANK_FACTOR_INT4 * k=10 bucketed) on a random
+    packed corpus.  The f32 rerank of those 128 candidates is host-side
+    numpy on 128 rows — microseconds, so the sweep IS the p50.  Returns
+    marginal seconds, or None off-TPU / on kernel failure."""
+    from perceive_tpu.ops.topk import pallas_topk_int4_unsorted, quantize_queries
+
+    try:
+        words = jax.random.bits(jax.random.PRNGKey(7), (d // 2, n // 4), jnp.uint32)
+        packed = jax.block_until_ready(
+            jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(d // 2, n)
+        )
+        del words
+        scales2d = jax.block_until_ready(jnp.full((1, n), 0.01, jnp.float32))
+        src2d = jax.block_until_ready(jnp.zeros((1, n), jnp.int32))
+
+        def queries(seed: int, r: int):
+            q = jax.random.normal(jax.random.PRNGKey(seed), (r, 1, d), jnp.float32)
+            return jax.block_until_ready(q / jnp.linalg.norm(q, axis=2, keepdims=True))
+
+        def make(r):
+            def f(qs, m, sc2, s2):
+                def it(i, acc):
+                    qi8, qsc = quantize_queries(qs[i])
+                    v, rows = pallas_topk_int4_unsorted(m, sc2, s2, qi8, qsc, allowed, 128, False)
+                    return acc + jnp.sum(v) + jnp.sum(rows.astype(jnp.float32))
+                return jax.lax.fori_loop(0, r, it, 0.0)
+            return jax.jit(f)
+
+        walls = {}
+        for r in reps:
+            fn = make(r)
+            np.asarray(fn(queries(1, r), packed, scales2d, src2d))
+            ts = []
+            for i in range(iters):
+                qs = queries(300 + 7 * i + r, r)
+                t0 = time.perf_counter()
+                np.asarray(fn(qs, packed, scales2d, src2d))
+                ts.append(time.perf_counter() - t0)
+            walls[r] = float(np.median(ts))
+        return max((walls[reps[1]] - walls[reps[0]]) / (reps[1] - reps[0]), 1e-9)
+    except Exception as e:  # noqa: BLE001
+        print(f"# int4 kernel unavailable ({e})", flush=True)
+        return None
+
+
+def measure_embed_docs_per_sec() -> float:
+    """Device-side encode throughput: MiniLM-class tower (384-d, 6 layers),
+    bf16, batch 256 x seq 128, distinct token batches per timed call
+    (BASELINE.md config 2; the driver target is >= 5k docs/s/chip)."""
+    from perceive_tpu.models import EncoderArch, HeadConfig
+    from perceive_tpu.models.encoder import encode_tokens, init_params
+
+    on_tpu = jax.default_backend() == "tpu"
+    arch = EncoderArch(
+        vocab_size=30522, hidden_size=384, num_layers=6, num_heads=12,
+        intermediate_size=1536, max_position_embeddings=512,
+    )
+    head = HeadConfig(pooling="mean", normalize=True)
+    params = init_params(jax.random.PRNGKey(0), arch, head)
+
+    impl = "pallas" if on_tpu else "xla"
+    rng = np.random.default_rng(0)
+
+    def batches(seed, r):
+        ids = rng.integers(0, arch.vocab_size, (r, EMBED_BATCH, EMBED_SEQ)).astype(np.int32)
+        lens = rng.integers(EMBED_SEQ // 2, EMBED_SEQ + 1, (r, EMBED_BATCH))
+        mask = (np.arange(EMBED_SEQ)[None, None, :] < lens[:, :, None]).astype(np.int32)
+        return (
+            jax.block_until_ready(jnp.asarray(ids)),
+            jax.block_until_ready(jnp.asarray(mask)),
+        )
+
+    # in-jit repeat marginal (module docstring): R distinct batches inside
+    # one dispatch; tunnel round trips never enter the throughput number
+    def make(r):
+        def f(p, ids, mask):
+            def it(i, acc):
+                emb = encode_tokens(
+                    p, arch, head, ids[i], mask[i], None,
+                    compute_dtype=jnp.bfloat16, attention_impl=impl,
+                )
+                return acc + jnp.sum(emb)
+            return jax.lax.fori_loop(0, r, it, 0.0)
+        return jax.jit(f)
+
+    reps = (1, 9) if on_tpu else (1, 2)
+    walls = {}
+    for r in reps:
+        fn = make(r)
+        np.asarray(fn(params, *batches(1, r)))  # compile + warm
+        ts = []
+        for i in range(3):
+            b = batches(100 + 7 * i + r, r)
+            t0 = time.perf_counter()
+            np.asarray(fn(params, *b))
+            ts.append(time.perf_counter() - t0)
+        walls[r] = float(np.median(ts))
+    marginal = max((walls[reps[1]] - walls[reps[0]]) / (reps[1] - reps[0]), 1e-9)
+    return EMBED_BATCH / marginal
 
 
 def main() -> None:
@@ -39,45 +209,24 @@ def main() -> None:
     n = 10_002_432 if on_tpu else 102_400
     d = 384
 
-    matrix = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.bfloat16)
-    source_ids = jnp.zeros((n,), jnp.int32)
+    matrix = jax.block_until_ready(jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.bfloat16))
+    source_ids = jax.block_until_ready(jnp.zeros((n,), jnp.int32))
     allowed = jnp.asarray(np.array([ALLOW_ALL] + [-9] * 15, np.int32))
 
-    def queries(seed: int, batch: int):
-        q = jax.random.normal(jax.random.PRNGKey(seed), (batch, d), jnp.float32)
-        return q / jnp.linalg.norm(q, axis=1, keepdims=True)
-
-    scan = scan_topk_pallas
-    # compile + warm both shapes (np.asarray forces REAL completion; the
-    # tunnel's block_until_ready can return before the device has run)
-    try:
-        np.asarray(scan(matrix, source_ids, queries(0, QUERY_BATCH), allowed, K)[0])
-    except Exception as e:  # noqa: BLE001 — never fail the bench run outright
-        print(f"# pallas kernel unavailable ({e}); falling back to XLA engine", flush=True)
-        from perceive_tpu.index.searcher import _scan_topk_xla
-
-        def scan(m, s, q, a, k):
-            return _scan_topk_xla(m, s, q, a, k)
-
-        np.asarray(scan(matrix, source_ids, queries(0, QUERY_BATCH), allowed, K)[0])
-    np.asarray(scan(matrix, source_ids, queries(0, 1), allowed, K)[0])
-
-    sweep_times = []
-    for i in range(TIMED_ITERS):
-        q = jax.block_until_ready(queries(100 + i, QUERY_BATCH))
-        t0 = time.perf_counter()
-        np.asarray(scan(matrix, source_ids, q, allowed, K)[0])
-        sweep_times.append(time.perf_counter() - t0)
-    sweep = float(np.median(sweep_times))
+    sweep, _ = _marginal_sweep_s(
+        matrix, source_ids, allowed, QUERY_BATCH, K, reps=(1, 5) if on_tpu else (1, 2)
+    )
     qps = QUERY_BATCH / sweep
+    p50_s, wall1 = _marginal_sweep_s(
+        matrix, source_ids, allowed, 1, 16, reps=(1, 9) if on_tpu else (1, 3)
+    )
+    p50_ms = p50_s * 1e3
 
-    lat = []
-    for i in range(TIMED_ITERS):
-        q1 = jax.block_until_ready(queries(200 + i, 1))
-        t0 = time.perf_counter()
-        np.asarray(scan(matrix, source_ids, q1, allowed, K)[0])
-        lat.append(time.perf_counter() - t0)
-    p50_ms = float(np.median(lat) * 1e3)
+    del matrix  # free 7.7 GB before the int4 corpus / embed tower
+    p50_int4_s = (
+        _marginal_int4_s(n, d, allowed, reps=(1, 9)) if on_tpu else None
+    )
+    embed_dps = measure_embed_docs_per_sec()
 
     print(
         json.dumps(
@@ -87,8 +236,15 @@ def main() -> None:
                 "unit": "QPS",
                 "vs_baseline": round(qps / 10_000.0, 3),
                 "p50_single_query_ms": round(p50_ms, 3),
+                # int4 packed candidates + f32 host rerank: the production
+                # low-latency path (PERCEIVE_TPU_MATRIX_DTYPE=int4)
+                "p50_int4_rerank_ms": p50_int4_s and round(p50_int4_s * 1e3, 3),
+                "tunnel_roundtrip_ms": round(wall1 * 1e3, 3),
                 "sweep_ms_batch2048": round(sweep * 1e3, 3),
                 "effective_gbps": round(n * d * 2 / sweep / 1e9, 1),
+                "embed_docs_per_sec": round(embed_dps, 1),
+                "embed_vs_baseline": round(embed_dps / 5_000.0, 3),
+                "timing_method": "in-jit repeat marginal (module docstring)",
                 "backend": jax.default_backend(),
                 "corpus_rows": n,
             }
@@ -96,5 +252,69 @@ def main() -> None:
     )
 
 
+def main_ingest() -> None:
+    """End-to-end ingest: synthetic 10k-doc fs tree through the real
+    pipeline (scan -> match -> read x8 -> TPU embed -> SQLite write) with
+    per-stage wall attribution from ScanStats (VERDICT r1 #5)."""
+    import shutil
+    import tempfile
+
+    from perceive_tpu.db import Database, add_source
+    from perceive_tpu.models import EncoderArch, HeadConfig, Model, TextTokenizer, tiny_test_vocab
+    from perceive_tpu.sources.pipeline import scan_source
+    from perceive_tpu.types import Source
+
+    import os
+
+    default_docs = 10_000 if jax.default_backend() == "tpu" else 500
+    n_docs = int(os.environ.get("PERCEIVE_TPU_BENCH_DOCS", default_docs))
+    words = ["alpha", "beta", "gamma", "delta", "search", "vector", "index",
+             "engine", "document", "corpus", "query", "result"]
+    base = tempfile.mkdtemp(prefix="ingest_bench_")
+    root = f"{base}/tree"  # DB lives OUTSIDE the scanned tree
+    try:
+        os.makedirs(root)
+        rng = np.random.default_rng(0)
+        for i in range(n_docs):
+            body = " ".join(rng.choice(words, size=60))
+            with open(f"{root}/doc{i:05d}.md", "w") as f:
+                f.write(f"---\ntitle: doc {i}\n---\n{body}\n")
+
+        db = Database(f"{base}/bench.sqlite3")
+        arch = EncoderArch(
+            vocab_size=64, hidden_size=384, num_layers=6, num_heads=12,
+            intermediate_size=1536, max_position_embeddings=512,
+        )
+        tok = TextTokenizer.from_vocab(tiny_test_vocab(words), max_seq_length=128)
+        model = Model.random(arch, HeadConfig(pooling="mean", normalize=True), tok,
+                             compute_dtype=jnp.bfloat16, attention_impl="auto", model_id=1)
+        src = add_source(db, Source(name="bench", config={"type": "fs"}, location=root))
+
+        t0 = time.perf_counter()
+        stats, ok = scan_source(db, model, src)
+        wall = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "metric": "ingest_e2e_docs_per_sec",
+                    "value": round(n_docs / wall, 1),
+                    "unit": "docs/s",
+                    "vs_baseline": round(n_docs / wall / 5_000.0, 3),
+                    "ok": ok,
+                    "wall_s": round(wall, 2),
+                    **stats.summary(),
+                    "backend": jax.default_backend(),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--ingest" in sys.argv:
+        main_ingest()
+    else:
+        main()

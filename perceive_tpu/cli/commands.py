@@ -285,7 +285,7 @@ def stats_cmd(state, args) -> None:
         print(f"embeddings model {mid} v{mv}: {cnt}")
     if state.searcher is not None:
         m = state.searcher.matrix
-        dtype_bytes = 1 if m.quantized else 2
+        dtype_bytes = {4: 0.5, 8: 1}.get(m.quant_bits, 2)
         hbm = m.capacity * m.padded_dim * dtype_bytes / 1e6
         print(
             f"device matrix: {len(m)} vectors, capacity {m.capacity} x {m.padded_dim} "

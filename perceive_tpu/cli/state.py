@@ -115,9 +115,12 @@ class AppState:
             import jax
             import jax.numpy as jnp
 
+            from ..index.matrix import INT4
+
             dtype = {
                 "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
                 "int8": jnp.int8,
+                "int4": INT4,  # packed sub-byte candidates + f32 rerank
                 "float32": jnp.float32, "f32": jnp.float32,
             }[os.environ.get("PERCEIVE_TPU_MATRIX_DTYPE", "bfloat16").lower()]
             start = time.time()

@@ -27,6 +27,12 @@ import numpy as np
 ROW_ALIGN = 512
 LANE_ALIGN = 128  # last-dim tile width on TPU
 
+# Storage-dtype sentinel for the packed 4-bit mode: two dims per byte in a
+# TRANSPOSED (D/2, capacity) uint8 device array (see ops/topk.py int4
+# section).  0.5 bytes/dim makes the bandwidth-bound exact scan ~4x faster
+# than bf16 at the cost of approximate scores — the Searcher reranks in f32.
+INT4 = "int4"
+
 # Row keys are (item_id, chunk_idx) packed as item_id * CHUNK_STRIDE +
 # chunk_idx, so one item's chunk vectors group under integer division.
 CHUNK_STRIDE = 4096
@@ -51,6 +57,14 @@ def _scatter_rows_impl(matrix, rows, vals):
 # donation lets XLA update the (potentially GBs) matrix in place
 _scatter_rows = jax.jit(_scatter_rows_impl, donate_argnums=(0,))
 _scatter_vals = jax.jit(_scatter_rows_impl, donate_argnums=(0,))
+
+
+def _scatter_cols_impl(matrix, cols, vals):
+    return matrix.at[:, cols].set(vals)
+
+
+# column scatter for the transposed int4 packed matrix
+_scatter_cols = jax.jit(_scatter_cols_impl, donate_argnums=(0,))
 
 
 def serialize_embedding(vec: np.ndarray) -> bytes:
@@ -117,8 +131,17 @@ class EmbeddingMatrix:
         self._device_scales = None  # (capacity,) f32 per-row scales, int8 mode
 
     @property
+    def packed4(self) -> bool:
+        return isinstance(self.dtype, str) and self.dtype == INT4
+
+    @property
     def quantized(self) -> bool:
-        return self.dtype == jnp.int8
+        return self.packed4 or self.dtype == jnp.int8
+
+    @property
+    def quant_bits(self) -> int:
+        """Bits per stored dim: 4 (packed), 8 (int8), 0 (not quantized)."""
+        return 4 if self.packed4 else (8 if self.dtype == jnp.int8 else 0)
 
     def _quantize(self, rows_f32: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Per-row symmetric int8: scale = max|v|/127 (min-clamped so all-zero
@@ -127,7 +150,34 @@ class EmbeddingMatrix:
         q = np.clip(np.rint(rows_f32 / scales[:, None]), -127, 127).astype(np.int8)
         return q, scales.astype(np.float32)
 
+    def _quantize4(self, rows_f32: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Per-row symmetric int4, packed 2 dims/byte: scale = max|v|/7,
+        nibbles biased +8 (range [1, 15]); byte j holds dim j (low) and dim
+        j + padded_dim/2 (high).  Returns ((n, D/2) uint8, (n,) f32 scales) —
+        the device array stores the TRANSPOSE (see ops/topk.py)."""
+        scales = np.maximum(np.abs(rows_f32).max(axis=1), 1e-12) / 7.0
+        q = (np.clip(np.rint(rows_f32 / scales[:, None]), -7, 7) + 8).astype(np.uint8)
+        d2 = self.padded_dim // 2
+        packed = q[:, :d2] | (q[:, d2:] << 4)
+        return packed, scales.astype(np.float32)
+
     # -- device views -------------------------------------------------------
+
+    def _vectors_device(self):
+        """Placement for the vectors array.  The int4 matrix is stored
+        TRANSPOSED (D/2, capacity), so a row sharding like P(rows, None) must
+        become P(None, rows) — metadata arrays keep the original spec."""
+        if not self.packed4:
+            return self.device
+        try:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if isinstance(self.device, NamedSharding):
+                spec = tuple(self.device.spec)
+                return NamedSharding(self.device.mesh, P(*reversed(spec)))
+        except Exception:
+            pass
+        return self.device
 
     def sync(self) -> None:
         """Upload host state to the device if anything changed.
@@ -146,28 +196,43 @@ class EmbeddingMatrix:
             )
             if full:
                 host = self._host_vectors
-                if self.quantized:
+                if self.packed4:
+                    packed, scales = self._quantize4(host)
+                    self._device_scales = jax.device_put(jnp.asarray(scales), self.ids_device)
+                    host = np.ascontiguousarray(packed.T)  # (D/2, capacity)
+                elif self.quantized:
                     host, scales = self._quantize(host)
                     self._device_scales = jax.device_put(jnp.asarray(scales), self.ids_device)
                 elif self.dtype != jnp.float32:
                     host = host.astype(jax.dtypes.canonicalize_dtype(self.dtype))
-                self._device_vectors = jax.device_put(host, self.device)
+                self._device_vectors = jax.device_put(host, self._vectors_device())
                 self._device_source_ids = jax.device_put(
                     jnp.asarray(self.source_ids), self.ids_device
                 )
             else:
                 rows = np.fromiter(self._dirty_rows, dtype=np.int32)
                 vals = self._host_vectors[rows]
-                if self.quantized:
-                    vals, scales = self._quantize(vals)
+                if self.packed4:
+                    packed, scales = self._quantize4(vals)
                     self._device_scales = _scatter_vals(
                         self._device_scales, jnp.asarray(rows), jnp.asarray(scales)
                     )
+                    self._device_vectors = _scatter_cols(
+                        self._device_vectors,
+                        jnp.asarray(rows),
+                        jnp.asarray(np.ascontiguousarray(packed.T)),
+                    )
                 else:
-                    vals = vals.astype(jax.dtypes.canonicalize_dtype(self.dtype))
-                self._device_vectors = _scatter_rows(
-                    self._device_vectors, jnp.asarray(rows), jnp.asarray(vals)
-                )
+                    if self.quantized:
+                        vals, scales = self._quantize(vals)
+                        self._device_scales = _scatter_vals(
+                            self._device_scales, jnp.asarray(rows), jnp.asarray(scales)
+                        )
+                    else:
+                        vals = vals.astype(jax.dtypes.canonicalize_dtype(self.dtype))
+                    self._device_vectors = _scatter_rows(
+                        self._device_vectors, jnp.asarray(rows), jnp.asarray(vals)
+                    )
                 self._device_source_ids = _scatter_vals(
                     self._device_source_ids,
                     jnp.asarray(rows),

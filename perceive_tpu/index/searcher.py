@@ -101,11 +101,35 @@ def _scan_topk_xla_int8_impl(matrix, scales, source_ids, q, allowed, k: int):
 
 _scan_topk_xla_int8 = jax.jit(_scan_topk_xla_int8_impl, static_argnames=("k",))
 
-# int8 scan over-fetches candidates by this factor, then reranks them against
-# the f32 host mirror — exact top-k provided the true winners land in the
-# int8 top-(factor*k), which per-row symmetric quantization makes near-certain
-# (SURVEY.md §7 "rerank-in-f32-of-top-candidates fallback").
+
+def _scan_topk_xla_int4_impl(packed, scales, source_ids, q, allowed, k: int):
+    """XLA unpack + int8 dot over the (D/2, N) transposed-packed matrix
+    (CPU engine and the oversized-k fallback; layout in ops/topk.py)."""
+    from ..ops.topk import quantize_queries
+
+    qi8, qscale = quantize_queries(q)
+    p = packed.astype(jnp.int32)
+    m2 = jnp.concatenate([(p & 15) - 8, (p >> 4) - 8], axis=0).astype(jnp.int8)
+    iscores = jax.lax.dot_general(
+        qi8, m2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    scores = iscores.astype(jnp.float32) * scales[None, :] * qscale
+    valid = source_ids >= 0
+    allow_all = allowed[0] == ALLOW_ALL
+    src_ok = jnp.isin(source_ids, allowed) | allow_all
+    scores = jnp.where((valid & src_ok)[None, :], scores, -jnp.inf)
+    return jax.lax.top_k(scores, k)
+
+
+_scan_topk_xla_int4 = jax.jit(_scan_topk_xla_int4_impl, static_argnames=("k",))
+
+# Quantized scans over-fetch candidates by these factors, then rerank them
+# against the f32 host mirror — exact top-k provided the true winners land in
+# the quantized top-(factor*k); the escalation loop in _scan re-fetches 4x
+# deeper whenever the fetched floor can't prove that (SURVEY.md §7
+# "rerank-in-f32-of-top-candidates fallback").
 RERANK_FACTOR = 4
+RERANK_FACTOR_INT4 = 8  # 4-bit scores are noisier; start deeper
 
 
 class Searcher:
@@ -191,7 +215,9 @@ class Searcher:
                     row[0],  # max seq replayed from on incremental load
                     len(self.matrix),
                     self.matrix.dim,
-                    str(np.dtype(jax.dtypes.canonicalize_dtype(self.matrix.dtype))),
+                    self.matrix.dtype
+                    if isinstance(self.matrix.dtype, str)  # "int4" sentinel
+                    else str(np.dtype(jax.dtypes.canonicalize_dtype(self.matrix.dtype))),
                     int(time.time()),
                 ),
             )
@@ -301,7 +327,18 @@ class Searcher:
         m = self.matrix
         with m._lock:
             vectors, source_ids, scales = m.device_view()
-            if m.quantized:
+            if m.packed4:
+                if engine == "pallas":
+                    from ..ops.topk import scan_topk_pallas_int4
+
+                    vals, rows = scan_topk_pallas_int4(
+                        vectors, scales, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
+                    )
+                else:
+                    vals, rows = _scan_topk_xla_int4(
+                        vectors, scales, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
+                    )
+            elif m.quantized:
                 if engine == "pallas":
                     from ..ops.topk import scan_topk_pallas_int8
 
@@ -330,7 +367,7 @@ class Searcher:
             raise ValueError(f"k={k} exceeds the maximum of {MAX_K}")
         want = k
         if m.quantized:
-            want = RERANK_FACTOR * want
+            want = (RERANK_FACTOR_INT4 if m.quant_bits == 4 else RERANK_FACTOR) * want
         if m.multi_chunk_groups > 0:
             want = 2 * want  # chunk dedupe needs extra candidates
         qp = q

@@ -3,7 +3,7 @@ from .similarity import (
     cosine_similarity_single_query,
     dot_product,
 )
-from .topk import ALLOW_ALL, scan_topk_pallas, scan_topk_pallas_int8
+from .topk import ALLOW_ALL, scan_topk_pallas, scan_topk_pallas_int4, scan_topk_pallas_int8
 
 __all__ = [
     "ALLOW_ALL",
@@ -11,5 +11,6 @@ __all__ = [
     "cosine_similarity_single_query",
     "dot_product",
     "scan_topk_pallas",
+    "scan_topk_pallas_int4",
     "scan_topk_pallas_int8",
 ]

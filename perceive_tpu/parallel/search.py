@@ -27,6 +27,7 @@ from ..index.searcher import Searcher
 from ..ops.topk import (
     ALLOW_ALL,
     QUERY_SLAB,
+    pallas_topk_int4_unsorted,
     pallas_topk_int8_unsorted,
     pallas_topk_slabbed,
     pallas_topk_unsorted,
@@ -51,9 +52,25 @@ def _mask_scores(scores, src_shard, allowed):
 def _sharded_scan(matrix, scales, source_ids, q, allowed, *, mesh, k, engine, interpret):
     ndev = mesh.size
     int8 = matrix.dtype == jnp.int8
+    int4 = matrix.dtype == jnp.uint8  # transposed-packed (D/2, N), ops/topk.py
 
     def local(m_shard, sc_shard, src_shard, q_, allowed_):
-        if int8:
+        if int4:
+            qi8, qscale = quantize_queries(q_)
+            if engine == "pallas":
+                vals, rows = pallas_topk_int4_unsorted(
+                    m_shard, sc_shard.reshape(1, -1), src_shard.reshape(1, -1),
+                    qi8, qscale, allowed_, k, interpret,
+                )
+            else:
+                p = m_shard.astype(jnp.int32)
+                m2 = jnp.concatenate([(p & 15) - 8, (p >> 4) - 8], axis=0).astype(jnp.int8)
+                iscores = jax.lax.dot_general(
+                    qi8, m2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+                )
+                scores = iscores.astype(jnp.float32) * sc_shard[None, :] * qscale
+                vals, rows = _local_topk_xla(_mask_scores(scores, src_shard, allowed_), k)
+        elif int8:
             qi8, qscale = quantize_queries(q_)
             if engine == "pallas":
                 vals, rows = pallas_topk_int8_unsorted(
@@ -83,8 +100,9 @@ def _sharded_scan(matrix, scales, source_ids, q, allowed, *, mesh, k, engine, in
                 )
                 vals, rows = _local_topk_xla(_mask_scores(scores, src_shard, allowed_), k)
         # local row index -> global row index (shard offset); keep -1 invalid
+        n_local = m_shard.shape[1] if int4 else m_shard.shape[0]
         idx = jax.lax.axis_index(ROWS_AXES)
-        rows = jnp.where(rows >= 0, rows + idx * m_shard.shape[0], -1)
+        rows = jnp.where(rows >= 0, rows + idx * n_local, -1)
         vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
         # merge across chips: one small all-gather riding the ICI
         vals_all = jax.lax.all_gather(vals, ROWS_AXES)  # (ndev, Q, k)
@@ -95,10 +113,11 @@ def _sharded_scan(matrix, scales, source_ids, q, allowed, *, mesh, k, engine, in
         mv, perm = jax.lax.top_k(vcat, k)
         return mv, jnp.take_along_axis(rcat, perm, axis=1)
 
+    m_spec = P(None, ROWS_AXES) if int4 else P(ROWS_AXES, None)
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(ROWS_AXES, None), P(ROWS_AXES), P(ROWS_AXES), P(None, None), P(None)),
+        in_specs=(m_spec, P(ROWS_AXES), P(ROWS_AXES), P(None, None), P(None)),
         out_specs=(P(None, None), P(None, None)),
         # outputs ARE replicated (post-all_gather merge is identical on every
         # chip) but the checker can't infer that through top_k

@@ -38,28 +38,55 @@ _INDEX_HTML = """<!doctype html>
   .m { color: #777; font-size: .82rem; }
   .s { color: #444; margin-top: .15rem; }
   #status { color: #777; font-size: .85rem; margin-bottom: .8rem; }
+  .filters { display: flex; gap: .5rem; margin-top: .5rem; }
+  select { font-size: .9rem; padding: .3rem .5rem; border: 1px solid #bbb; border-radius: 6px; color: #444; }
 </style>
 <div id="status">loading…</div>
 <input id="q" placeholder="Semantic search for your life" autofocus>
+<div class="filters">
+  <select id="fsrc"><option value="">all sources</option></select>
+  <select id="ftype">
+    <option value="">all types</option>
+    <option value="local">local</option>
+    <option value="web">web</option>
+    <option value="bookmarks">bookmarks</option>
+  </select>
+</div>
 <div id="out"></div>
 <script>
 const q = document.getElementById('q'), out = document.getElementById('out'),
-      status = document.getElementById('status');
+      status = document.getElementById('status'),
+      fsrc = document.getElementById('fsrc'), ftype = document.getElementById('ftype');
 let timer = null;
 async function refreshStatus() {
   const s = await (await fetch('/status')).json();
   status.textContent = s.model_loaded ? `ready — ${s.rows} vectors indexed` : 'loading model…';
   if (!s.model_loaded) setTimeout(refreshStatus, 1000);
+  else loadSources();
+}
+async function loadSources() {
+  const res = await fetch('/sources');
+  if (!res.ok) return;
+  for (const s of await res.json()) {
+    const o = document.createElement('option');
+    o.value = s.name; o.textContent = s.name;
+    fsrc.appendChild(o);
+  }
 }
 refreshStatus();
 q.addEventListener('input', () => {
   clearTimeout(timer);
   timer = setTimeout(search, 120);
 });
+fsrc.addEventListener('change', search);
+ftype.addEventListener('change', search);
 async function search() {
   const query = q.value.trim();
   if (!query) { out.innerHTML = ''; return; }
-  const res = await fetch('/search?q=' + encodeURIComponent(query) + '&k=10');
+  let url = '/search?q=' + encodeURIComponent(query) + '&k=10';
+  if (fsrc.value) url += '&source=' + encodeURIComponent(fsrc.value);
+  else if (ftype.value) url += '&type=' + encodeURIComponent(ftype.value);
+  const res = await fetch(url);
   if (!res.ok) return;
   const hits = await res.json();
   out.innerHTML = hits.map(h => `
@@ -128,7 +155,7 @@ def make_handler(holder: ServeState):
 
         MAX_K = 256
 
-        def _search(self, query: str, k, source: Optional[str]):
+        def _search(self, query: str, k, source: Optional[str], type_tag: Optional[str] = None):
             try:
                 k = int(k)
             except (TypeError, ValueError):
@@ -142,6 +169,15 @@ def make_handler(holder: ServeState):
                 if src is None:
                     return self._json(404, {"error": f"no source {source}"})
                 source_ids = [src.id]
+            elif type_tag:
+                from .types import SourceTypeTag
+
+                try:
+                    tag = SourceTypeTag(type_tag)
+                except ValueError:
+                    return self._json(400, {"error": f"bad type {type_tag}"})
+                # [] = matches nothing -> zero results (reference semantics)
+                source_ids = [s.id for s in app.sources if s.matches_tag(tag)]
             vec = app.model.encode_query(query)
             if holder.executor is not None:
                 hits = holder.executor.search(vec, k, source_ids)
@@ -205,7 +241,12 @@ def make_handler(holder: ServeState):
                 query = (q.get("q") or [""])[0]
                 if not query:
                     return self._json(400, {"error": "missing q"})
-                self._search(query, (q.get("k") or ["10"])[0], (q.get("source") or [None])[0])
+                self._search(
+                    query,
+                    (q.get("k") or ["10"])[0],
+                    (q.get("source") or [None])[0],
+                    (q.get("type") or [None])[0],
+                )
             else:
                 self._json(404, {"error": "not found"})
 
@@ -223,7 +264,7 @@ def make_handler(holder: ServeState):
             query = payload.get("q") or payload.get("query")
             if not query:
                 return self._json(400, {"error": "missing q"})
-            self._search(query, payload.get("k", 10), payload.get("source"))
+            self._search(query, payload.get("k", 10), payload.get("source"), payload.get("type"))
 
     return Handler
 

@@ -140,6 +140,15 @@ def test_serve(state, tmp_path, capsys):
         with urllib.request.urlopen(req) as r:
             hits2 = json.loads(r.read())
         assert hits2
+
+        # type filter: fs source is "local"; "web" matches no sources -> []
+        assert get("/search?q=jax&k=3&type=local")
+        assert get("/search?q=jax&k=3&type=web") == []
+        try:
+            get("/search?q=jax&type=nope")
+            raise AssertionError("bad type must 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         server.shutdown()
 
