@@ -100,6 +100,55 @@ def _marginal_sweep_s(matrix, source_ids, allowed, batch: int, k: int, *, reps, 
     return max(marginal, 1e-9), walls[reps[0]]
 
 
+def _marginal_int8_qps(n: int, d: int, allowed, *, iters=3):
+    """Batch-2048 throughput of the int8 slabbed kernel at k=40 (the 4x
+    rerank over-fetch) — the capacity/QPS tier: exact after the f32 rerank.
+    Returns QPS or None."""
+    from perceive_tpu.ops.topk import pallas_topk_int8_slabbed, quantize_queries
+
+    try:
+        halves = []
+        for i in range(2):
+            w = jax.random.bits(jax.random.PRNGKey(11 + i), (n // 2, d // 4), jnp.uint32)
+            halves.append(jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(n // 2, d))
+            del w
+        m8 = jnp.concatenate(halves, axis=0)
+        del halves
+        m8 = jax.block_until_ready(jax.lax.bitcast_convert_type(m8, jnp.int8))
+        scales2d = jax.block_until_ready(jnp.full((1, n), 0.01, jnp.float32))
+        src2d = jax.block_until_ready(jnp.zeros((1, n), jnp.int32))
+
+        def queries(seed, r):
+            q = jax.random.normal(jax.random.PRNGKey(seed), (r, QUERY_BATCH, d), jnp.float32)
+            return jax.block_until_ready(q / jnp.linalg.norm(q, axis=2, keepdims=True))
+
+        def make(r):
+            def f(qs, m, sc2, s2):
+                def it(i, acc):
+                    qi8, qsc = quantize_queries(qs[i])
+                    v, rows = pallas_topk_int8_slabbed(m, sc2, s2, qi8, qsc, allowed, 40, False)
+                    return acc + jnp.sum(v) + jnp.sum(rows.astype(jnp.float32))
+                return jax.lax.fori_loop(0, r, it, 0.0)
+            return jax.jit(f)
+
+        walls = {}
+        for r in (1, 3):
+            fn = make(r)
+            np.asarray(fn(queries(1, r), m8, scales2d, src2d))
+            ts = []
+            for i in range(iters):
+                qs = queries(500 + 7 * i + r, r)
+                t0 = time.perf_counter()
+                np.asarray(fn(qs, m8, scales2d, src2d))
+                ts.append(time.perf_counter() - t0)
+            walls[r] = float(np.median(ts))
+        marginal = max((walls[3] - walls[1]) / 2, 1e-9)
+        return QUERY_BATCH / marginal
+    except Exception as e:  # noqa: BLE001
+        print(f"# int8 slabbed kernel unavailable ({e})", flush=True)
+        return None
+
+
 def _marginal_int4_s(n: int, d: int, allowed, *, reps, iters=3):
     """Single-query marginal sweep of the int4 packed candidate pass
     (k=128 over-fetch, i.e. RERANK_FACTOR_INT4 * k=10 bucketed) on a random
@@ -222,10 +271,11 @@ def main() -> None:
     )
     p50_ms = p50_s * 1e3
 
-    del matrix  # free 7.7 GB before the int4 corpus / embed tower
+    del matrix  # free 7.7 GB before the int4/int8 corpora / embed tower
     p50_int4_s = (
         _marginal_int4_s(n, d, allowed, reps=(1, 9)) if on_tpu else None
     )
+    qps_int8 = _marginal_int8_qps(n, d, allowed) if on_tpu else None
     embed_dps = measure_embed_docs_per_sec()
 
     print(
@@ -239,6 +289,8 @@ def main() -> None:
                 # int4 packed candidates + f32 host rerank: the production
                 # low-latency path (PERCEIVE_TPU_MATRIX_DTYPE=int4)
                 "p50_int4_rerank_ms": p50_int4_s and round(p50_int4_s * 1e3, 3),
+                # int8 + rerank: the capacity/throughput tier
+                "qps_int8_rerank": qps_int8 and round(qps_int8, 1),
                 "tunnel_roundtrip_ms": round(wall1 * 1e3, 3),
                 "sweep_ms_batch2048": round(sweep * 1e3, 3),
                 "effective_gbps": round(n * d * 2 / sweep / 1e9, 1),
@@ -289,6 +341,13 @@ def main_ingest() -> None:
         model = Model.random(arch, HeadConfig(pooling="mean", normalize=True), tok,
                              compute_dtype=jnp.bfloat16, attention_impl="auto", model_id=1)
         src = add_source(db, Source(name="bench", config={"type": "fs"}, location=root))
+
+        # warm the jit cache for the shapes the scan will hit (full batches
+        # + the tail batch) — a serving process compiles once, not per scan,
+        # and through the tunnel each compile costs 30-60 s
+        sample = open(f"{root}/doc00000.md").read()
+        model.encode([sample] * 256)
+        model.encode([sample] * (n_docs % 256 or 256))
 
         t0 = time.perf_counter()
         stats, ok = scan_source(db, model, src)
