@@ -345,9 +345,14 @@ def main_ingest() -> None:
         # warm the jit cache for the shapes the scan will hit (full batches
         # + the tail batch) — a serving process compiles once, not per scan,
         # and through the tunnel each compile costs 30-60 s
+        from perceive_tpu.models.model import BATCH_BUCKETS
+        from perceive_tpu.sources.pipeline import EMBED_BATCH_SIZE
+
         sample = open(f"{root}/doc00000.md").read()
-        model.encode([sample] * 256)
-        model.encode([sample] * (n_docs % 256 or 256))
+        full = min(EMBED_BATCH_SIZE, BATCH_BUCKETS[-1])
+        model.encode([sample] * full, max_batch=full)
+        tail = n_docs % full or full
+        model.encode([sample] * tail, max_batch=full)
 
         t0 = time.perf_counter()
         stats, ok = scan_source(db, model, src)

@@ -52,13 +52,15 @@ def _gen_chunk_bf16(key):
 @jax.jit
 def _pack_chunk_int4(rows_bf16):
     """(CHUNK, D) bf16 -> ((D/2, CHUNK) uint8 packed, (CHUNK,) f32 scales);
-    mirrors EmbeddingMatrix._quantize4 (low nibble dim j, high dim j+D/2,
-    both biased +8)."""
+    mirrors EmbeddingMatrix._quantize4 (low nibble dim j biased +8, high
+    nibble dim j+D/2 two's complement)."""
     f = rows_bf16.astype(jnp.float32)
     scales = jnp.maximum(jnp.max(jnp.abs(f), axis=1), 1e-12) / 7.0
-    q = (jnp.clip(jnp.round(f / scales[:, None]), -7, 7) + 8).astype(jnp.uint8)
+    q = jnp.clip(jnp.round(f / scales[:, None]), -7, 7).astype(jnp.int32)
     d2 = D // 2
-    packed = q[:, :d2] | (q[:, d2:] << 4)
+    lo = (q[:, :d2] + 8).astype(jnp.uint8)
+    hi = (q[:, d2:] & 15).astype(jnp.uint8)
+    packed = lo | (hi << 4)
     return packed.T, scales
 
 

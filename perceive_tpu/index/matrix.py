@@ -151,14 +151,18 @@ class EmbeddingMatrix:
         return q, scales.astype(np.float32)
 
     def _quantize4(self, rows_f32: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Per-row symmetric int4, packed 2 dims/byte: scale = max|v|/7,
-        nibbles biased +8 (range [1, 15]); byte j holds dim j (low) and dim
-        j + padded_dim/2 (high).  Returns ((n, D/2) uint8, (n,) f32 scales) —
-        the device array stores the TRANSPOSE (see ops/topk.py)."""
+        """Per-row symmetric int4, packed 2 dims/byte: scale = max|v|/7; byte
+        j holds dim j in the LOW nibble biased +8 (range [1, 15]) and dim
+        j + padded_dim/2 in the HIGH nibble as two's complement — the layout
+        the algebraic-unpack kernel expects (ops/topk.py int4 section).
+        Returns ((n, D/2) uint8, (n,) f32 scales) — the device array stores
+        the TRANSPOSE."""
         scales = np.maximum(np.abs(rows_f32).max(axis=1), 1e-12) / 7.0
-        q = (np.clip(np.rint(rows_f32 / scales[:, None]), -7, 7) + 8).astype(np.uint8)
+        q = np.clip(np.rint(rows_f32 / scales[:, None]), -7, 7).astype(np.int8)
         d2 = self.padded_dim // 2
-        packed = q[:, :d2] | (q[:, d2:] << 4)
+        lo = (q[:, :d2] + 8).astype(np.uint8)
+        hi = (q[:, d2:] & 15).astype(np.uint8)  # two's complement nibble
+        packed = lo | (hi << 4)
         return packed, scales.astype(np.float32)
 
     # -- device views -------------------------------------------------------

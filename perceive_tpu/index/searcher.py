@@ -104,12 +104,16 @@ _scan_topk_xla_int8 = jax.jit(_scan_topk_xla_int8_impl, static_argnames=("k",))
 
 def _scan_topk_xla_int4_impl(packed, scales, source_ids, q, allowed, k: int):
     """XLA unpack + int8 dot over the (D/2, N) transposed-packed matrix
-    (CPU engine and the oversized-k fallback; layout in ops/topk.py)."""
+    (CPU engine and the oversized-k fallback).  Layout (ops/topk.py): low
+    nibble biased +8, high nibble two's complement."""
     from ..ops.topk import quantize_queries
 
     qi8, qscale = quantize_queries(q)
     p = packed.astype(jnp.int32)
-    m2 = jnp.concatenate([(p & 15) - 8, (p >> 4) - 8], axis=0).astype(jnp.int8)
+    hb = p >> 4
+    m2 = jnp.concatenate(
+        [(p & 15) - 8, jnp.where(hb >= 8, hb - 16, hb)], axis=0
+    ).astype(jnp.int8)
     iscores = jax.lax.dot_general(
         qi8, m2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )

@@ -27,7 +27,7 @@ from .encoder import EncoderArch, HeadConfig, encode_tokens as _encode_tokens, i
 from .registry import ModelType, checkpoint_path
 from .tokenize import TextTokenizer, TokenBatch
 
-BATCH_BUCKETS = (1, 8, 16, 32, 64, 128, 256)
+BATCH_BUCKETS = (1, 8, 16, 32, 64, 128, 256, 512)
 
 
 def batch_bucket(n: int) -> int:

@@ -339,17 +339,27 @@ def scan_topk_pallas_int8(matrix, scales, source_ids, q, allowed, k: int):
 # Layout: the packed matrix is stored TRANSPOSED, (D/2, N) uint8, so row
 # tiles are lane-major (N on the 128-wide lane axis) and the byte rows sit on
 # the sublane axis (D/2 = 192 for 384-d, a multiple of the int8 sublane tile).
-# Byte [r, n] holds dim r in the low nibble and dim r + D/2 in the high
-# nibble, both biased +8 (stored range [1, 15] for values in [-7, 7]), so the
-# in-kernel unpack is two shifts/masks into an (D, TILE_N) int8 scratch whose
-# row order matches the natural query layout — no interleave, no query
-# permutation, one int8 MXU matmul per tile.
+# Byte [r, n] holds dim r in the LOW nibble biased +8 (range [1, 15]) and dim
+# r + D/2 in the HIGH nibble as two's complement (signed).  With x8 the int8
+# REINTERPRETATION of the byte and lo = bitcast(byte & 15):
+#
+#     x8 = lo_nib + 16 * hi          (hi in [-7, 7], lo_nib in [1, 15])
+#     M1 = q_lo . lo  = A + 8*sum(q_lo)     where A = q_lo . (lo_nib - 8)
+#     M2 = q_hi . x8  = q_hi . lo_nib + 16*B where B = q_hi . hi
+#     M3 = q_hi . lo  = q_hi . lo_nib
+#     score = A + B = M1 - 8*sum(q_lo) + (M2 - M3) / 16
+#
+# so the only per-tile unpack work is the natively-supported uint8 `&` plus
+# same-width bitcasts — Mosaic on this toolchain rejects every cheap
+# alternative (uint8/int8 shifts, int8 subtract, sub-byte bitcasts), and the
+# int32 round-trip unpack measured 25% slower on the marginal sweep.  The
+# three half-width int8 MXU dots are free relative to the DMA.
 # ---------------------------------------------------------------------------
 
 
 def _scan_kernel_int4(
-    allowed_ref, q_ref, qscale_ref, m_ref, src_ref, scales_ref, vals_ref, rows_ref,
-    sc_ref, m2_ref, *, k, tile_n, n_filter, d2,
+    allowed_ref, qlo_ref, qhi_ref, qcorr_ref, qscale_ref, m_ref, src_ref, scales_ref,
+    vals_ref, rows_ref, sc_ref, *, k, tile_n, n_filter, d2,
 ):
     t = pl.program_id(0)
 
@@ -358,22 +368,21 @@ def _scan_kernel_int4(
         vals_ref[:] = jnp.full(vals_ref.shape, -jnp.inf, vals_ref.dtype)
         rows_ref[:] = jnp.full(rows_ref.shape, -1, rows_ref.dtype)
 
-    # unpack the (D/2, TILE_N) byte tile into the (D, TILE_N) int8 scratch
-    p = m_ref[:].astype(jnp.int32)
-    m2_ref[:d2, :] = (jnp.bitwise_and(p, 15) - 8).astype(jnp.int8)
-    m2_ref[d2:, :] = (jnp.right_shift(p, 4) - 8).astype(jnp.int8)
-
-    iscores = jax.lax.dot_general(
-        q_ref[:], m2_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # (Q, TILE_N)
-    scores = iscores.astype(jnp.float32) * scales_ref[:] * qscale_ref[:]
+    p = m_ref[:]  # (d2, TILE_N) uint8
+    lo = jax.lax.bitcast_convert_type(p & jnp.uint8(15), jnp.int8)
+    x8 = jax.lax.bitcast_convert_type(p, jnp.int8)
+    dims = (((1,), (0,)), ((), ()))
+    m1 = jax.lax.dot_general(qlo_ref[:], lo, dims, preferred_element_type=jnp.int32)
+    m2 = jax.lax.dot_general(qhi_ref[:], x8, dims, preferred_element_type=jnp.int32)
+    m3 = jax.lax.dot_general(qhi_ref[:], lo, dims, preferred_element_type=jnp.int32)
+    raw = m1.astype(jnp.float32) + (m2 - m3).astype(jnp.float32) * 0.0625 + qcorr_ref[:]
+    scores = raw * scales_ref[:] * qscale_ref[:]
 
     mask = _source_mask(src_ref[:], allowed_ref, n_filter)
     sc_ref[:] = jnp.where(mask, scores, -jnp.inf)
 
     n_iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], k), 1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (scores.shape[0], k), 1)
     _merge_tile_topk(sc_ref, vals_ref, rows_ref, slice(None), t * tile_n, k, n_iota, k_iota)
 
 
@@ -381,7 +390,7 @@ def _pick_tile_int4(n: int, nq: int, d2: int) -> int:
     for t in _TILES:
         if n % t:
             continue
-        # double-buffered packed tiles + the unpack scratch + score scratch
+        # double-buffered packed tiles + lo/x8 unpack temporaries + scores
         vmem = 2 * d2 * t + 2 * d2 * t + nq * t * 4
         if vmem <= _VMEM_BUDGET:
             return t
@@ -393,10 +402,14 @@ def _pick_tile_int4(n: int, nq: int, d2: int) -> int:
 def pallas_topk_int4_unsorted(packed, scales2d, src2d, qi8, qscale, allowed, k: int, interpret: bool):
     """Raw int4 kernel invocation (unsorted buffer).  packed: (D/2, N) uint8
     transposed-packed (see section comment); scales2d (1, N) f32 per-row;
-    qi8 (Q, D) int8 symmetric-quantized queries; qscale (Q, 1) f32."""
+    qi8 (Q, D) int8 symmetric-quantized queries; qscale (Q, 1) f32.  The
+    query halves and the -8*sum(q_lo) bias correction are derived here, at
+    the XLA level, so the kernel sees only aligned operands."""
     d2, n = packed.shape
     nq, d = qi8.shape
     tile_n = _pick_tile_int4(n, nq, d2)
+    qlo, qhi = qi8[:, :d2], qi8[:, d2:]
+    qcorr = (-8.0 * jnp.sum(qlo.astype(jnp.int32), axis=1, keepdims=True)).astype(jnp.float32)
     kernel = functools.partial(
         _scan_kernel_int4, k=k, tile_n=tile_n, n_filter=allowed.shape[0], d2=d2
     )
@@ -405,7 +418,9 @@ def pallas_topk_int4_unsorted(packed, scales2d, src2d, qi8, qscale, allowed, k: 
         grid=(n // tile_n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # allowed (F,)
-            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, d2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, d2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d2, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -419,18 +434,15 @@ def pallas_topk_int4_unsorted(packed, scales2d, src2d, qi8, qscale, allowed, k: 
             jax.ShapeDtypeStruct((nq, k), jnp.float32),
             jax.ShapeDtypeStruct((nq, k), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((nq, tile_n), jnp.float32),
-            pltpu.VMEM((2 * d2, tile_n), jnp.int8),
-        ],
+        scratch_shapes=[pltpu.VMEM((nq, tile_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * nq * n * 2 * d2,
+            flops=3 * 2 * nq * n * d2,
             bytes_accessed=n * d2 + n * 8 + nq * d,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(allowed, qi8, qscale, packed, src2d, scales2d)
+    )(allowed, qlo, qhi, qcorr, qscale, packed, src2d, scales2d)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))

@@ -64,7 +64,10 @@ def _sharded_scan(matrix, scales, source_ids, q, allowed, *, mesh, k, engine, in
                 )
             else:
                 p = m_shard.astype(jnp.int32)
-                m2 = jnp.concatenate([(p & 15) - 8, (p >> 4) - 8], axis=0).astype(jnp.int8)
+                hb = p >> 4  # high nibble is two's complement (ops/topk.py)
+                m2 = jnp.concatenate(
+                    [(p & 15) - 8, jnp.where(hb >= 8, hb - 16, hb)], axis=0
+                ).astype(jnp.int8)
                 iscores = jax.lax.dot_general(
                     qi8, m2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
                 )

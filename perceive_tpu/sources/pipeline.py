@@ -21,6 +21,7 @@ queues never deadlock the remaining stages.
 
 from __future__ import annotations
 
+import os
 import queue
 import sys
 import threading
@@ -44,7 +45,10 @@ from .scanner import (
 )
 
 SCAN_BATCH_SIZE = 64  # items per scanner batch (reference fs.rs:116)
-EMBED_BATCH_SIZE = 256  # TPU batch (reference used 64, pipeline.rs:76)
+# TPU batch (reference used 64, pipeline.rs:76).  512 keeps the MXU fed and
+# halves per-dispatch overhead vs 256 (each dispatch costs a host round
+# trip — ~50 ms through a serving tunnel); env-tunable for ops.
+EMBED_BATCH_SIZE = int(os.environ.get("PERCEIVE_TPU_EMBED_BATCH", "512"))
 READ_PARALLELISM = 8  # reference import.rs:60
 MATCH_QUEUE = 256
 EMBED_QUEUE_BATCHES = 8

@@ -21,13 +21,17 @@ def test_quantize4_pack_roundtrip():
     rows = rng.standard_normal((64, 256)).astype(np.float32)
     packed, scales = m._quantize4(rows)
     assert packed.shape == (64, 128) and packed.dtype == np.uint8
-    lo = (packed & 15).astype(np.int32) - 8
-    hi = (packed >> 4).astype(np.int32) - 8
+    lo = (packed & 15).astype(np.int32) - 8  # low nibble biased +8
+    hb = (packed >> 4).astype(np.int32)
+    hi = np.where(hb >= 8, hb - 16, hb)  # high nibble two's complement
     recon = np.concatenate([lo, hi], axis=1) * scales[:, None]
     err = np.abs(recon - rows)
     assert err.max() <= (scales[:, None] / 2 + 1e-6).max(), "nibble rounding exceeded scale/2"
-    # all stored nibbles biased into [1, 15] (0 reserved = never produced)
-    assert (packed & 15).min() >= 1 and (packed >> 4).min() >= 1
+    # low nibbles biased into [1, 15] (0 never produced)
+    assert (packed & 15).min() >= 1
+    # the algebraic identity the kernel relies on: int8(byte) = lo_nib + 16*hi
+    x8 = packed.astype(np.int8).astype(np.int32)
+    np.testing.assert_array_equal(x8, (lo + 8) + 16 * hi)
 
 
 def test_int4_pallas_matches_xla_engine():
