@@ -349,7 +349,7 @@ def main_ingest() -> None:
         from perceive_tpu.sources.pipeline import EMBED_BATCH_SIZE
 
         sample = open(f"{root}/doc00000.md").read()
-        full = min(EMBED_BATCH_SIZE, BATCH_BUCKETS[-1])
+        full = min(EMBED_BATCH_SIZE, BATCH_BUCKETS[-1], max(n_docs, 1))
         model.encode([sample] * full, max_batch=full)
         tail = n_docs % full or full
         model.encode([sample] * tail, max_batch=full)
