@@ -345,14 +345,15 @@ def main_ingest() -> None:
         # warm the jit cache for the shapes the scan will hit (full batches
         # + the tail batch) — a serving process compiles once, not per scan,
         # and through the tunnel each compile costs 30-60 s
-        from perceive_tpu.models.model import BATCH_BUCKETS
+        from perceive_tpu.models.model import BATCH_BUCKETS, batch_bucket
         from perceive_tpu.sources.pipeline import EMBED_BATCH_SIZE
 
         sample = open(f"{root}/doc00000.md").read()
         full = min(EMBED_BATCH_SIZE, BATCH_BUCKETS[-1], max(n_docs, 1))
-        model.encode([sample] * full, max_batch=full)
+        model.materialize(model.encode_dispatch([sample] * full))
         tail = n_docs % full or full
-        model.encode([sample] * tail, max_batch=full)
+        if batch_bucket(tail) != full:
+            model.materialize(model.encode_dispatch([sample] * tail))
 
         t0 = time.perf_counter()
         stats, ok = scan_source(db, model, src)

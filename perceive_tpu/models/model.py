@@ -27,7 +27,7 @@ from .encoder import EncoderArch, HeadConfig, encode_tokens as _encode_tokens, i
 from .registry import ModelType, checkpoint_path
 from .tokenize import TextTokenizer, TokenBatch
 
-BATCH_BUCKETS = (1, 8, 16, 32, 64, 128, 256, 512)
+BATCH_BUCKETS = (1, 8, 16, 32, 64, 128, 256, 512, 1024)
 
 
 def batch_bucket(n: int) -> int:
@@ -87,6 +87,20 @@ class Model:
             )
 
         self._encode_jit = jax.jit(fn)
+
+        # ids-only variant for the ingest dispatch path: the attention mask
+        # is derivable on device (mask = ids != pad, exactly the reference's
+        # rule, model/tokenize.rs generate_token_tensors) and type ids are
+        # zero for sentence encoders — shipping one (B, S) array instead of
+        # three cuts host->device bytes 3x and skips two host array builds
+        # (the ingest host is single-core; see sources/pipeline._embed_stage)
+        pad_id = tokenizer.pad_id
+
+        def fn_ids(params, ids):
+            mask = (ids != pad_id).astype(jnp.int32)
+            return fn(params, ids, mask, jnp.zeros_like(ids))
+
+        self._encode_ids_jit = jax.jit(fn_ids)
 
     # -- constructors --------------------------------------------------------
 
@@ -203,13 +217,8 @@ class Model:
             raise ModelError(
                 f"batch of {len(chunk)} exceeds the {BATCH_BUCKETS[-1]} dispatch limit"
             )
-        tb = self.tokenizer.encode_batch(chunk, pad_batch_to=batch_bucket(len(chunk)))
-        out = self._encode_jit(
-            self.params,
-            jnp.asarray(tb.input_ids),
-            jnp.asarray(tb.attention_mask),
-            jnp.asarray(tb.token_type_ids),
-        )
+        ids = self.tokenizer.encode_batch_ids(chunk, pad_batch_to=batch_bucket(len(chunk)))
+        out = self._encode_ids_jit(self.params, jnp.asarray(ids))
         return out, len(chunk)
 
     @staticmethod

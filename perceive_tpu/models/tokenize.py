@@ -114,7 +114,11 @@ class TextTokenizer:
         with self._lock:
             self.tokenizer.enable_truncation(self.max_seq_length)
             self.tokenizer.no_padding()
-            encs = self.tokenizer.encode_batch(list(texts))
+            # encode_batch_fast skips offset/word alignments we never read
+            # here (~15% less tokenizer CPU; the host is single-core in the
+            # serving containers, so tokenizer CPU is ingest throughput)
+            enc = getattr(self.tokenizer, "encode_batch_fast", self.tokenizer.encode_batch)
+            encs = enc(list(texts))
         if pad_batch_to is not None and len(encs) > pad_batch_to:
             raise ValueError(f"{len(encs)} texts exceed pad_batch_to={pad_batch_to}")
         longest = max((len(e.ids) for e in encs), default=1)
@@ -130,6 +134,29 @@ class TextTokenizer:
             mask[r, :L] = 1
             type_ids[r, :L] = e.type_ids[:L]
         return TokenBatch(ids, mask, type_ids)
+
+    def encode_batch_ids(
+        self, texts: Sequence[str], *, pad_batch_to: Optional[int] = None
+    ) -> np.ndarray:
+        """Tokenize to a padded (N, S) int32 id array ONLY — no attention
+        mask or type ids (the ids-only encode path derives the mask on
+        device as ids != pad).  Halves the host-side array work of
+        ``encode_batch`` on the single-core ingest host."""
+        with self._lock:
+            self.tokenizer.enable_truncation(self.max_seq_length)
+            self.tokenizer.no_padding()
+            enc = getattr(self.tokenizer, "encode_batch_fast", self.tokenizer.encode_batch)
+            encs = enc(list(texts))
+        if pad_batch_to is not None and len(encs) > pad_batch_to:
+            raise ValueError(f"{len(encs)} texts exceed pad_batch_to={pad_batch_to}")
+        longest = max((len(e.ids) for e in encs), default=1)
+        target = bucket_length(longest, self.max_seq_length)
+        n = len(encs) if pad_batch_to is None else pad_batch_to
+        ids = np.full((n, target), self.pad_id, dtype=np.int32)
+        for r, e in enumerate(encs):
+            L = min(len(e.ids), target)
+            ids[r, :L] = e.ids[:L]
+        return ids
 
     def encode_untruncated(self, texts: Sequence[str]):
         """Full-length encodings with offsets + special-token masks, for the

@@ -48,7 +48,7 @@ SCAN_BATCH_SIZE = 64  # items per scanner batch (reference fs.rs:116)
 # TPU batch (reference used 64, pipeline.rs:76).  512 keeps the MXU fed and
 # halves per-dispatch overhead vs 256 (each dispatch costs a host round
 # trip — ~50 ms through a serving tunnel); env-tunable for ops.
-EMBED_BATCH_SIZE = int(os.environ.get("PERCEIVE_TPU_EMBED_BATCH", "512"))
+EMBED_BATCH_SIZE = int(os.environ.get("PERCEIVE_TPU_EMBED_BATCH", "1024"))
 READ_PARALLELISM = 8  # reference import.rs:60
 MATCH_QUEUE = 256
 EMBED_QUEUE_BATCHES = 8
@@ -402,6 +402,13 @@ def _write_stage(
             dev_srcs: list[int] = []
             dev_vecs: list[np.ndarray] = []
             removed_ids: list[int] = []
+            # single-writer discipline makes the seq counter safe to assign
+            # host-side; one MAX() per batch replaces a correlated subquery
+            # per embedding row (measurable on the single-core ingest host)
+            seq_base = conn.execute(
+                "SELECT COALESCE(MAX(seq),0) FROM item_embeddings"
+            ).fetchone()[0]
+            emb_rows: list[tuple] = []
             for si, embs in batch:
                 item = si.item
                 meta = item.metadata
@@ -461,31 +468,25 @@ def _write_stage(
                     item_id = item.id
                 if embs is not None:
                     for chunk_idx, emb in embs:
-                        conn.execute(
-                            """INSERT INTO item_embeddings
-                                 (item_id, chunk_idx, item_index_version, embedding,
-                                  model_id, model_version, seq)
-                               VALUES (?,?,?,?,?,?,
-                                 (SELECT COALESCE(MAX(seq),0)+1 FROM item_embeddings))
-                               ON CONFLICT (item_id, chunk_idx, model_id, model_version)
-                               DO UPDATE
-                                 SET item_index_version=excluded.item_index_version,
-                                     embedding=excluded.embedding,
-                                     seq=excluded.seq""",
+                        seq_base += 1
+                        emb_rows.append(
                             (item_id, chunk_idx, index_version,
-                             serialize_embedding(emb), model_id, model_version),
+                             serialize_embedding(emb), model_id, model_version,
+                             seq_base)
                         )
                         dev_ids.append((item_id, chunk_idx))
                         dev_srcs.append(item.source_id)
                         dev_vecs.append(np.asarray(emb, dtype=np.float32))
                     # drop stale chunk rows past the new count (doc shrank;
-                    # len 0 = document became empty, all rows go)
-                    conn.execute(
-                        """DELETE FROM item_embeddings
-                           WHERE item_id=? AND model_id=? AND model_version=?
-                             AND chunk_idx >= ?""",
-                        (item_id, model_id, model_version, len(embs)),
-                    )
+                    # len 0 = document became empty, all rows go).  Freshly
+                    # inserted items can have no stale rows to drop.
+                    if si.state is not ScanItemState.NEW:
+                        conn.execute(
+                            """DELETE FROM item_embeddings
+                               WHERE item_id=? AND model_id=? AND model_version=?
+                                 AND chunk_idx >= ?""",
+                            (item_id, model_id, model_version, len(embs)),
+                        )
                     if not embs:
                         removed_ids.append(item_id)
                 if si.state is not ScanItemState.UNCHANGED and item.skipped is not None:
@@ -496,6 +497,19 @@ def _write_stage(
                         (item_id, model_id, model_version),
                     )
                     removed_ids.append(item_id)
+            if emb_rows:
+                conn.executemany(
+                    """INSERT INTO item_embeddings
+                         (item_id, chunk_idx, item_index_version, embedding,
+                          model_id, model_version, seq)
+                       VALUES (?,?,?,?,?,?,?)
+                       ON CONFLICT (item_id, chunk_idx, model_id, model_version)
+                       DO UPDATE
+                         SET item_index_version=excluded.item_index_version,
+                             embedding=excluded.embedding,
+                             seq=excluded.seq""",
+                    emb_rows,
+                )
             # device hooks INSIDE the transaction: anything committed is
             # already in the matrix, so snapshots recording MAX(seq) can
             # never reference rows the matrix is missing
