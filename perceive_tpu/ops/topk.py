@@ -39,8 +39,11 @@ ALLOW_ALL = -2  # sentinel in allowed[0]: disable source filtering
 _BIG = 2**30
 
 # Row-tile candidates; EmbeddingMatrix capacity is always a multiple of 512
-# (index/matrix.py ROW_ALIGN) so at least the last divides.
-_TILES = (4096, 2048, 1024, 512)
+# (index/matrix.py ROW_ALIGN) so at least the last divides.  Bigger tiles
+# amortize per-grid-step overhead: 8192 measured 630 GB/s of packed int4
+# bytes vs 561 at 4096 on the bench device (the VMEM budget below keeps
+# fat-dtype/batched kernels on smaller tiles automatically).
+_TILES = (8192, 4096, 2048, 1024, 512)
 
 
 # Tile-choice budget: pallas_call passes vmem_limit_bytes=14MB below, so
