@@ -185,3 +185,44 @@ def test_sharded_pallas_engine_slabbed():
     idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
     np.testing.assert_allclose(np.asarray(vals), np.take_along_axis(scores, idx, 1), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(rows), idx)
+
+
+def test_sharded_searcher_int4_packed(tmp_db):
+    """int4 packed tier over the mesh: candidates from the per-chip packed
+    scan, exactness restored by the inherited f32 rerank + escalation."""
+    from perceive_tpu.db import add_source
+    from perceive_tpu.index.matrix import serialize_embedding
+    from perceive_tpu.index.searcher import Searcher
+    from perceive_tpu.types import Source
+
+    mesh = make_mesh(4)
+    src = add_source(tmp_db, Source(name="s", config={"type": "fs"}, location="/x"))
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((700, 24)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    with tmp_db.write() as conn:
+        for i, v in enumerate(vecs):
+            cur = conn.execute(
+                "INSERT INTO items (source_id, external_id, hash, content) VALUES (?,?,?,?)",
+                (src.id, f"d{i}", "", "c"),
+            )
+            conn.execute(
+                """INSERT INTO item_embeddings (item_id, item_index_version, embedding,
+                     model_id, model_version, seq)
+                   VALUES (?,?,?,0,0,?)""",
+                (cur.lastrowid, 1, serialize_embedding(v), i + 1),
+            )
+
+    from perceive_tpu.parallel.search import ShardedSearcher
+
+    ss = ShardedSearcher.build(tmp_db, 0, 0, 24, mesh, dtype="int4", engine="xla")
+    s1 = Searcher.build(tmp_db, 0, 0, 24, engine="xla", dtype=jnp.float32, use_snapshot=False)
+    assert ss.matrix.packed4 and len(ss.matrix) == 700
+
+    for qi in (3, 123, 600):
+        got = ss.search_vector(vecs[qi], 8)
+        want = s1.search_vector(vecs[qi], 8)
+        assert [i for i, _ in got] == [i for i, _ in want]
+        np.testing.assert_allclose(
+            [v for _, v in got], [v for _, v in want], rtol=1e-5
+        )
