@@ -221,6 +221,21 @@ class Model:
         out = self._encode_ids_jit(self.params, jnp.asarray(ids))
         return out, len(chunk)
 
+    def encode_dispatch_token_windows(self, windows):
+        """Like ``encode_dispatch`` but for pre-sliced token-id windows (the
+        chunk-embedding path): windows are wrapped with the model's special
+        tokens and padded host-side, never re-tokenized."""
+        windows = list(windows)
+        if len(windows) > BATCH_BUCKETS[-1]:
+            raise ModelError(
+                f"batch of {len(windows)} exceeds the {BATCH_BUCKETS[-1]} dispatch limit"
+            )
+        ids = self.tokenizer.pack_token_windows(
+            windows, pad_batch_to=batch_bucket(len(windows))
+        )
+        out = self._encode_ids_jit(self.params, jnp.asarray(ids))
+        return out, len(windows)
+
     @staticmethod
     def materialize(dispatched) -> np.ndarray:
         """Block on a dispatched encode and trim batch padding."""

@@ -158,6 +158,40 @@ class TextTokenizer:
             ids[r, :L] = e.ids[:L]
         return ids
 
+    def _special_wrap(self) -> tuple[list[int], list[int]]:
+        """(prefix, suffix) special-token ids around a single sequence,
+        derived from encoding the empty string (template-agnostic: works for
+        [CLS]/[SEP], <s>/</s>, ...)."""
+        if not hasattr(self, "_wrap_ids"):
+            with self._lock:
+                self.tokenizer.no_truncation()
+                self.tokenizer.no_padding()
+                ids = list(self.tokenizer.encode("").ids)
+            half = (len(ids) + 1) // 2
+            self._wrap_ids = (ids[:half], ids[half:])
+        return self._wrap_ids
+
+    def pack_token_windows(
+        self, windows: Sequence[Sequence[int]], *, pad_batch_to: Optional[int] = None
+    ) -> np.ndarray:
+        """Pre-sliced token-id windows (no specials) -> padded (N, S) int32
+        ids with the model's special wrap re-added.  The chunk-embedding path
+        uses this so a document is tokenized ONCE — windows are slices of the
+        untruncated encoding, never re-tokenized text (half the tokenizer CPU
+        of the round-1 text-span chunking, and boundary-exact)."""
+        pre, suf = self._special_wrap()
+        budget = max(self.max_seq_length - len(pre) - len(suf), 1)
+        n = len(windows) if pad_batch_to is None else pad_batch_to
+        if pad_batch_to is not None and len(windows) > pad_batch_to:
+            raise ValueError(f"{len(windows)} windows exceed pad_batch_to={pad_batch_to}")
+        longest = max((min(len(w), budget) for w in windows), default=1) + len(pre) + len(suf)
+        target = bucket_length(longest, self.max_seq_length)
+        ids = np.full((n, target), self.pad_id, dtype=np.int32)
+        for r, w in enumerate(windows):
+            seq = pre + list(w[:budget]) + suf
+            ids[r, : len(seq)] = seq
+        return ids
+
     def encode_untruncated(self, texts: Sequence[str]):
         """Full-length encodings with offsets + special-token masks, for the
         highlight engine's chunking (reference model/highlight.rs:32-38 used

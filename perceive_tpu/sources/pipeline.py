@@ -224,35 +224,33 @@ def build_document(item: Item) -> Optional[str]:
     return doc or None
 
 
-def chunk_document(tokenizer, text: str, chunk_tokens: int, overlap: int) -> list[str]:
-    """Split a document into overlapping ~chunk_tokens-token text spans.
+def chunk_token_windows(
+    tokenizer, text: str, chunk_tokens: int, overlap: int
+) -> list[list[int]]:
+    """Split a document into overlapping chunk_tokens-sized token-id windows.
 
     The north-star long-context strategy (SURVEY.md §5.7): instead of the
     reference's head-truncation at max_seq_length (model/tokenize.rs:64-71),
     every chunk is embedded and indexed, so matches deep in long documents
-    are findable.  Spans are cut on token boundaries via the tokenizer's
-    char offsets; specials are excluded from the windows.
+    are findable.  The document is tokenized exactly ONCE: windows are id
+    slices of the untruncated encoding (specials excluded), re-wrapped with
+    the model's special tokens at dispatch (tokenize.pack_token_windows) —
+    never re-tokenized text, so chunk boundaries are token-exact and the
+    tokenizer CPU per document is halved vs the round-1 text-span scheme.
     """
     enc = tokenizer.encode_untruncated([text])[0]
-    offs = [
-        o
-        for o, m in zip(enc.offsets, enc.special_tokens_mask)
-        if not m and o is not None
-    ]
-    if len(offs) <= chunk_tokens:
-        return [text]
+    ids = [i for i, m in zip(enc.ids, enc.special_tokens_mask) if not m]
+    if len(ids) <= chunk_tokens:
+        return [ids]
     step = max(chunk_tokens - overlap, 1)
-    chunks = []
+    windows = []
     start = 0
-    while start < len(offs):
-        window = offs[start : start + chunk_tokens]
-        c0 = window[0][0]
-        c1 = max(o[1] for o in window)
-        chunks.append(text[c0:c1])
-        if start + chunk_tokens >= len(offs):
+    while start < len(ids):
+        windows.append(ids[start : start + chunk_tokens])
+        if start + chunk_tokens >= len(ids):
             break
         start += step
-    return chunks
+    return windows
 
 
 class _PendingItem:
@@ -338,7 +336,10 @@ def _embed_stage(
         stats.embedding.add(len(entries))
         with stats.encode_time.track():
             try:
-                d = model.encode_dispatch(batch_texts)
+                if chunk_tokens > 0:  # entries are token-id windows
+                    d = model.encode_dispatch_token_windows(batch_texts)
+                else:
+                    d = model.encode_dispatch(batch_texts)
             except Exception as e:  # noqa: BLE001
                 print(f"embed dispatch failed: {e}", file=sys.stderr)
                 stats.embedding.sub(len(entries))
@@ -362,7 +363,7 @@ def _embed_stage(
             release([(si, [])])
             continue
         if chunk_tokens > 0:
-            parts = chunk_document(model.tokenizer, doc, chunk_tokens, chunk_overlap)
+            parts = chunk_token_windows(model.tokenizer, doc, chunk_tokens, chunk_overlap)
         else:
             parts = [doc]
         pi = _PendingItem(si, len(parts))

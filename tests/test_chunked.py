@@ -7,7 +7,7 @@ from perceive_tpu.db import add_source
 from perceive_tpu.index.searcher import Searcher
 from perceive_tpu.models import EncoderArch, HeadConfig, Model, TextTokenizer, tiny_test_vocab
 from perceive_tpu.sources import scan_source
-from perceive_tpu.sources.pipeline import chunk_document
+from perceive_tpu.sources.pipeline import chunk_token_windows
 from perceive_tpu.types import Source
 
 WORDS = "alpha beta gamma delta epsilon zeta eta theta music pizza".split()
@@ -24,14 +24,26 @@ def model():
     return m
 
 
-def test_chunk_document(model):
+def test_chunk_token_windows(model):
     text = " ".join(WORDS * 5)  # 50 tokens
-    chunks = chunk_document(model.tokenizer, text, 10, 2)
-    assert len(chunks) > 3
-    for c in chunks:
-        assert c in text  # verbatim spans
-    # short doc -> single chunk (whole text)
-    assert chunk_document(model.tokenizer, "alpha beta", 10, 2) == ["alpha beta"]
+    windows = chunk_token_windows(model.tokenizer, text, 10, 2)
+    assert len(windows) > 3
+    # windows are id slices of the single untruncated encoding: stride 8,
+    # every window within size, full coverage with the configured overlap
+    enc = model.tokenizer.encode_untruncated([text])[0]
+    ids = [i for i, m in zip(enc.ids, enc.special_tokens_mask) if not m]
+    for w in windows:
+        assert 0 < len(w) <= 10
+    flat = windows[0] + [t for w in windows[1:] for t in w[2:]]  # drop overlap
+    assert flat == ids
+    # short doc -> single window (whole text, no specials)
+    short = chunk_token_windows(model.tokenizer, "alpha beta", 10, 2)
+    enc2 = model.tokenizer.encode_untruncated(["alpha beta"])[0]
+    assert short == [[i for i, m in zip(enc2.ids, enc2.special_tokens_mask) if not m]]
+    # dispatch packing re-adds the special wrap and pads to a bucket
+    packed = model.tokenizer.pack_token_windows(short, pad_batch_to=8)
+    assert packed.shape[0] == 8
+    np.testing.assert_array_equal(packed[0][: len(enc2.ids)], enc2.ids)
 
 
 def test_chunked_scan_and_search(tmp_db, tmp_path, model):
