@@ -126,14 +126,17 @@ class AppState:
             start = time.time()
             if len(jax.devices()) > 1:
                 # multi-chip: row-shard the corpus over the whole mesh with
-                # per-chip top-k + all-gather merge
+                # per-chip top-k + all-gather merge, and scale ingest encode
+                # data-parallel over the same mesh (Model.shard_over)
                 from ..parallel import make_mesh
                 from ..parallel.search import ShardedSearcher
 
+                mesh = make_mesh()
                 self.searcher = ShardedSearcher.build(
                     self.db, self.model.model_id, self.model.model_version,
-                    self.model.dim, make_mesh(), engine=engine, dtype=dtype,
+                    self.model.dim, mesh, engine=engine, dtype=dtype,
                 )
+                self.model.shard_over(mesh)
             else:
                 self.searcher = Searcher.build(
                     self.db, self.model.model_id, self.model.model_version,

@@ -73,6 +73,16 @@ class Model:
             attention_impl = "pallas" if plat == "tpu" else "xla"
         self.attention_impl = attention_impl
         self.compute_dtype = compute_dtype
+        # multi-chip state (shard_over): mesh, data-axis size, batch sharding
+        self._mesh = None
+        self._data_parallel = 1
+        self._batch_sharding = None
+        self._encode_ids_dp = None
+        self._build_jits(attention_impl)
+
+    def _build_jits(self, attention_impl: str) -> None:
+        arch, head, compute_dtype = self.arch, self.head, self.compute_dtype
+        self.attention_impl = attention_impl
 
         def fn(params, ids, mask, type_ids):
             return _encode_tokens(
@@ -83,9 +93,10 @@ class Model:
                 mask,
                 type_ids,
                 compute_dtype=compute_dtype,
-                attention_impl=self.attention_impl,
+                attention_impl=attention_impl,
             )
 
+        self._encode_fn = fn
         self._encode_jit = jax.jit(fn)
 
         # ids-only variant for the ingest dispatch path: the attention mask
@@ -94,13 +105,69 @@ class Model:
         # zero for sentence encoders — shipping one (B, S) array instead of
         # three cuts host->device bytes 3x and skips two host array builds
         # (the ingest host is single-core; see sources/pipeline._embed_stage)
-        pad_id = tokenizer.pad_id
+        pad_id = self.tokenizer.pad_id
 
         def fn_ids(params, ids):
             mask = (ids != pad_id).astype(jnp.int32)
             return fn(params, ids, mask, jnp.zeros_like(ids))
 
+        self._encode_ids_fn = fn_ids
         self._encode_ids_jit = jax.jit(fn_ids)
+
+    # -- multi-chip ----------------------------------------------------------
+
+    def shard_over(self, mesh) -> "Model":
+        """Scale encoding over a device mesh (SURVEY.md §2 DP/TP rows).
+
+        With the mesh's ``model`` axis at 1 (the MiniLM-class default), the
+        ingest encode runs data-parallel through shard_map — params
+        replicated, token batches split on the ``data`` axis, the Pallas
+        attention kernel intact per chip.  With model parallelism > 1 the
+        params get the Megatron TP shardings (parallel/mesh._LAYER_SPECS)
+        and GSPMD partitions the tower (attention falls back to the XLA path
+        — pallas_call is opaque to GSPMD propagation; shard_map is how the
+        DP case keeps the kernel).  Batches whose bucket doesn't divide the
+        data axis (single queries) run through the plain jit on replicated
+        params."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import (
+            DATA_AXIS,
+            MODEL_AXIS,
+            batch_sharding,
+            replicated,
+            shard_params,
+        )
+
+        self._mesh = mesh
+        self._data_parallel = mesh.shape[DATA_AXIS]
+        self._batch_sharding = batch_sharding(mesh)
+        if mesh.shape[MODEL_AXIS] > 1:
+            if self.attention_impl == "pallas":
+                self._build_jits("xla")
+            self.params = shard_params(self.params, mesh)
+            self._encode_ids_dp = None
+        else:
+            self.params = jax.device_put(self.params, replicated(mesh))
+            self._encode_ids_dp = jax.jit(
+                shard_map(
+                    self._encode_ids_fn,
+                    mesh=mesh,
+                    in_specs=(P(), P(DATA_AXIS, None)),
+                    out_specs=P(DATA_AXIS, None),
+                )
+            )
+        return self
+
+    def _dispatch_ids(self, ids):
+        """Launch the ids-only encode with mesh-aware placement."""
+        a = jnp.asarray(ids)
+        if self._mesh is not None and a.shape[0] % self._data_parallel == 0:
+            a = jax.device_put(a, self._batch_sharding)
+            if self._encode_ids_dp is not None:
+                return self._encode_ids_dp(self.params, a)
+        return self._encode_ids_jit(self.params, a)
 
     # -- constructors --------------------------------------------------------
 
@@ -218,8 +285,7 @@ class Model:
                 f"batch of {len(chunk)} exceeds the {BATCH_BUCKETS[-1]} dispatch limit"
             )
         ids = self.tokenizer.encode_batch_ids(chunk, pad_batch_to=batch_bucket(len(chunk)))
-        out = self._encode_ids_jit(self.params, jnp.asarray(ids))
-        return out, len(chunk)
+        return self._dispatch_ids(ids), len(chunk)
 
     def encode_dispatch_token_windows(self, windows):
         """Like ``encode_dispatch`` but for pre-sliced token-id windows (the
@@ -233,8 +299,7 @@ class Model:
         ids = self.tokenizer.pack_token_windows(
             windows, pad_batch_to=batch_bucket(len(windows))
         )
-        out = self._encode_ids_jit(self.params, jnp.asarray(ids))
-        return out, len(windows)
+        return self._dispatch_ids(ids), len(windows)
 
     @staticmethod
     def materialize(dispatched) -> np.ndarray:
