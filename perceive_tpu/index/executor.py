@@ -33,7 +33,10 @@ class _Request:
 
 
 class BatchingSearchExecutor:
-    def __init__(self, searcher, *, window_ms: float = 2.0, max_batch: int = 256):
+    # 512 concurrent queries still sweep in one go (int8 slab measured
+    # 19k QPS at Q=512, BENCH_NOTES.md round-2); beyond that the kernel
+    # slabs sweeps itself, so a bigger cap only adds queueing latency
+    def __init__(self, searcher, *, window_ms: float = 2.0, max_batch: int = 512):
         self.searcher = searcher
         self.window = window_ms / 1e3
         self.max_batch = max_batch
