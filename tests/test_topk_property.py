@@ -74,3 +74,92 @@ def test_kernel_matches_oracle(n_tiles, nq, k, n_sources, tombstones, filtered, 
                 np.testing.assert_allclose(
                     float(q[qi] @ matrix[r]), vals[qi, slot], rtol=1e-5
                 )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_tiles=st.integers(1, 2),
+    nq=st.integers(1, 4),
+    k=st.integers(1, 16),
+    tombstones=st.floats(0.0, 0.3),
+    filtered=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_int8_kernel_matches_dequant_oracle(n_tiles, nq, k, tombstones, filtered, seed):
+    """Randomized int8 kernel exactness vs the dequantized-score oracle."""
+    from perceive_tpu.ops.topk import quantize_queries, scan_topk_pallas_int8
+
+    rng = np.random.default_rng(seed)
+    n, d = 512 * n_tiles, 32
+    m8 = rng.integers(-127, 128, (n, d)).astype(np.int8)
+    scales = (rng.random(n).astype(np.float32) + 0.5) / 127.0
+    source_ids = rng.integers(0, 3, n).astype(np.int32)
+    source_ids[rng.random(n) < tombstones] = -1
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    allowed = np.full(16, -9, np.int32)
+    allowed[0] = 0 if filtered else ALLOW_ALL
+
+    vals, rows = scan_topk_pallas_int8(
+        jnp.asarray(m8), jnp.asarray(scales), jnp.asarray(source_ids),
+        jnp.asarray(q), jnp.asarray(allowed), k,
+    )
+    qi8, qscale = quantize_queries(jnp.asarray(q))
+    scores = (
+        np.asarray(qi8, np.float32) @ m8.T.astype(np.float32)
+        * scales[None, :] * np.asarray(qscale)
+    )
+    ok = source_ids >= 0
+    if filtered:
+        ok &= source_ids == 0
+    scores = np.where(ok[None, :], scores, -np.inf)
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    np.testing.assert_allclose(
+        np.asarray(vals), np.take_along_axis(scores, idx, axis=1), rtol=1e-5, atol=1e-6
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_tiles=st.integers(1, 2),
+    nq=st.integers(1, 3),
+    k=st.integers(1, 16),
+    filtered=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_int4_kernel_matches_xla_unpack(n_tiles, nq, k, filtered, seed):
+    """Randomized int4 packed-kernel equivalence with the XLA unpack engine
+    (both produce the same quantized candidate ranking)."""
+    from perceive_tpu.index.matrix import INT4, EmbeddingMatrix
+    from perceive_tpu.index.searcher import _scan_topk_xla_int4
+    from perceive_tpu.ops.topk import scan_topk_pallas_int4
+
+    rng = np.random.default_rng(seed)
+    n, d = 512 * n_tiles, 64
+    m = EmbeddingMatrix(d, dtype=INT4, capacity=n)
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    srcs = rng.integers(0, 2, n).astype(np.int32)
+    m.upsert(list(range(1, n + 1)), srcs.tolist(), vecs)
+    packed, src, scales = m.device_view()
+
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    if m.padded_dim > d:  # kernels take lane-aligned queries (searcher.py pads)
+        q = np.concatenate([q, np.zeros((nq, m.padded_dim - d), q.dtype)], axis=1)
+    allowed = np.full(16, -9, np.int32)
+    allowed[0] = 0 if filtered else ALLOW_ALL
+
+    pv, pr = scan_topk_pallas_int4(
+        packed, scales, src, jnp.asarray(q), jnp.asarray(allowed), k
+    )
+    xv, xr = _scan_topk_xla_int4(
+        packed, scales, src, jnp.asarray(q), jnp.asarray(allowed), k
+    )
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(xv), rtol=1e-5, atol=1e-6)
+    # row agreement wherever scores are not tied with a neighbor slot
+    pvn, xvn = np.asarray(pv), np.asarray(xv)
+    strict = np.ones_like(pvn, bool)
+    strict[:, 1:] &= pvn[:, 1:] != pvn[:, :-1]
+    strict[:, :-1] &= pvn[:, :-1] != pvn[:, 1:]
+    np.testing.assert_array_equal(
+        np.asarray(pr)[strict], np.asarray(xr)[strict]
+    )
