@@ -44,6 +44,12 @@ class BatchingSearchExecutor:
         self._lock = threading.Lock()
         self._wake = threading.Condition(self._lock)
         self._closed = False
+        # observability counters (read by serve's /metrics; monotonic,
+        # written only by the dispatcher thread)
+        self.sweeps_total = 0
+        self.queries_total = 0
+        self.query_errors_total = 0
+        self.sweep_seconds_total = 0.0
         self._thread = threading.Thread(target=self._run, daemon=True, name="search-batcher")
         self._thread.start()
 
@@ -99,13 +105,18 @@ class BatchingSearchExecutor:
         for r in batch:
             groups.setdefault((r.k, r.source_key), []).append(r)
         for (k, source_key), reqs in groups.items():
+            t0 = time.monotonic()
             try:
                 vecs = np.stack([r.vec for r in reqs])
                 source_ids = list(source_key) if source_key is not None else None
                 results = self.searcher.search_vectors_batch(vecs, k, source_ids)
             except Exception as e:  # noqa: BLE001 — fail the requests, not the loop
+                self.query_errors_total += len(reqs)
                 for r in reqs:
                     r.future.set_exception(e)
                 continue
+            self.sweeps_total += 1
+            self.queries_total += len(reqs)
+            self.sweep_seconds_total += time.monotonic() - t0
             for r, hits in zip(reqs, results):
                 r.future.set_result(hits)

@@ -192,6 +192,40 @@ def make_handler(holder: ServeState):
                     r.highlight = h
             self._json(200, [_result_json(r) for r in results])
 
+        def _metrics(self) -> None:
+            """Prometheus text exposition (the metrics-export surface the
+            reference never had — SURVEY.md §5.5 'no metrics export')."""
+            lines = [
+                "# TYPE perceive_ready gauge",
+                f"perceive_ready {int(holder.ready.is_set() and holder.error is None)}",
+            ]
+            app, ex = holder.app, holder.executor
+            if app is not None and app.searcher is not None:
+                m = app.searcher.matrix
+                lines += [
+                    "# TYPE perceive_index_rows gauge",
+                    f"perceive_index_rows {len(m)}",
+                    "# TYPE perceive_index_capacity gauge",
+                    f"perceive_index_capacity {m.capacity}",
+                ]
+            if ex is not None:
+                lines += [
+                    "# TYPE perceive_search_queries_total counter",
+                    f"perceive_search_queries_total {ex.queries_total}",
+                    "# TYPE perceive_search_query_errors_total counter",
+                    f"perceive_search_query_errors_total {ex.query_errors_total}",
+                    "# TYPE perceive_search_sweeps_total counter",
+                    f"perceive_search_sweeps_total {ex.sweeps_total}",
+                    "# TYPE perceive_search_sweep_seconds_total counter",
+                    f"perceive_search_sweep_seconds_total {ex.sweep_seconds_total:.6f}",
+                ]
+            body = ("\n".join(lines) + "\n").encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def _gate(self) -> bool:
             if not holder.ready.is_set() or holder.app is None:
                 self._json(503, {"status": "loading", "error": holder.error})
@@ -234,6 +268,8 @@ def make_handler(holder: ServeState):
                         for s in holder.app.sources
                     ],
                 )
+            elif parts.path == "/metrics":
+                self._metrics()
             elif parts.path == "/search":
                 if not self._gate():
                     return

@@ -149,6 +149,20 @@ def test_serve(state, tmp_path, capsys):
             raise AssertionError("bad type must 400")
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+        # /metrics: Prometheus text with the executor's sweep counters
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+            text = r.read().decode()
+        assert "perceive_ready 1" in text
+        assert "perceive_index_rows 1" in text
+        metrics = {
+            line.split()[0]: float(line.split()[1])
+            for line in text.splitlines()
+            if line and not line.startswith("#")
+        }
+        assert metrics["perceive_search_queries_total"] >= 4
+        assert metrics["perceive_search_sweeps_total"] >= 4
+        assert metrics["perceive_search_query_errors_total"] == 0
     finally:
         server.shutdown()
 
