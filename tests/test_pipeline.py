@@ -252,3 +252,67 @@ def test_embed_failure_poisons_batch_not_scan(tmp_db, tmp_path, model):
     stats2, ok = scan_source(tmp_db, model, src, embed_batch_size=4)
     assert ok and stats2.encoded.value == 2
     assert tmp_db.read().execute("SELECT COUNT(*) FROM item_embeddings").fetchone()[0] == 2
+
+
+def test_scan_hostile_tree(tmp_db, tmp_path, model):
+    """Fuzz-ish robustness: symlink loops, dangling links, unreadable files,
+    NUL bytes, invalid UTF-8, very long lines, deeply nested dirs, weird
+    names, fifos — the scan must complete, index the sane text, and skip the
+    rest without crashing or hanging."""
+    root = tmp_path / "hostile"
+    root.mkdir()
+    (root / "ok.txt").write_text("alpha beta gamma\n")
+    # invalid utf-8 and NUL bytes -> omitted
+    (root / "bad_utf8.txt").write_bytes(b"\x80\x81\xfe\xff alpha")
+    (root / "nul.txt").write_bytes(b"alpha\x00beta")  # decodes; indexed or omitted, must not crash
+    # very long single line (1 MB)
+    (root / "long.txt").write_text("alpha " * 200_000)
+    # deep nesting
+    deep = root
+    for i in range(40):
+        deep = deep / f"d{i}"
+    deep.mkdir(parents=True)
+    (deep / "deep.txt").write_text("hello world\n")
+    # weird names
+    (root / "sp ace & (chars) ~!.txt").write_text("delta news\n")
+    (root / "uni-héllo-🌍.txt").write_text("notes world\n")
+    # symlink loop + dangling symlink (must not hang or crash)
+    os.symlink(str(root), str(root / "loop"), target_is_directory=True)
+    os.symlink(str(root / "missing.txt"), str(root / "dangling.txt"))
+    # unreadable file -> omitted
+    unread = root / "secret.txt"
+    unread.write_text("alpha")
+    os.chmod(unread, 0)
+    # fifo (read would block forever if opened naively by a follower of
+    # symlink/fifo; scanner stats it as a non-regular file or read fails)
+    fifo_ok = True
+    try:
+        os.mkfifo(root / "pipe.fifo")
+    except (OSError, AttributeError):
+        fifo_ok = False
+
+    src = add_source(tmp_db, Source(name="hostile", config={"type": "fs"}, location=str(root)))
+    searcher = Searcher(0, 0, model.dim, engine="xla")
+    stats, ok = scan_source(
+        tmp_db, model, src, on_embeddings=searcher.upsert_embeddings, embed_batch_size=8
+    )
+    assert ok, "hostile tree must not fail the scan"
+
+    indexed = {
+        r[0].rsplit("/", 1)[-1]
+        for r in tmp_db.read().execute(
+            """SELECT external_id FROM items
+               JOIN item_embeddings ie ON ie.item_id = items.id"""
+        ).fetchall()
+    }
+    for name in ("ok.txt", "long.txt", "deep.txt", "sp ace & (chars) ~!.txt"):
+        assert name in indexed, f"{name} should be indexed, got {indexed}"
+    assert "bad_utf8.txt" not in indexed
+    if os.geteuid() != 0:  # root reads mode-0 files; the omit path needs a non-root run
+        assert "secret.txt" not in indexed
+    if fifo_ok:
+        assert "pipe.fifo" not in indexed
+    # searching still works over the hostile corpus
+    hits = searcher.search(model, "hello world", 3)
+    assert hits
+    os.chmod(unread, 0o644)  # let pytest clean the tmpdir
