@@ -79,17 +79,25 @@ def _progress_ticker(stats: ScanStats, stop: threading.Event) -> None:
     print(file=sys.stderr)
 
 
-def _run_scan(state, src: Source, compare_strategy: Optional[ItemCompareStrategy], prune: bool):
+def _run_scan(
+    state, src: Source, compare_strategy: Optional[ItemCompareStrategy], prune: bool,
+    quiet: bool = False,
+):
     """Bump index_version, Indexing -> scan -> Ready (cmd/source.rs:237-314).
     The searcher updates incrementally through on_embeddings instead of the
-    reference's full per-source HNSW rebuild."""
+    reference's full per-source HNSW rebuild.  ``quiet`` silences the
+    ticker and summary prints (serve's background refresh)."""
     src.index_version += 1
     src.status = SourceStatus.indexing(int(time.time()))
     update_source(state.db, src)
 
     stats = ScanStats()
     stop = threading.Event()
-    ticker = threading.Thread(target=_progress_ticker, args=(stats, stop), daemon=True)
+    ticker = threading.Thread(
+        target=_progress_ticker if not quiet else stop.wait,
+        args=(stats, stop) if not quiet else (),
+        daemon=True,
+    )
     ticker.start()
     start = time.time()
     on_emb = state.searcher.upsert_embeddings if state.searcher else None
@@ -122,16 +130,17 @@ def _run_scan(state, src: Source, compare_strategy: Optional[ItemCompareStrategy
         removed = prune_missing_items(state.db, src)
         if state.searcher and removed:
             state.searcher.remove_items(removed)
-        if removed:
+        if removed and not quiet:
             print(f"Pruned {len(removed)} vanished items")
 
     s = stats.summary()
-    print(
-        f"Finished in {duration} seconds: {s['scanned']} scanned, {s['added']} new, "
-        f"{s['changed']} changed, {s['unchanged']} unchanged "
-        f"(scan {s['scan_time']}s read {s['read_time']}s encode {s['encode_time']}s "
-        f"write {s['write_time']}s)"
-    )
+    if not quiet:
+        print(
+            f"Finished in {duration} seconds: {s['scanned']} scanned, {s['added']} new, "
+            f"{s['changed']} changed, {s['unchanged']} unchanged "
+            f"(scan {s['scan_time']}s read {s['read_time']}s encode {s['encode_time']}s "
+            f"write {s['write_time']}s)"
+        )
     if ok:
         _autosave_snapshot(state)
     return ok

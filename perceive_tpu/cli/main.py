@@ -137,6 +137,10 @@ def build_parser() -> argparse.ArgumentParser:
     pserve = sub.add_parser("serve", help="HTTP API (status/sources/search)")
     pserve.add_argument("--host", default="127.0.0.1")
     pserve.add_argument("--port", type=int, default=5807)
+    pserve.add_argument(
+        "--refresh", type=float, default=None, metavar="SECONDS",
+        help="background rescan of due sources every SECONDS while serving",
+    )
 
     return p
 
@@ -178,7 +182,7 @@ def dispatch(state, args) -> None:
     elif cmd == "serve":
         from ..serve import serve
 
-        serve(state, host=args.host, port=args.port)
+        serve(state, host=args.host, port=args.port, refresh_interval=args.refresh)
 
 
 def main(argv: Optional[Sequence[str]] = None, state=None) -> int:

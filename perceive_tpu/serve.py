@@ -18,6 +18,7 @@ readiness get 503 {"status": "loading"} rather than blocking.
 from __future__ import annotations
 
 import json
+import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -108,11 +109,14 @@ class ServeState:
     /search requests into shared device sweeps (the scan cost is per-sweep,
     not per-query — see index/executor.py)."""
 
-    def __init__(self, builder):
+    def __init__(self, builder, refresh_interval: Optional[float] = None):
         self.ready = threading.Event()
         self.error: Optional[str] = None
         self.app = None
         self.executor = None
+        self.refresh_scans_total = 0
+        self.refresh_errors_total = 0
+        self._stop_refresh = threading.Event()
 
         def build():
             try:
@@ -125,8 +129,32 @@ class ServeState:
                 self.error = str(e)
             finally:
                 self.ready.set()
+            if self.app is not None and self.error is None and refresh_interval:
+                self._refresh_loop(refresh_interval)
 
         threading.Thread(target=build, daemon=True).start()
+
+    def _refresh_loop(self, interval: float) -> None:
+        """Background due-source rescans so the served index stays fresh —
+        the auto-refresh the reference's desktop host never had (its
+        `refresh` command was a stub, cmd.rs:31).  Ingest and the query
+        executor share the device safely: the matrix lock covers
+        capture-through-dispatch (index/matrix.device_view)."""
+        from .cli.commands import _due_sources, _run_scan
+
+        while not self._stop_refresh.wait(interval):
+            try:
+                for src in _due_sources(self.app):
+                    if self._stop_refresh.is_set():
+                        return
+                    _run_scan(self.app, src, None, False, quiet=True)
+                    self.refresh_scans_total += 1
+            except Exception as e:  # noqa: BLE001 — keep serving on failure
+                self.refresh_errors_total += 1
+                print(f"background refresh failed: {e}", file=sys.stderr)
+
+    def stop(self) -> None:
+        self._stop_refresh.set()
 
 
 def _result_json(r) -> dict:
@@ -208,6 +236,12 @@ def make_handler(holder: ServeState):
                     "# TYPE perceive_index_capacity gauge",
                     f"perceive_index_capacity {m.capacity}",
                 ]
+            lines += [
+                "# TYPE perceive_refresh_scans_total counter",
+                f"perceive_refresh_scans_total {holder.refresh_scans_total}",
+                "# TYPE perceive_refresh_errors_total counter",
+                f"perceive_refresh_errors_total {holder.refresh_errors_total}",
+            ]
             if ex is not None:
                 lines += [
                     "# TYPE perceive_search_queries_total counter",
@@ -305,21 +339,29 @@ def make_handler(holder: ServeState):
     return Handler
 
 
-def start_server(builder, host: str = "127.0.0.1", port: int = 5807) -> ThreadingHTTPServer:
+def start_server(
+    builder, host: str = "127.0.0.1", port: int = 5807,
+    refresh_interval: Optional[float] = None,
+) -> ThreadingHTTPServer:
     """Start serving in the background; returns the server (``.server_address``
-    has the bound port when port=0)."""
-    holder = ServeState(builder)
+    has the bound port when port=0).  ``refresh_interval`` turns on the
+    background due-source rescan loop."""
+    holder = ServeState(builder, refresh_interval=refresh_interval)
     server = ThreadingHTTPServer((host, port), make_handler(holder))
+    server.perceive_state = holder  # for tests / graceful stop
     threading.Thread(target=server.serve_forever, daemon=True).start()
     return server
 
 
-def serve(state, host: str = "127.0.0.1", port: int = 5807) -> None:
+def serve(
+    state, host: str = "127.0.0.1", port: int = 5807,
+    refresh_interval: Optional[float] = None,
+) -> None:
     """Blocking CLI entry (`perceive-tpu serve`)."""
-    holder = ServeState(lambda: state)
+    holder = ServeState(lambda: state, refresh_interval=refresh_interval)
     server = ThreadingHTTPServer((host, port), make_handler(holder))
     print(f"Serving on http://{host}:{server.server_address[1]}")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
-        pass
+        holder.stop()

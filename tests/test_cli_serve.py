@@ -314,3 +314,49 @@ def test_cli_error_messages_printed(state, capsys):
     rc = main(["search", "--tag", "nosuchtag", "hello"], state=state)
     assert rc == 1
     assert "no tag named" in capsys.readouterr().err
+
+
+def test_serve_background_refresh(state, tmp_path):
+    """serve --refresh: a file added after startup appears in results without
+    any manual rescan (auto-refresh the reference's stub never did)."""
+    import time
+
+    from perceive_tpu.serve import start_server
+
+    docs = tmp_path / "docs_bg"
+    docs.mkdir()
+    (docs / "a.txt").write_text("alpha beta\n")
+    run(state, ["source", "add", "fs", str(docs), "--name", "bg"])
+    run(state, ["source", "scan", "bg"])
+
+    server = start_server(lambda: state, port=0, refresh_interval=0.3)
+    port = server.server_address[1]
+    try:
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                return json.loads(r.read())
+
+        for _ in range(100):
+            if get("/status")["model_loaded"]:
+                break
+            time.sleep(0.1)
+
+        (docs / "new.txt").write_text("gamma notes world\n")
+        deadline = time.time() + 20
+        found = False
+        while time.time() < deadline:
+            hits = get("/search?q=gamma%20notes&k=5&source=bg")
+            if any(h["url"].endswith("new.txt") for h in hits):
+                found = True
+                break
+            time.sleep(0.3)
+        assert found, "background refresh never indexed the new file"
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+            text = r.read().decode()
+        assert "perceive_refresh_scans_total" in text
+        line = [l for l in text.splitlines() if l.startswith("perceive_refresh_scans_total")][0]
+        assert float(line.split()[1]) >= 1
+    finally:
+        server.perceive_state.stop()
+        server.shutdown()
