@@ -126,6 +126,7 @@ def _run_scan(
     update_source(state.db, fresh)
     src.status, src.last_indexed = fresh.status, fresh.last_indexed
 
+    removed = []
     if ok and prune:
         removed = prune_missing_items(state.db, src)
         if state.searcher and removed:
@@ -141,7 +142,10 @@ def _run_scan(
             f"(scan {s['scan_time']}s read {s['read_time']}s encode {s['encode_time']}s "
             f"write {s['write_time']}s)"
         )
-    if ok:
+    # Only persist when the scan actually mutated the index: a periodic
+    # refresh over an unchanged multi-GB corpus must not rewrite the
+    # snapshot file every tick.
+    if ok and (s["added"] or s["changed"] or removed):
         _autosave_snapshot(state)
     return ok
 
@@ -160,7 +164,9 @@ def _snapshot_path(state) -> str:
     )
 
 
-def _autosave_snapshot(state, min_rows: int = SNAPSHOT_MIN_ROWS) -> None:
+def _autosave_snapshot(state, min_rows: Optional[int] = None) -> None:
+    # read the module global at call time so the threshold stays tunable
+    min_rows = SNAPSHOT_MIN_ROWS if min_rows is None else min_rows
     if state.searcher is None or len(state.searcher.matrix) < min_rows:
         return
     try:

@@ -360,3 +360,29 @@ def test_serve_background_refresh(state, tmp_path):
     finally:
         server.perceive_state.stop()
         server.shutdown()
+
+
+def test_autosave_skipped_when_scan_changes_nothing(state, tmp_path, monkeypatch):
+    """A rescan that adds/changes nothing must not rewrite the snapshot —
+    serve --refresh would otherwise rewrite a multi-GB file every tick."""
+    from perceive_tpu.cli import commands
+
+    saves = []
+    monkeypatch.setattr(commands, "SNAPSHOT_MIN_ROWS", 0)
+    monkeypatch.setattr(
+        commands, "_autosave_snapshot", lambda st, **kw: saves.append(1)
+    )
+
+    docs = tmp_path / "docs_snap"
+    docs.mkdir()
+    (docs / "a.txt").write_text("alpha beta\n")
+    run(state, ["source", "add", "fs", str(docs), "--name", "snap"])
+    run(state, ["source", "scan", "snap"])
+    assert len(saves) == 1  # first scan added rows -> snapshot
+
+    run(state, ["source", "scan", "snap"])
+    assert len(saves) == 1  # unchanged rescan -> no snapshot write
+
+    (docs / "b.txt").write_text("gamma delta\n")
+    run(state, ["source", "scan", "snap"])
+    assert len(saves) == 2  # new file -> snapshot again
