@@ -175,6 +175,32 @@ def _autosave_snapshot(state, min_rows: Optional[int] = None) -> None:
         print(f"snapshot save failed: {e}", file=sys.stderr)
 
 
+def import_db(state, args) -> None:
+    """Import a reference perceive (or perceive-tpu) database: items,
+    embeddings, and tags transfer with no re-scan / re-embed; vectors for
+    the active model stream straight into the device matrix."""
+    import os
+
+    from ..db.import_reference import import_reference_db
+
+    if not os.path.exists(args.path):
+        raise SystemExit(f"no such file: {args.path}")
+    hook = state.searcher.upsert_embeddings if state.searcher else None
+    hook_model = (
+        (state.model.model_id, state.model.model_version) if state.model else None
+    )
+    stats = import_reference_db(state.db, args.path, hook, hook_model)
+    state.refresh_sources()
+    print(
+        f"Imported {stats['sources']} sources, {stats['items']} items, "
+        f"{stats['embeddings']} embeddings, {stats['tags']} tags "
+        f"from {args.path}"
+    )
+    if stats["embeddings"] and state.searcher is None:
+        print("(searcher not built; vectors will load on next startup)")
+    _autosave_snapshot(state)
+
+
 def snapshot_cmd(state, args) -> None:
     """Explicit device-matrix snapshot save (fast startup)."""
     if state.searcher is None:

@@ -128,6 +128,14 @@ def build_parser() -> argparse.ArgumentParser:
     pms = msub.add_parser("set")
     pms.add_argument("model_name")
 
+    # import-db
+    pimp = sub.add_parser(
+        "import-db",
+        help="import a reference perceive (or perceive-tpu) database: "
+        "items + embeddings transfer without re-scanning or re-embedding",
+    )
+    pimp.add_argument("path", help="path to the source SQLite database")
+
     # snapshot / stats
     psnap = sub.add_parser("snapshot", help="save the device matrix for fast startup")
     psnap.add_argument("path", nargs="?", default=None)
@@ -175,6 +183,8 @@ def dispatch(state, args) -> None:
         commands.tag_cmd(state, args)
     elif cmd == "model":
         commands.model_cmd(state, args)
+    elif cmd == "import-db":
+        commands.import_db(state, args)
     elif cmd == "snapshot":
         commands.snapshot_cmd(state, args)
     elif cmd == "stats":
