@@ -386,3 +386,54 @@ def test_autosave_skipped_when_scan_changes_nothing(state, tmp_path, monkeypatch
     (docs / "b.txt").write_text("gamma delta\n")
     run(state, ["source", "scan", "snap"])
     assert len(saves) == 2  # new file -> snapshot again
+
+
+def test_model_switch_reembeds_additively(tmp_path, model):
+    """model set -> restart -> rescan embeds under the NEW model id while the
+    old model's rows stay (additive re-embedding, reference
+    00001_init.sql:64-72 keying; SURVEY.md §5.4)."""
+    from perceive_tpu.models import EncoderArch, HeadConfig, Model, TextTokenizer, tiny_test_vocab
+
+    docs = tmp_path / "docs_switch"
+    docs.mkdir()
+    (docs / "a.txt").write_text("alpha beta hello\n")
+
+    db_path = str(tmp_path / "switch.sqlite3")
+    st = AppState(db_path, model=model, engine="xla")
+    try:
+        run(st, ["source", "add", "fs", str(docs), "--name", "d"])
+        run(st, ["source", "scan", "d"])
+        run(st, ["model", "set", "AllMiniLmL12V2"])
+    finally:
+        st.close()
+
+    # "restart" with the newly-selected model (id 1; the fixture model is 0)
+    words = "jax tpu pallas kernels alpha beta gamma notes hello world".split()
+    vocab = tiny_test_vocab(words)
+    tok = TextTokenizer.from_vocab(vocab, max_seq_length=32)
+    arch = EncoderArch(vocab_size=len(vocab), hidden_size=16, num_layers=1, num_heads=2,
+                       intermediate_size=32, max_position_embeddings=32)
+    m2 = Model.random(arch, HeadConfig(pooling="mean", normalize=True), tok, seed=9)
+    m2.model_id = 1
+
+    st2 = AppState(db_path, model=m2, engine="xla")
+    try:
+        # config key persisted by `model set`
+        row = st2.db.read().execute(
+            "SELECT value FROM config WHERE key='model'").fetchone()
+        assert row[0] == "AllMiniLmL12V2"
+
+        # the new searcher serves model 1: empty until a rescan re-embeds
+        assert len(st2.searcher.matrix) == 0
+        run(st2, ["source", "scan", "d"])
+        assert len(st2.searcher.matrix) == 1
+
+        hits = st2.searcher.search_vector(m2.encode_query("alpha beta"), 1)
+        assert hits
+
+        counts = dict(st2.db.read().execute(
+            "SELECT model_id, COUNT(*) FROM item_embeddings GROUP BY model_id"
+        ).fetchall())
+        assert counts == {0: 1, 1: 1}  # old rows intact, new rows added
+    finally:
+        st2.close()
