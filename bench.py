@@ -293,7 +293,9 @@ def main() -> None:
                 "qps_int8_rerank": qps_int8 and round(qps_int8, 1),
                 "tunnel_roundtrip_ms": round(wall1 * 1e3, 3),
                 "sweep_ms_batch2048": round(sweep * 1e3, 3),
-                "effective_gbps": round(n * d * 2 / sweep / 1e9, 1),
+                # HBM rate of the SINGLE-query sweep (bandwidth-bound; the
+                # batch sweep is MXU-bound so bytes/time would be misleading)
+                "effective_gbps": round(n * d * 2 / p50_s / 1e9, 1),
                 "embed_docs_per_sec": round(embed_dps, 1),
                 "embed_vs_baseline": round(embed_dps / 5_000.0, 3),
                 "timing_method": "in-jit repeat marginal (module docstring)",

@@ -93,23 +93,29 @@ def _run_scan(
 
     stats = ScanStats()
     stop = threading.Event()
-    ticker = threading.Thread(
-        target=_progress_ticker if not quiet else stop.wait,
-        args=(stats, stop) if not quiet else (),
-        daemon=True,
-    )
-    ticker.start()
+    ticker = None
+    if not quiet:
+        ticker = threading.Thread(target=_progress_ticker, args=(stats, stop), daemon=True)
+        ticker.start()
     start = time.time()
     on_emb = state.searcher.upsert_embeddings if state.searcher else None
     on_rm = state.searcher.remove_items if state.searcher else None
+    ok = False
     try:
         stats, ok = scan_source(
             state.db, state.model, src, stats=stats, compare_strategy=compare_strategy,
             on_embeddings=on_emb, on_removed=on_rm,
         )
+    except BaseException as e:
+        # an exception BEFORE the stages start (bad config, scanner ctor)
+        # must not leave the source stuck in status "indexing" forever
+        src.status = SourceStatus.err(str(e))
+        update_source(state.db, src)
+        raise
     finally:
         stop.set()
-        ticker.join()
+        if ticker is not None:
+            ticker.join()
     duration = int(time.time() - start)
 
     # re-read the row and update only scan-owned fields so a concurrent
@@ -198,7 +204,8 @@ def import_db(state, args) -> None:
     )
     if stats["embeddings"] and state.searcher is None:
         print("(searcher not built; vectors will load on next startup)")
-    _autosave_snapshot(state)
+    if stats["streamed"]:  # only rewrite the snapshot when the matrix changed
+        _autosave_snapshot(state)
 
 
 def snapshot_cmd(state, args) -> None:

@@ -18,6 +18,13 @@ from . import commands
 COMPARE_CHOICES = ["m_time_and_content", "m_time", "content", "force"]
 
 
+def positive_float(v: str) -> float:
+    f = float(v)
+    if f <= 0:
+        raise argparse.ArgumentTypeError("must be > 0")
+    return f
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="perceive-tpu", description="Semantic search for your life, TPU-native")
     p.add_argument("--db", help="database path (default: data dir)")
@@ -76,12 +83,6 @@ def build_parser() -> argparse.ArgumentParser:
     # refresh
     pr = sub.add_parser("refresh", help="scan every due source")
     pr.add_argument("--prune", action="store_true")
-    def positive_float(v: str) -> float:
-        f = float(v)
-        if f <= 0:
-            raise argparse.ArgumentTypeError("must be > 0")
-        return f
-
     pr.add_argument(
         "--watch", type=positive_float, default=None, metavar="SECONDS",
         help="keep running, re-checking due sources on this cadence",
@@ -146,8 +147,13 @@ def build_parser() -> argparse.ArgumentParser:
     pserve.add_argument("--host", default="127.0.0.1")
     pserve.add_argument("--port", type=int, default=5807)
     pserve.add_argument(
-        "--refresh", type=float, default=None, metavar="SECONDS",
-        help="background rescan of due sources every SECONDS while serving",
+        "--refresh", type=positive_float, default=None, metavar="SECONDS",
+        help="background rescan of due sources every SECONDS while serving "
+        "(sources without an index_interval rescan every tick)",
+    )
+    pserve.add_argument(
+        "--prune", action="store_true",
+        help="with --refresh: also remove items that vanished from sources",
     )
 
     return p
@@ -192,7 +198,10 @@ def dispatch(state, args) -> None:
     elif cmd == "serve":
         from ..serve import serve
 
-        serve(state, host=args.host, port=args.port, refresh_interval=args.refresh)
+        serve(
+            state, host=args.host, port=args.port,
+            refresh_interval=args.refresh, refresh_prune=args.prune,
+        )
 
 
 def main(argv: Optional[Sequence[str]] = None, state=None) -> int:

@@ -78,10 +78,17 @@ def import_reference_db(
         emb_cols = _columns(src, "item_embeddings")
         has_chunks = "chunk_idx" in emb_cols
 
-        stats = {"sources": 0, "items": 0, "embeddings": 0, "tags": 0, "item_tags": 0}
+        stats = {
+            "sources": 0, "items": 0, "embeddings": 0, "tags": 0,
+            "item_tags": 0, "streamed": 0,
+        }
         source_map: dict[int, int] = {}
         item_map: dict[int, int] = {}
         item_source: dict[int, int] = {}
+        # hook batches accumulate here and flush AFTER the transaction
+        # commits — streaming mid-transaction would leave ghost vectors in
+        # the live matrix if a later row rolls the whole import back
+        hook_batches: list[tuple[list, list, np.ndarray]] = []
 
         with db.write() as conn:
             # -- sources (fresh ids; names de-conflicted) --
@@ -147,9 +154,9 @@ def import_reference_db(
 
             def flush_hook():
                 if hook_keys and on_embeddings is not None:
-                    on_embeddings(
-                        list(hook_keys), list(hook_srcs),
-                        np.stack(hook_vecs).astype(np.float32),
+                    hook_batches.append(
+                        (list(hook_keys), list(hook_srcs),
+                         np.stack(hook_vecs).astype(np.float32))
                     )
                 hook_keys.clear(); hook_srcs.clear(); hook_vecs.clear()
 
@@ -211,6 +218,10 @@ def import_reference_db(
                         (new_item, new_tag),
                     )
                     stats["item_tags"] += 1
+        # transaction committed: now stream the vectors into the live matrix
+        for keys, srcs, vecs in hook_batches:
+            on_embeddings(keys, srcs, vecs)
+            stats["streamed"] += len(keys)
         return stats
     finally:
         src.close()

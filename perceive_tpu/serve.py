@@ -109,7 +109,12 @@ class ServeState:
     /search requests into shared device sweeps (the scan cost is per-sweep,
     not per-query — see index/executor.py)."""
 
-    def __init__(self, builder, refresh_interval: Optional[float] = None):
+    def __init__(
+        self,
+        builder,
+        refresh_interval: Optional[float] = None,
+        refresh_prune: bool = False,
+    ):
         self.ready = threading.Event()
         self.error: Optional[str] = None
         self.app = None
@@ -130,28 +135,41 @@ class ServeState:
             finally:
                 self.ready.set()
             if self.app is not None and self.error is None and refresh_interval:
-                self._refresh_loop(refresh_interval)
+                self._refresh_loop(refresh_interval, refresh_prune)
 
         threading.Thread(target=build, daemon=True).start()
 
-    def _refresh_loop(self, interval: float) -> None:
+    def _refresh_loop(self, interval: float, prune: bool) -> None:
         """Background due-source rescans so the served index stays fresh —
         the auto-refresh the reference's desktop host never had (its
         `refresh` command was a stub, cmd.rs:31).  Ingest and the query
         executor share the device safely: the matrix lock covers
-        capture-through-dispatch (index/matrix.device_view)."""
+        capture-through-dispatch (index/matrix.device_view).
+
+        Failures are isolated PER SOURCE: one broken source must not stop
+        the others from refreshing, and a failed scan counts as an error
+        (its status goes to "error" via _run_scan), not a success."""
         from .cli.commands import _due_sources, _run_scan
 
         while not self._stop_refresh.wait(interval):
             try:
-                for src in _due_sources(self.app):
-                    if self._stop_refresh.is_set():
-                        return
-                    _run_scan(self.app, src, None, False, quiet=True)
-                    self.refresh_scans_total += 1
+                due = _due_sources(self.app)
             except Exception as e:  # noqa: BLE001 — keep serving on failure
                 self.refresh_errors_total += 1
                 print(f"background refresh failed: {e}", file=sys.stderr)
+                continue
+            for src in due:
+                if self._stop_refresh.is_set():
+                    return
+                try:
+                    ok = _run_scan(self.app, src, None, prune, quiet=True)
+                except Exception as e:  # noqa: BLE001
+                    ok = False
+                    print(f"background refresh of {src.name} failed: {e}", file=sys.stderr)
+                if ok:
+                    self.refresh_scans_total += 1
+                else:
+                    self.refresh_errors_total += 1
 
     def stop(self) -> None:
         self._stop_refresh.set()
@@ -342,11 +360,12 @@ def make_handler(holder: ServeState):
 def start_server(
     builder, host: str = "127.0.0.1", port: int = 5807,
     refresh_interval: Optional[float] = None,
+    refresh_prune: bool = False,
 ) -> ThreadingHTTPServer:
     """Start serving in the background; returns the server (``.server_address``
     has the bound port when port=0).  ``refresh_interval`` turns on the
     background due-source rescan loop."""
-    holder = ServeState(builder, refresh_interval=refresh_interval)
+    holder = ServeState(builder, refresh_interval=refresh_interval, refresh_prune=refresh_prune)
     server = ThreadingHTTPServer((host, port), make_handler(holder))
     server.perceive_state = holder  # for tests / graceful stop
     threading.Thread(target=server.serve_forever, daemon=True).start()
@@ -356,9 +375,12 @@ def start_server(
 def serve(
     state, host: str = "127.0.0.1", port: int = 5807,
     refresh_interval: Optional[float] = None,
+    refresh_prune: bool = False,
 ) -> None:
     """Blocking CLI entry (`perceive-tpu serve`)."""
-    holder = ServeState(lambda: state, refresh_interval=refresh_interval)
+    holder = ServeState(
+        lambda: state, refresh_interval=refresh_interval, refresh_prune=refresh_prune
+    )
     server = ThreadingHTTPServer((host, port), make_handler(holder))
     print(f"Serving on http://{host}:{server.server_address[1]}")
     try:

@@ -364,28 +364,33 @@ def test_serve_background_refresh(state, tmp_path):
 
 def test_autosave_skipped_when_scan_changes_nothing(state, tmp_path, monkeypatch):
     """A rescan that adds/changes nothing must not rewrite the snapshot —
-    serve --refresh would otherwise rewrite a multi-GB file every tick."""
+    serve --refresh would otherwise rewrite a multi-GB file every tick.
+    Exercises the real _autosave_snapshot (threshold read at call time)."""
+    import os
+    import time as _time
+
     from perceive_tpu.cli import commands
 
-    saves = []
+    snap = str(tmp_path / "snap.npz")
     monkeypatch.setattr(commands, "SNAPSHOT_MIN_ROWS", 0)
-    monkeypatch.setattr(
-        commands, "_autosave_snapshot", lambda st, **kw: saves.append(1)
-    )
+    monkeypatch.setattr(commands, "_snapshot_path", lambda st: snap)
 
     docs = tmp_path / "docs_snap"
     docs.mkdir()
     (docs / "a.txt").write_text("alpha beta\n")
     run(state, ["source", "add", "fs", str(docs), "--name", "snap"])
     run(state, ["source", "scan", "snap"])
-    assert len(saves) == 1  # first scan added rows -> snapshot
+    assert os.path.exists(snap)  # first scan added rows -> snapshot
+    t1 = os.path.getmtime(snap)
 
+    _time.sleep(0.05)
     run(state, ["source", "scan", "snap"])
-    assert len(saves) == 1  # unchanged rescan -> no snapshot write
+    assert os.path.getmtime(snap) == t1  # unchanged rescan -> no rewrite
 
+    _time.sleep(0.05)
     (docs / "b.txt").write_text("gamma delta\n")
     run(state, ["source", "scan", "snap"])
-    assert len(saves) == 2  # new file -> snapshot again
+    assert os.path.getmtime(snap) > t1  # new file -> snapshot again
 
 
 def test_model_switch_reembeds_additively(tmp_path, model):
@@ -437,3 +442,39 @@ def test_model_switch_reembeds_additively(tmp_path, model):
         assert counts == {0: 1, 1: 1}  # old rows intact, new rows added
     finally:
         st2.close()
+
+
+def test_refresh_loop_isolates_per_source_failures(state, tmp_path):
+    """One broken source must not stop the others from refreshing, and
+    failed scans count in refresh_errors_total, not refresh_scans_total."""
+    import time
+
+    from perceive_tpu.db import get_source, update_source
+    from perceive_tpu.serve import start_server
+
+    good = tmp_path / "docs_ok"
+    good.mkdir()
+    (good / "a.txt").write_text("alpha beta\n")
+    run(state, ["source", "add", "fs", str(good), "--name", "ok"])
+    # a source whose scanner constructor blows up: unknown config type
+    run(state, ["source", "add", "fs", str(tmp_path / "gone"), "--name", "bad"])
+    bad = state.source_by_name("bad")
+    bad.config["type"] = "no_such_scanner"
+    update_source(state.db, bad)
+
+    server = start_server(lambda: state, port=0, refresh_interval=0.2)
+    holder = server.perceive_state
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if holder.refresh_scans_total >= 1 and holder.refresh_errors_total >= 1:
+                break
+            time.sleep(0.2)
+        assert holder.refresh_scans_total >= 1, "good source never refreshed"
+        assert holder.refresh_errors_total >= 1, "bad source never counted as error"
+        # the broken source must not be stuck in "indexing"
+        assert get_source(state.db, bad.id).status.status == "error"
+        assert get_source(state.db, state.source_by_name("ok").id).status.status == "ready"
+    finally:
+        holder.stop()
+        server.shutdown()
