@@ -108,8 +108,12 @@ def _run_scan(
         )
     except BaseException as e:
         # an exception BEFORE the stages start (bad config, scanner ctor)
-        # must not leave the source stuck in status "indexing" forever
-        src.status = SourceStatus.err(str(e))
+        # must not leave the source stuck in status "indexing" forever; a
+        # user interrupt is labeled as such, not as a source failure
+        msg = str(e) or type(e).__name__
+        if isinstance(e, KeyboardInterrupt):
+            msg = "interrupted"
+        src.status = SourceStatus.err(msg)
         update_source(state.db, src)
         raise
     finally:
@@ -195,13 +199,21 @@ def import_db(state, args) -> None:
     hook_model = (
         (state.model.model_id, state.model.model_version) if state.model else None
     )
-    stats = import_reference_db(state.db, args.path, hook, hook_model)
+    hook_dim = state.searcher.matrix.dim if state.searcher else None
+    stats = import_reference_db(state.db, args.path, hook, hook_model, hook_dim)
     state.refresh_sources()
     print(
         f"Imported {stats['sources']} sources, {stats['items']} items, "
         f"{stats['embeddings']} embeddings, {stats['tags']} tags "
         f"from {args.path}"
     )
+    if stats["dim_mismatch"]:
+        print(
+            f"warning: {stats['dim_mismatch']} embeddings share model id "
+            f"{hook_model and hook_model[0]} but have a different dimension — "
+            "imported to the store, NOT streamed to the index",
+            file=sys.stderr,
+        )
     if stats["embeddings"] and state.searcher is None:
         print("(searcher not built; vectors will load on next startup)")
     if stats["streamed"]:  # only rewrite the snapshot when the matrix changed
@@ -332,8 +344,13 @@ def stats_cmd(state, args) -> None:
     ):
         print(f"embeddings model {mid} v{mv}: {cnt}")
     if state.searcher is not None:
+        import numpy as np
+
         m = state.searcher.matrix
-        dtype_bytes = {4: 0.5, 8: 1}.get(m.quant_bits, 2)
+        if m.quant_bits:
+            dtype_bytes = m.quant_bits / 8
+        else:  # storage dtype width (bf16 = 2, float32 = 4)
+            dtype_bytes = np.dtype(m.dtype).itemsize
         hbm = m.capacity * m.padded_dim * dtype_bytes / 1e6
         print(
             f"device matrix: {len(m)} vectors, capacity {m.capacity} x {m.padded_dim} "
@@ -366,19 +383,38 @@ def source_edit(state, args) -> None:
 # -- search ------------------------------------------------------------------
 
 
-def _resolve_source_filter(state, args) -> Optional[list[int]]:
-    """--source name / --type tag -> source-id list (cmd/search.rs:40-57)."""
-    if getattr(args, "source", None):
-        src = state.source_by_name(args.source)
+class UnknownSource(KeyError):
+    """--source names a source that doesn't exist."""
+
+
+def resolve_source_filter(
+    state, source: Optional[str], type_tag: Optional[str]
+) -> Optional[list[int]]:
+    """source name / type tag -> source-id list (cmd/search.rs:40-57).
+
+    The ONE filter resolver shared by the CLI and the HTTP API (serve.py) so
+    their semantics can't drift.  Raises UnknownSource / ValueError (bad
+    tag); returns None for "no filter".  [] means "matches nothing" (zero
+    results), NOT "no filter" — the reference returns empty for a tag with
+    no sources (ADVICE r1)."""
+    if source:
+        src = state.source_by_name(source)
         if src is None:
-            raise SystemExit(f"No source named {args.source}")
+            raise UnknownSource(source)
         return [src.id]
-    if getattr(args, "type", None):
-        tag = SourceTypeTag(args.type)
-        # [] means "matches nothing" (zero results), NOT "no filter" — the
-        # reference returns empty for a tag with no sources (ADVICE r1)
+    if type_tag:
+        tag = SourceTypeTag(type_tag)  # ValueError on a bad tag
         return [s.id for s in state.sources if s.matches_tag(tag)]
     return None
+
+
+def _resolve_source_filter(state, args) -> Optional[list[int]]:
+    try:
+        return resolve_source_filter(
+            state, getattr(args, "source", None), getattr(args, "type", None)
+        )
+    except UnknownSource as e:
+        raise SystemExit(f"No source named {e.args[0]}") from e
 
 
 def format_result(r: SearchResult, highlight: Optional[str]) -> str:

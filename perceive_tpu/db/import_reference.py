@@ -59,13 +59,17 @@ def import_reference_db(
     path: str,
     on_embeddings: Optional[Callable] = None,
     hook_model: Optional[tuple] = None,
+    hook_dim: Optional[int] = None,
 ) -> dict:
     """Copy sources, items, embeddings, and tags from ``path`` into ``db``.
 
     ``on_embeddings(keys, source_ids, vectors)`` — the same hook signature
     the scan pipeline uses — is invoked in batches for embedding rows whose
     (model_id, model_version) equals ``hook_model``, streaming the imported
-    vectors straight into a live device matrix.  Returns a stats dict.
+    vectors straight into a live device matrix.  ``hook_dim`` guards the
+    stream: BLOBs of any other dimensionality come from a different encoder
+    that happens to share the numeric model id, and must not pollute the
+    index (they still import into SQLite).  Returns a stats dict.
     """
     src = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
     try:
@@ -80,7 +84,7 @@ def import_reference_db(
 
         stats = {
             "sources": 0, "items": 0, "embeddings": 0, "tags": 0,
-            "item_tags": 0, "streamed": 0,
+            "item_tags": 0, "streamed": 0, "dim_mismatch": 0,
         }
         source_map: dict[int, int] = {}
         item_map: dict[int, int] = {}
@@ -182,6 +186,9 @@ def import_reference_db(
                     and (mid, mver) == hook_model
                     and new_item in item_source
                 ):
+                    if hook_dim is not None and len(blob) != 4 * hook_dim:
+                        stats["dim_mismatch"] += 1
+                        continue
                     hook_keys.append((new_item, chunk_idx))
                     hook_srcs.append(item_source[new_item])
                     hook_vecs.append(np.frombuffer(blob, dtype="<f4"))
@@ -219,9 +226,21 @@ def import_reference_db(
                     )
                     stats["item_tags"] += 1
         # transaction committed: now stream the vectors into the live matrix
+        # (a failure here leaves the DB import intact — warn, don't unwind;
+        # a restart rebuilds the matrix from the committed rows)
+        import sys
+
         for keys, srcs, vecs in hook_batches:
-            on_embeddings(keys, srcs, vecs)
-            stats["streamed"] += len(keys)
+            try:
+                on_embeddings(keys, srcs, vecs)
+                stats["streamed"] += len(keys)
+            except Exception as e:  # noqa: BLE001
+                print(
+                    f"import: streaming {len(keys)} vectors to the index failed "
+                    f"({e}); rows are committed — restart to rebuild",
+                    file=sys.stderr,
+                )
+                break
         return stats
     finally:
         src.close()

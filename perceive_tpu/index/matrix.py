@@ -113,6 +113,17 @@ class EmbeddingMatrix:
         # tombstoned rows available for reuse — without this, rebuild/churn
         # grows capacity without bound (ADVICE r1: matrix.py:275)
         self._free: list[int] = []
+        # bumped whenever a freed row is RE-allocated to a new key: a search
+        # that captured device arrays before the reuse could decode that row
+        # as the new item with the old item's score.  Searchers snapshot this
+        # before a sweep and retry when it moved (index/searcher._scan docs).
+        self.reuse_gen = 0
+        # high-water quantization stats for the rerank escalation margin
+        # (index/searcher._scan): the largest per-row quantization scale and
+        # the largest row L2 norm ever upserted.  High-water (never lowered
+        # on remove) keeps them conservative.
+        self.scale_hw = 0.0
+        self.norm_hw = 0.0
         self.row_of: dict[int, int] = {}
         # key-group index: item id -> set of chunk keys currently stored
         self.groups: dict[int, set[int]] = {}
@@ -335,6 +346,8 @@ class EmbeddingMatrix:
             n_new = int(new.sum())
             if n_new:
                 n_reuse = min(len(self._free), n_new)
+                if n_reuse:
+                    self.reuse_gen += 1
                 reused = self._free[len(self._free) - n_reuse :]
                 del self._free[len(self._free) - n_reuse :]
                 fresh = np.concatenate(
@@ -358,6 +371,12 @@ class EmbeddingMatrix:
             if self.padded_dim > self.dim:
                 self._host_vectors[rows, self.dim :] = 0.0
             self._dirty_rows.update(rows.tolist())
+            if self.quantized and len(vectors):
+                qmax = 7.0 if self.packed4 else 127.0
+                self.scale_hw = max(self.scale_hw, float(np.abs(vectors).max()) / qmax)
+                self.norm_hw = max(
+                    self.norm_hw, float(np.linalg.norm(vectors, axis=1).max())
+                )
 
     def remove(self, item_ids: Sequence[int]) -> int:
         """Tombstone rows (hide/delete).  Returns how many existed."""

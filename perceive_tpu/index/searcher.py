@@ -104,16 +104,11 @@ _scan_topk_xla_int8 = jax.jit(_scan_topk_xla_int8_impl, static_argnames=("k",))
 
 def _scan_topk_xla_int4_impl(packed, scales, source_ids, q, allowed, k: int):
     """XLA unpack + int8 dot over the (D/2, N) transposed-packed matrix
-    (CPU engine and the oversized-k fallback).  Layout (ops/topk.py): low
-    nibble biased +8, high nibble two's complement."""
-    from ..ops.topk import quantize_queries
+    (CPU engine and the oversized-k fallback)."""
+    from ..ops.topk import quantize_queries, unpack_int4_xla
 
     qi8, qscale = quantize_queries(q)
-    p = packed.astype(jnp.int32)
-    hb = p >> 4
-    m2 = jnp.concatenate(
-        [(p & 15) - 8, jnp.where(hb >= 8, hb - 16, hb)], axis=0
-    ).astype(jnp.int8)
+    m2 = unpack_int4_xla(packed)
     iscores = jax.lax.dot_general(
         qi8, m2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
@@ -132,8 +127,29 @@ _scan_topk_xla_int4 = jax.jit(_scan_topk_xla_int4_impl, static_argnames=("k",))
 # the quantized top-(factor*k); the escalation loop in _scan re-fetches 4x
 # deeper whenever the fetched floor can't prove that (SURVEY.md §7
 # "rerank-in-f32-of-top-candidates fallback").
+#
+# The guarantee, precisely: escalation proves no row OUTSIDE the candidate
+# set has a QUANTIZED score above the fetched floor.  A row whose quantized
+# score underestimates its exact score by more than (k-th exact - floor) can
+# still be missed — quantization noise has per-dot std
+# sigma = sqrt(scale_row^2 * |q|^2 + qscale^2 * |row|^2) / sqrt(12).
+# Measured at 10M x 384 over 1k+ queries: candidate recall@10 is 1.000000
+# (int8, fetch 4k*k) and 0.999805 (int4, fetch 128) BEFORE escalation
+# (BENCH_NOTES.md).  Setting PERCEIVE_TPU_RERANK_MARGIN_SIGMA=N adds an
+# N-sigma noise margin to the escalation trigger, trading extra escalation
+# sweeps for near-certain exactness (3 is a reasonable choice; 0 = off
+# keeps the fetched-floor semantics and the measured latency).
 RERANK_FACTOR = 4
 RERANK_FACTOR_INT4 = 8  # 4-bit scores are noisier; start deeper
+
+
+def _margin_sigma() -> float:
+    import os
+
+    try:
+        return float(os.environ.get("PERCEIVE_TPU_RERANK_MARGIN_SIGMA", "0"))
+    except ValueError:
+        return 0.0
 
 
 class Searcher:
@@ -399,7 +415,18 @@ class Searcher:
                 return evals, erows  # fetched everything fetchable
             buffer_full = np.isfinite(vals[:, -1])  # else: all matches fetched
             kth = evals[:, min(k, evals.shape[1]) - 1]
-            if not (buffer_full & (kth < vals[:, -1])).any():
+            margin = 0.0
+            sigmas = _margin_sigma()
+            if sigmas > 0.0:
+                # per-query quantization-noise margin (see module comment):
+                # row-rounding noise scaled by |q|, query-rounding noise
+                # scaled by the largest row norm
+                qnorm = np.linalg.norm(q[:, : m.dim], axis=1)
+                qscale = np.abs(q[:, : m.dim]).max(axis=1) / 127.0
+                margin = sigmas * np.sqrt(
+                    (m.scale_hw * qnorm) ** 2 + (qscale * m.norm_hw) ** 2
+                ) / np.sqrt(12.0)
+            if not (buffer_full & (kth < vals[:, -1] + margin)).any():
                 return evals, erows
             want = 4 * kb  # grow past the CURRENT bucket, not the request
 
@@ -453,6 +480,25 @@ class Searcher:
         order = np.argsort(-vals, axis=1, kind="stable")
         return np.take_along_axis(vals, order, 1), np.take_along_axis(rows, order, 1)
 
+    def _search_consistent(self, q: np.ndarray, k: int, source_ids, decode):
+        """Run scan + row decode, retrying if a tombstoned row was REUSED
+        concurrently (upsert handing a freed row to a new item between this
+        sweep's device capture and the host-side row decode would attribute
+        the old row's score to the new item).  Reuse is rare — row churn
+        needs remove/prune + upsert in the window — so optimistic retries
+        win; the last attempt holds the matrix lock end-to-end (RLock, so
+        the nested capture in _device_scan is fine)."""
+        m = self.matrix
+        for _ in range(3):
+            gen = m.reuse_gen
+            vals, rows = self._scan_filtered(q, k, source_ids)
+            out = decode(vals, rows)
+            if m.reuse_gen == gen:
+                return out
+        with m._lock:
+            vals, rows = self._scan_filtered(q, k, source_ids)
+            return decode(vals, rows)
+
     def search_vector(
         self,
         vec: np.ndarray,
@@ -464,8 +510,9 @@ class Searcher:
         if len(self.matrix) == 0:
             return []
         q = np.asarray(vec, dtype=np.float32).reshape(1, -1)
-        vals, rows = self._scan_filtered(q, k, source_ids)
-        return self._decode_hits(vals[0], rows[0], k)
+        return self._search_consistent(
+            q, k, source_ids, lambda vals, rows: self._decode_hits(vals[0], rows[0], k)
+        )
 
     def search_vectors_batch(
         self,
@@ -478,8 +525,12 @@ class Searcher:
         if len(self.matrix) == 0:
             return [[] for _ in range(len(vecs))]
         q = np.asarray(vecs, dtype=np.float32)
-        vals, rows = self._scan_filtered(q, k, source_ids)
-        return [self._decode_hits(vals[qi], rows[qi], k) for qi in range(len(q))]
+        return self._search_consistent(
+            q, k, source_ids,
+            lambda vals, rows: [
+                self._decode_hits(vals[qi], rows[qi], k) for qi in range(len(q))
+            ],
+        )
 
     def _decode_hits(self, vals, rows, k: int) -> list[tuple[int, float]]:
         """Rows -> (item_id, score) best-first; chunk hits of one document

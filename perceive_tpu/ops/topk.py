@@ -293,6 +293,19 @@ def quantize_queries(q):
     return qi8, scale
 
 
+def unpack_int4_xla(packed):
+    """XLA unpack of the transposed-packed (D/2, N) uint8 matrix into (D, N)
+    int8 (nibble layout documented above _scan_kernel_int4: low nibble biased
+    +8, high nibble two's complement).  The ONE shared decode for every
+    non-Pallas engine (index/searcher.py, parallel/search.py) so a layout
+    change can never fork between them."""
+    p = packed.astype(jnp.int32)
+    hb = p >> 4
+    return jnp.concatenate(
+        [(p & 15) - 8, jnp.where(hb >= 8, hb - 16, hb)], axis=0
+    ).astype(jnp.int8)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def _scan_topk_int8(matrix, scales, source_ids, q, allowed, k: int, interpret: bool):
     n = matrix.shape[0]

@@ -32,6 +32,7 @@ from ..ops.topk import (
     pallas_topk_slabbed,
     pallas_topk_unsorted,
     quantize_queries,
+    unpack_int4_xla,
 )
 from .mesh import ROWS_AXES, rows_1d_sharding, rows_sharding
 
@@ -63,11 +64,7 @@ def _sharded_scan(matrix, scales, source_ids, q, allowed, *, mesh, k, engine, in
                     qi8, qscale, allowed_, k, interpret,
                 )
             else:
-                p = m_shard.astype(jnp.int32)
-                hb = p >> 4  # high nibble is two's complement (ops/topk.py)
-                m2 = jnp.concatenate(
-                    [(p & 15) - 8, jnp.where(hb >= 8, hb - 16, hb)], axis=0
-                ).astype(jnp.int8)
+                m2 = unpack_int4_xla(m_shard)
                 iscores = jax.lax.dot_general(
                     qi8, m2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
                 )

@@ -209,21 +209,14 @@ def make_handler(holder: ServeState):
             if not 1 <= k <= self.MAX_K:
                 return self._json(400, {"error": f"k must be in [1, {self.MAX_K}]"})
             app = holder.app
-            source_ids = None
-            if source:
-                src = app.source_by_name(source)
-                if src is None:
-                    return self._json(404, {"error": f"no source {source}"})
-                source_ids = [src.id]
-            elif type_tag:
-                from .types import SourceTypeTag
+            from .cli.commands import UnknownSource, resolve_source_filter
 
-                try:
-                    tag = SourceTypeTag(type_tag)
-                except ValueError:
-                    return self._json(400, {"error": f"bad type {type_tag}"})
-                # [] = matches nothing -> zero results (reference semantics)
-                source_ids = [s.id for s in app.sources if s.matches_tag(tag)]
+            try:  # the same resolver as the CLI (semantics can't drift)
+                source_ids = resolve_source_filter(app, source, type_tag)
+            except UnknownSource:
+                return self._json(404, {"error": f"no source {source}"})
+            except ValueError:
+                return self._json(400, {"error": f"bad type {type_tag}"})
             vec = app.model.encode_query(query)
             if holder.executor is not None:
                 hits = holder.executor.search(vec, k, source_ids)

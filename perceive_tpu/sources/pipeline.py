@@ -45,10 +45,13 @@ from .scanner import (
 )
 
 SCAN_BATCH_SIZE = 64  # items per scanner batch (reference fs.rs:116)
-# TPU batch (reference used 64, pipeline.rs:76).  512 keeps the MXU fed and
-# halves per-dispatch overhead vs 256 (each dispatch costs a host round
-# trip — ~50 ms through a serving tunnel); env-tunable for ops.
-EMBED_BATCH_SIZE = int(os.environ.get("PERCEIVE_TPU_EMBED_BATCH", "1024"))
+# TPU batch (reference used 64, pipeline.rs:76).  Large batches keep the MXU
+# fed and amortize per-dispatch overhead (each dispatch costs a host round
+# trip — ~50 ms through a serving tunnel); env-tunable for ops, clamped to
+# the model dispatch limit so a typo can't poison every batch.
+EMBED_BATCH_SIZE = min(
+    max(1, int(os.environ.get("PERCEIVE_TPU_EMBED_BATCH", "1024"))), 1024
+)
 READ_PARALLELISM = 8  # reference import.rs:60
 MATCH_QUEUE = 256
 EMBED_QUEUE_BATCHES = 8

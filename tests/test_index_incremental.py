@@ -43,3 +43,41 @@ def test_incremental_upsert_and_tombstone_after_sync():
     s.upsert_embeddings(range(10000, 13000), [3] * 3000, big)
     top = s.search_vector(big[7], 1)
     assert top[0][0] == 10007
+
+
+def test_search_retries_when_tombstoned_row_is_reused():
+    """A freed row handed to a NEW item between a sweep's device capture and
+    the host-side row decode must not attribute the old row's score to the
+    new item: the searcher snapshots matrix.reuse_gen and retries the sweep
+    when it moved (review r2: matrix.py free-list reuse race)."""
+    rng = np.random.default_rng(5)
+    s = Searcher(0, 0, DIM, dtype=np.float32, engine="xla")
+    a, b, c = _vecs(rng, 3)
+    s.upsert_embeddings([1, 2], [0, 0], np.stack([a, b]))
+
+    orig_scan = s._scan_filtered
+    raced = {"n": 0}
+
+    def racing_scan(q, k, source_ids):
+        vals, rows = orig_scan(q, k, source_ids)
+        if raced["n"] == 0:
+            raced["n"] += 1
+            # concurrent churn AFTER the sweep: item 1's row is freed and
+            # immediately reused for new item 3 (vector c)
+            from perceive_tpu.index.matrix import chunk_key
+
+            s.remove_items([1])
+            s.upsert_embeddings([3], [0], c.reshape(1, -1))
+            assert s.matrix.row_of[chunk_key(3, 0)] in set(rows.ravel().tolist())
+        return vals, rows
+
+    s._scan_filtered = racing_scan
+    hits = dict(s.search_vector(a, 2))
+
+    # without the retry, item 3 would surface with item 1's score (~1.0);
+    # the consistent result scores item 3 with ITS vector
+    assert raced["n"] == 1
+    assert s.matrix.reuse_gen == 1
+    if 3 in hits:
+        assert abs(hits[3] - float(c @ a)) < 1e-5
+    assert hits.get(1) is None  # removed item must not appear

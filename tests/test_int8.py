@@ -137,3 +137,43 @@ def test_int8_slabbed_kernel_matches_dequant_oracle():
     idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
     np.testing.assert_allclose(np.asarray(vals), np.take_along_axis(scores, idx, 1), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(rows), idx)
+
+
+def test_rerank_margin_sigma_escalates(monkeypatch):
+    """PERCEIVE_TPU_RERANK_MARGIN_SIGMA adds a quantization-noise margin to
+    the escalation trigger: an absurdly large sigma must force deeper
+    fetches (up to the cap) while results stay exact vs the f32 oracle."""
+    rng = np.random.default_rng(3)
+    n, d, k = 512, 64, 5
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    s_f32 = Searcher(0, 0, d, dtype=jnp.float32, engine="xla")
+    s_i8 = Searcher(0, 0, d, dtype=jnp.int8, engine="xla")
+    for s in (s_f32, s_i8):
+        s.upsert_embeddings(list(range(1, n + 1)), [0] * n, vecs)
+
+    q = vecs[7] + 0.01 * rng.standard_normal(d).astype(np.float32)
+
+    sweeps = []
+    orig = s_i8._device_scan
+
+    def spy(qp, kb, allowed, engine):
+        sweeps.append(kb)
+        return orig(qp, kb, allowed, engine)
+
+    s_i8._device_scan = spy
+
+    monkeypatch.setenv("PERCEIVE_TPU_RERANK_MARGIN_SIGMA", "1000")
+    got = s_i8.search_vector(q, k)
+    want = s_f32.search_vector(q, k)
+    assert [i for i, _ in got] == [i for i, _ in want]
+    # the huge margin can never be satisfied, so the fetch must escalate
+    # until everything fetchable was fetched
+    assert len(sweeps) >= 2 and max(sweeps) >= n
+
+    # sigma=0 (default): single sweep
+    sweeps.clear()
+    monkeypatch.setenv("PERCEIVE_TPU_RERANK_MARGIN_SIGMA", "0")
+    s_i8.search_vector(q, k)
+    assert len(sweeps) == 1
