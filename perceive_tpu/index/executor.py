@@ -100,10 +100,15 @@ class BatchingSearchExecutor:
             self._dispatch(batch)
 
     def _dispatch(self, batch: list[_Request]) -> None:
-        # group by (k, source filter): each group is one device sweep
+        # group by (k, source filter): each group is one device sweep.
+        # set_running_or_notify_cancel() both drops client-cancelled futures
+        # and moves live ones to RUNNING so a later cancel() can't make
+        # set_result/set_exception raise InvalidStateError and kill this
+        # dispatcher thread.
         groups: dict = {}
         for r in batch:
-            groups.setdefault((r.k, r.source_key), []).append(r)
+            if r.future.set_running_or_notify_cancel():
+                groups.setdefault((r.k, r.source_key), []).append(r)
         for (k, source_key), reqs in groups.items():
             t0 = time.monotonic()
             try:

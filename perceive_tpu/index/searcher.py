@@ -85,13 +85,10 @@ _scan_topk_xla = jax.jit(_scan_topk_xla_impl, static_argnames=("k",))
 
 
 def _scan_topk_xla_int8_impl(matrix, scales, source_ids, q, allowed, k: int):
-    from ..ops.topk import quantize_queries
+    from ..ops.topk import quantize_queries, xla_scores_int8
 
     qi8, qscale = quantize_queries(q)
-    iscores = jax.lax.dot_general(
-        qi8, matrix, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    scores = iscores.astype(jnp.float32) * scales[None, :] * qscale
+    scores = xla_scores_int8(matrix, scales, qi8, qscale)
     valid = source_ids >= 0
     allow_all = allowed[0] == ALLOW_ALL
     src_ok = jnp.isin(source_ids, allowed) | allow_all
@@ -105,14 +102,10 @@ _scan_topk_xla_int8 = jax.jit(_scan_topk_xla_int8_impl, static_argnames=("k",))
 def _scan_topk_xla_int4_impl(packed, scales, source_ids, q, allowed, k: int):
     """XLA unpack + int8 dot over the (D/2, N) transposed-packed matrix
     (CPU engine and the oversized-k fallback)."""
-    from ..ops.topk import quantize_queries, unpack_int4_xla
+    from ..ops.topk import quantize_queries, xla_scores_int4
 
     qi8, qscale = quantize_queries(q)
-    m2 = unpack_int4_xla(packed)
-    iscores = jax.lax.dot_general(
-        qi8, m2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    scores = iscores.astype(jnp.float32) * scales[None, :] * qscale
+    scores = xla_scores_int4(packed, scales, qi8, qscale)
     valid = source_ids >= 0
     allow_all = allowed[0] == ALLOW_ALL
     src_ok = jnp.isin(source_ids, allowed) | allow_all
@@ -161,10 +154,13 @@ class Searcher:
         *,
         dtype: jnp.dtype = jnp.bfloat16,
         engine: str = "auto",
+        matrix: Optional[EmbeddingMatrix] = None,
     ):
         self.model_id = model_id
         self.model_version = model_version
-        self.matrix = EmbeddingMatrix(dim, dtype=dtype)
+        # subclasses with custom placement (ShardedSearcher) pass their own
+        # matrix instead of having a default-placement one built and dropped
+        self.matrix = matrix if matrix is not None else EmbeddingMatrix(dim, dtype=dtype)
         if engine == "auto":
             # keyed on the matrix placement (here: the default device), not
             # jax.default_backend() blindly — ShardedSearcher resolves "auto"
@@ -383,8 +379,6 @@ class Searcher:
 
     def _scan(self, q: np.ndarray, k: int, allowed: np.ndarray):
         m = self.matrix
-        if k > MAX_K:
-            raise ValueError(f"k={k} exceeds the maximum of {MAX_K}")
         want = k
         if m.quantized:
             want = (RERANK_FACTOR_INT4 if m.quant_bits == 4 else RERANK_FACTOR) * want
@@ -480,23 +474,48 @@ class Searcher:
         order = np.argsort(-vals, axis=1, kind="stable")
         return np.take_along_axis(vals, order, 1), np.take_along_axis(rows, order, 1)
 
+    @staticmethod
+    def _underfilled(vals: np.ndarray, outs: list, k: int) -> bool:
+        """True when some query decoded to fewer than k distinct items while
+        its candidate buffer was FULL — a document with many high-scoring
+        chunks can crowd the fixed over-fetch out of distinct items, and
+        only a deeper fetch can recover the missing ones."""
+        if vals.shape[1] == 0:
+            return False
+        return any(
+            len(outs[qi]) < k and np.isfinite(vals[qi, -1])
+            for qi in range(vals.shape[0])
+        )
+
     def _search_consistent(self, q: np.ndarray, k: int, source_ids, decode):
-        """Run scan + row decode, retrying if a tombstoned row was REUSED
-        concurrently (upsert handing a freed row to a new item between this
-        sweep's device capture and the host-side row decode would attribute
-        the old row's score to the new item).  Reuse is rare — row churn
-        needs remove/prune + upsert in the window — so optimistic retries
-        win; the last attempt holds the matrix lock end-to-end (RLock, so
-        the nested capture in _device_scan is fine)."""
+        """Run scan + row decode with two retry conditions:
+
+        * a tombstoned row was REUSED concurrently (upsert handing a freed
+          row to a new item between this sweep's device capture and the
+          host-side row decode would attribute the old row's score to the
+          new item) — rescan at the same depth; the last attempt holds the
+          matrix lock end-to-end (RLock, so the nested capture in
+          _device_scan is fine);
+        * chunk dedupe left fewer than k distinct items with a full buffer
+          (_underfilled) — re-fetch 4x deeper up to the over-fetch cap.
+
+        ``decode(vals, rows)`` must return one hit-list per query row.
+        """
         m = self.matrix
-        for _ in range(3):
+        fetch = k
+        for _ in range(8):
             gen = m.reuse_gen
-            vals, rows = self._scan_filtered(q, k, source_ids)
-            out = decode(vals, rows)
-            if m.reuse_gen == gen:
-                return out
+            vals, rows = self._scan_filtered(q, fetch, source_ids)
+            outs = decode(vals, rows)
+            if m.reuse_gen != gen:
+                continue  # concurrent row reuse: rescan
+            if not self._underfilled(vals, outs, k):
+                return outs
+            if vals.shape[1] >= min(m.rows, _OVERFETCH_BUCKETS[-1]):
+                return outs  # everything fetchable was fetched
+            fetch = min(4 * max(fetch, vals.shape[1]), _OVERFETCH_BUCKETS[-1])
         with m._lock:
-            vals, rows = self._scan_filtered(q, k, source_ids)
+            vals, rows = self._scan_filtered(q, fetch, source_ids)
             return decode(vals, rows)
 
     def search_vector(
@@ -507,12 +526,15 @@ class Searcher:
     ) -> list[tuple[int, float]]:
         """One query vector -> [(item_id, score)] best-first
         (reference search.rs:157-182)."""
+        if k > MAX_K:
+            raise ValueError(f"k={k} exceeds the maximum of {MAX_K}")
         if len(self.matrix) == 0:
             return []
         q = np.asarray(vec, dtype=np.float32).reshape(1, -1)
         return self._search_consistent(
-            q, k, source_ids, lambda vals, rows: self._decode_hits(vals[0], rows[0], k)
-        )
+            q, k, source_ids,
+            lambda vals, rows: [self._decode_hits(vals[0], rows[0], k)],
+        )[0]
 
     def search_vectors_batch(
         self,
@@ -522,6 +544,8 @@ class Searcher:
     ) -> list[list[tuple[int, float]]]:
         """Batched queries — the TPU-native serving path: one device sweep
         scores every query in the batch."""
+        if k > MAX_K:
+            raise ValueError(f"k={k} exceeds the maximum of {MAX_K}")
         if len(self.matrix) == 0:
             return [[] for _ in range(len(vecs))]
         q = np.asarray(vecs, dtype=np.float32)

@@ -211,7 +211,10 @@ def _scan_kernel_int8_slabbed(
 def pallas_topk_int8_slabbed(matrix, scales2d, src2d, qi8, qscale, allowed, k: int, interpret: bool):
     n, d = matrix.shape
     nq = qi8.shape[0]
-    tile_n = 4096 if n % 4096 == 0 else _pick_tile(n, QUERY_SLAB, d, 1)
+    fits_4096 = 2 * 4096 * d + QUERY_SLAB * 4096 * 4 <= _VMEM_BUDGET
+    tile_n = (
+        4096 if n % 4096 == 0 and fits_4096 else _pick_tile(n, QUERY_SLAB, d, 1)
+    )
     kernel = functools.partial(
         _scan_kernel_int8_slabbed, k=k, tile_n=tile_n, n_filter=allowed.shape[0],
         n_slabs=nq // QUERY_SLAB,
@@ -304,6 +307,26 @@ def unpack_int4_xla(packed):
     return jnp.concatenate(
         [(p & 15) - 8, jnp.where(hb >= 8, hb - 16, hb)], axis=0
     ).astype(jnp.int8)
+
+
+def xla_scores_int8(matrix, scales, qi8, qscale):
+    """(Q, N) f32 approximate scores: int8 queries x (N, D) int8 matrix,
+    rescaled by per-row and per-query scales.  Shared by the jitted searcher
+    engine and the shard_map local body (one copy of the scale broadcast)."""
+    iscores = jax.lax.dot_general(
+        qi8, matrix, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return iscores.astype(jnp.float32) * scales[None, :] * qscale
+
+
+def xla_scores_int4(packed, scales, qi8, qscale):
+    """(Q, N) f32 approximate scores over the transposed-packed int4 matrix
+    (unpack_int4_xla layout); same sharing rationale as xla_scores_int8."""
+    m2 = unpack_int4_xla(packed)
+    iscores = jax.lax.dot_general(
+        qi8, m2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return iscores.astype(jnp.float32) * scales[None, :] * qscale
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
@@ -530,7 +553,16 @@ def pallas_topk_slabbed(matrix, src2d, qc, allowed, k: int, interpret: bool):
     """Raw slabbed-kernel invocation for Q a multiple of QUERY_SLAB."""
     n, d = matrix.shape
     nq = qc.shape[0]
-    tile_n = 4096 if n % 4096 == 0 else _pick_tile(n, QUERY_SLAB, d, matrix.dtype.itemsize)
+    # prefer the measured-fastest 4096 tile, but only when it actually fits
+    # the VMEM budget — f32 storage or wide padded dims need smaller tiles
+    # (the scratch is slab-height, hence nq=QUERY_SLAB in the fit check)
+    itemsize = matrix.dtype.itemsize
+    fits_4096 = 2 * 4096 * d * itemsize + QUERY_SLAB * 4096 * 4 <= _VMEM_BUDGET
+    tile_n = (
+        4096
+        if n % 4096 == 0 and fits_4096
+        else _pick_tile(n, QUERY_SLAB, d, itemsize)
+    )
     n_filter = allowed.shape[0]
     kernel = functools.partial(
         _scan_kernel_slabbed, k=k, tile_n=tile_n, n_filter=n_filter,

@@ -32,7 +32,8 @@ from ..ops.topk import (
     pallas_topk_slabbed,
     pallas_topk_unsorted,
     quantize_queries,
-    unpack_int4_xla,
+    xla_scores_int4,
+    xla_scores_int8,
 )
 from .mesh import ROWS_AXES, rows_1d_sharding, rows_sharding
 
@@ -56,62 +57,66 @@ def _sharded_scan(matrix, scales, source_ids, q, allowed, *, mesh, k, engine, in
     int4 = matrix.dtype == jnp.uint8  # transposed-packed (D/2, N), ops/topk.py
 
     def local(m_shard, sc_shard, src_shard, q_, allowed_):
+        n_local = m_shard.shape[1] if int4 else m_shard.shape[0]
+        # the per-chip candidate count can't exceed the shard's rows:
+        # lax.top_k rejects k > n, and an over-fetch bucket (escalation,
+        # chunk dedupe) can legitimately exceed a small shard.  The gathered
+        # width ndev * kl still covers k because the caller caps k at the
+        # GLOBAL row count (ndev * n_local).
+        kl = min(k, n_local)
         if int4:
             qi8, qscale = quantize_queries(q_)
             if engine == "pallas":
                 vals, rows = pallas_topk_int4_unsorted(
                     m_shard, sc_shard.reshape(1, -1), src_shard.reshape(1, -1),
-                    qi8, qscale, allowed_, k, interpret,
+                    qi8, qscale, allowed_, kl, interpret,
                 )
             else:
-                m2 = unpack_int4_xla(m_shard)
-                iscores = jax.lax.dot_general(
-                    qi8, m2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-                )
-                scores = iscores.astype(jnp.float32) * sc_shard[None, :] * qscale
-                vals, rows = _local_topk_xla(_mask_scores(scores, src_shard, allowed_), k)
+                scores = xla_scores_int4(m_shard, sc_shard, qi8, qscale)
+                vals, rows = _local_topk_xla(_mask_scores(scores, src_shard, allowed_), kl)
         elif int8:
             qi8, qscale = quantize_queries(q_)
             if engine == "pallas":
                 vals, rows = pallas_topk_int8_unsorted(
                     m_shard, sc_shard.reshape(1, -1), src_shard.reshape(1, -1),
-                    qi8, qscale, allowed_, k, interpret,
+                    qi8, qscale, allowed_, kl, interpret,
                 )
             else:
-                iscores = jax.lax.dot_general(
-                    qi8, m_shard, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-                )
-                scores = iscores.astype(jnp.float32) * sc_shard[None, :] * qscale
-                vals, rows = _local_topk_xla(_mask_scores(scores, src_shard, allowed_), k)
+                scores = xla_scores_int8(m_shard, sc_shard, qi8, qscale)
+                vals, rows = _local_topk_xla(_mask_scores(scores, src_shard, allowed_), kl)
         else:
             qc = q_.astype(m_shard.dtype)
             if engine == "pallas":
                 if qc.shape[0] >= 2 * QUERY_SLAB and qc.shape[0] % QUERY_SLAB == 0:
                     vals, rows = pallas_topk_slabbed(
-                        m_shard, src_shard.reshape(1, -1), qc, allowed_, k, interpret
+                        m_shard, src_shard.reshape(1, -1), qc, allowed_, kl, interpret
                     )
                 else:
                     vals, rows = pallas_topk_unsorted(
-                        m_shard, src_shard.reshape(1, -1), qc, allowed_, k, interpret
+                        m_shard, src_shard.reshape(1, -1), qc, allowed_, kl, interpret
                     )
             else:
                 scores = jax.lax.dot_general(
                     qc, m_shard, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
                 )
-                vals, rows = _local_topk_xla(_mask_scores(scores, src_shard, allowed_), k)
+                vals, rows = _local_topk_xla(_mask_scores(scores, src_shard, allowed_), kl)
         # local row index -> global row index (shard offset); keep -1 invalid
-        n_local = m_shard.shape[1] if int4 else m_shard.shape[0]
         idx = jax.lax.axis_index(ROWS_AXES)
         rows = jnp.where(rows >= 0, rows + idx * n_local, -1)
         vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
         # merge across chips: one small all-gather riding the ICI
-        vals_all = jax.lax.all_gather(vals, ROWS_AXES)  # (ndev, Q, k)
+        vals_all = jax.lax.all_gather(vals, ROWS_AXES)  # (ndev, Q, kl)
         rows_all = jax.lax.all_gather(rows, ROWS_AXES)
         nq = q_.shape[0]
-        vcat = jnp.transpose(vals_all, (1, 0, 2)).reshape(nq, ndev * k)
-        rcat = jnp.transpose(rows_all, (1, 0, 2)).reshape(nq, ndev * k)
-        mv, perm = jax.lax.top_k(vcat, k)
-        return mv, jnp.take_along_axis(rcat, perm, axis=1)
+        vcat = jnp.transpose(vals_all, (1, 0, 2)).reshape(nq, ndev * kl)
+        rcat = jnp.transpose(rows_all, (1, 0, 2)).reshape(nq, ndev * kl)
+        mv, perm = jax.lax.top_k(vcat, min(k, ndev * kl))
+        out = jnp.take_along_axis(rcat, perm, axis=1)
+        if mv.shape[1] < k:  # k exceeded the global row count: pad
+            pad = k - mv.shape[1]
+            mv = jnp.pad(mv, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+            out = jnp.pad(out, ((0, 0), (0, pad)), constant_values=-1)
+        return mv, out
 
     m_spec = P(None, ROWS_AXES) if int4 else P(ROWS_AXES, None)
     return shard_map(
@@ -169,9 +174,7 @@ class ShardedSearcher(Searcher):
             # resolve from the mesh's platform, not the default backend (the
             # base class would key on the default device, which can differ)
             engine = "pallas" if platform_of(mesh) == "tpu" else "xla"
-        super().__init__(model_id, model_version, dim, dtype=dtype, engine=engine)
-        self.mesh = mesh
-        self.matrix = EmbeddingMatrix(
+        matrix = EmbeddingMatrix(
             dim,
             dtype=dtype,
             capacity=512 * mesh.size,
@@ -179,6 +182,10 @@ class ShardedSearcher(Searcher):
             ids_device=rows_1d_sharding(mesh),
             row_align=512 * mesh.size,
         )
+        super().__init__(
+            model_id, model_version, dim, dtype=dtype, engine=engine, matrix=matrix
+        )
+        self.mesh = mesh
 
     @classmethod
     def build(cls, db, model_id, model_version, dim, mesh, *, use_snapshot=True, **kw):  # type: ignore[override]

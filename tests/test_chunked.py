@@ -137,3 +137,32 @@ def test_chunked_sharded_searcher(model):
     ss.remove_items([1])
     hits = ss.search_vector(vecs[1], 4)
     assert 1 not in [i for i, _ in hits]
+
+
+def test_chunk_dedupe_refetches_until_k_distinct():
+    """A document whose many chunks crowd the candidate buffer must not
+    truncate results: the searcher re-fetches deeper until k distinct items
+    (or the corpus) are found (review r2: fixed 2x over-fetch underfill)."""
+    import numpy as np
+
+    from perceive_tpu.index.searcher import Searcher
+
+    rng = np.random.default_rng(2)
+    d, k = 32, 10
+    q = rng.standard_normal(d).astype(np.float32)
+    q /= np.linalg.norm(q)
+
+    s = Searcher(0, 0, d, dtype=np.float32, engine="xla")
+    # one document with 40 chunks all VERY close to the query...
+    chunks = q[None, :] + 0.01 * rng.standard_normal((40, d)).astype(np.float32)
+    chunks /= np.linalg.norm(chunks, axis=1, keepdims=True)
+    s.upsert_embeddings([(1, ci) for ci in range(40)], [0] * 40, chunks)
+    # ...plus 30 other relevant single-chunk documents slightly farther
+    others = q[None, :] + 0.2 * rng.standard_normal((30, d)).astype(np.float32)
+    others /= np.linalg.norm(others, axis=1, keepdims=True)
+    s.upsert_embeddings(list(range(2, 32)), [0] * 30, others)
+
+    hits = s.search_vector(q, k)
+    assert len(hits) == k, f"dedupe truncated results to {len(hits)}"
+    assert hits[0][0] == 1  # the chunked document leads with its best chunk
+    assert len({i for i, _ in hits}) == k

@@ -107,3 +107,22 @@ def test_close_rejects_new_work(searcher):
     ex.close()
     with pytest.raises(RuntimeError):
         ex.submit(vecs[0], 5)
+
+
+def test_cancelled_future_does_not_kill_dispatcher(searcher):
+    """cancel() on a pending future must not crash the dispatcher thread
+    with InvalidStateError (review r2: executor.py set_result on CANCELLED)."""
+    import numpy as np
+
+    s, _ = searcher
+    ex = BatchingSearchExecutor(s, window_ms=30.0)
+    try:
+        q = np.random.default_rng(0).standard_normal(s.matrix.dim).astype(np.float32)
+        f1 = ex.submit(q, 3)
+        f1.cancel()  # still pending inside the batching window
+        # a subsequent query must still be answered (dispatcher alive)
+        got = ex.search(q, 3, timeout=10)
+        assert got
+        assert f1.cancelled()
+    finally:
+        ex.close()

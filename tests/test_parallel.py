@@ -298,3 +298,29 @@ def test_multichip_ingest_scan(tmp_db, tmp_path):
     q = model.encode_query(" ".join(rng.choice(words, 12)))
     hits = ss.search_vector(q, 5)
     assert len(hits) == 5 and all(s > -np.inf for _, s in hits)
+
+
+def test_sharded_overfetch_exceeding_shard_rows():
+    """An over-fetch bucket bigger than one shard's rows must clamp the
+    per-chip top-k instead of crashing lax.top_k (review r2: kb > n_local).
+    600 rows on a 4-device mesh = 512 rows/shard padded; int8's 4x rerank
+    over-fetch at k=200 asks for 800+ candidates per chip."""
+    from perceive_tpu.index.searcher import Searcher
+    from perceive_tpu.parallel.search import ShardedSearcher
+
+    mesh = make_mesh(4)
+    rng = np.random.default_rng(11)
+    n, d = 600, 24
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    ss = ShardedSearcher(0, 0, d, mesh, dtype=jnp.int8, engine="xla")
+    s1 = Searcher(0, 0, d, dtype=jnp.float32, engine="xla")
+    for s in (ss, s1):
+        s.upsert_embeddings(list(range(1, n + 1)), [0] * n, vecs)
+
+    q = vecs[77]
+    got = ss.search_vector(q, 200)
+    want = s1.search_vector(q, 200)
+    assert [i for i, _ in got] == [i for i, _ in want]
+    np.testing.assert_allclose([v for _, v in got], [v for _, v in want], rtol=1e-5)
