@@ -74,7 +74,8 @@ class Database:
         self._configure_write_connection(self._write_conn)
         migrations.migrate(self._write_conn)
         self._local = threading.local()
-        self._read_conns: list[sqlite3.Connection] = []
+        # (owner thread, connection) pairs; read() prunes dead threads
+        self._read_conns: list[tuple] = []
         self._conns_lock = threading.Lock()
 
     def _configure_write_connection(self, conn: sqlite3.Connection) -> None:
@@ -101,8 +102,23 @@ class Database:
             # "database is locked" under write load
             conn.execute("PRAGMA busy_timeout = 30000")
             self._local.conn = conn
+            import threading as _threading
+
             with self._conns_lock:
-                self._read_conns.append(conn)
+                # prune connections whose owner thread died — each scan's
+                # short-lived pipeline threads would otherwise leak one open
+                # sqlite fd apiece until close() (long-running serve
+                # --refresh processes accumulate hundreds)
+                live, dead = [], []
+                for t, c in self._read_conns:
+                    (live if t.is_alive() else dead).append((t, c))
+                self._read_conns = live
+                self._read_conns.append((_threading.current_thread(), conn))
+            for _, c in dead:
+                try:
+                    c.close()
+                except sqlite3.Error:
+                    pass
         return conn
 
     class _WriteTxn:
@@ -144,7 +160,7 @@ class Database:
         self._write_conn.close()
         with self._conns_lock:
             conns, self._read_conns = self._read_conns, []
-        for conn in conns:  # read conns from EVERY thread, not just ours
+        for _, conn in conns:  # read conns from EVERY thread, not just ours
             try:
                 conn.close()
             except sqlite3.ProgrammingError:

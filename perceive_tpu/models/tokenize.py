@@ -85,8 +85,27 @@ class TextTokenizer:
                 w: i for i, w in enumerate(vocab_file.read_text().splitlines())
             }
             tok = _build_wordpiece(vocab, lowercase=lower)
-        pad_id = tok.token_to_id("[PAD]") or 0
-        return cls(tok, max_seq_length=max_seq_length, pad_id=pad_id)
+        # resolve the pad token across tokenizer families: explicit config
+        # first (tokenizer_config.json / special_tokens_map.json both name
+        # it), then the conventional spellings.  Defaulting "[PAD]"-only
+        # would hand RoBERTa checkpoints ('<pad>'=1, '<s>'=0) pad_id=0 and
+        # the ids-only encode path (mask = ids != pad) would silently mask
+        # every sequence's BOS token.
+        pad_token = None
+        for cfg_name in ("tokenizer_config.json", "special_tokens_map.json"):
+            cfg_file = model_dir / cfg_name
+            if pad_token is None and cfg_file.exists():
+                pt = json.loads(cfg_file.read_text()).get("pad_token")
+                if isinstance(pt, dict):  # AddedToken serialization
+                    pt = pt.get("content")
+                if isinstance(pt, str):
+                    pad_token = pt
+        pad_id = None
+        for cand in ([pad_token] if pad_token else []) + ["[PAD]", "<pad>"]:
+            pad_id = tok.token_to_id(cand)
+            if pad_id is not None:
+                break
+        return cls(tok, max_seq_length=max_seq_length, pad_id=pad_id or 0)
 
     @classmethod
     def from_vocab(

@@ -33,6 +33,22 @@ from .scanner import FoundItem, ReadResult
 ZSTD_LEVEL = 3
 
 
+def _utf8_path(path: str) -> bool:
+    """False for paths carrying surrogate escapes (non-UTF-8 filename bytes
+    from os.scandir / the native walker).  SQLite refuses to bind surrogate
+    strings, and a single such external_id would kill the single write stage
+    mid-scan — skip the file with a note instead (the reference's Rust walk
+    skips non-UTF-8 paths the same way, via Path::to_str)."""
+    try:
+        path.encode("utf-8")
+        return True
+    except UnicodeEncodeError:
+        import sys
+
+        print(f"skipping non-UTF-8 filename: {path!r}", file=sys.stderr)
+        return False
+
+
 def compress_raw(data: bytes) -> bytes:
     return zstandard.ZstdCompressor(level=ZSTD_LEVEL).compress(data)
 
@@ -141,6 +157,14 @@ class _GitignoreRules:
                 verdict = not negate
         return verdict
 
+    def rebased(self, base: str) -> "_GitignoreRules":
+        """Same compiled rules anchored at a different directory — lets one
+        parsed global-gitignore template serve every repo root in a scan."""
+        r = _GitignoreRules.__new__(_GitignoreRules)
+        r.rules = self.rules
+        r.base = base
+        return r
+
 
 def global_ignore_path() -> Optional[str]:
     """The user's global gitignore file, honored like the reference's
@@ -178,7 +202,7 @@ def _load_ignore_file(path: str, base: str) -> Optional[_GitignoreRules]:
         return None
 
 
-def _dir_rule_chain(dirpath: str, rules: tuple) -> tuple:
+def _dir_rule_chain(dirpath: str, rules: tuple, memo: Optional[dict] = None) -> tuple:
     """Extend the inherited rule chain with this directory's ignore files.
 
     Precedence (git semantics; later in the chain wins in _ignored):
@@ -186,13 +210,26 @@ def _dir_rule_chain(dirpath: str, rules: tuple) -> tuple:
     load only where a `.git` marker makes the directory a repo root.  The
     `.ignore` file (same syntax, ignore-crate extension) outranks
     `.gitignore` in the same directory, matching the reference's walker.
+
+    ``memo`` (one per scan) caches the ~/.gitconfig resolution and the
+    parsed global-ignore template so a tree full of repos doesn't re-read
+    and re-compile the same two files at every repo root (the ingest host
+    has one core).
     """
     if os.path.exists(os.path.join(dirpath, ".git")):
-        gp = global_ignore_path()
-        if gp:
-            r = _load_ignore_file(gp, dirpath)
-            if r:
-                rules = (*rules, r)
+        if memo is None:
+            gp = global_ignore_path()
+            tmpl = _load_ignore_file(gp, dirpath) if gp else None
+            r = tmpl
+        else:
+            if "gp" not in memo:
+                memo["gp"] = global_ignore_path()
+                memo["tmpl"] = (
+                    _load_ignore_file(memo["gp"], "") if memo["gp"] else None
+                )
+            r = memo["tmpl"].rebased(dirpath) if memo["tmpl"] else None
+        if r:
+            rules = (*rules, r)
         r = _load_ignore_file(os.path.join(dirpath, ".git", "info", "exclude"), dirpath)
         if r:
             rules = (*rules, r)
@@ -276,7 +313,7 @@ class FileScanner:
             for path, mtime, atime in sorted(entries):
                 # globs match ROOT-RELATIVE paths: full-path patterns like
                 # '**/*.md' can never match an absolute path's leading '/'
-                if self.globs.matches(os.path.relpath(path, root)):
+                if self.globs.matches(os.path.relpath(path, root)) and _utf8_path(path):
                     emit(
                         Item(
                             id=-1,
@@ -295,9 +332,10 @@ class FileScanner:
         stack: list[tuple[str, tuple[_GitignoreRules, ...]]] = [
             (root, _root_parent_chain(root))
         ]
+        memo: dict = {}  # per-scan global-ignore cache (_dir_rule_chain)
         while stack:
             dirpath, rules = stack.pop()
-            rules = _dir_rule_chain(dirpath, rules)
+            rules = _dir_rule_chain(dirpath, rules, memo)
             try:
                 entries = sorted(os.scandir(dirpath), key=lambda e: e.name)
             except OSError:
@@ -314,7 +352,11 @@ class FileScanner:
                     continue
                 if is_dir:
                     stack.append((entry.path, rules))
-                elif is_file and self.globs.matches(os.path.relpath(entry.path, root)):
+                elif (
+                    is_file
+                    and self.globs.matches(os.path.relpath(entry.path, root))
+                    and _utf8_path(entry.path)
+                ):
                     try:
                         st = entry.stat(follow_symlinks=False)
                     except OSError:

@@ -43,10 +43,13 @@ FETCH_TIMEOUT = 30
 
 
 def should_skip(skip: list[str], url: str) -> bool:
-    """Suffix-match the host against skip + ALWAYS_SKIP
-    (reference parse_html.rs:22-28)."""
+    """Domain-suffix-match the host against skip + ALWAYS_SKIP
+    (reference parse_html.rs:22-28).  The suffix must sit on a label
+    boundary: skipping "x.com" must not swallow "phonetix.com"."""
     host = urlsplit(url).hostname or ""
-    return any(host.endswith(s) for s in (*skip, *ALWAYS_SKIP))
+    return any(
+        host == s or host.endswith("." + s) for s in (*skip, *ALWAYS_SKIP)
+    )
 
 
 # -- article extraction ------------------------------------------------------

@@ -5,14 +5,15 @@ Host feeder with the same stage/queue/backpressure structure as the reference
 bounded queues between stages so a slow stage throttles the ones above it.
 The embed stage is the TPU boundary and differs by design:
 
-  * batches are TPU-sized (default 256 vs the reference's 64,
+  * batches are TPU-sized (default 1024 vs the reference's 64,
     pipeline.rs:76) and padded to bucket shapes for jit stability;
   * encodes are double-buffered — batch i+1 tokenizes on the host while
     batch i runs on the chip (Model.encode_dispatch / materialize), which
     replaces the reference's single-threaded model worker channel
     (model.rs:161-190) with the device queue itself;
-  * an embed failure poisons only its batch (items written without
-    embeddings, re-embedded next scan), not the whole scan — the reference
+  * an embed failure poisons only its batch (new items written without
+    embeddings and changed items left at their previous row, both
+    re-embedded next scan), not the whole scan — the reference
     aborted the stage (calculate_embeddings.rs error path).
 
 Stage-death safety: every stage wrapper drains its input on error so bounded
@@ -200,9 +201,14 @@ def _read_stage(
                 # settle changed-ness by content comparison
                 if si.existing is None:
                     state = ScanItemState.NEW
+                elif si.item.skipped is not None:
+                    # a skip discovered at read time (404, non-text, ...)
+                    # must PERSIST: classifying UNCHANGED would drop the
+                    # skip on the floor and leave stale vectors searchable
+                    # (the write stage's skip branch needs != UNCHANGED)
+                    state = ScanItemState.CHANGED
                 elif (
-                    si.item.skipped is None
-                    and compare_strategy.should_compare_content
+                    compare_strategy.should_compare_content
                     and si.existing.content != (si.item.content or "")
                 ):
                     state = ScanItemState.CHANGED
@@ -286,10 +292,8 @@ def _embed_stage(
     # batch i+1, then materialize batch i).  Deeper queues measured SLOWER on
     # the tunneled bench device (overlapping dispatches contend), so 1 is the
     # default; raise via env on directly-attached hardware if profitable.
-    import os as _os
-
     pending: list = []
-    PIPELINE_DEPTH = max(1, int(_os.environ.get("PERCEIVE_TPU_PIPELINE_DEPTH", "1")))
+    PIPELINE_DEPTH = max(1, int(os.environ.get("PERCEIVE_TPU_PIPELINE_DEPTH", "1")))
     # passthrough items batch up so the write stage isn't fed one-item
     # transactions during mostly-unchanged rescans
     passthrough: list = []
@@ -416,6 +420,19 @@ def _write_stage(
             for si, embs in batch:
                 item = si.item
                 meta = item.metadata
+                if (
+                    embs is None
+                    and si.state is ScanItemState.CHANGED
+                    and item.skipped is None
+                ):
+                    # embed FAILED for a changed document (None = poisoned
+                    # batch; unchanged/skipped passthroughs are also None but
+                    # never CHANGED).  Writing the new content/mtime here
+                    # would make the next scan classify it UNCHANGED with the
+                    # STALE pre-change vector pinned forever; skipping the
+                    # write keeps row+vector consistently old and the change
+                    # re-detected (and re-embedded) on the next scan.
+                    continue
                 if si.state is ScanItemState.UNCHANGED:
                     conn.execute(
                         "UPDATE items SET version = ?, last_accessed = ? WHERE id = ?",
@@ -559,7 +576,9 @@ def scan_source(
     stats = stats or ScanStats()
     scanner = scanner or create_scanner(source)
     strategy = compare_strategy or source.compare_strategy
-    embed_batch_size = min(embed_batch_size, EMBED_BATCH_SIZE)  # device dispatch limit
+    embed_batch_size = min(embed_batch_size, 1024)  # the device dispatch limit
+    # (models.model.BATCH_BUCKETS[-1]); an explicit argument deliberately
+    # overrides the PERCEIVE_TPU_EMBED_BATCH env default
     errors: list = []
 
     q_items: queue.Queue = queue.Queue(MATCH_QUEUE)  # backpressure on the scanner too

@@ -316,3 +316,116 @@ def test_scan_hostile_tree(tmp_db, tmp_path, model):
     hits = searcher.search(model, "hello world", 3)
     assert hits
     os.chmod(unread, 0o644)  # let pytest clean the tmpdir
+
+
+def test_changed_item_embed_failure_retries_next_scan(tmp_db, tmp_path, model):
+    """Embed failure on a CHANGED document must leave its row at the OLD
+    content/mtime so the next scan re-detects the change and re-embeds —
+    writing the new row while keeping the stale vector would pin the
+    pre-change embedding forever (review r2: pipeline.py write stage)."""
+    root = tmp_path / "docs_cf"
+    root.mkdir()
+    (root / "x.txt").write_text("hello world")
+    src = _add_fs_source(tmp_db, root)
+    stats, ok = scan_source(tmp_db, model, src, embed_batch_size=4)
+    assert ok and stats.added.value == 1
+
+    time.sleep(1.1)  # whole-second mtimes
+    (root / "x.txt").write_text("alpha beta gamma")
+
+    class FailingModel:
+        model_id, model_version, dim = model.model_id, model.model_version, model.dim
+        tokenizer = model.tokenizer
+
+        def encode_dispatch(self, texts):
+            raise RuntimeError("device on fire")
+
+        materialize = staticmethod(model.materialize)
+
+    stats2, ok2 = scan_source(tmp_db, FailingModel(), src, embed_batch_size=4)
+    assert ok2
+    # the row still carries the OLD content (the failed change was not written)
+    row = tmp_db.read().execute("SELECT content FROM items").fetchone()
+    assert row[0] == "hello world"
+
+    # healthy rescan re-detects the change and re-embeds the new content
+    stats3, ok3 = scan_source(tmp_db, model, src, embed_batch_size=4)
+    assert ok3 and stats3.changed.value == 1 and stats3.encoded.value == 1
+    row = tmp_db.read().execute("SELECT content FROM items").fetchone()
+    assert row[0] == "alpha beta gamma"
+
+
+def test_found_item_skip_discovered_at_read_persists(tmp_db, tmp_path, model):
+    """A SkipReason discovered at read time for a FOUND item must persist and
+    remove the item's stale vectors (review r2: the settle block classified
+    it UNCHANGED, dropping the skip on the floor)."""
+    from perceive_tpu.sources.pipeline import scan_source as _scan
+    from perceive_tpu.sources.scanner import ReadResult, SourceScanner
+    from perceive_tpu.types import SkipReason
+
+    class FlakyScanner(SourceScanner):
+        """Emits one item; read() skips it on demand (a 404-ing web page)."""
+
+        def __init__(self, source_id, skip_now):
+            self.source_id = source_id
+            self.skip_now = skip_now
+
+        def scan(self, emit):
+            emit(Item(id=-1, source_id=self.source_id, external_id="https://x/p",
+                      metadata=ItemMetadata(mtime=None, atime=1)))
+
+        def read(self, existing, compare_strategy, item):
+            if self.skip_now:
+                item.skipped = SkipReason.NOT_FOUND
+                item.content = ""
+                return ReadResult.FOUND
+            item.content = "hello world"
+            return ReadResult.FOUND
+
+        def latest_process_version(self):
+            return 0
+
+    src = add_source(tmp_db, Source(name="web", config={"type": "fs"}, location="x"))
+    import perceive_tpu.sources.scanner as scanner_mod
+
+    sc = FlakyScanner(src.id, skip_now=False)
+    orig = scanner_mod.create_scanner
+    scanner_mod.create_scanner = lambda s: sc
+    import perceive_tpu.sources.pipeline as pipeline_mod
+
+    pipeline_mod.create_scanner = lambda s: sc
+    try:
+        stats, ok = _scan(tmp_db, model, src)
+        assert ok and stats.added.value == 1
+        assert tmp_db.read().execute(
+            "SELECT COUNT(*) FROM item_embeddings").fetchone()[0] == 1
+
+        sc.skip_now = True  # the page starts 404ing
+        stats2, ok2 = _scan(tmp_db, model, src)
+        assert ok2
+        row = tmp_db.read().execute("SELECT skipped FROM items").fetchone()
+        assert row[0] == str(SkipReason.NOT_FOUND)
+        assert tmp_db.read().execute(
+            "SELECT COUNT(*) FROM item_embeddings").fetchone()[0] == 0
+    finally:
+        scanner_mod.create_scanner = orig
+        pipeline_mod.create_scanner = orig
+
+
+def test_non_utf8_filename_skipped_not_fatal(tmp_db, tmp_path, model):
+    """A filename with invalid UTF-8 bytes must be skipped with a note, not
+    crash the write stage (sqlite refuses surrogate strings; one bad name
+    previously truncated every later batch of the scan)."""
+    root = tmp_path / "docs_sur"
+    root.mkdir()
+    (root / "good.txt").write_text("hello world")
+    bad = os.fsdecode(b"caf\xe9.txt")  # surrogate-escaped non-UTF-8 name
+    with open(root / bad, "w") as f:
+        f.write("alpha beta")
+
+    src = _add_fs_source(tmp_db, root)
+    stats, ok = scan_source(tmp_db, model, src, embed_batch_size=4)
+    assert ok
+    assert stats.added.value == 1  # the good file indexed, the bad one skipped
+    rows = [r[0] for r in tmp_db.read().execute("SELECT external_id FROM items")]
+    assert rows and all("good.txt" in r for r in rows)

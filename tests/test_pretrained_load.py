@@ -95,3 +95,32 @@ def test_new_pretrained_golden(tmp_path, with_dense, normalize):
     )
     np.testing.assert_allclose(cos, 1.0, rtol=1e-5)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_from_dir_resolves_roberta_pad_token(tmp_path):
+    """Checkpoints whose pad token is '<pad>' (RoBERTa family) must not fall
+    back to pad_id=0 (= '<s>'): the ids-only encode path masks on pad_id and
+    would silently exclude every BOS token (review r2: tokenize.py)."""
+    import json as _json
+
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    from perceive_tpu.models.tokenize import TextTokenizer
+
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3, "hello": 4, "world": 5}
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    d = tmp_path / "roberta-like"
+    d.mkdir()
+    tok.save(str(d / "tokenizer.json"))
+    (d / "tokenizer_config.json").write_text(_json.dumps({"pad_token": "<pad>"}))
+
+    t = TextTokenizer.from_dir(d, max_seq_length=16)
+    assert t.pad_id == 1
+
+    # and without the config file, the '<pad>' convention is still found
+    (d / "tokenizer_config.json").unlink()
+    t2 = TextTokenizer.from_dir(d, max_seq_length=16)
+    assert t2.pad_id == 1

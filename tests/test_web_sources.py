@@ -335,3 +335,16 @@ def test_bookmarks_dedupe_and_normalize(tmp_path):
     scanner.scan(items.append)
     assert len(items) == 1
     assert items[0].external_id == "https://dup.org/page"
+
+
+def test_should_skip_requires_domain_boundary():
+    """Skip suffixes match whole domain labels: 'x.com' must not swallow
+    'phonetix.com' (review r2; deliberate fix over the reference's raw
+    ends_with, parse_html.rs:22-28)."""
+    from perceive_tpu.sources.parse_html import should_skip
+
+    assert should_skip(["x.com"], "https://x.com/a")
+    assert should_skip(["x.com"], "https://sub.x.com/a")
+    assert not should_skip(["x.com"], "https://phonetix.com/a")
+    assert should_skip([], "https://maps.googleapis.com/z")  # ALWAYS_SKIP
+    assert not should_skip([], "https://notgoogleapis.com/z")
