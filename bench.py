@@ -212,9 +212,11 @@ def measure_embed_docs_per_sec() -> float:
     params = init_params(jax.random.PRNGKey(0), arch, head)
 
     impl = "pallas" if on_tpu else "xla"
-    rng = np.random.default_rng(0)
 
     def batches(seed, r):
+        # seed-keyed generation: distinct inputs per timed call is what
+        # defeats the tunnel's (program, args) memoization (module docstring)
+        rng = np.random.default_rng(seed)
         ids = rng.integers(0, arch.vocab_size, (r, EMBED_BATCH, EMBED_SEQ)).astype(np.int32)
         lens = rng.integers(EMBED_SEQ // 2, EMBED_SEQ + 1, (r, EMBED_BATCH))
         mask = (np.arange(EMBED_SEQ)[None, None, :] < lens[:, :, None]).astype(np.int32)

@@ -14,7 +14,7 @@ import time
 from typing import Optional
 
 from ..db import add_source, update_source
-from ..index.searcher import SearchResult
+from ..index.searcher import MAX_K, SearchResult
 from ..models import ModelType
 from ..sources import ScanStats, prune_missing_items, scan_source
 from ..sources.fs import decompress_raw
@@ -109,12 +109,17 @@ def _run_scan(
     except BaseException as e:
         # an exception BEFORE the stages start (bad config, scanner ctor)
         # must not leave the source stuck in status "indexing" forever; a
-        # user interrupt is labeled as such, not as a source failure
+        # user interrupt is labeled as such, not as a source failure.
+        # Re-read the row first: writing the stale pre-scan copy would
+        # revert a concurrent `source edit` (same guard as the success path)
+        from ..db import get_source
+
         msg = str(e) or type(e).__name__
         if isinstance(e, KeyboardInterrupt):
             msg = "interrupted"
-        src.status = SourceStatus.err(msg)
-        update_source(state.db, src)
+        fresh = get_source(state.db, src.id) or src
+        fresh.status = SourceStatus.err(msg)
+        update_source(state.db, fresh)
         raise
     finally:
         stop.set()
@@ -138,11 +143,21 @@ def _run_scan(
 
     removed = []
     if ok and prune:
-        removed = prune_missing_items(state.db, src)
-        if state.searcher and removed:
-            state.searcher.remove_items(removed)
-        if removed and not quiet:
-            print(f"Pruned {len(removed)} vanished items")
+        if stats.embed_failed.value:
+            # a poisoned embed batch leaves its CHANGED items at the old
+            # version; pruning on version would delete LIVE files
+            if not quiet:
+                print(
+                    f"skipping prune: {stats.embed_failed.value} items failed "
+                    "to embed this scan",
+                    file=sys.stderr,
+                )
+        else:
+            removed = prune_missing_items(state.db, src)
+            if state.searcher and removed:
+                state.searcher.remove_items(removed)
+            if removed and not quiet:
+                print(f"Pruned {len(removed)} vanished items")
 
     s = stats.summary()
     if not quiet:
@@ -274,7 +289,12 @@ def refresh(state, args) -> None:
                 print("no sources due")
             for src in targets:
                 print(f"== {src.name}")
-                _run_scan(state, src, None, getattr(args, "prune", False))
+                try:  # one broken source must not stop the others
+                    _run_scan(state, src, None, getattr(args, "prune", False))
+                except KeyboardInterrupt:
+                    raise
+                except Exception as e:  # noqa: BLE001
+                    print(f"{src.name}: {e}", file=sys.stderr)
             if watch is None:
                 return
             time.sleep(watch)
@@ -440,7 +460,9 @@ def search(state, args) -> list[SearchResult]:
         if tag_items is None:
             raise SystemExit(f"no tag named {args.tag}")
     # tag filtering is a host-side post-filter; over-fetch to keep k results
-    fetch_k = 4 * k if tag_items is not None else k
+    # stay under the searcher's user-facing cap: -n 300 --tag must not
+    # explode just because the post-filter over-fetch would exceed MAX_K
+    fetch_k = min(4 * k, MAX_K) if tag_items is not None else k
 
     if getattr(args, "like", None):
         vec = state.searcher.stored_embedding(state.db, int(args.like))

@@ -95,7 +95,13 @@ def build_parser() -> argparse.ArgumentParser:
     # search
     pq = sub.add_parser("search", help="semantic search")
     pq.add_argument("query", nargs="*")
-    pq.add_argument("-n", "--num-results", type=int, default=20)
+    def positive_int(v: str) -> int:
+        n = int(v)
+        if n <= 0:
+            raise argparse.ArgumentTypeError("must be > 0")
+        return n
+
+    pq.add_argument("-n", "--num-results", type=positive_int, default=20)
     pq.add_argument("--source", help="restrict to one source by name")
     pq.add_argument("--type", choices=["local", "web", "bookmarks"])
     pq.add_argument("--like", help="item id: find items similar to this one")

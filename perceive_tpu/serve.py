@@ -61,6 +61,7 @@ const q = document.getElementById('q'), out = document.getElementById('out'),
 let timer = null;
 async function refreshStatus() {
   const s = await (await fetch('/status')).json();
+  if (s.error) { status.textContent = 'failed to load: ' + s.error; return; }
   status.textContent = s.model_loaded ? `ready — ${s.rows} vectors indexed` : 'loading model…';
   if (!s.model_loaded) setTimeout(refreshStatus, 1000);
   else loadSources();
@@ -278,6 +279,15 @@ def make_handler(holder: ServeState):
             return True
 
         def do_GET(self):
+            try:
+                self._do_get()
+            except Exception as e:  # noqa: BLE001 — a 500 beats a dropped socket
+                try:
+                    self._json(500, {"error": str(e)})
+                except Exception:  # noqa: BLE001 — response already started
+                    pass
+
+        def _do_get(self):
             parts = urlsplit(self.path)
             if parts.path in ("/", "/index.html"):
                 body = _INDEX_HTML.encode()
@@ -332,6 +342,15 @@ def make_handler(holder: ServeState):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
+            try:
+                self._do_post()
+            except Exception as e:  # noqa: BLE001 — a 500 beats a dropped socket
+                try:
+                    self._json(500, {"error": str(e)})
+                except Exception:  # noqa: BLE001
+                    pass
+
+        def _do_post(self):
             parts = urlsplit(self.path)
             if parts.path != "/search":
                 return self._json(404, {"error": "not found"})
@@ -342,8 +361,10 @@ def make_handler(holder: ServeState):
                 payload = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError):
                 return self._json(400, {"error": "bad json"})
+            if not isinstance(payload, dict):
+                return self._json(400, {"error": "body must be a JSON object"})
             query = payload.get("q") or payload.get("query")
-            if not query:
+            if not query or not isinstance(query, str):
                 return self._json(400, {"error": "missing q"})
             self._search(query, payload.get("k", 10), payload.get("source"), payload.get("type"))
 

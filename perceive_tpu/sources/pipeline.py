@@ -318,6 +318,7 @@ def _embed_stage(
         for pi in by_item.values():
             if len(pi.chunks) == pi.expected:
                 if any(e is None for _, e in pi.chunks):
+                    stats.embed_failed.add(1)
                     done.append((pi.si, None))  # batch failure poisons the item
                 else:
                     pi.chunks.sort(key=lambda t: t[0])

@@ -134,6 +134,9 @@ class ScanStats:
         self.added = _Counter()
         self.changed = _Counter()
         self.unchanged = _Counter()
+        # items whose embed batch failed (poisoned): their rows may be left
+        # un-bumped, so pruning after a scan with failures is unsafe
+        self.embed_failed = _Counter()
         # gauges: items currently in flight per stage
         self.reading = _Counter()
         self.embedding = _Counter()
@@ -151,6 +154,7 @@ class ScanStats:
             "added": self.added.value,
             "changed": self.changed.value,
             "unchanged": self.unchanged.value,
+            "embed_failed": self.embed_failed.value,
             "scan_time": round(self.scan_time.elapsed(), 3),
             "read_time": round(self.read_time.elapsed(), 3),
             "encode_time": round(self.encode_time.elapsed(), 3),
