@@ -272,6 +272,14 @@ def load_sentence_transformer(model_dir: str | Path):
     sb_cfg = model_dir / "sentence_bert_config.json"
     if sb_cfg.exists():
         max_seq = json.loads(sb_cfg.read_text()).get("max_seq_length", 512)
-    max_seq = min(max_seq, arch.max_position_embeddings)
+    # RoBERTa position ids are cumsum(mask) + pad_id, so a length-S sequence
+    # indexes up to S + pad_id + 1 in a table of max_position_embeddings
+    # rows (the familiar 514-row table serves 512 tokens); clamping to the
+    # raw table size would let out-of-range gathers silently clamp and reuse
+    # the last position embedding for the tail tokens
+    pos_budget = arch.max_position_embeddings
+    if arch.roberta_positions:
+        pos_budget -= arch.pad_token_id + 1
+    max_seq = min(max_seq, pos_budget)
 
     return params, arch, head, max_seq

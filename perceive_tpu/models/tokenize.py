@@ -222,8 +222,16 @@ class TextTokenizer:
 
     def encode_token_chunks(self, chunks: Sequence[Sequence[int]]) -> TokenBatch:
         """Pack pre-chunked token-id windows into a padded batch (highlight
-        path; reference model/tokenize.rs:9-57 generate_token_tensors)."""
-        longest = max((len(c) for c in chunks), default=1)
+        path; reference model/tokenize.rs:9-57 generate_token_tensors).
+
+        The model's special wrap IS re-added (like pack_token_windows): the
+        reference encoded bare token runs, which its mean-pooling highlight
+        model tolerated but a cls-pooling model cannot — hidden[:, 0] would
+        be an arbitrary content token, not a [CLS] sentence embedding — and
+        bare runs are out-of-distribution vs the wrapped query embedding."""
+        pre, suf = self._special_wrap()
+        budget = max(self.max_seq_length - len(pre) - len(suf), 1)
+        longest = max((min(len(c), budget) for c in chunks), default=1) + len(pre) + len(suf)
         target = bucket_length(longest, self.max_seq_length)
         # pad batch size to a bucket too: highlight chunk counts vary per
         # query and would otherwise compile a fresh executable per count
@@ -233,9 +241,9 @@ class TextTokenizer:
         ids = np.full((n, target), self.pad_id, dtype=np.int32)
         mask = np.zeros((n, target), dtype=np.int32)
         for r, c in enumerate(chunks):
-            L = min(len(c), target)
-            ids[r, :L] = list(c)[:L]
-            mask[r, :L] = 1
+            seq = pre + list(c)[:budget] + suf
+            ids[r, : len(seq)] = seq
+            mask[r, : len(seq)] = 1
         return TokenBatch(ids, mask, np.zeros_like(ids))
 
 

@@ -89,7 +89,11 @@ class ChromiumBookmarksScanner:
         gate = _stale_read_check(existing, compare_strategy, item)
         if gate is not None:
             return gate
-        return fetch_html(self.session, existing, item)
+        return fetch_html(
+            self.session, existing, item,
+            unconditional=compare_strategy is ItemCompareStrategy.FORCE
+            or (existing is not None and not existing.has_embedding),
+        )
 
     def latest_process_version(self) -> int:
         return HTML_PROCESS_VERSION

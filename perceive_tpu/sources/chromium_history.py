@@ -64,6 +64,11 @@ def _stale_read_check(
     if existing is not None and existing.skipped is not None and existing.skipped.permanent:
         item.skipped = existing.skipped
         return ReadResult.UNCHANGED
+    if existing is not None and not existing.has_embedding:
+        # no vector for the ACTIVE model (model switch / earlier embed
+        # failure): the freshness gate must not veto the match stage's
+        # forced re-embed, or web items never enter the new model's index
+        return None
     new_atime = item.metadata.atime
     old_atime = existing.last_accessed if existing else None
     if new_atime is not None and old_atime is not None and not new_atime > old_atime:
@@ -80,10 +85,23 @@ class ChromiumHistoryScanner:
 
     def scan(self, emit) -> None:
         with tempfile.TemporaryDirectory() as td:
-            # browsers hold a lock on History; copy first (rs:52-57)
+            # browsers hold a lock on History; copy first (rs:52-57).  The
+            # sidecar files ride along: a live WAL/journal holds the newest
+            # visits, and a bare-file copy of a mid-write database can read
+            # as "malformed" without its journal
             tmp = os.path.join(td, "History")
             shutil.copy(os.path.join(self.location, "History"), tmp)
-            conn = sqlite3.connect(f"file:{tmp}?mode=ro", uri=True)
+            for suffix in ("-wal", "-shm", "-journal"):
+                side = os.path.join(self.location, "History" + suffix)
+                if os.path.exists(side):
+                    try:
+                        shutil.copy(side, tmp + suffix)
+                    except OSError:
+                        pass  # browser may rotate it mid-copy; best effort
+            # the copy is private, so open read-write: recovering a copied
+            # hot journal / WAL requires write access (read-only would fail
+            # with SQLITE_READONLY_RECOVERY)
+            conn = sqlite3.connect(tmp)
             try:
                 rows = conn.execute(
                     """SELECT url, MAX(title), MAX(last_visit_time) FROM urls
@@ -100,9 +118,16 @@ class ChromiumHistoryScanner:
             fetch_url, dedupe_key = norm
             if should_skip(self.skip, fetch_url):
                 continue
-            if dedupe_key in out:
-                continue
-            out[dedupe_key] = (fetch_url, title or "", webkit_to_unix(last_visit or 0))
+            cand = (fetch_url, title or "", webkit_to_unix(last_visit or 0))
+            prev = out.get(dedupe_key)
+            if prev is not None:
+                # merge duplicate spellings (http/https, trailing slash):
+                # keep the first URL form (stable external_id) but the
+                # NEWEST visit time and any non-empty title — keeping the
+                # first row's atime could mask a fresh visit from the
+                # _stale_read_check freshness gate
+                cand = (prev[0], prev[1] or cand[1], max(prev[2], cand[2]))
+            out[dedupe_key] = cand
 
         # spread consecutive fetches across domains (the reference leaned on
         # HashMap iteration order; we shuffle explicitly, rs:125-127)
@@ -128,7 +153,11 @@ class ChromiumHistoryScanner:
         gate = _stale_read_check(existing, compare_strategy, item)
         if gate is not None:
             return gate
-        return fetch_html(self.session, existing, item)
+        return fetch_html(
+            self.session, existing, item,
+            unconditional=compare_strategy is ItemCompareStrategy.FORCE
+            or (existing is not None and not existing.has_embedding),
+        )
 
     def latest_process_version(self) -> int:
         return HTML_PROCESS_VERSION

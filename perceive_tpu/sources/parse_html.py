@@ -82,21 +82,27 @@ def reprocess_html_article(item: Item) -> ReadResult:
 # -- fetch -------------------------------------------------------------------
 
 
-def fetch_html(session, existing: Optional[FoundItem], item: Item) -> ReadResult:
+def fetch_html(
+    session, existing: Optional[FoundItem], item: Item, *, unconditional: bool = False
+) -> ReadResult:
     """Conditional GET + extract (reference parse_html.rs:74-182).
 
     ``session`` is requests.Session-shaped: ``get(url, headers=, timeout=,
     allow_redirects=False)`` -> response with .status_code/.headers/.text.
+    ``unconditional`` drops the If-Modified-Since/If-None-Match headers —
+    a forced rescan (or a missing embedding for the active model) must get
+    a full body, not a 304 that downgrades the item to UNCHANGED.
     """
     headers = {"User-Agent": USER_AGENT}
-    mtime = item.metadata.mtime
-    if mtime is None and existing is not None:
-        mtime = existing.modified  # stored Last-Modified from the prior fetch
-    if mtime is not None:
-        headers["If-Modified-Since"] = email.utils.formatdate(mtime, usegmt=True)
-    etag = item.hash or (existing.hash if existing else None)
-    if etag:
-        headers["If-None-Match"] = etag
+    if not unconditional:
+        mtime = item.metadata.mtime
+        if mtime is None and existing is not None:
+            mtime = existing.modified  # stored Last-Modified from the prior fetch
+        if mtime is not None:
+            headers["If-Modified-Since"] = email.utils.formatdate(mtime, usegmt=True)
+        etag = item.hash or (existing.hash if existing else None)
+        if etag:
+            headers["If-None-Match"] = etag
 
     try:
         resp = session.get(

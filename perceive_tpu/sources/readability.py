@@ -120,8 +120,8 @@ def extract_article(raw: bytes | str) -> tuple[str, str]:
         doc = lxml.html.fromstring(raw)
     except Exception:
         return "", ""
-    if doc.tag in ("html", "div", "body", "article", "main", "section"):
-        pass  # fromstring may root at a fragment; all handled uniformly
+    # (fromstring may root at a fragment — html/div/body are all handled
+    # uniformly below, no special-casing needed)
     title = extract_title(doc)
 
     # 0. remove non-content machinery + structural chrome (materialize the
@@ -204,9 +204,43 @@ def extract_article(raw: bytes | str) -> tuple[str, str]:
                     seen.add(txt)
                     parts.append(txt)
                 return
+        # container with block descendants: recurse into block children, but
+        # keep the container's DIRECT text flow — bare div text, br-separated
+        # lines, and inline children (<b>, <a>, spans) outside any <p> are
+        # article body too; dropping them extracted only the wrapped chrome
+        run: list[str] = [el.text or ""]
+        link_chars = 0
+
+        def flush() -> None:
+            nonlocal link_chars
+            txt = re.sub(r"\s+", " ", " ".join(run)).strip()
+            del run[:]
+            if txt and txt not in seen and link_chars / max(len(txt), 1) <= 0.75:
+                seen.add(txt)
+                parts.append(txt)
+            link_chars = 0
+
         for child in el:
-            if isinstance(child.tag, str):
+            if not isinstance(child.tag, str):  # comment/PI: keep its tail
+                run.append(child.tail or "")
+            elif (
+                child.tag in _BLOCK_TAGS
+                or next(child.iterdescendants(*leaf_tags), None) is not None
+            ):
+                flush()
                 emit(child)
+                run.append(child.tail or "")
+            else:  # inline: contributes to this container's text flow
+                t = _text_of(child)
+                if child.tag == "a":
+                    link_chars += len(t.strip())
+                else:
+                    link_chars += sum(
+                        len(_text_of(a).strip()) for a in child.findall(".//a")
+                    )
+                run.append(t)
+                run.append(child.tail or "")
+        flush()
 
     for rn in root_nodes:
         if isinstance(rn.tag, str) and rn.tag in _BLOCK_TAGS and rn.tag != "td":

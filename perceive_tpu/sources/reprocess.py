@@ -46,6 +46,7 @@ def reprocess_source(
 ) -> tuple[ScanStats, bool]:
     stats = stats or ScanStats()
     scanner = scanner or create_scanner(source)
+    embed_batch_size = min(embed_batch_size, 1024)  # device dispatch limit
     errors: list = []
 
     q_rows: queue.Queue = queue.Queue(16)

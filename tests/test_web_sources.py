@@ -181,9 +181,22 @@ def test_history_read_gates():
     existing = FoundItem(skipped=SkipReason.NOT_FOUND, last_accessed=50)
     assert scanner.read(existing, ItemCompareStrategy.MTIME_AND_CONTENT, item) is ReadResult.UNCHANGED
     assert item.skipped is SkipReason.NOT_FOUND
-    # not newer access -> unchanged without fetch
+    # not newer access (and a vector already present) -> unchanged, no fetch
     item2 = Item(external_id="https://x.test/a", metadata=ItemMetadata(atime=40))
-    assert scanner.read(FoundItem(last_accessed=50), ItemCompareStrategy.MTIME_AND_CONTENT, item2) is ReadResult.UNCHANGED
+    assert scanner.read(
+        FoundItem(last_accessed=50, has_embedding=True),
+        ItemCompareStrategy.MTIME_AND_CONTENT, item2,
+    ) is ReadResult.UNCHANGED
+    # NO embedding for the active model (model switch): the freshness gate
+    # must not veto the re-embed — the scanner attempts a (unconditional)
+    # fetch, which against this fake host degrades to a FETCH_ERROR skip
+    # rather than UNCHANGED (review r2: chromium_history.py atime gate)
+    item3 = Item(external_id="https://x.test/a", metadata=ItemMetadata(atime=40))
+    got = scanner.read(
+        FoundItem(last_accessed=50, has_embedding=False),
+        ItemCompareStrategy.MTIME_AND_CONTENT, item3,
+    )
+    assert got is ReadResult.FOUND and item3.skipped is SkipReason.FETCH_ERROR
 
 
 def test_normalize_url():
@@ -348,3 +361,42 @@ def test_should_skip_requires_domain_boundary():
     assert not should_skip(["x.com"], "https://phonetix.com/a")
     assert should_skip([], "https://maps.googleapis.com/z")  # ALWAYS_SKIP
     assert not should_skip([], "https://notgoogleapis.com/z")
+
+
+def test_force_fetch_suppresses_conditional_headers():
+    """FORCE (or a missing embedding) must fetch the full body: sending the
+    stored ETag/Last-Modified would let a 304 downgrade the forced item to
+    UNCHANGED and no re-embed would ever happen (review r2)."""
+    from perceive_tpu.sources.parse_html import fetch_html
+
+    url = "https://x.test/forced"
+    sess = FakeSession({url: FakeResponse(200, {"Content-Type": "text/html"}, PAGE)})
+    existing = FoundItem(hash="etag-123", modified=1000, has_embedding=True)
+
+    item = Item(external_id=url, metadata=ItemMetadata())
+    assert fetch_html(sess, existing, item, unconditional=True) is ReadResult.FOUND
+    _, headers = sess.requests[-1]
+    assert "If-None-Match" not in headers and "If-Modified-Since" not in headers
+
+    # the normal path still sends them
+    item2 = Item(external_id=url, metadata=ItemMetadata())
+    fetch_html(sess, existing, item2)
+    _, headers2 = sess.requests[-1]
+    assert headers2.get("If-None-Match") == "etag-123"
+    assert "If-Modified-Since" in headers2
+
+
+def test_extract_bare_container_text():
+    """Bare text directly inside the winning container (div text, br-separated
+    lines, inline tags outside any <p>) is article body, not droppable
+    (review r2: readability emit() recursed past it)."""
+    html = (
+        "<html><body><div id='content'>Full article text about tensors"
+        "<br>and more body text here<b> with bold inline</b> tail words"
+        "<p>Share this post.</p></div></body></html>"
+    )
+    _, text = extract_html_article("https://x.test/b", html.encode())
+    assert "Full article text about tensors" in text
+    assert "and more body text here" in text
+    assert "with bold inline" in text
+    assert "Share this post." in text
