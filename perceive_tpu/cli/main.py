@@ -95,13 +95,15 @@ def build_parser() -> argparse.ArgumentParser:
     # search
     pq = sub.add_parser("search", help="semantic search")
     pq.add_argument("query", nargs="*")
-    def positive_int(v: str) -> int:
+    def result_count(v: str) -> int:
+        from ..index.searcher import MAX_K
+
         n = int(v)
-        if n <= 0:
-            raise argparse.ArgumentTypeError("must be > 0")
+        if not 1 <= n <= MAX_K:
+            raise argparse.ArgumentTypeError(f"must be in [1, {MAX_K}]")
         return n
 
-    pq.add_argument("-n", "--num-results", type=positive_int, default=20)
+    pq.add_argument("-n", "--num-results", type=result_count, default=20)
     pq.add_argument("--source", help="restrict to one source by name")
     pq.add_argument("--type", choices=["local", "web", "bookmarks"])
     pq.add_argument("--like", help="item id: find items similar to this one")

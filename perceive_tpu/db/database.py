@@ -102,8 +102,6 @@ class Database:
             # "database is locked" under write load
             conn.execute("PRAGMA busy_timeout = 30000")
             self._local.conn = conn
-            import threading as _threading
-
             with self._conns_lock:
                 # prune connections whose owner thread died — each scan's
                 # short-lived pipeline threads would otherwise leak one open
@@ -113,7 +111,7 @@ class Database:
                 for t, c in self._read_conns:
                     (live if t.is_alive() else dead).append((t, c))
                 self._read_conns = live
-                self._read_conns.append((_threading.current_thread(), conn))
+                self._read_conns.append((threading.current_thread(), conn))
             for _, c in dead:
                 try:
                     c.close()

@@ -53,15 +53,19 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 _VMEM_LIMIT = 14 * 1024 * 1024
 
 
+def _fits_vmem(t: int, nq: int, d: int, itemsize: int) -> bool:
+    """Double-buffered matrix tiles + the (nq, TILE) f32 score scratch
+    (mutated in place; never carried/copied through the merge loop) —
+    the ONE fit formula for every tile-choice site."""
+    return 2 * t * d * itemsize + nq * t * 4 <= _VMEM_BUDGET
+
+
 def _pick_tile(n: int, nq: int = 1, d: int = 128, itemsize: int = 2) -> int:
     """Largest row tile that divides n AND fits VMEM."""
     for t in _TILES:
         if n % t:
             continue
-        # double-buffered matrix tiles + the (Q, TILE) f32 score scratch
-        # (mutated in place; never carried/copied through the merge loop)
-        vmem = 2 * t * d * itemsize + nq * t * 4
-        if vmem <= _VMEM_BUDGET:
+        if _fits_vmem(t, nq, d, itemsize):
             return t
     if n % _TILES[-1] == 0:
         return _TILES[-1]
@@ -211,9 +215,10 @@ def _scan_kernel_int8_slabbed(
 def pallas_topk_int8_slabbed(matrix, scales2d, src2d, qi8, qscale, allowed, k: int, interpret: bool):
     n, d = matrix.shape
     nq = qi8.shape[0]
-    fits_4096 = 2 * 4096 * d + QUERY_SLAB * 4096 * 4 <= _VMEM_BUDGET
     tile_n = (
-        4096 if n % 4096 == 0 and fits_4096 else _pick_tile(n, QUERY_SLAB, d, 1)
+        4096
+        if n % 4096 == 0 and _fits_vmem(4096, QUERY_SLAB, d, 1)
+        else _pick_tile(n, QUERY_SLAB, d, 1)
     )
     kernel = functools.partial(
         _scan_kernel_int8_slabbed, k=k, tile_n=tile_n, n_filter=allowed.shape[0],
@@ -557,10 +562,9 @@ def pallas_topk_slabbed(matrix, src2d, qc, allowed, k: int, interpret: bool):
     # the VMEM budget — f32 storage or wide padded dims need smaller tiles
     # (the scratch is slab-height, hence nq=QUERY_SLAB in the fit check)
     itemsize = matrix.dtype.itemsize
-    fits_4096 = 2 * 4096 * d * itemsize + QUERY_SLAB * 4096 * 4 <= _VMEM_BUDGET
     tile_n = (
         4096
-        if n % 4096 == 0 and fits_4096
+        if n % 4096 == 0 and _fits_vmem(4096, QUERY_SLAB, d, itemsize)
         else _pick_tile(n, QUERY_SLAB, d, itemsize)
     )
     n_filter = allowed.shape[0]

@@ -61,7 +61,11 @@ const q = document.getElementById('q'), out = document.getElementById('out'),
 let timer = null;
 async function refreshStatus() {
   const s = await (await fetch('/status')).json();
-  if (s.error) { status.textContent = 'failed to load: ' + s.error; return; }
+  if (s.error) {
+    status.textContent = 'failed to load: ' + s.error;
+    setTimeout(refreshStatus, 3000);  // a transient 500 may recover
+    return;
+  }
   status.textContent = s.model_loaded ? `ready — ${s.rows} vectors indexed` : 'loading model…';
   if (!s.model_loaded) setTimeout(refreshStatus, 1000);
   else loadSources();

@@ -91,8 +91,7 @@ class ChromiumBookmarksScanner:
             return gate
         return fetch_html(
             self.session, existing, item,
-            unconditional=compare_strategy is ItemCompareStrategy.FORCE
-            or (existing is not None and not existing.has_embedding),
+            unconditional=compare_strategy is ItemCompareStrategy.FORCE,
         )
 
     def latest_process_version(self) -> int:

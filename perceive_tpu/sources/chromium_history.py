@@ -64,11 +64,22 @@ def _stale_read_check(
     if existing is not None and existing.skipped is not None and existing.skipped.permanent:
         item.skipped = existing.skipped
         return ReadResult.UNCHANGED
-    if existing is not None and not existing.has_embedding:
+    if (
+        existing is not None
+        and not existing.has_embedding
+        and (existing.content or "").strip()
+    ):
         # no vector for the ACTIVE model (model switch / earlier embed
-        # failure): the freshness gate must not veto the match stage's
-        # forced re-embed, or web items never enter the new model's index
-        return None
+        # failure) but the content is already stored: reuse it WITHOUT a
+        # re-fetch.  The match stage classified the item CHANGED, and a
+        # FOUND read result preserves that, so the embed stage runs.
+        # (Items with EMPTY stored content — untitled PDFs etc. — can never
+        # embed; they fall through to the normal freshness gate instead of
+        # re-fetching forever.)
+        item.content = existing.content
+        item.hash = existing.hash
+        item.metadata.mtime = existing.modified
+        return ReadResult.FOUND
     new_atime = item.metadata.atime
     old_atime = existing.last_accessed if existing else None
     if new_atime is not None and old_atime is not None and not new_atime > old_atime:
@@ -155,8 +166,7 @@ class ChromiumHistoryScanner:
             return gate
         return fetch_html(
             self.session, existing, item,
-            unconditional=compare_strategy is ItemCompareStrategy.FORCE
-            or (existing is not None and not existing.has_embedding),
+            unconditional=compare_strategy is ItemCompareStrategy.FORCE,
         )
 
     def latest_process_version(self) -> int:

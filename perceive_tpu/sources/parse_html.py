@@ -48,7 +48,10 @@ def should_skip(skip: list[str], url: str) -> bool:
     boundary: skipping "x.com" must not swallow "phonetix.com"."""
     host = urlsplit(url).hostname or ""
     return any(
-        host == s or host.endswith("." + s) for s in (*skip, *ALWAYS_SKIP)
+        host == s or host.endswith("." + s)
+        # accept the common ".example.com" spelling too (raw endswith
+        # matched it before the label-boundary fix)
+        for s in (e.lstrip(".") for e in (*skip, *ALWAYS_SKIP))
     )
 
 

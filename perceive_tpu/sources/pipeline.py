@@ -577,9 +577,11 @@ def scan_source(
     stats = stats or ScanStats()
     scanner = scanner or create_scanner(source)
     strategy = compare_strategy or source.compare_strategy
-    embed_batch_size = min(embed_batch_size, 1024)  # the device dispatch limit
-    # (models.model.BATCH_BUCKETS[-1]); an explicit argument deliberately
+    from ..models.model import BATCH_BUCKETS
+
+    # clamp to the device dispatch limit; an explicit argument deliberately
     # overrides the PERCEIVE_TPU_EMBED_BATCH env default
+    embed_batch_size = min(embed_batch_size, BATCH_BUCKETS[-1])
     errors: list = []
 
     q_items: queue.Queue = queue.Queue(MATCH_QUEUE)  # backpressure on the scanner too

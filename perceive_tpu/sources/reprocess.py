@@ -46,7 +46,9 @@ def reprocess_source(
 ) -> tuple[ScanStats, bool]:
     stats = stats or ScanStats()
     scanner = scanner or create_scanner(source)
-    embed_batch_size = min(embed_batch_size, 1024)  # device dispatch limit
+    from ..models.model import BATCH_BUCKETS
+
+    embed_batch_size = min(embed_batch_size, BATCH_BUCKETS[-1])  # dispatch limit
     errors: list = []
 
     q_rows: queue.Queue = queue.Queue(16)

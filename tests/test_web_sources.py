@@ -188,15 +188,23 @@ def test_history_read_gates():
         ItemCompareStrategy.MTIME_AND_CONTENT, item2,
     ) is ReadResult.UNCHANGED
     # NO embedding for the active model (model switch): the freshness gate
-    # must not veto the re-embed — the scanner attempts a (unconditional)
-    # fetch, which against this fake host degrades to a FETCH_ERROR skip
-    # rather than UNCHANGED (review r2: chromium_history.py atime gate)
+    # must not veto the re-embed — the STORED content is reused without any
+    # HTTP fetch and FOUND preserves the match stage's CHANGED state
+    # (review r2: chromium_history.py atime gate)
     item3 = Item(external_id="https://x.test/a", metadata=ItemMetadata(atime=40))
     got = scanner.read(
-        FoundItem(last_accessed=50, has_embedding=False),
+        FoundItem(last_accessed=50, has_embedding=False, content="stored text"),
         ItemCompareStrategy.MTIME_AND_CONTENT, item3,
     )
-    assert got is ReadResult.FOUND and item3.skipped is SkipReason.FETCH_ERROR
+    assert got is ReadResult.FOUND
+    assert item3.content == "stored text" and item3.skipped is None
+    # ...but an item that never produced content (untitled PDF) follows the
+    # normal freshness gate instead of re-fetching forever
+    item4 = Item(external_id="https://x.test/a", metadata=ItemMetadata(atime=40))
+    assert scanner.read(
+        FoundItem(last_accessed=50, has_embedding=False, content=""),
+        ItemCompareStrategy.MTIME_AND_CONTENT, item4,
+    ) is ReadResult.UNCHANGED
 
 
 def test_normalize_url():
