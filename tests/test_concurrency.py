@@ -164,3 +164,70 @@ def test_serve_under_concurrent_load(tmp_path, model):
     finally:
         server.shutdown()
         st.close()
+
+
+def test_search_under_row_churn_stress():
+    """Continuous searches against a matrix whose rows churn (remove +
+    upsert reusing freed slots) must never crash, misattribute a recycled
+    row, or return tombstoned items — the reuse_gen retry protocol under
+    real thread interleaving (int8 tier exercises the rerank path too)."""
+    import threading
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from perceive_tpu.index.searcher import Searcher
+
+    rng = np.random.default_rng(0)
+    n, d = 600, 32
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+
+    s = Searcher(0, 0, d, dtype=jnp.int8, engine="xla")
+    s.upsert_embeddings(list(range(1, n + 1)), [0] * n, base)
+
+    stop = threading.Event()
+    errors: list = []
+    # ids 1..100 churn: killed and replaced by fresh ids forever
+    next_id = [n + 1]
+
+    def churn():
+        try:
+            batch = list(range(1, 101))
+            while not stop.is_set():
+                s.remove_items(batch)
+                fresh = list(range(next_id[0], next_id[0] + 100))
+                next_id[0] += 100
+                vecs = rng.standard_normal((100, d)).astype(np.float32)
+                vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+                s.upsert_embeddings(fresh, [0] * 100, vecs)
+                batch = fresh
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    stable = set(range(101, n + 1))  # never-churned ids
+
+    def search():
+        try:
+            q = base[200]  # a stable row's vector
+            for _ in range(60):
+                hits = s.search_vector(q, 10)
+                assert hits, "search returned nothing"
+                # the stable self-match must always win with ~1.0 score
+                assert hits[0][0] == 201, f"expected stable item 201, got {hits[0]}"
+                assert hits[0][1] > 0.95
+                for iid, score in hits:
+                    assert np.isfinite(score)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    t1 = threading.Thread(target=churn)
+    searchers = [threading.Thread(target=search) for _ in range(3)]
+    t1.start()
+    for t in searchers:
+        t.start()
+    for t in searchers:
+        t.join(timeout=120)
+    stop.set()
+    t1.join(timeout=30)
+    assert not errors, errors
