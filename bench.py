@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from perceive_tpu.ops.topk import ALLOW_ALL, scan_topk_pallas
+from perceive_tpu.ops.topk import ALLOW_ALL
 
 K = 10
 QUERY_BATCH = 2048

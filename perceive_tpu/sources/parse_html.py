@@ -16,7 +16,6 @@ crate semantics (parse_html.rs:164-174); extract_html_article below is the
 from __future__ import annotations
 
 import email.utils
-import re
 import sys
 from typing import Optional
 from urllib.parse import urlsplit

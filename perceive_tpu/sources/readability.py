@@ -25,7 +25,6 @@ Content quality feeds straight into embedding quality (VERDICT r1 missing
 from __future__ import annotations
 
 import re
-from typing import Optional
 
 _POSITIVE_RE = re.compile(
     r"article|body|content|entry|hentry|h-entry|main|page|pagination|post|text|blog|story",
