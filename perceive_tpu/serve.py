@@ -135,6 +135,7 @@ class ServeState:
                     from .index import BatchingSearchExecutor
 
                     self.executor = BatchingSearchExecutor(self.app.searcher)
+                    self._warm()
             except Exception as e:  # noqa: BLE001
                 self.error = str(e)
             finally:
@@ -175,6 +176,21 @@ class ServeState:
                     self.refresh_scans_total += 1
                 else:
                     self.refresh_errors_total += 1
+
+    def _warm(self) -> None:
+        """Compile the serving path BEFORE declaring readiness: the first
+        Pallas sweep costs tens of seconds of jit (measured ~113 s through a
+        remote compiler), and the readiness gate exists precisely so users
+        never pay that on a real query.  Warms the query encoder, the
+        single-query sweep, and the smallest highlight chunk batch."""
+        app = self.app
+        try:
+            if app.searcher is not None and len(app.searcher.matrix):
+                vec = app.model.encode_query("warmup")
+                app.searcher.search_vector(vec, 10)
+                app.highlights_model.highlight("warmup", ["warm up the chunk encoder"])
+        except Exception as e:  # noqa: BLE001 — warming is best-effort
+            print(f"serve warmup failed (continuing): {e}", file=sys.stderr)
 
     def stop(self) -> None:
         self._stop_refresh.set()

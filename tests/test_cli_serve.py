@@ -123,7 +123,13 @@ def test_serve(state, tmp_path, capsys):
             with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
                 return json.loads(r.read())
 
-        status = get("/status")
+        import time
+
+        for _ in range(200):  # builder + jit warmup gate readiness
+            status = get("/status")
+            if status["model_loaded"]:
+                break
+            time.sleep(0.2)
         assert status["model_loaded"] and status["searcher_built"]
         sources = get("/sources")
         assert any(s["name"] == "d3" for s in sources)

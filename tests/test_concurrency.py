@@ -148,7 +148,11 @@ def test_serve_under_concurrent_load(tmp_path, model):
     try:
         import time as _t
 
-        _t.sleep(0.3)  # executor attaches once the builder thread finishes
+        for _ in range(200):  # builder + jit warmup gate readiness
+            _t.sleep(0.2)
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}/status") as r:
+                if json.loads(r.read())["model_loaded"]:
+                    break
 
         def one(i):
             with urllib.request.urlopen(
