@@ -169,3 +169,47 @@ def test_import_rejects_non_perceive_db(tmp_path, model):
             import_reference_db(st.db, str(bogus))
     finally:
         st.close()
+
+
+def test_import_perceive_tpu_db_preserves_chunks(tmp_path, model):
+    """Importing ANOTHER perceive-tpu database (chunk_idx/seq columns
+    present) preserves chunk rows and streams every chunk vector."""
+    src_db_path = str(tmp_path / "source.sqlite3")
+    st1 = AppState(src_db_path, model=model, engine="xla")
+    try:
+        docs = tmp_path / "docs_pt"
+        docs.mkdir()
+        # enough repeated words to split into several 8-token chunks
+        (docs / "long.txt").write_text(" ".join(["alpha beta gamma delta"] * 20))
+        from perceive_tpu.cli import build_parser, dispatch
+
+        dispatch(st1, build_parser().parse_args(
+            ["source", "add", "fs", str(docs), "--name", "d", "--chunk-tokens", "8"]
+        ))
+        dispatch(st1, build_parser().parse_args(["source", "scan", "d"]))
+        n_chunks = st1.db.read().execute(
+            "SELECT COUNT(*) FROM item_embeddings").fetchone()[0]
+        assert n_chunks > 1  # genuinely chunked
+    finally:
+        st1.close()
+
+    st2 = AppState(str(tmp_path / "dest.sqlite3"), model=model, engine="xla")
+    try:
+        stats = import_reference_db(
+            st2.db, src_db_path,
+            st2.searcher.upsert_embeddings,
+            (model.model_id, model.model_version),
+            st2.searcher.matrix.dim,
+        )
+        assert stats["embeddings"] == n_chunks
+        assert stats["streamed"] == n_chunks
+        # chunk keys landed distinctly in the destination matrix
+        assert len(st2.searcher.matrix) == n_chunks
+        got = st2.db.read().execute(
+            "SELECT COUNT(DISTINCT chunk_idx) FROM item_embeddings").fetchone()[0]
+        assert got == n_chunks  # one item, n distinct chunk indices
+        hits = st2.searcher.search_vector(model.encode_query("alpha beta"), 3)
+        assert hits  # deduped to the single imported item
+        assert len(hits) == 1
+    finally:
+        st2.close()
