@@ -41,16 +41,20 @@ def _columns(conn: sqlite3.Connection, table: str) -> set:
     return {r[1] for r in conn.execute(f"PRAGMA table_info({table})")}
 
 
-def _unique_name(conn: sqlite3.Connection, name: str) -> str:
-    """First free source name: ``name``, then ``name-imported``, ``-2``…"""
-    taken = {r[0] for r in conn.execute("SELECT name FROM sources")}
-    if name not in taken:
-        return name
-    cand = f"{name}-imported"
-    i = 2
-    while cand in taken:
-        cand = f"{name}-imported-{i}"
-        i += 1
+def _unique_name(taken: set, name: str) -> str:
+    """First free source name: ``name``, then ``name-imported``, ``-2``…
+
+    ``taken`` is the caller-maintained set of names already in use (fetched
+    once before the sources loop, updated as names are assigned — re-running
+    the SELECT per source made the pass O(S^2); ADVICE r2)."""
+    cand = name
+    if cand in taken:
+        cand = f"{name}-imported"
+        i = 2
+        while cand in taken:
+            cand = f"{name}-imported-{i}"
+            i += 1
+    taken.add(cand)
     return cand
 
 
@@ -96,6 +100,7 @@ def import_reference_db(
 
         with db.write() as conn:
             # -- sources (fresh ids; names de-conflicted) --
+            taken_names = {r[0] for r in conn.execute("SELECT name FROM sources")}
             for row in src.execute(
                 "SELECT id, name, config, location, compare_strategy, status,"
                 " last_indexed, index_version, index_interval FROM sources"
@@ -106,7 +111,7 @@ def import_reference_db(
                     """INSERT INTO sources (name, config, location, compare_strategy,
                          status, last_indexed, index_version, index_interval)
                        VALUES (?,?,?,?,?,?,?,?)""",
-                    (_unique_name(conn, name), config, location, compare,
+                    (_unique_name(taken_names, name), config, location, compare,
                      status, last_indexed, index_version, index_interval),
                 )
                 source_map[old_id] = cur.lastrowid

@@ -36,10 +36,24 @@ class BatchingSearchExecutor:
     # 512 concurrent queries still sweep in one go (int8 slab measured
     # 19k QPS at Q=512, BENCH_NOTES.md round-2); beyond that the kernel
     # slabs sweeps itself, so a bigger cap only adds queueing latency
-    def __init__(self, searcher, *, window_ms: float = 2.0, max_batch: int = 512):
+    def __init__(
+        self,
+        searcher,
+        *,
+        window_ms: float = 2.0,
+        max_batch: int = 512,
+        idle_factor: float = 4.0,
+    ):
         self.searcher = searcher
         self.window = window_ms / 1e3
         self.max_batch = max_batch
+        # a single request arriving after > idle_factor * window of dispatch
+        # silence ships immediately: at concurrency 1 (the common personal-
+        # search case) the coalescing window is pure added latency (VERDICT
+        # r2 #7).  During a burst, dispatches are recent, so windowing (and
+        # its batching win) kicks back in automatically.
+        self.idle_after = idle_factor * self.window
+        self._last_drain = 0.0  # monotonic time of the last batch drain
         self._queue: list[_Request] = []
         self._lock = threading.Lock()
         self._wake = threading.Condition(self._lock)
@@ -87,16 +101,21 @@ class BatchingSearchExecutor:
                     self._wake.wait()
                 if self._closed and not self._queue:
                     return
-                # collect the burst: wait out the FULL window (notify from
-                # each new arrival would otherwise cut the wait short and
-                # dispatch 2-element batches)
-                deadline = time.monotonic() + self.window
-                while len(self._queue) < self.max_batch and not self._closed:
-                    remaining = deadline - time.monotonic()
-                    if remaining <= 0:
-                        break
-                    self._wake.wait(remaining)
+                # uncontended short-circuit: one queued request with no
+                # recent dispatch activity pays zero window latency
+                now = time.monotonic()
+                if not (len(self._queue) == 1 and now - self._last_drain > self.idle_after):
+                    # collect the burst: wait out the FULL window (notify
+                    # from each new arrival would otherwise cut the wait
+                    # short and dispatch 2-element batches)
+                    deadline = now + self.window
+                    while len(self._queue) < self.max_batch and not self._closed:
+                        remaining = deadline - time.monotonic()
+                        if remaining <= 0:
+                            break
+                        self._wake.wait(remaining)
                 batch, self._queue = self._queue[: self.max_batch], self._queue[self.max_batch :]
+                self._last_drain = time.monotonic()
             self._dispatch(batch)
 
     def _dispatch(self, batch: list[_Request]) -> None:

@@ -515,8 +515,19 @@ class Searcher:
                 return outs  # everything fetchable was fetched
             fetch = min(4 * max(fetch, vals.shape[1]), _OVERFETCH_BUCKETS[-1])
         with m._lock:
-            vals, rows = self._scan_filtered(q, fetch, source_ids)
-            return decode(vals, rows)
+            # the lock excludes concurrent row reuse, so only the underfill/
+            # deepen condition needs re-checking here — without it, sustained
+            # churn could exhaust the 8 retries at a depth that dedupes to
+            # fewer than k distinct items even though deeper candidates exist
+            # (ADVICE r2: searcher.py:516)
+            while True:
+                vals, rows = self._scan_filtered(q, fetch, source_ids)
+                outs = decode(vals, rows)
+                if not self._underfilled(vals, outs, k):
+                    return outs
+                if vals.shape[1] >= min(m.rows, _OVERFETCH_BUCKETS[-1]):
+                    return outs
+                fetch = min(4 * max(fetch, vals.shape[1]), _OVERFETCH_BUCKETS[-1])
 
     def search_vector(
         self,

@@ -190,6 +190,15 @@ class TextTokenizer:
             self._wrap_ids = (ids[:half], ids[half:])
         return self._wrap_ids
 
+    @property
+    def wrap_budget(self) -> int:
+        """Content tokens that fit one sequence after the special-token wrap
+        ([CLS]/[SEP] etc.) — the natural chunk size for chunk-embedding and
+        the clamp for any configured chunk_tokens (windows longer than this
+        would be silently truncated by pack_token_windows)."""
+        pre, suf = self._special_wrap()
+        return max(self.max_seq_length - len(pre) - len(suf), 1)
+
     def pack_token_windows(
         self, windows: Sequence[Sequence[int]], *, pad_batch_to: Optional[int] = None
     ) -> np.ndarray:

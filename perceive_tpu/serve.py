@@ -157,7 +157,11 @@ class ServeState:
         (its status goes to "error" via _run_scan), not a success."""
         from .cli.commands import _due_sources, _run_scan
 
-        while not self._stop_refresh.wait(interval):
+        first = True
+        # sources already overdue at startup rescan immediately after
+        # readiness instead of waiting out a full interval (ADVICE r2)
+        while first or not self._stop_refresh.wait(interval):
+            first = False
             try:
                 due = _due_sources(self.app)
             except Exception as e:  # noqa: BLE001 — keep serving on failure

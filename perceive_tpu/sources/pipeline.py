@@ -247,6 +247,12 @@ def chunk_token_windows(
     never re-tokenized text, so chunk boundaries are token-exact and the
     tokenizer CPU per document is halved vs the round-1 text-span scheme.
     """
+    # clamp to what the model can actually encode after the special-token
+    # wrap — a chunk_tokens at or above max_seq_length would otherwise have
+    # its tail silently dropped by pack_token_windows, breaking the overlap
+    # scheme's full-coverage guarantee (ADVICE r2: tokenize.py:210)
+    chunk_tokens = min(chunk_tokens, tokenizer.wrap_budget)
+    overlap = min(overlap, chunk_tokens - 1)
     enc = tokenizer.encode_untruncated([text])[0]
     ids = [i for i, m in zip(enc.ids, enc.special_tokens_mask) if not m]
     if len(ids) <= chunk_tokens:
@@ -544,10 +550,21 @@ def _write_stage(
         stats.unchanged.add(unchanged)
 
 
-def chunk_config(source: Source) -> tuple[int, int]:
-    """(chunk_tokens, chunk_overlap) from the source config; 0 = embed whole
-    documents with head truncation (the reference's behavior)."""
-    ct = int(source.config.get("chunk_tokens", 0) or 0)
+def chunk_config(source: Source, tokenizer=None) -> tuple[int, int]:
+    """(chunk_tokens, chunk_overlap) from the source config.
+
+    Default (no ``chunk_tokens`` key): chunk-embed at the model's wrap
+    budget, so documents longer than max_seq_length index EVERY window
+    instead of just the head — the north-star long-context strategy
+    (SURVEY.md §5.7), on by default since round 3 (VERDICT r2 #6).  An
+    explicit ``chunk_tokens: 0`` opts back into the reference's
+    head-truncation (model/tokenize.rs:64-71); any other value is clamped to
+    the wrap budget at window time (chunk_token_windows)."""
+    raw = source.config.get("chunk_tokens")
+    if raw is None and tokenizer is not None:
+        ct = tokenizer.wrap_budget
+    else:
+        ct = int(raw or 0)
     co = int(source.config.get("chunk_overlap", ct // 8) or 0) if ct else 0
     return ct, co
 
@@ -620,7 +637,7 @@ def scan_source(
         )
         for i in range(READ_PARALLELISM)
     ]
-    chunk_tokens, chunk_overlap = chunk_config(source)
+    chunk_tokens, chunk_overlap = chunk_config(source, model.tokenizer)
     t_embed = _Stage(
         "embed",
         lambda: _embed_stage(

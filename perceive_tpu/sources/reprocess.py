@@ -93,7 +93,7 @@ def reprocess_source(
 
     t_read = _Stage("read_rows", read_rows, None, errors)
     t_proc = _Stage("reprocess", process, q_rows, errors)
-    chunk_tokens, chunk_overlap = chunk_config(source)
+    chunk_tokens, chunk_overlap = chunk_config(source, model.tokenizer)
     t_embed = _Stage(
         "embed",
         lambda: _embed_stage(

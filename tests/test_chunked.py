@@ -92,6 +92,43 @@ def test_chunked_scan_and_search(tmp_db, tmp_path, model):
     assert n_emb == sum(counts.values())
 
 
+def test_chunking_default_on_finds_deep_match(tmp_db, tmp_path, model):
+    """A source with NO chunk config chunk-embeds long documents by default
+    (VERDICT r2 #6): a match deep past max_seq_length is found, which the
+    reference's head-truncation (and an explicit chunk_tokens: 0) misses."""
+    docs = tmp_path / "docs_default"
+    docs.mkdir()
+    head = " ".join(["music theta eta"] * 16)  # way past max_seq_length=16
+    (docs / "deep.txt").write_text(f"{head} pizza pizza pizza pizza")
+    src = add_source(
+        tmp_db, Source(name="dd", config={"type": "fs"}, location=str(docs))
+    )
+    searcher = Searcher(0, 0, model.dim, engine="xla")
+    stats, ok = scan_source(
+        tmp_db, model, src, on_embeddings=searcher.upsert_embeddings, embed_batch_size=4
+    )
+    assert ok and stats.added.value == 1
+    # multiple chunk rows exist without any config
+    n_rows = tmp_db.read().execute("SELECT COUNT(*) FROM item_embeddings").fetchone()[0]
+    assert n_rows >= 3
+    deep_id = tmp_db.read().execute("SELECT id FROM items").fetchone()[0]
+    assert deep_id in [i for i, _ in searcher.search(model, "pizza pizza", 3)]
+
+    # explicit chunk_tokens: 0 opts back into head truncation: one row only,
+    # whose embedding equals the truncated whole-document encode (no pizza)
+    src0 = add_source(
+        tmp_db,
+        Source(name="dd0", config={"type": "fs", "chunk_tokens": 0}, location=str(docs)),
+    )
+    s0 = Searcher(0, 0, model.dim, engine="xla")
+    scan_source(tmp_db, model, src0, on_embeddings=s0.upsert_embeddings, embed_batch_size=4)
+    n0 = tmp_db.read().execute(
+        "SELECT COUNT(*) FROM item_embeddings ie JOIN items ON items.id = ie.item_id"
+        " WHERE items.source_id = ?", (src0.id,)
+    ).fetchone()[0]
+    assert n0 == 1
+
+
 def test_chunked_shrink_drops_stale_chunks(tmp_db, tmp_path, model):
     docs = tmp_path / "docs2"
     docs.mkdir()

@@ -82,6 +82,28 @@ def test_mixed_signatures_grouped(searcher):
         ex.close()
 
 
+def test_idle_single_query_skips_window(searcher):
+    """An uncontended query must not pay the coalescing window (VERDICT r2
+    #7): with a 200 ms window, the idle short-circuit answers in sweep time."""
+    s, vecs = searcher
+    ex = BatchingSearchExecutor(s, window_ms=200)
+    try:
+        t0 = time.monotonic()
+        hits = ex.search(vecs[0], 5, timeout=10)
+        dt = time.monotonic() - t0
+        assert hits[0][0] == 1
+        assert dt < 0.15, f"idle query waited {dt*1e3:.0f} ms (window leaked in)"
+        # a burst right after still coalesces: the recent drain disables the
+        # short-circuit, so these three share windowed sweeps
+        before = CountingSearcher.sweeps
+        fs = [ex.submit(vecs[i], 5) for i in range(1, 4)]
+        for i, f in enumerate(fs, start=1):
+            assert f.result(10)[0][0] == i + 1
+        assert CountingSearcher.sweeps - before <= 2
+    finally:
+        ex.close()
+
+
 def test_error_propagates_to_futures(searcher):
     s, vecs = searcher
 
@@ -118,6 +140,8 @@ def test_cancelled_future_does_not_kill_dispatcher(searcher):
     ex = BatchingSearchExecutor(s, window_ms=30.0)
     try:
         q = np.random.default_rng(0).standard_normal(s.matrix.dim).astype(np.float32)
+        ex.search(q, 3, timeout=10)  # prime: the next submit is inside the
+        # burst window (idle short-circuit would dispatch it before cancel)
         f1 = ex.submit(q, 3)
         f1.cancel()  # still pending inside the batching window
         # a subsequent query must still be answered (dispatcher alive)

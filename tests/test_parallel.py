@@ -122,6 +122,54 @@ def test_tensor_parallel_encoder():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_tensor_parallel_structure_in_hlo():
+    """TP must actually partition, not silently replicate (VERDICT r2 #8):
+    per-device bytes of the Megatron-sharded leaves shrink by the TP factor,
+    and the compiled module contains the all-reduce GSPMD inserts after
+    o_proj / ffn_out (parity alone would also pass with replicated weights —
+    slower, not wrong — so the structure is asserted directly)."""
+    from perceive_tpu.models import EncoderArch, HeadConfig
+    from perceive_tpu.models.encoder import init_params, make_encode_fn
+
+    tp = 2
+    mesh = make_mesh(8, model_parallel=tp)
+    arch = EncoderArch(
+        vocab_size=100, hidden_size=64, num_layers=2, num_heads=4,
+        intermediate_size=128, max_position_embeddings=32,
+    )
+    head = HeadConfig(pooling="mean", normalize=True)
+    params = init_params(jax.random.PRNGKey(0), arch, head)
+    sp = shard_params(params, mesh)
+
+    # every TP-sharded leaf holds 1/tp of its elements per device
+    from perceive_tpu.parallel.mesh import _LAYER_SPECS
+
+    for name in _LAYER_SPECS:
+        leaf = sp["layers"][name]
+        shard = leaf.addressable_shards[0].data
+        assert shard.size * tp == leaf.size, (
+            f"{name}: per-device shard holds {shard.size} of {leaf.size} elements"
+        )
+    # a replicated leaf stays whole per device (embeddings)
+    emb_leaf = sp["embed"]["word"]
+    assert emb_leaf.addressable_shards[0].data.size == emb_leaf.size
+
+    fn = make_encode_fn(arch, head, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    ids = jax.device_put(
+        jnp.asarray(rng.integers(0, 100, (8, 16)).astype(np.int32)),
+        batch_sharding(mesh),
+    )
+    with mesh:
+        compiled = (
+            jax.jit(fn)
+            .lower(sp, ids, jnp.ones_like(ids), jnp.zeros_like(ids))
+            .compile()
+        )
+    txt = compiled.as_text()
+    assert "all-reduce" in txt, "no all-reduce in optimized HLO: TP is replicating"
+
+
 def test_sharded_searcher_int8_and_build(tmp_db):
     """ShardedSearcher inherits build/retrieve/int8-rerank from Searcher."""
     from perceive_tpu.db import add_source
