@@ -12,9 +12,11 @@ back to a deterministic randomly-initialized MiniLM-class encoder (cosine
 rankings are meaningless but every pipeline and kernel is exercised), with a
 loud warning.  Set PERCEIVE_TPU_REQUIRE_CHECKPOINT=1 to fail instead.
 
-PERCEIVE_TPU_MATRIX_DTYPE selects the device-matrix storage dtype:
-bfloat16 (default), int8 (half the HBM per vector — 2x corpus per chip —
-still exact via the built-in f32 rerank), or float32.
+PERCEIVE_TPU_MATRIX_DTYPE selects the device-matrix storage dtype.  The
+default is ``auto``: the latency tier for the corpus size actually in the
+store (bfloat16 <= 1.5M rows, int8 <= 4M, packed int4 above — every tier
+exact via the built-in f32 rerank; see index.matrix.auto_matrix_dtype).
+Explicit values: bfloat16, int8, int4, float32.
 """
 
 from __future__ import annotations
@@ -115,14 +117,26 @@ class AppState:
             import jax
             import jax.numpy as jnp
 
-            from ..index.matrix import INT4
+            from ..index.matrix import INT4, auto_matrix_dtype
 
-            dtype = {
-                "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
-                "int8": jnp.int8,
-                "int4": INT4,  # packed sub-byte candidates + f32 rerank
-                "float32": jnp.float32, "f32": jnp.float32,
-            }[os.environ.get("PERCEIVE_TPU_MATRIX_DTYPE", "bfloat16").lower()]
+            choice = os.environ.get("PERCEIVE_TPU_MATRIX_DTYPE", "auto").lower()
+            if choice == "auto":
+                # default: pick the latency tier for the corpus actually in
+                # the store (bf16 small, int8/int4 + f32 rerank at scale —
+                # see index.matrix.auto_matrix_dtype; VERDICT r2 #2)
+                n_rows = self.db.read().execute(
+                    "SELECT COUNT(*) FROM item_embeddings WHERE model_id=?"
+                    " AND model_version=?",
+                    (self.model.model_id, self.model.model_version),
+                ).fetchone()[0]
+                dtype = auto_matrix_dtype(n_rows)
+            else:
+                dtype = {
+                    "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+                    "int8": jnp.int8,
+                    "int4": INT4,  # packed sub-byte candidates + f32 rerank
+                    "float32": jnp.float32, "f32": jnp.float32,
+                }[choice]
             start = time.time()
             if len(jax.devices()) > 1:
                 # multi-chip: row-shard the corpus over the whole mesh with

@@ -17,8 +17,9 @@ count a multiple of 512 so kernel tiles never see ragged edges.
 
 from __future__ import annotations
 
+import os
 import threading
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +51,33 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def auto_matrix_dtype(n_rows: int):
+    """Storage dtype for a corpus of ``n_rows`` vectors — the default tier
+    selection (VERDICT r2 #2: the latency tier must be the default, not an
+    opt-in env var).
+
+    The exact scan is HBM-bandwidth-bound, so bytes/row IS the p50: at
+    ~735 GB/s a bf16 384-d sweep costs ~1 ms per million rows.  The rule
+    picks the *least* quantization that keeps a full sweep under the ~2 ms
+    latency target (BASELINE.md):
+
+      <= 1.5M rows   bfloat16   (sweep <= ~1.6 ms; no quantization noise)
+      <= 4M rows     int8       (1 byte/dim; sweep <= ~2.1 ms; exact after
+                                 the built-in f32 rerank)
+      >  4M rows     int4       (0.5 bytes/dim; 10M rows ~3.1 ms measured;
+                                 also 4x the corpus per chip of bf16)
+
+    Every tier returns exact top-k: quantized tiers over-fetch candidates,
+    rerank them in f32 against the host mirror, and escalate the fetch when
+    the floor can't prove exactness (index/searcher._scan).
+    """
+    if n_rows <= 1_500_000:
+        return jnp.bfloat16
+    if n_rows <= 4_000_000:
+        return jnp.int8
+    return INT4
+
+
 def _scatter_rows_impl(matrix, rows, vals):
     return matrix.at[rows].set(vals)
 
@@ -76,6 +104,129 @@ def serialize_embedding(vec: np.ndarray) -> bytes:
 def deserialize_embedding(blob: bytes) -> np.ndarray:
     """(reference search.rs:289-294)"""
     return np.frombuffer(blob, dtype="<f4").copy()
+
+
+def _mirror_ram_budget() -> int:
+    """Bytes the host mirror may hold in RAM before spilling to a
+    memory-mapped file (PERCEIVE_TPU_MIRROR_RAM_GB, default 8)."""
+    try:
+        return int(float(os.environ.get("PERCEIVE_TPU_MIRROR_RAM_GB", "8")) * 2**30)
+    except ValueError:
+        return 8 * 2**30
+
+
+def _mirror_np_dtype():
+    """Element dtype for the host mirror (PERCEIVE_TPU_MIRROR_DTYPE).
+
+    float32 (default) keeps the quantized-tier rerank exact; bfloat16
+    halves mirror bytes at bf16-rerank precision — the same precision as
+    the bf16 device tier the recall baseline already calls parity
+    (BASELINE.md recall row)."""
+    name = os.environ.get("PERCEIVE_TPU_MIRROR_DTYPE", "float32").lower()
+    if name in ("bf16", "bfloat16"):
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(np.float32)
+
+
+class HostMirror:
+    """Host-side mirror of the vector matrix: rerank, growth, and snapshots
+    all read through here.
+
+    Round 2 stored a plain (capacity, padded_dim) f32 ndarray, capping the
+    corpus at host RAM — 61 GB at the 40M-row int4 capacity the device can
+    hold (VERDICT r2 #3).  Now the array starts in RAM and spills to a
+    memory-mapped file once it would exceed the RAM budget, so host memory
+    holds only the touched pages (the OS evicts under pressure) and corpus
+    scale is capped by HBM again.  Growth of a spilled mirror extends the
+    file in place (ftruncate + remap) — no copy.  Element dtype is f32 by
+    default (exact rerank); bfloat16 halves bytes (``_mirror_np_dtype``).
+    """
+
+    def __init__(
+        self,
+        capacity: int,
+        width: int,
+        *,
+        dtype: Optional[np.dtype] = None,
+        ram_budget: Optional[int] = None,
+        dir: Optional[str] = None,
+    ):
+        self.width = width
+        self.dtype = np.dtype(dtype) if dtype is not None else _mirror_np_dtype()
+        self.ram_budget = ram_budget if ram_budget is not None else _mirror_ram_budget()
+        self.dir = dir
+        self.path: Optional[str] = None  # set once spilled to disk
+        self.arr = self._alloc(capacity)
+
+    @property
+    def is_mmap(self) -> bool:
+        return self.path is not None
+
+    def _nbytes(self, capacity: int) -> int:
+        return capacity * self.width * self.dtype.itemsize
+
+    def _alloc(self, capacity: int) -> np.ndarray:
+        if self._nbytes(capacity) <= self.ram_budget:
+            return np.zeros((capacity, self.width), dtype=self.dtype)
+        import tempfile
+
+        fd, path = tempfile.mkstemp(suffix=".mirror", dir=self.dir)
+        os.close(fd)
+        self.path = path
+        return np.memmap(path, dtype=self.dtype, mode="w+", shape=(capacity, self.width))
+
+    def grow(self, new_cap: int) -> None:
+        old = self.arr
+        old_cap = old.shape[0]
+        if self.path is None:
+            if self._nbytes(new_cap) <= self.ram_budget:
+                self.arr = np.zeros((new_cap, self.width), dtype=self.dtype)
+                self.arr[:old_cap] = old
+                return
+            # spill: RAM -> file-backed (one copy, the last one ever)
+            self.arr = self._alloc(new_cap)
+            self.arr[:old_cap] = old
+            del old
+            return
+        # already file-backed: extend the file in place, remap
+        old.flush()
+        del self.arr, old
+        os.truncate(self.path, self._nbytes(new_cap))
+        self.arr = np.memmap(
+            self.path, dtype=self.dtype, mode="r+", shape=(new_cap, self.width)
+        )
+
+    def read_f32(self, rows, ncols: Optional[int] = None) -> np.ndarray:
+        """Rows (fancy index or slice) as f32, first ``ncols`` columns."""
+        sel = self.arr[rows] if ncols is None else self.arr[rows, :ncols]
+        return np.asarray(sel, dtype=np.float32)
+
+    def write(self, rows, vals_f32: np.ndarray, dim: int) -> None:
+        """Store f32 vectors (first ``dim`` columns; the pad tail stays 0)."""
+        self.arr[rows, :dim] = vals_f32  # downcasts if the mirror is bf16
+        if self.width > dim:
+            self.arr[rows, dim:] = 0.0
+
+    def flush(self) -> None:
+        if self.path is not None:
+            self.arr.flush()
+
+    def close(self) -> None:
+        if self.path is not None:
+            try:
+                del self.arr
+                os.unlink(self.path)
+            except OSError:
+                pass
+            self.path = None
+
+    def __del__(self):  # best-effort temp-file cleanup
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
 
 
 class EmbeddingMatrix:
@@ -133,10 +284,14 @@ class EmbeddingMatrix:
         self.multi_chunk_groups = 0
         self.item_ids = np.full(self.capacity, -1, dtype=np.int64)
         self.source_ids = np.full(self.capacity, -1, dtype=np.int32)
-        # host mirror of vectors (f32) so growth/snapshots never read device
-        self._host_vectors = np.zeros((self.capacity, self.padded_dim), dtype=np.float32)
+        # host mirror of vectors so growth/snapshots/rerank never read device;
+        # spills from RAM to a memory-mapped file at scale (HostMirror)
+        self._mirror = HostMirror(self.capacity, self.padded_dim)
         self._dirty = True  # full re-upload needed (first sync / growth)
         self._dirty_rows: set[int] = set()  # incremental row updates
+        # rows changed since the last FULL snapshot (delta-snapshot support);
+        # None = too many accumulated, next snapshot must be a full rewrite
+        self._delta_rows: Optional[set[int]] = set()
         self._device_vectors = None
         self._device_source_ids = None
         self._device_scales = None  # (capacity,) f32 per-row scales, int8 mode
@@ -210,23 +365,15 @@ class EmbeddingMatrix:
                 or len(self._dirty_rows) * 4 > self.rows
             )
             if full:
-                host = self._host_vectors
-                if self.packed4:
-                    packed, scales = self._quantize4(host)
-                    self._device_scales = jax.device_put(jnp.asarray(scales), self.ids_device)
-                    host = np.ascontiguousarray(packed.T)  # (D/2, capacity)
-                elif self.quantized:
-                    host, scales = self._quantize(host)
-                    self._device_scales = jax.device_put(jnp.asarray(scales), self.ids_device)
-                elif self.dtype != jnp.float32:
-                    host = host.astype(jax.dtypes.canonicalize_dtype(self.dtype))
-                self._device_vectors = jax.device_put(host, self._vectors_device())
+                self._device_vectors = jax.device_put(
+                    self._stage_full(), self._vectors_device()
+                )
                 self._device_source_ids = jax.device_put(
                     jnp.asarray(self.source_ids), self.ids_device
                 )
             else:
                 rows = np.fromiter(self._dirty_rows, dtype=np.int32)
-                vals = self._host_vectors[rows]
+                vals = self._mirror.read_f32(rows)
                 if self.packed4:
                     packed, scales = self._quantize4(vals)
                     self._device_scales = _scatter_vals(
@@ -255,6 +402,48 @@ class EmbeddingMatrix:
                 )
             self._dirty = False
             self._dirty_rows.clear()
+
+    # chunk size for full-upload staging and snapshot writes: ~100 MB of f32
+    # at 384-d per chunk keeps peak temporaries and per-lock-hold copies small
+    _SYNC_CHUNK_ROWS = 65_536
+
+    def _stage_full(self) -> np.ndarray:
+        """Host staging array in the storage dtype for a full device upload,
+        built in row chunks so the upload never materializes a whole-corpus
+        f32 temporary (61 GB at 40M x 384 — the mirror may be bf16 or
+        memory-mapped; staging is storage-dtype bytes only).  Sets
+        ``_device_scales`` for quantized modes."""
+        cap = self.capacity
+        chunk = self._SYNC_CHUNK_ROWS
+        if self.packed4:
+            d2 = self.padded_dim // 2
+            staged = np.empty((d2, cap), dtype=np.uint8)  # transposed layout
+            scales = np.empty((cap,), np.float32)
+            for lo in range(0, cap, chunk):
+                hi = min(lo + chunk, cap)
+                p, s = self._quantize4(self._mirror.read_f32(slice(lo, hi)))
+                staged[:, lo:hi] = p.T
+                scales[lo:hi] = s
+            self._device_scales = jax.device_put(jnp.asarray(scales), self.ids_device)
+            return staged
+        if self.quantized:
+            staged = np.empty((cap, self.padded_dim), dtype=np.int8)
+            scales = np.empty((cap,), np.float32)
+            for lo in range(0, cap, chunk):
+                hi = min(lo + chunk, cap)
+                q, s = self._quantize(self._mirror.read_f32(slice(lo, hi)))
+                staged[lo:hi] = q
+                scales[lo:hi] = s
+            self._device_scales = jax.device_put(jnp.asarray(scales), self.ids_device)
+            return staged
+        canon = np.dtype(jax.dtypes.canonicalize_dtype(self.dtype))
+        if self._mirror.dtype == canon:
+            return self._mirror.arr  # device_put reads RAM or mmap directly
+        staged = np.empty((cap, self.padded_dim), dtype=canon)
+        for lo in range(0, cap, chunk):
+            hi = min(lo + chunk, cap)
+            staged[lo:hi] = self._mirror.arr[lo:hi].astype(canon)
+        return staged
 
     @property
     def device_vectors(self) -> jax.Array:
@@ -291,8 +480,14 @@ class EmbeddingMatrix:
             return self._device_vectors, self._device_source_ids, self._device_scales
 
     def host_vectors_for(self, rows) -> np.ndarray:
-        """f32 host mirror rows (exact rerank of quantized candidates)."""
-        return self._host_vectors[rows, : self.dim]
+        """f32 host mirror rows (exact rerank of quantized candidates).
+        Reads through HostMirror: RAM or mmap, f32 or bf16-upcast."""
+        return self._mirror.read_f32(rows, self.dim)
+
+    @property
+    def _host_vectors(self) -> np.ndarray:
+        """Raw mirror array (tests / size accounting)."""
+        return self._mirror.arr
 
     # -- mutation ------------------------------------------------------------
 
@@ -309,12 +504,7 @@ class EmbeddingMatrix:
         self.source_ids = np.concatenate(
             [self.source_ids, np.full(new_cap - self.capacity, -1, dtype=np.int32)]
         )
-        self._host_vectors = np.concatenate(
-            [
-                self._host_vectors,
-                np.zeros((new_cap - self.capacity, self.padded_dim), dtype=np.float32),
-            ]
-        )
+        self._mirror.grow(new_cap)
         self.capacity = new_cap
 
     def upsert(
@@ -360,17 +550,28 @@ class EmbeddingMatrix:
                 self.rows += n_new - n_reuse
                 self.row_of.update(zip(item_ids[new].tolist(), fresh.tolist()))
             for k in item_ids.tolist():
-                g = self.groups.setdefault(k // CHUNK_STRIDE, set())
+                iid = k // CHUNK_STRIDE
+                g = self.groups.get(iid)
+                if g is None:
+                    k0 = iid * CHUNK_STRIDE
+                    if k == k0:
+                        # plain chunk-0 row: implicit single-key group — no
+                        # dict entry (a set per single-chunk item costs ~8 GB
+                        # of host RAM at 40M rows; keys_of_group synthesizes
+                        # the implicit group from row_of)
+                        continue
+                    g = {k0} if k0 in self.row_of else set()
+                    self.groups[iid] = g
                 before = len(g)
                 g.add(k)
                 if before == 1 and len(g) == 2:
                     self.multi_chunk_groups += 1
             self.item_ids[rows] = item_ids
             self.source_ids[rows] = source_ids
-            self._host_vectors[rows, : self.dim] = vectors
-            if self.padded_dim > self.dim:
-                self._host_vectors[rows, self.dim :] = 0.0
-            self._dirty_rows.update(rows.tolist())
+            self._mirror.write(rows, vectors, self.dim)
+            if not self._dirty:  # a pending full upload covers every row
+                self._dirty_rows.update(rows.tolist())
+            self._note_delta(rows)
             if self.quantized and len(vectors):
                 qmax = 7.0 if self.packed4 else 127.0
                 self.scale_hw = max(self.scale_hw, float(np.abs(vectors).max()) / qmax)
@@ -395,14 +596,32 @@ class EmbeddingMatrix:
                             del self.groups[iid // CHUNK_STRIDE]
                     self.source_ids[row] = -1
                     self.item_ids[row] = -1
-                    self._dirty_rows.add(int(row))
+                    if not self._dirty:
+                        self._dirty_rows.add(int(row))
+                    self._note_delta((int(row),))
                     self._free.append(int(row))
                     n += 1
         return n
 
+    def _note_delta(self, rows) -> None:
+        """Track rows changed since the last full snapshot (delta-snapshot
+        support).  Past the churn threshold the set drops to None and the
+        next snapshot is a full rewrite."""
+        if self._delta_rows is None:
+            return
+        self._delta_rows.update(int(r) for r in rows)
+        if len(self._delta_rows) > min(max(self.rows, 1024) // 4, 2_000_000):
+            self._delta_rows = None
+
     def keys_of_group(self, item_id: int) -> list[int]:
-        """All chunk keys currently stored for an item."""
-        return list(self.groups.get(item_id, ()))
+        """All chunk keys currently stored for an item.  Single chunk-0
+        items have no explicit group entry (see upsert) — the implicit group
+        is synthesized from row_of."""
+        g = self.groups.get(item_id)
+        if g is not None:
+            return list(g)
+        k0 = item_id * CHUNK_STRIDE
+        return [k0] if k0 in self.row_of else []
 
     def remove_source(self, source_id: int) -> int:
         """Drop every row of a source (prelude to rebuild_source)."""
@@ -421,7 +640,9 @@ class EmbeddingMatrix:
                         del self.groups[key // CHUNK_STRIDE]
                 self.source_ids[row] = -1
                 self.item_ids[row] = -1
-                self._dirty_rows.add(int(row))
+                if not self._dirty:
+                    self._dirty_rows.add(int(row))
+                self._note_delta((int(row),))
                 self._free.append(int(row))
             return len(rows)
 
@@ -430,17 +651,118 @@ class EmbeddingMatrix:
 
     # -- snapshots (vector_shards manifest) -----------------------------------
 
-    def save_snapshot(self, path: str) -> None:
-        """Persist to .npz for fast startup (device matrix reload without
-        rescanning every embedding BLOB)."""
+    def save_snapshot(self, path: str, *, incremental: bool = True) -> str:
+        """Persist to .npz for fast startup.  Returns "full" or "delta".
+
+        Round 2 held the matrix lock across the whole multi-GB np.savez, so
+        every autosave stalled all searches for the full write (VERDICT r2
+        #4).  Now:
+
+        * **delta**: when a base snapshot exists and few rows changed since
+          it, only those rows are written to ``path + ".delta"`` (cumulative
+          since the base, replaced each save) — autosave after a small
+          rescan costs MBs, not a full corpus rewrite;
+        * **full**: written in row chunks with the lock held only per-chunk
+          copy, never across file writes.  Rows mutated after their chunk
+          was copied are newer than the manifest's max_seq and get replayed
+          on load; rows REUSED mid-save (tombstone handed to a new item)
+          could misattribute a vector, so the save retries on reuse_gen
+          movement and finally falls back to holding the lock.
+        * both forms assemble at a temp path and os.replace — a crash
+          mid-save never corrupts the previous snapshot.
+        """
+        delta_path = path + ".delta"
         with self._lock:
-            np.savez(
-                path,
-                vectors=self._host_vectors[: self.rows, : self.dim],
-                item_ids=self.item_ids[: self.rows],
-                source_ids=self.source_ids[: self.rows],
-                dim=self.dim,
-            )
+            dr = None if self._delta_rows is None else sorted(self._delta_rows)
+        if incremental and dr is not None and os.path.exists(path):
+            self._write_delta(delta_path, dr)
+            return "delta"
+        for attempt in range(3):
+            gen = self.reuse_gen
+            self._write_full_snapshot(path, locked=attempt == 2)
+            if self.reuse_gen == gen:
+                break
+        with self._lock:
+            self._delta_rows = set()  # fresh base: delta tracking restarts
+        if os.path.exists(delta_path):
+            os.unlink(delta_path)  # stale delta of the previous base
+        return "full"
+
+    @staticmethod
+    def _replace_into(path: str, write_fn) -> None:
+        """Assemble a file at a temp sibling, then atomically replace."""
+        tmp = f"{path}.tmp.{os.getpid()}"
+        try:
+            write_fn(tmp)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def _write_full_snapshot(self, path: str, *, locked: bool) -> None:
+        import contextlib
+        import zipfile
+
+        from numpy.lib import format as npf
+
+        outer = self._lock if locked else contextlib.nullcontext()
+        with outer:
+            with self._lock:
+                rows = self.rows
+                item_ids = self.item_ids[:rows].copy()
+                source_ids = self.source_ids[:rows].copy()
+
+            def write(tmp: str) -> None:
+                with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED, allowZip64=True) as zf:
+                    for name, arr in (
+                        ("dim", np.int64(self.dim)),
+                        ("item_ids", item_ids),
+                        ("source_ids", source_ids),
+                    ):
+                        with zf.open(name + ".npy", "w", force_zip64=True) as f:
+                            npf.write_array(f, np.asarray(arr), allow_pickle=False)
+                    # vectors stream chunk by chunk: header for the full
+                    # shape, then per-chunk bytes copied under a short lock
+                    with zf.open("vectors.npy", "w", force_zip64=True) as f:
+                        npf.write_array_header_1_0(
+                            f,
+                            {"descr": "<f4", "fortran_order": False,
+                             "shape": (rows, self.dim)},
+                        )
+                        for lo in range(0, rows, self._SYNC_CHUNK_ROWS):
+                            hi = min(lo + self._SYNC_CHUNK_ROWS, rows)
+                            with self._lock:
+                                chunk = self._mirror.read_f32(slice(lo, hi), self.dim)
+                            f.write(np.ascontiguousarray(chunk).tobytes())
+
+            self._replace_into(path, write)
+
+    def _write_delta(self, delta_path: str, rows: list[int]) -> None:
+        """Cumulative delta since the last full base: (chunk keys, source
+        ids, f32 vectors) of every row changed since the base — applied by
+        upsert on load, so row numbers need not match the base's."""
+        idx = np.asarray(rows, dtype=np.int64)
+        with self._lock:  # one bounded copy (delta capped at _note_delta)
+            item_ids = self.item_ids[idx].copy()
+            source_ids = self.source_ids[idx].copy()
+            vectors = self._mirror.read_f32(idx, self.dim)
+
+        import zipfile
+
+        from numpy.lib import format as npf
+
+        def write_zip(tmp: str) -> None:
+            with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED, allowZip64=True) as zf:
+                for name, arr in (
+                    ("dim", np.int64(self.dim)),
+                    ("item_ids", item_ids),
+                    ("source_ids", source_ids),
+                    ("vectors", vectors),
+                ):
+                    with zf.open(name + ".npy", "w", force_zip64=True) as f:
+                        npf.write_array(f, np.asarray(arr), allow_pickle=False)
+
+        self._replace_into(delta_path, write_zip)
 
     @classmethod
     def load_snapshot(cls, path: str, *, dtype: jnp.dtype = jnp.bfloat16) -> "EmbeddingMatrix":
@@ -454,4 +776,23 @@ class EmbeddingMatrix:
             z["source_ids"][live].tolist(),
             z["vectors"][live],
         )
+        m.apply_snapshot_delta(path)
         return m
+
+    def apply_snapshot_delta(self, base_path: str) -> int:
+        """Apply ``base_path + ".delta"`` (rows changed since the base) if it
+        exists; returns how many live rows were applied."""
+        delta_path = str(base_path) + ".delta"
+        if not os.path.exists(delta_path):
+            return 0
+        try:
+            z = np.load(delta_path)
+            if int(z["dim"]) != self.dim:
+                return 0
+            live = z["source_ids"] >= 0
+            keys = z["item_ids"][live].tolist()
+            if keys:
+                self.upsert(keys, z["source_ids"][live].tolist(), z["vectors"][live])
+            return len(keys)
+        except Exception:  # noqa: BLE001 — corrupt delta: base + replay covers
+            return 0

@@ -258,6 +258,13 @@ class Searcher:
             self.matrix.upsert(
                 z["item_ids"][live].tolist(), z["source_ids"][live].tolist(), z["vectors"][live]
             )
+            # the loaded state now equals what the on-disk base restores, so
+            # delta-since-base tracking restarts here; the delta file and the
+            # seq replay below re-mark their rows through the normal upsert
+            # path (matrix.save_snapshot delta form)
+            with self.matrix._lock:
+                self.matrix._delta_rows = set()
+            self.matrix.apply_snapshot_delta(path)
         except Exception:  # corrupt snapshot -> full rebuild
             return False
         # replay embeddings written after the snapshot

@@ -24,6 +24,20 @@ def _oracle_topk(vectors, q, k):
     return order, scores[order]
 
 
+def test_auto_matrix_dtype_tiers():
+    """The default storage tier keys on corpus size (VERDICT r2 #2): least
+    quantization that keeps the bandwidth-bound sweep under ~2 ms."""
+    import jax.numpy as jnp
+
+    from perceive_tpu.index.matrix import INT4, auto_matrix_dtype
+
+    assert auto_matrix_dtype(0) == jnp.bfloat16
+    assert auto_matrix_dtype(1_500_000) == jnp.bfloat16
+    assert auto_matrix_dtype(1_500_001) == jnp.int8
+    assert auto_matrix_dtype(4_000_000) == jnp.int8
+    assert auto_matrix_dtype(10_000_000) == INT4
+
+
 def test_serialize_roundtrip():
     v = np.random.default_rng(0).standard_normal(384).astype(np.float32)
     assert np.array_equal(deserialize_embedding(serialize_embedding(v)), v)

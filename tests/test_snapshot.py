@@ -82,6 +82,105 @@ def test_snapshot_changed_embedding_replayed(seeded, tmp_path):
     assert hits[0][0] == ids[3]
 
 
+def test_snapshot_delta_roundtrip(tmp_path):
+    """After a full base, an autosave with few changed rows writes a small
+    .delta (no corpus rewrite); loading base+delta restores everything
+    (VERDICT r2 #4 incremental snapshots)."""
+    import os
+
+    from perceive_tpu.index.matrix import EmbeddingMatrix
+
+    rng = np.random.default_rng(1)
+    m = EmbeddingMatrix(16, dtype=np.float32)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    m.upsert(list(range(1, 51)), [0] * 50, vecs)
+    snap = str(tmp_path / "base.npz")
+    assert m.save_snapshot(snap) == "full"
+    base_size = os.path.getsize(snap)
+
+    # small change -> delta, base untouched
+    newvec = rng.standard_normal((2, 16)).astype(np.float32)
+    m.upsert([3, 51], [0, 0], newvec)
+    m.remove([7])
+    assert m.save_snapshot(snap) == "delta"
+    assert os.path.getsize(snap) == base_size
+    assert os.path.getsize(snap + ".delta") < base_size
+
+    m2 = EmbeddingMatrix.load_snapshot(snap, dtype=np.float32)
+    # removals convey via the DB-liveness reconcile in the Searcher load
+    # path, not the raw matrix loader, so key 7 is still present here:
+    # 50 base + 1 new (key 51) = 51
+    assert len(m2) == 51
+    np.testing.assert_allclose(m2.host_vectors_for([m2.row_of[3]]), newvec[:1], rtol=1e-6)
+    assert 51 in m2.row_of
+
+    # churn past the threshold (floor: 256 rows for small matrices) flips
+    # back to full and removes the stale delta of the old base
+    many = rng.standard_normal((400, 16)).astype(np.float32)
+    m.upsert(list(range(100, 500)), [0] * 400, many)
+    assert m.save_snapshot(snap) == "full"
+    assert not os.path.exists(snap + ".delta")  # stale delta removed
+
+
+def test_snapshot_searches_not_stalled_by_save(tmp_path, monkeypatch):
+    """save_snapshot must not hold the matrix lock across the multi-chunk
+    write: searches run concurrently with a (deliberately slowed) save and
+    never stall for its duration (VERDICT r2 #4)."""
+    import threading
+    import time
+
+    import perceive_tpu.index.matrix as matmod
+    from perceive_tpu.index.matrix import EmbeddingMatrix
+
+    rng = np.random.default_rng(2)
+    d = 64
+    s = Searcher(0, 0, d, dtype=np.float32, engine="xla")
+    n = 32_768
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    s.upsert_embeddings(list(range(1, n + 1)), [0] * n, vecs)
+    q = vecs[5]
+    s.search_vector(q, 5)  # warm the jit
+
+    # slow the OUT-OF-LOCK half of each chunk cycle so the save takes ~1 s:
+    # with the round-2 whole-save lock this stalls every search for the full
+    # second; with per-chunk locking searches interleave freely
+    monkeypatch.setattr(EmbeddingMatrix, "_SYNC_CHUNK_ROWS", 2048)
+    orig = np.ascontiguousarray
+
+    def slow_copy(a, *args, **kw):
+        time.sleep(0.05)
+        return orig(a, *args, **kw)
+
+    monkeypatch.setattr(matmod.np, "ascontiguousarray", slow_copy)
+
+    worst = [0.0]
+    stop = threading.Event()
+
+    def prober():
+        while not stop.is_set():
+            t0 = time.monotonic()
+            s.search_vector(q, 5)
+            worst[0] = max(worst[0], time.monotonic() - t0)
+
+    t = threading.Thread(target=prober)
+    t.start()
+    time.sleep(0.02)
+    snap = str(tmp_path / "big.npz")
+    t0 = time.monotonic()
+    form = s.matrix.save_snapshot(snap, incremental=False)
+    save_wall = time.monotonic() - t0
+    stop.set()
+    t.join()
+    assert form == "full"
+    assert save_wall > 0.5, "save was not slowed; test premise broken"
+    assert worst[0] < save_wall / 2, (
+        f"a search stalled {worst[0]:.2f}s during a {save_wall:.2f}s save"
+    )
+    # and the slowed save still produced a valid snapshot
+    m2 = EmbeddingMatrix.load_snapshot(snap, dtype=np.float32)
+    assert len(m2) == n
+
+
 def test_snapshot_missing_file_falls_back(seeded, tmp_path):
     db, src, ids, rng = seeded
     s1 = Searcher.build(db, 0, 0, 16, engine="xla")
