@@ -23,10 +23,11 @@ import numpy as np
 
 
 class _Request:
-    __slots__ = ("vec", "k", "source_key", "future")
+    __slots__ = ("vec", "text", "k", "source_key", "future")
 
-    def __init__(self, vec, k, source_key):
+    def __init__(self, vec, k, source_key, text=None):
         self.vec = vec
+        self.text = text  # text queries ride the fused encode+sweep dispatch
         self.k = k
         self.source_key = source_key
         self.future: Future = Future()
@@ -40,11 +41,16 @@ class BatchingSearchExecutor:
         self,
         searcher,
         *,
+        model=None,
         window_ms: float = 2.0,
         max_batch: int = 512,
         idle_factor: float = 4.0,
     ):
         self.searcher = searcher
+        # optional encoder: enables submit_text (an uncontended text query
+        # rides searcher.search_fused — encode + sweep in ONE dispatch;
+        # coalesced text queries batch-encode once, then share the sweep)
+        self.model = model
         self.window = window_ms / 1e3
         self.max_batch = max_batch
         # a single request arriving after > idle_factor * window of dispatch
@@ -86,6 +92,26 @@ class BatchingSearchExecutor:
         """Blocking convenience wrapper."""
         return self.submit(vec, k, source_ids).result(timeout)
 
+    def submit_text(
+        self, query: str, k: int, source_ids: Optional[Sequence[int]] = None
+    ) -> Future:
+        """Enqueue a TEXT query; encode happens on the dispatcher — fused
+        with the sweep into one device program when uncontended."""
+        if self.model is None:
+            raise RuntimeError("executor built without a model; submit vectors")
+        key = tuple(sorted(source_ids)) if source_ids is not None else None
+        req = _Request(None, k, key, text=query)
+        with self._wake:
+            if self._closed:
+                raise RuntimeError("executor closed")
+            self._queue.append(req)
+            self._wake.notify()
+        return req.future
+
+    def search_text(self, query, k, source_ids=None, timeout: float = 30.0):
+        """Blocking convenience wrapper for text queries."""
+        return self.submit_text(query, k, source_ids).result(timeout)
+
     def close(self) -> None:
         with self._wake:
             self._closed = True
@@ -124,10 +150,40 @@ class BatchingSearchExecutor:
         # and moves live ones to RUNNING so a later cancel() can't make
         # set_result/set_exception raise InvalidStateError and kill this
         # dispatcher thread.
+        live = [r for r in batch if r.future.set_running_or_notify_cancel()]
+        if len(live) == 1 and live[0].text is not None:
+            # uncontended text query: encode + sweep in ONE compiled
+            # dispatch (searcher.search_fused, VERDICT r2 #1)
+            r = live[0]
+            t0 = time.monotonic()
+            try:
+                source_ids = list(r.source_key) if r.source_key is not None else None
+                hits = self.searcher.search_fused(self.model, r.text, r.k, source_ids)
+            except Exception as e:  # noqa: BLE001
+                self.query_errors_total += 1
+                r.future.set_exception(e)
+                return
+            self.sweeps_total += 1
+            self.queries_total += 1
+            self.sweep_seconds_total += time.monotonic() - t0
+            r.future.set_result(hits)
+            return
+        texts = [r for r in live if r.text is not None]
+        if texts:
+            # coalesced text queries: ONE batched encode dispatch, then the
+            # vectors share sweeps with everything else in the drain
+            try:
+                vecs = self.model.encode([r.text for r in texts])
+                for r, v in zip(texts, vecs):
+                    r.vec = np.asarray(v, np.float32).reshape(-1)
+            except Exception as e:  # noqa: BLE001
+                self.query_errors_total += len(texts)
+                for r in texts:
+                    r.future.set_exception(e)
+                live = [r for r in live if r.text is None]
         groups: dict = {}
-        for r in batch:
-            if r.future.set_running_or_notify_cancel():
-                groups.setdefault((r.k, r.source_key), []).append(r)
+        for r in live:
+            groups.setdefault((r.k, r.source_key), []).append(r)
         for (k, source_key), reqs in groups.items():
             t0 = time.monotonic()
             try:

@@ -157,6 +157,10 @@ class ShardedSearcher(Searcher):
     shard_map.  Capacity stays a multiple of 512 * mesh.size so each shard's
     rows remain tile-aligned for the Pallas kernel."""
 
+    # text queries fall back to encode + sharded sweep (2 dispatches): the
+    # fused single-device program doesn't carry the shard_map collectives
+    _supports_fused = False
+
     def __init__(
         self,
         model_id: int,

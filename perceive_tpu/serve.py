@@ -134,7 +134,9 @@ class ServeState:
                 if self.app is not None and self.app.searcher is not None:
                     from .index import BatchingSearchExecutor
 
-                    self.executor = BatchingSearchExecutor(self.app.searcher)
+                    self.executor = BatchingSearchExecutor(
+                        self.app.searcher, model=self.app.model
+                    )
                     self._warm()
             except Exception as e:  # noqa: BLE001
                 self.error = str(e)
@@ -190,6 +192,10 @@ class ServeState:
         app = self.app
         try:
             if app.searcher is not None and len(app.searcher.matrix):
+                # the fused encode+sweep program is the serving hot path;
+                # the separate encode + sweep pair still backs escalation /
+                # consistency re-sweeps and coalesced batches, so warm both
+                app.searcher.search_fused(app.model, "warmup", 10)
                 vec = app.model.encode_query("warmup")
                 app.searcher.search_vector(vec, 10)
                 app.highlights_model.highlight("warmup", ["warm up the chunk encoder"])
@@ -242,14 +248,14 @@ def make_handler(holder: ServeState):
                 return self._json(404, {"error": f"no source {source}"})
             except ValueError:
                 return self._json(400, {"error": f"bad type {type_tag}"})
-            vec = app.model.encode_query(query)
             if holder.executor is not None:
-                hits = holder.executor.search(vec, k, source_ids)
-                results = app.searcher.retrieve(app.db, hits)
+                # text rides the executor: uncontended -> ONE fused
+                # encode+sweep dispatch; concurrent -> batched encode +
+                # coalesced sweeps (index/executor.py)
+                hits = holder.executor.search_text(query, k, source_ids)
             else:
-                results = app.searcher.search_vector_and_retrieve(
-                    app.db, vec, k, source_ids
-                )
+                hits = app.searcher.search_fused(app.model, query, k, source_ids)
+            results = app.searcher.retrieve(app.db, hits)
             docs = [r.item.content or "" for r in results]
             if docs:
                 for r, h in zip(results, app.highlights_model.highlight(query, docs)):

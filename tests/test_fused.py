@@ -1,0 +1,166 @@
+"""Fused text search: encode + first sweep in ONE compiled dispatch
+(VERDICT r2 #1 — the serving hot path must not pay a device round trip per
+stage)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from perceive_tpu.index.matrix import INT4
+from perceive_tpu.index.searcher import Searcher
+from perceive_tpu.models import (
+    EncoderArch,
+    HeadConfig,
+    Model,
+    TextTokenizer,
+    tiny_test_vocab,
+)
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta music pizza".split()
+
+
+@pytest.fixture(scope="module")
+def model():
+    vocab = tiny_test_vocab(WORDS)
+    tok = TextTokenizer.from_vocab(vocab, max_seq_length=32)
+    arch = EncoderArch(vocab_size=len(vocab), hidden_size=32, num_layers=2, num_heads=4,
+                       intermediate_size=64, max_position_embeddings=32)
+    m = Model.random(arch, HeadConfig(pooling="mean", normalize=True), tok, seed=3)
+    m.model_id = 0
+    return m
+
+
+@pytest.fixture(scope="module")
+def corpus(model):
+    rng = np.random.default_rng(0)
+    texts = [" ".join(rng.choice(WORDS, size=6)) for _ in range(300)]
+    vecs = model.encode(texts)
+    srcs = [i % 3 for i in range(len(texts))]
+    return texts, vecs, srcs
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16, jnp.int8, INT4])
+def test_fused_matches_two_dispatch_path(model, corpus, dtype):
+    texts, vecs, srcs = corpus
+    s = Searcher(0, 0, model.dim, dtype=dtype, engine="xla")
+    s.upsert_embeddings(list(range(1, len(texts) + 1)), srcs, vecs)
+    for query in ("music pizza", "alpha", "zeta eta theta"):
+        want = s.search(model, query, 7)
+        got = s.search_fused(model, query, 7)
+        assert [i for i, _ in got] == [i for i, _ in want]
+        np.testing.assert_allclose(
+            [v for _, v in got], [v for _, v in want], rtol=1e-5
+        )
+    # filters flow through the fused sweep too
+    want = s.search(model, "music", 5, source_ids=[1])
+    got = s.search_fused(model, "music", 5, source_ids=[1])
+    assert [i for i, _ in got] == [i for i, _ in want]
+    # empty filter matches nothing; oversized filter falls back, still correct
+    assert s.search_fused(model, "music", 5, source_ids=[]) == []
+    many = list(range(0, 20))
+    assert [i for i, _ in s.search_fused(model, "music", 5, source_ids=many)] == [
+        i for i, _ in s.search(model, "music", 5, source_ids=many)
+    ]
+
+
+def test_fused_is_single_dispatch(model, corpus, monkeypatch):
+    """Structural proof of one device round trip for encode+sweep: with the
+    separate encode and the separate sweep both booby-trapped, the fused
+    path still answers (nothing but the fused program ran)."""
+    texts, vecs, srcs = corpus
+    s = Searcher(0, 0, model.dim, dtype=jnp.float32, engine="xla")
+    s.upsert_embeddings(list(range(1, len(texts) + 1)), srcs, vecs)
+    want = s.search(model, "music pizza", 5)
+    s.search_fused(model, "music pizza", 5)  # compile before the traps
+
+    def boom(*a, **k):
+        raise AssertionError("separate dispatch used on the fused path")
+
+    monkeypatch.setattr(Model, "encode_query", boom)
+    monkeypatch.setattr(Searcher, "_device_scan", boom)
+    got = s.search_fused(model, "music pizza", 5)
+    assert [i for i, _ in got] == [i for i, _ in want]
+    with pytest.raises(AssertionError):
+        s.search(model, "music pizza", 5)  # the traps do fire off-path
+
+
+def test_fused_escalation_still_exact(model):
+    """A quantized tier whose fused sweep can't prove the top-k escalates
+    through the normal path and stays exact (same guarantee as search)."""
+    rng = np.random.default_rng(1)
+    d = model.dim
+    n = 400
+    base = rng.standard_normal((1, d)).astype(np.float32)
+    # clustered corpus: quantized scores collapse, forcing deep fetches
+    vecs = base + 0.001 * rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    s = Searcher(0, 0, d, dtype=INT4, engine="xla")
+    s.upsert_embeddings(list(range(1, n + 1)), [0] * n, vecs)
+    q = model.encode_query("music pizza")
+    want = s.search_vector(q, 10)
+    got = s.search_fused(model, "music pizza", 10)
+    assert [i for i, _ in got] == [i for i, _ in want]
+
+
+def test_sharded_searcher_falls_back(model, corpus):
+    from perceive_tpu.parallel import ShardedSearcher, make_mesh
+
+    texts, vecs, srcs = corpus
+    mesh = make_mesh(4)
+    ss = ShardedSearcher(0, 0, model.dim, mesh, dtype=jnp.float32)
+    ss.upsert_embeddings(list(range(1, len(texts) + 1)), srcs, vecs)
+    got = ss.search_fused(model, "music pizza", 5)
+    want = ss.search(model, "music pizza", 5)
+    assert [i for i, _ in got] == [i for i, _ in want]
+
+
+def test_executor_text_path(model, corpus):
+    """submit_text: an uncontended text query answers through the fused
+    program; a concurrent burst batch-encodes once and coalesces sweeps."""
+    import threading
+
+    from perceive_tpu.index import BatchingSearchExecutor
+
+    texts, vecs, srcs = corpus
+    s = Searcher(0, 0, model.dim, dtype=jnp.float32, engine="xla")
+    s.upsert_embeddings(list(range(1, len(texts) + 1)), srcs, vecs)
+    ex = BatchingSearchExecutor(s, model=model, window_ms=25)
+    try:
+        want = s.search(model, "music pizza", 5)
+        got = ex.search_text("music pizza", 5, timeout=30)
+        assert [i for i, _ in got] == [i for i, _ in want]
+
+        # concurrent burst of text queries
+        queries = [" ".join([WORDS[i % len(WORDS)], "music"]) for i in range(12)]
+        results = [None] * len(queries)
+        barrier = threading.Barrier(len(queries))
+
+        def client(i):
+            barrier.wait()
+            results[i] = ex.search_text(queries[i], 5, timeout=30)
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(len(queries))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, hits in enumerate(results):
+            want = s.search(model, queries[i], 5)
+            assert [h[0] for h in hits] == [w[0] for w in want]
+    finally:
+        ex.close()
+
+
+def test_executor_without_model_rejects_text(corpus, model):
+    from perceive_tpu.index import BatchingSearchExecutor
+
+    texts, vecs, srcs = corpus
+    s = Searcher(0, 0, model.dim, dtype=jnp.float32, engine="xla")
+    s.upsert_embeddings([1], [0], vecs[:1])
+    ex = BatchingSearchExecutor(s)
+    try:
+        with pytest.raises(RuntimeError):
+            ex.submit_text("q", 5)
+    finally:
+        ex.close()
