@@ -489,13 +489,96 @@ def pallas_topk_int4_unsorted(packed, scales2d, src2d, qi8, qscale, allowed, k: 
     )(allowed, qlo, qhi, qcorr, qscale, packed, src2d, scales2d)
 
 
+def _scan_kernel_int4_slabbed(
+    allowed_ref, qlo_ref, qhi_ref, qcorr_ref, qscale_ref, m_ref, src_ref, scales_ref,
+    vals_ref, rows_ref, sc_ref, *, k, tile_n, n_filter, d2, n_slabs,
+):
+    """Int4 large-batch variant: the algebraic nibble unpack (lo / x8, see
+    section comment) runs ONCE per resident row tile and every 128-query
+    slab's three dots reuse it — the flat kernel re-unpacks per sweep, so
+    slabbing amortizes exactly the int4 tier's extra VPU work."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        vals_ref[:] = jnp.full(vals_ref.shape, -jnp.inf, vals_ref.dtype)
+        rows_ref[:] = jnp.full(rows_ref.shape, -1, rows_ref.dtype)
+
+    p = m_ref[:]  # (d2, TILE_N) uint8
+    lo = jax.lax.bitcast_convert_type(p & jnp.uint8(15), jnp.int8)
+    x8 = jax.lax.bitcast_convert_type(p, jnp.int8)
+    mask = _source_mask(src_ref[:], allowed_ref, n_filter)
+    row_scales = scales_ref[:]
+    dims = (((1,), (0,)), ((), ()))
+    n_iota = jax.lax.broadcasted_iota(jnp.int32, (QUERY_SLAB, tile_n), 1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (QUERY_SLAB, k), 1)
+
+    for s in range(n_slabs):
+        qsl = slice(s * QUERY_SLAB, (s + 1) * QUERY_SLAB)
+        m1 = jax.lax.dot_general(qlo_ref[qsl, :], lo, dims, preferred_element_type=jnp.int32)
+        m2 = jax.lax.dot_general(qhi_ref[qsl, :], x8, dims, preferred_element_type=jnp.int32)
+        m3 = jax.lax.dot_general(qhi_ref[qsl, :], lo, dims, preferred_element_type=jnp.int32)
+        raw = m1.astype(jnp.float32) + (m2 - m3).astype(jnp.float32) * 0.0625 + qcorr_ref[qsl, :]
+        scores = raw * row_scales * qscale_ref[qsl, :]
+        sc_ref[:] = jnp.where(mask, scores, -jnp.inf)
+        _merge_tile_topk(sc_ref, vals_ref, rows_ref, qsl, t * tile_n, k, n_iota, k_iota)
+
+
+def pallas_topk_int4_slabbed(packed, scales2d, src2d, qi8, qscale, allowed, k: int, interpret: bool):
+    """Slabbed int4 invocation for Q a multiple of QUERY_SLAB."""
+    d2, n = packed.shape
+    nq, d = qi8.shape
+    tile_n = _pick_tile_int4(n, QUERY_SLAB, d2)
+    qlo, qhi = qi8[:, :d2], qi8[:, d2:]
+    qcorr = (-8.0 * jnp.sum(qlo.astype(jnp.int32), axis=1, keepdims=True)).astype(jnp.float32)
+    kernel = functools.partial(
+        _scan_kernel_int4_slabbed, k=k, tile_n=tile_n, n_filter=allowed.shape[0],
+        d2=d2, n_slabs=nq // QUERY_SLAB,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # allowed (F,)
+            pl.BlockSpec((nq, d2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, d2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d2, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nq, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, k), jnp.float32),
+            jax.ShapeDtypeStruct((nq, k), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((QUERY_SLAB, tile_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * nq * n * d2,
+            bytes_accessed=n * d2 + n * 8 + nq * d,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(allowed, qlo, qhi, qcorr, qscale, packed, src2d, scales2d)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def _scan_topk_int4(packed, scales, source_ids, q, allowed, k: int, interpret: bool):
     n = packed.shape[1]
     qi8, qscale = quantize_queries(q)
-    vals, rows = pallas_topk_int4_unsorted(
-        packed, scales.reshape(1, n), source_ids.reshape(1, n), qi8, qscale, allowed, k, interpret
-    )
+    if q.shape[0] >= 2 * QUERY_SLAB and q.shape[0] % QUERY_SLAB == 0:
+        vals, rows = pallas_topk_int4_slabbed(
+            packed, scales.reshape(1, n), source_ids.reshape(1, n), qi8, qscale, allowed, k, interpret
+        )
+    else:
+        vals, rows = pallas_topk_int4_unsorted(
+            packed, scales.reshape(1, n), source_ids.reshape(1, n), qi8, qscale, allowed, k, interpret
+        )
     svals, perm = jax.lax.top_k(vals, k)
     return svals, jnp.take_along_axis(rows, perm, axis=1)
 

@@ -57,6 +57,51 @@ def test_int4_pallas_matches_xla_engine():
     np.testing.assert_allclose(np.asarray(pv), np.asarray(xv), rtol=1e-6)
 
 
+def test_int4_slabbed_kernel_matches_flat():
+    """The slabbed int4 kernel (batch >= 2 slabs; unpack amortized per row
+    tile) returns the same candidates as the flat kernel (VERDICT r2 #5)."""
+    from perceive_tpu.index.searcher import _scan_topk_xla_int4
+    from perceive_tpu.ops.topk import ALLOW_ALL, scan_topk_pallas_int4
+
+    rng = np.random.default_rng(4)
+    n, d, k = 1024, 128, 8
+    m = EmbeddingMatrix(d, dtype=INT4, capacity=n)
+    vecs = _unit_rows(rng, n, d)
+    m.upsert(list(range(1, n + 1)), [0] * n, vecs)
+    packed, src, scales = m.device_view()
+
+    q = jnp.asarray(_unit_rows(rng, 256, d))  # 2 slabs -> slabbed route
+    allowed = np.full(16, -9, np.int32)
+    allowed[0] = ALLOW_ALL
+    pv, pr = scan_topk_pallas_int4(packed, scales, src, q, jnp.asarray(allowed), k)
+    xv, xr = _scan_topk_xla_int4(packed, scales, src, q, jnp.asarray(allowed), k)
+    np.testing.assert_array_equal(np.asarray(pr), np.asarray(xr))
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(xv), rtol=1e-6)
+
+
+def test_sharded_quantized_slabbed_batches():
+    """Large batches through the SHARDED pallas path route per-shard slabbed
+    kernels (int8 and int4) and, with the inherited rerank, match the f32
+    oracle searcher exactly (VERDICT r2 #5)."""
+    from perceive_tpu.index.searcher import Searcher
+    from perceive_tpu.parallel import ShardedSearcher, make_mesh
+
+    mesh = make_mesh(4)
+    rng = np.random.default_rng(9)
+    n, d, nq, k = 2048, 32, 256, 5
+    vecs = _unit_rows(rng, n, d)
+    s1 = Searcher(0, 0, d, dtype=jnp.float32, engine="xla")
+    s1.upsert_embeddings(list(range(1, n + 1)), [0] * n, vecs)
+    q = vecs[:nq] + 0.05 * rng.standard_normal((nq, d)).astype(np.float32)
+    want = s1.search_vectors_batch(q, k)
+    for dtype in (jnp.int8, INT4):
+        ss = ShardedSearcher(0, 0, d, mesh, dtype=dtype, engine="pallas")
+        ss.upsert_embeddings(list(range(1, n + 1)), [0] * n, vecs)
+        got = ss.search_vectors_batch(q, k)
+        for g, w in zip(got, want):
+            assert [i for i, _ in g] == [i for i, _ in w]
+
+
 @pytest.mark.parametrize("engine", ["xla", "pallas"])
 def test_int4_searcher_exact_after_rerank(engine):
     """End to end: int4 candidates + f32 rerank + escalation return the same
