@@ -1,6 +1,6 @@
 # Dev workflow (the reference used a justfile; justfile:4-5)
 
-.PHONY: test bench embed-bench install-models native clean
+.PHONY: test bench embed-bench install-models verify-checkpoint native clean
 
 test:
 	python -m pytest tests/ -q
@@ -17,6 +17,13 @@ embed-bench:
 # download sentence-transformers checkpoints into model_data/
 install-models:
 	python scripts/install_models.py
+
+# one-command real-checkpoint validation: download -> converter/encoder ->
+# golden parity (torch-side when available, committed goldens otherwise);
+# add ARGS=--full for the 10M recall harness on TPU.  Airgapped machines
+# get SKIPs, never FAILs (VERDICT r2 #9).
+verify-checkpoint:
+	python scripts/verify_checkpoint.py $(ARGS)
 
 # build the native fs walker explicitly (otherwise built on first use)
 native:

