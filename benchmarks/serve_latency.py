@@ -1,0 +1,110 @@
+"""Warm end-to-end serve query latency (VERDICT r2 #1 done-criterion).
+
+Builds the REAL serving stack — AppState, ServeState warmup, executor with
+the fused text path, HTTP server — over a synthetic fs corpus, then measures
+warm /search walls.  On the tunneled bench device the reference point is the
+tunnel RTT (~45-50 ms): round 2 measured 210-240 ms (encode, sweep,
+highlight as separate dispatches); the fused path targets ~2 RTTs
+(fused encode+sweep = 1 dispatch, highlight = the unavoidable second).
+
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/serve_latency.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+import urllib.request
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    base = tempfile.mkdtemp(prefix="serve_bench_")
+    docs = f"{base}/docs"
+    os.makedirs(docs)
+    rng = np.random.default_rng(0)
+    words = ["alpha", "beta", "gamma", "delta", "search", "vector", "index",
+             "engine", "document", "corpus", "query", "result"]
+    for i in range(200):
+        body = " ".join(rng.choice(words, size=40))
+        with open(f"{docs}/doc{i:04d}.md", "w") as f:
+            f.write(body + "\n")
+
+    try:
+        from perceive_tpu.cli.state import AppState
+        from perceive_tpu.db import add_source
+        from perceive_tpu.serve import start_server
+        from perceive_tpu.sources import scan_source
+        from perceive_tpu.types import Source
+
+        app = AppState(f"{base}/db.sqlite3")
+        src = add_source(
+            app.db, Source(name="docs", config={"type": "fs"}, location=docs)
+        )
+        t0 = time.time()
+        scan_source(app.db, app.model, src, on_embeddings=app.searcher.upsert_embeddings)
+        scan_s = time.time() - t0
+        app.refresh_sources()
+
+        server = start_server(lambda: app, port=0)
+        port = server.server_address[1]
+        st = server.perceive_state
+        st.ready.wait(600)  # includes the pre-readiness jit warmup
+
+        def query(q: str) -> float:
+            t0 = time.monotonic()
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/search?q={q}&k=10", timeout=120
+            ) as r:
+                r.read()
+            return time.monotonic() - t0
+
+        # absorb residual shape-variant compiles before timing
+        for q in ("alpha%20beta", "vector%20engine", "document"):
+            query(q)
+
+        # tunnel RTT reference: a trivial device op round trip
+        import jax.numpy as jnp
+
+        x = jnp.ones((8, 8))
+        np.asarray(x * 2)
+        rtts = []
+        for i in range(5):
+            t0 = time.monotonic()
+            np.asarray(x * (2.0 + i))
+            rtts.append(time.monotonic() - t0)
+        rtt = float(np.median(rtts))
+
+        qs = ["alpha%20vector", "search%20engine%20corpus", "delta%20query",
+              "index%20result", "gamma%20document", "beta%20engine",
+              "corpus%20index%20alpha", "vector%20result%20delta"]
+        walls = [query(q) for q in qs]
+        print(
+            json.dumps(
+                {
+                    "metric": "warm_serve_query_wall_ms",
+                    "backend": jax.default_backend(),
+                    "p50_ms": round(float(np.median(walls)) * 1e3, 1),
+                    "min_ms": round(min(walls) * 1e3, 1),
+                    "max_ms": round(max(walls) * 1e3, 1),
+                    "tunnel_rtt_ms": round(rtt * 1e3, 1),
+                    "walls_over_rtt": round(float(np.median(walls)) / max(rtt, 1e-9), 2),
+                    "scan_s": round(scan_s, 1),
+                    "rows": len(app.searcher.matrix),
+                }
+            )
+        )
+        server.shutdown()
+        st.stop()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -213,6 +213,18 @@ class HostMirror:
         if self.path is not None:
             self.arr.flush()
 
+    def remap(self) -> None:
+        """Flush and re-map a file-backed mirror, dropping the page
+        residency accumulated during a bulk build (the mirror's RSS
+        contribution returns to ~0; subsequent reads fault in only the
+        pages they touch — e.g. rerank candidates)."""
+        if self.path is None:
+            return
+        shape = self.arr.shape
+        self.arr.flush()
+        del self.arr
+        self.arr = np.memmap(self.path, dtype=self.dtype, mode="r+", shape=shape)
+
     def close(self) -> None:
         if self.path is not None:
             try:

@@ -758,8 +758,10 @@ class Searcher:
                 model.params, jnp.asarray(ids), vectors, src_dev, scales,
                 jnp.asarray(allowed), kb,
             )
-        qvec = np.asarray(q_dev)  # blocking readbacks stay outside the lock
-        first = (gen, kb, np.asarray(vals_dev), np.asarray(rows_dev))
+        # one batched readback outside the lock (three separate np.asarray
+        # calls would pay a transfer round trip each on tunneled deployments)
+        qvec, vals, rows = jax.device_get((q_dev, vals_dev, rows_dev))
+        first = (gen, kb, vals, rows)
         return self._search_consistent(
             qvec, k, source_ids,
             lambda vals, rows: [self._decode_hits(vals[0], rows[0], k)],

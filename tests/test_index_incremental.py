@@ -58,8 +58,8 @@ def test_search_retries_when_tombstoned_row_is_reused():
     orig_scan = s._scan_filtered
     raced = {"n": 0}
 
-    def racing_scan(q, k, source_ids):
-        vals, rows = orig_scan(q, k, source_ids)
+    def racing_scan(q, k, source_ids, **kw):
+        vals, rows = orig_scan(q, k, source_ids, **kw)
         if raced["n"] == 0:
             raced["n"] += 1
             # concurrent churn AFTER the sweep: item 1's row is freed and

@@ -291,7 +291,16 @@ def test_history_pipeline_end_to_end(tmp_db, tmp_path):
         "SELECT external_id, name, skipped, content FROM items")}
     assert rows["https://x.test/a"][1] == "JAX on TPU"
     assert rows["https://x.test/missing"][2] == "not_found"
-    assert len(searcher.matrix) == 1  # only the fetched page embedded
+    # only the fetched page embedded (possibly as several chunk rows now
+    # that chunk-embedding is default-on for long documents)
+    from perceive_tpu.index.matrix import key_item
+
+    assert len(searcher.matrix) >= 1
+    assert {key_item(k) for k in searcher.matrix.row_of} == {
+        tmp_db.read().execute(
+            "SELECT id FROM items WHERE external_id = 'https://x.test/a'"
+        ).fetchone()[0]
+    }
 
     # second scan: 404 is permanent -> no refetch; page not newer -> unchanged
     scanner.session.requests.clear()
