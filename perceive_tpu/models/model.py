@@ -311,8 +311,10 @@ class Model:
         """Single query -> (dim,) f32 (reference search.rs:262-264)."""
         return self.encode([query])[0]
 
-    def highlight(self, query: str, documents: Sequence[str]):
-        """Best snippet per document (reference model/highlight.rs:23)."""
+    def highlight(self, query: str, documents: Sequence[str], query_emb=None):
+        """Best snippet per document (reference model/highlight.rs:23).
+        Pass ``query_emb`` to skip the query's device encode (it otherwise
+        rides the chunk batch — one dispatch either way)."""
         from .highlight import highlight as _highlight
 
-        return _highlight(self, query, documents)
+        return _highlight(self, query, documents, query_emb=query_emb)
