@@ -689,6 +689,13 @@ class EmbeddingMatrix:
         if incremental and dr is not None and os.path.exists(path):
             self._write_delta(delta_path, dr)
             return "delta"
+        # remove the previous base's delta BEFORE writing the new base: a
+        # crash between the two leaves old-manifest + new-base + no-delta
+        # (safe — seq replay from the old manifest covers the gap), whereas
+        # deleting after could leave a STALE delta that would regress rows
+        # when applied to the new base
+        if os.path.exists(delta_path):
+            os.unlink(delta_path)
         for attempt in range(3):
             gen = self.reuse_gen
             self._write_full_snapshot(path, locked=attempt == 2)
@@ -696,8 +703,6 @@ class EmbeddingMatrix:
                 break
         with self._lock:
             self._delta_rows = set()  # fresh base: delta tracking restarts
-        if os.path.exists(delta_path):
-            os.unlink(delta_path)  # stale delta of the previous base
         return "full"
 
     @staticmethod
