@@ -524,11 +524,28 @@ def _scan_kernel_int4_slabbed(
         _merge_tile_topk(sc_ref, vals_ref, rows_ref, qsl, t * tile_n, k, n_iota, k_iota)
 
 
+def _pick_tile_int4_slabbed(n: int, d2: int) -> int:
+    """The slab kernel's VMEM bill per tile-row is (4*d2 + 3*QUERY_SLAB*4):
+    double-buffered packed tiles + the lo/x8 unpack + THREE (SLAB, TILE)
+    int32 dot outputs (measured exactly: Mosaic reported 18.88M at tile
+    8192 = 2304 B/row, hardware round 3) — the generic int4 fit misses the
+    dot temporaries and OOMs scoped vmem at large tiles."""
+    per_row = 4 * d2 + 3 * QUERY_SLAB * 4
+    for t in _TILES:
+        if n % t:
+            continue
+        if per_row * t <= _VMEM_BUDGET:
+            return t
+    if n % _TILES[-1] == 0:
+        return _TILES[-1]
+    raise ValueError(f"matrix rows {n} not a multiple of {_TILES[-1]}")
+
+
 def pallas_topk_int4_slabbed(packed, scales2d, src2d, qi8, qscale, allowed, k: int, interpret: bool):
     """Slabbed int4 invocation for Q a multiple of QUERY_SLAB."""
     d2, n = packed.shape
     nq, d = qi8.shape
-    tile_n = _pick_tile_int4(n, QUERY_SLAB, d2)
+    tile_n = _pick_tile_int4_slabbed(n, d2)
     qlo, qhi = qi8[:, :d2], qi8[:, d2:]
     qcorr = (-8.0 * jnp.sum(qlo.astype(jnp.int32), axis=1, keepdims=True)).astype(jnp.float32)
     kernel = functools.partial(
