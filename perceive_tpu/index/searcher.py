@@ -719,6 +719,13 @@ class Searcher:
             self._fused_cache[key] = fn
         return fn
 
+    def _fused_put(self, x):
+        """Placement for fused-program host inputs (ids, filter).  The
+        mesh-backed subclass pins them to the mesh's devices — uncommitted
+        jnp arrays would land on the DEFAULT device, which can be a
+        different platform (utils.platform rationale)."""
+        return jnp.asarray(x)
+
     def search_fused(
         self,
         model,
@@ -755,8 +762,8 @@ class Searcher:
             if scales is None:  # stable jit signature for unquantized tiers
                 scales = _NO_SCALES
             q_dev, vals_dev, rows_dev = fn(
-                model.params, jnp.asarray(ids), vectors, src_dev, scales,
-                jnp.asarray(allowed), kb,
+                model.params, self._fused_put(ids), vectors, src_dev, scales,
+                self._fused_put(allowed), kb,
             )
         # one batched readback outside the lock (three separate np.asarray
         # calls would pay a transfer round trip each on tunneled deployments)

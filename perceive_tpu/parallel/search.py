@@ -158,15 +158,61 @@ def sharded_scan_topk(mesh, matrix, source_ids, q, allowed, k: int, engine: str 
     )
 
 
+def _build_fused_sharded(model, searcher):
+    """ONE compiled program for a text query on the MESH: token ids ->
+    encoder (replicated params, or GSPMD-partitioned under TP) -> the
+    shard_map per-chip scan + all_gather merge (_sharded_scan) -> top-k.
+    Same contract as index.searcher._build_fused_search."""
+    from ..utils.platform import platform_of
+
+    m = searcher.matrix
+    mesh = searcher.mesh
+    engine = searcher.engine
+    interpret = platform_of(mesh) != "tpu"
+    dim, padded = m.dim, m.padded_dim
+    quantized = m.quantized
+    encode_ids = model._encode_ids_fn
+
+    def fused(params, ids, vectors, source_ids, scales, allowed, k: int):
+        q = encode_ids(params, ids).astype(jnp.float32)  # (1, dim)
+        qp = q if padded == dim else jnp.pad(q, ((0, 0), (0, padded - dim)))
+        if not quantized:
+            n = vectors.shape[0]
+            scales_arr = jnp.zeros((n,), jnp.float32)
+        else:
+            scales_arr = scales
+        vals, rows = _sharded_scan(
+            vectors, scales_arr, source_ids, qp, allowed,
+            mesh=mesh, k=k, engine=engine, interpret=interpret,
+        )
+        return q, vals, rows
+
+    return jax.jit(fused, static_argnames=("k",))
+
+
 class ShardedSearcher(Searcher):
     """Mesh-wide Searcher: identical API/semantics to index.Searcher with the
     matrix row-sharded over every device and the sweep running under
     shard_map.  Capacity stays a multiple of 512 * mesh.size so each shard's
-    rows remain tile-aligned for the Pallas kernel."""
+    rows remain tile-aligned for the Pallas kernel.
 
-    # text queries fall back to encode + sharded sweep (2 dispatches): the
-    # fused single-device program doesn't carry the shard_map collectives
-    _supports_fused = False
+    Text queries fuse here too: the fused program encodes the query
+    (replicated, or GSPMD-partitioned under TP params) and runs the
+    shard_map scan + all_gather merge in the SAME compiled dispatch
+    (_build_fused_sharded)."""
+
+    def _fused_callable(self, model):  # type: ignore[override]
+        key = (id(model), self.engine, self.matrix.quant_bits)
+        fn = self._fused_cache.get(key)
+        if fn is None:
+            fn = _build_fused_sharded(model, self)
+            self._fused_cache[key] = fn
+        return fn
+
+    def _fused_put(self, x):  # type: ignore[override]
+        from .mesh import replicated
+
+        return jax.device_put(np.asarray(x), replicated(self.mesh))
 
     def __init__(
         self,

@@ -103,16 +103,38 @@ def test_fused_escalation_still_exact(model):
     assert [i for i, _ in got] == [i for i, _ in want]
 
 
-def test_sharded_searcher_falls_back(model, corpus):
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.int8, INT4])
+def test_sharded_searcher_fused(model, corpus, dtype, monkeypatch):
+    """The mesh searcher fuses too: encode + shard_map scan + all_gather
+    merge in one program, same results as the two-dispatch path."""
     from perceive_tpu.parallel import ShardedSearcher, make_mesh
 
     texts, vecs, srcs = corpus
     mesh = make_mesh(4)
-    ss = ShardedSearcher(0, 0, model.dim, mesh, dtype=jnp.float32)
+    ss = ShardedSearcher(0, 0, model.dim, mesh, dtype=dtype)
     ss.upsert_embeddings(list(range(1, len(texts) + 1)), srcs, vecs)
-    got = ss.search_fused(model, "music pizza", 5)
     want = ss.search(model, "music pizza", 5)
+    got = ss.search_fused(model, "music pizza", 5)
     assert [i for i, _ in got] == [i for i, _ in want]
+    np.testing.assert_allclose([v for _, v in got], [v for _, v in want], rtol=1e-5)
+    # filtered too
+    wantf = ss.search(model, "alpha", 5, source_ids=[1])
+    gotf = ss.search_fused(model, "alpha", 5, source_ids=[1])
+    assert [i for i, _ in gotf] == [i for i, _ in wantf]
+    if dtype == jnp.float32:
+        # structural single-dispatch proof on the mesh (escalation-free tier)
+        ss.search_fused(model, "zeta eta", 5)  # compile before the traps
+
+        def boom(*a, **k):
+            raise AssertionError("separate dispatch used on the fused path")
+
+        monkeypatch.setattr(Model, "encode_query", boom)
+        from perceive_tpu.index.searcher import Searcher
+
+        monkeypatch.setattr(Searcher, "_device_scan", boom)
+        monkeypatch.setattr(ShardedSearcher, "_device_scan", boom)
+        hits = ss.search_fused(model, "zeta eta", 5)
+        assert hits
 
 
 def test_executor_text_path(model, corpus):
