@@ -178,21 +178,27 @@ class HostMirror:
         return np.memmap(path, dtype=self.dtype, mode="w+", shape=(capacity, self.width))
 
     def grow(self, new_cap: int) -> None:
+        """Grow to ``new_cap`` rows with an ATOMIC publish: the new array is
+        fully built (old data copied / file extended and remapped) before
+        ``self.arr`` is reassigned — lock-free readers (the rerank path
+        reads without the matrix lock) always see either the complete old
+        array or the complete new one, never a half-copied or missing one.
+        Rows beyond the old capacity are only handed out under the matrix
+        lock after grow returns, so a stale reference is still consistent."""
         old = self.arr
         old_cap = old.shape[0]
         if self.path is None:
             if self._nbytes(new_cap) <= self.ram_budget:
-                self.arr = np.zeros((new_cap, self.width), dtype=self.dtype)
-                self.arr[:old_cap] = old
-                return
-            # spill: RAM -> file-backed (one copy, the last one ever)
-            self.arr = self._alloc(new_cap)
-            self.arr[:old_cap] = old
-            del old
+                new = np.zeros((new_cap, self.width), dtype=self.dtype)
+            else:
+                new = self._alloc(new_cap)  # spill: RAM -> file-backed
+            new[:old_cap] = old
+            self.arr = new
             return
-        # already file-backed: extend the file in place, remap
+        # already file-backed: extend the file in place (growing a file
+        # under a live mapping is safe — the old mapping still covers its
+        # range), then swap in the larger mapping
         old.flush()
-        del self.arr, old
         os.truncate(self.path, self._nbytes(new_cap))
         self.arr = np.memmap(
             self.path, dtype=self.dtype, mode="r+", shape=(new_cap, self.width)
@@ -217,12 +223,12 @@ class HostMirror:
         """Flush and re-map a file-backed mirror, dropping the page
         residency accumulated during a bulk build (the mirror's RSS
         contribution returns to ~0; subsequent reads fault in only the
-        pages they touch — e.g. rerank candidates)."""
+        pages they touch — e.g. rerank candidates).  Atomic swap, same
+        lock-free-reader contract as grow."""
         if self.path is None:
             return
         shape = self.arr.shape
         self.arr.flush()
-        del self.arr
         self.arr = np.memmap(self.path, dtype=self.dtype, mode="r+", shape=shape)
 
     def close(self) -> None:
@@ -301,9 +307,11 @@ class EmbeddingMatrix:
         self._mirror = HostMirror(self.capacity, self.padded_dim)
         self._dirty = True  # full re-upload needed (first sync / growth)
         self._dirty_rows: set[int] = set()  # incremental row updates
-        # rows changed since the last FULL snapshot (delta-snapshot support);
-        # None = too many accumulated, next snapshot must be a full rewrite
+        # rows changed / keys removed since the last FULL snapshot
+        # (delta-snapshot support); _delta_rows None = too much churn
+        # accumulated, next snapshot must be a full rewrite
         self._delta_rows: Optional[set[int]] = set()
+        self._delta_removed: set[int] = set()
         self._device_vectors = None
         self._device_source_ids = None
         self._device_scales = None  # (capacity,) f32 per-row scales, int8 mode
@@ -611,19 +619,38 @@ class EmbeddingMatrix:
                     if not self._dirty:
                         self._dirty_rows.add(int(row))
                     self._note_delta((int(row),))
+                    self._note_removed(iid)
                     self._free.append(int(row))
                     n += 1
         return n
 
     def _note_delta(self, rows) -> None:
         """Track rows changed since the last full snapshot (delta-snapshot
-        support).  Past the churn threshold the set drops to None and the
-        next snapshot is a full rewrite."""
+        support).  Past the churn threshold the sets drop and the next
+        snapshot is a full rewrite."""
         if self._delta_rows is None:
             return
         self._delta_rows.update(int(r) for r in rows)
-        if len(self._delta_rows) > min(max(self.rows, 1024) // 4, 2_000_000):
+        self._delta_overflow_check()
+
+    def _note_removed(self, key: int) -> None:
+        """Track a removed KEY since the last full snapshot — deltas must
+        convey deletions or a raw load_snapshot would resurrect removed
+        items (the Searcher load path also reconciles against the DB, but
+        the classmethod loader has no DB)."""
+        if self._delta_rows is None:
+            return
+        self._delta_removed.add(int(key))
+        self._delta_overflow_check()
+
+    def _delta_overflow_check(self) -> None:
+        if (
+            self._delta_rows is not None
+            and len(self._delta_rows) + len(self._delta_removed)
+            > min(max(self.rows, 1024) // 4, 2_000_000)
+        ):
             self._delta_rows = None
+            self._delta_removed = set()
 
     def keys_of_group(self, item_id: int) -> list[int]:
         """All chunk keys currently stored for an item.  Single chunk-0
@@ -655,6 +682,7 @@ class EmbeddingMatrix:
                 if not self._dirty:
                     self._dirty_rows.add(int(row))
                 self._note_delta((int(row),))
+                self._note_removed(key)
                 self._free.append(int(row))
             return len(rows)
 
@@ -681,29 +709,48 @@ class EmbeddingMatrix:
           could misattribute a vector, so the save retries on reuse_gen
           movement and finally falls back to holding the lock.
         * both forms assemble at a temp path and os.replace — a crash
-          mid-save never corrupts the previous snapshot.
+          mid-save never corrupts the previous snapshot;
+        * every base carries a random ``base_token`` and each delta records
+          the token of the base it extends — a delta is only ever applied
+          to ITS base, so no crash ordering can pair a stale delta with a
+          newer base (which would silently regress rows) or lose rows when
+          a full rewrite fails after deltas advanced the manifest's
+          max_seq (the old base + old delta stay valid until the new base
+          has atomically landed).
         """
         delta_path = path + ".delta"
         with self._lock:
             dr = None if self._delta_rows is None else sorted(self._delta_rows)
-        if incremental and dr is not None and os.path.exists(path):
-            self._write_delta(delta_path, dr)
+            removed = sorted(self._delta_removed) if dr is not None else []
+        token = self._snapshot_token(path)
+        if incremental and dr is not None and token is not None:
+            self._write_delta(delta_path, dr, removed, token)
             return "delta"
-        # remove the previous base's delta BEFORE writing the new base: a
-        # crash between the two leaves old-manifest + new-base + no-delta
-        # (safe — seq replay from the old manifest covers the gap), whereas
-        # deleting after could leave a STALE delta that would regress rows
-        # when applied to the new base
-        if os.path.exists(delta_path):
-            os.unlink(delta_path)
+        new_token = os.urandom(16).hex()
         for attempt in range(3):
             gen = self.reuse_gen
-            self._write_full_snapshot(path, locked=attempt == 2)
+            self._write_full_snapshot(path, locked=attempt == 2, token=new_token)
             if self.reuse_gen == gen:
                 break
         with self._lock:
             self._delta_rows = set()  # fresh base: delta tracking restarts
+            self._delta_removed = set()
+        # any leftover delta belongs to the previous base (token mismatch —
+        # ignored on load even if this unlink never happens)
+        if os.path.exists(delta_path):
+            os.unlink(delta_path)
         return "full"
+
+    @staticmethod
+    def _snapshot_token(path: str):
+        """base_token of a snapshot file, or None (missing/legacy/corrupt)."""
+        try:
+            z = np.load(path)
+            if "base_token" in getattr(z, "files", []):
+                return str(z["base_token"])
+        except Exception:  # noqa: BLE001
+            pass
+        return None
 
     @staticmethod
     def _replace_into(path: str, write_fn) -> None:
@@ -716,7 +763,7 @@ class EmbeddingMatrix:
             if os.path.exists(tmp):
                 os.unlink(tmp)
 
-    def _write_full_snapshot(self, path: str, *, locked: bool) -> None:
+    def _write_full_snapshot(self, path: str, *, locked: bool, token: str) -> None:
         import contextlib
         import zipfile
 
@@ -733,6 +780,7 @@ class EmbeddingMatrix:
                 with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED, allowZip64=True) as zf:
                     for name, arr in (
                         ("dim", np.int64(self.dim)),
+                        ("base_token", np.str_(token)),
                         ("item_ids", item_ids),
                         ("source_ids", source_ids),
                     ):
@@ -754,10 +802,14 @@ class EmbeddingMatrix:
 
             self._replace_into(path, write)
 
-    def _write_delta(self, delta_path: str, rows: list[int]) -> None:
+    def _write_delta(
+        self, delta_path: str, rows: list[int], removed: list[int], token: str
+    ) -> None:
         """Cumulative delta since the last full base: (chunk keys, source
-        ids, f32 vectors) of every row changed since the base — applied by
-        upsert on load, so row numbers need not match the base's."""
+        ids, f32 vectors) of every row changed since the base plus the keys
+        removed since it — applied by remove-then-upsert on load, so row
+        numbers need not match the base's and re-added keys win.  Carries
+        the base's token (only applied to that exact base)."""
         idx = np.asarray(rows, dtype=np.int64)
         with self._lock:  # one bounded copy (delta capped at _note_delta)
             item_ids = self.item_ids[idx].copy()
@@ -772,9 +824,11 @@ class EmbeddingMatrix:
             with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED, allowZip64=True) as zf:
                 for name, arr in (
                     ("dim", np.int64(self.dim)),
+                    ("base_token", np.str_(token)),
                     ("item_ids", item_ids),
                     ("source_ids", source_ids),
                     ("vectors", vectors),
+                    ("removed_keys", np.asarray(removed, dtype=np.int64)),
                 ):
                     with zf.open(name + ".npy", "w", force_zip64=True) as f:
                         npf.write_array(f, np.asarray(arr), allow_pickle=False)
@@ -797,15 +851,29 @@ class EmbeddingMatrix:
         return m
 
     def apply_snapshot_delta(self, base_path: str) -> int:
-        """Apply ``base_path + ".delta"`` (rows changed since the base) if it
-        exists; returns how many live rows were applied."""
+        """Apply ``base_path + ".delta"`` (rows changed + keys removed since
+        the base) if it exists AND its token matches the base's; returns how
+        many live rows were applied.  Removals apply first so a removed-
+        then-re-added key ends live."""
         delta_path = str(base_path) + ".delta"
         if not os.path.exists(delta_path):
             return 0
+        base_token = self._snapshot_token(base_path)
         try:
             z = np.load(delta_path)
             if int(z["dim"]) != self.dim:
                 return 0
+            files = getattr(z, "files", [])
+            if (
+                base_token is None
+                or "base_token" not in files
+                or str(z["base_token"]) != base_token
+            ):
+                return 0  # delta belongs to a different base: ignore
+            if "removed_keys" in files:
+                gone = [int(k) for k in z["removed_keys"]]
+                if gone:
+                    self.remove(gone)
             live = z["source_ids"] >= 0
             keys = z["item_ids"][live].tolist()
             if keys:

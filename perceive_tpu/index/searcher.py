@@ -120,6 +120,46 @@ _scan_topk_xla_int4 = jax.jit(_scan_topk_xla_int4_impl, static_argnames=("k",))
 _NO_SCALES = np.zeros((1,), np.float32)
 
 
+def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engine, interpret):
+    """Traceable per-tier exact-scan dispatch -> sorted ((Q,k) vals, rows),
+    shared by every in-jit composition site (today: the fused text program)
+    so kernel selection can never fork from the standalone wrappers.  Small
+    Q only — no slab routing (large batches go through scan_topk_pallas*)."""
+
+    def sort_k(vals, rows):
+        svals, perm = jax.lax.top_k(vals, k)
+        return svals, jnp.take_along_axis(rows, perm, axis=1)
+
+    if bits == 4:
+        if engine == "pallas":
+            from ..ops.topk import pallas_topk_int4_unsorted, quantize_queries
+
+            qi8, qscale = quantize_queries(qp)
+            return sort_k(*pallas_topk_int4_unsorted(
+                vectors, scales.reshape(1, -1), source_ids.reshape(1, -1),
+                qi8, qscale, allowed, k, interpret,
+            ))
+        return _scan_topk_xla_int4_impl(vectors, scales, source_ids, qp, allowed, k)
+    if bits == 8:
+        if engine == "pallas":
+            from ..ops.topk import pallas_topk_int8_unsorted, quantize_queries
+
+            qi8, qscale = quantize_queries(qp)
+            return sort_k(*pallas_topk_int8_unsorted(
+                vectors, scales.reshape(1, -1), source_ids.reshape(1, -1),
+                qi8, qscale, allowed, k, interpret,
+            ))
+        return _scan_topk_xla_int8_impl(vectors, scales, source_ids, qp, allowed, k)
+    if engine == "pallas":
+        from ..ops.topk import pallas_topk_unsorted
+
+        qc = qp.astype(vectors.dtype)
+        return sort_k(*pallas_topk_unsorted(
+            vectors, source_ids.reshape(1, -1), qc, allowed, k, interpret
+        ))
+    return _scan_topk_xla_impl(vectors, source_ids, qp, allowed, k)
+
+
 def _build_fused_search(model, searcher):
     """ONE compiled program for a text query: token ids -> encoder -> query
     pad -> scan kernel -> sorted top-k (VERDICT r2 #1; the in-process call
@@ -139,51 +179,13 @@ def _build_fused_search(model, searcher):
     bits = m.quant_bits
     encode_ids = model._encode_ids_fn
 
-    def sort_k(vals, rows, k):
-        svals, perm = jax.lax.top_k(vals, k)
-        return svals, jnp.take_along_axis(rows, perm, axis=1)
-
     def fused(params, ids, vectors, source_ids, scales, allowed, k: int):
         q = encode_ids(params, ids).astype(jnp.float32)  # (1, dim)
         qp = q if padded == dim else jnp.pad(q, ((0, 0), (0, padded - dim)))
-        if bits == 4:
-            if engine == "pallas":
-                from ..ops.topk import pallas_topk_int4_unsorted, quantize_queries
-
-                qi8, qscale = quantize_queries(qp)
-                vals, rows = pallas_topk_int4_unsorted(
-                    vectors, scales.reshape(1, -1), source_ids.reshape(1, -1),
-                    qi8, qscale, allowed, k, interpret,
-                )
-                vals, rows = sort_k(vals, rows, k)
-            else:
-                vals, rows = _scan_topk_xla_int4_impl(
-                    vectors, scales, source_ids, qp, allowed, k
-                )
-        elif bits == 8:
-            if engine == "pallas":
-                from ..ops.topk import pallas_topk_int8_unsorted, quantize_queries
-
-                qi8, qscale = quantize_queries(qp)
-                vals, rows = pallas_topk_int8_unsorted(
-                    vectors, scales.reshape(1, -1), source_ids.reshape(1, -1),
-                    qi8, qscale, allowed, k, interpret,
-                )
-                vals, rows = sort_k(vals, rows, k)
-            else:
-                vals, rows = _scan_topk_xla_int8_impl(
-                    vectors, scales, source_ids, qp, allowed, k
-                )
-        elif engine == "pallas":
-            from ..ops.topk import pallas_topk_unsorted
-
-            qc = qp.astype(vectors.dtype)
-            vals, rows = pallas_topk_unsorted(
-                vectors, source_ids.reshape(1, -1), qc, allowed, k, interpret
-            )
-            vals, rows = sort_k(vals, rows, k)
-        else:
-            vals, rows = _scan_topk_xla_impl(vectors, source_ids, qp, allowed, k)
+        vals, rows = _tier_scan_in_jit(
+            vectors, scales, source_ids, qp, allowed, k,
+            bits=bits, engine=engine, interpret=interpret,
+        )
         return q, vals, rows
 
     return jax.jit(fused, static_argnames=("k",))
@@ -338,6 +340,7 @@ class Searcher:
             # path (matrix.save_snapshot delta form)
             with self.matrix._lock:
                 self.matrix._delta_rows = set()
+                self.matrix._delta_removed = set()
             self.matrix.apply_snapshot_delta(path)
         except Exception:  # corrupt snapshot -> full rebuild
             return False

@@ -341,8 +341,12 @@ def make_handler(holder: ServeState):
                 self.wfile.flush()
 
             try:
+                # capture readiness BEFORE the first push: if it flips while
+                # that payload is being built/sent, the second push must
+                # still fire or the subscriber never learns of readiness
+                was_ready = holder.ready.is_set()
                 push()
-                if not (holder.ready.is_set()):
+                if not was_ready:
                     holder.ready.wait(600)
                     push()
             except (BrokenPipeError, ConnectionResetError):

@@ -73,7 +73,6 @@ def stage_torch_golden() -> str:
 
     from perceive_tpu.models import Model
 
-    worst = 1.0
     for mt, path in installed:
         tok = AutoTokenizer.from_pretrained(str(path))
         ref = AutoModel.from_pretrained(str(path)).eval()
@@ -106,7 +105,6 @@ def stage_torch_golden() -> str:
             return xn @ xn.T
 
         diff = np.abs(simmat(got) - simmat(want)).max()
-        worst = min(worst, 1.0 - diff)
         print(f"  {mt.value}: max pairwise-similarity delta {diff:.5f}")
         if diff > 1e-2:
             return f"FAIL ({mt.value}: similarity structure delta {diff:.4f})"
@@ -134,7 +132,7 @@ def stage_committed_golden() -> str:
         got = model.encode([str(s) for s in z["sentences"]])
         want = z["embeddings"]
         cos = np.sum(got * want, -1) / (
-            np.linalg.norm(got, -1) * np.linalg.norm(want, -1)
+            np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
         )
         print(f"  {name}: min cosine {cos.min():.6f}")
         if cos.min() <= 0.999:

@@ -107,12 +107,22 @@ def test_snapshot_delta_roundtrip(tmp_path):
     assert os.path.getsize(snap + ".delta") < base_size
 
     m2 = EmbeddingMatrix.load_snapshot(snap, dtype=np.float32)
-    # removals convey via the DB-liveness reconcile in the Searcher load
-    # path, not the raw matrix loader, so key 7 is still present here:
-    # 50 base + 1 new (key 51) = 51
-    assert len(m2) == 51
+    # deltas convey removals too (removed_keys): 50 base - removed 7 + new 51
+    assert len(m2) == 50
+    assert 7 not in m2.row_of and 51 in m2.row_of
     np.testing.assert_allclose(m2.host_vectors_for([m2.row_of[3]]), newvec[:1], rtol=1e-6)
-    assert 51 in m2.row_of
+
+    # a delta is bound to ITS base by token: pair it with a different base
+    # and it must be ignored (stale-delta crash-ordering guard)
+    import shutil
+
+    other = str(tmp_path / "other.npz")
+    m3 = EmbeddingMatrix(16, dtype=np.float32)
+    m3.upsert([900], [0], rng.standard_normal((1, 16)).astype(np.float32))
+    assert m3.save_snapshot(other) == "full"
+    shutil.copy(snap + ".delta", other + ".delta")
+    m4 = EmbeddingMatrix.load_snapshot(other, dtype=np.float32)
+    assert len(m4) == 1 and 51 not in m4.row_of  # foreign delta ignored
 
     # churn past the threshold (floor: 256 rows for small matrices) flips
     # back to full and removes the stale delta of the old base
