@@ -85,6 +85,32 @@ def main() -> None:
               "index%20result", "gamma%20document", "beta%20engine",
               "corpus%20index%20alpha", "vector%20result%20delta"]
         walls = [query(q) for q in qs]
+
+        # concurrent phase: N client threads hammering /search — the
+        # executor coalesces text queries into batched encodes + shared
+        # sweeps (the reference served one query per Tauri command)
+        import threading
+
+        n_clients, per_client = 16, 6
+        lat: list[float] = []
+        lat_lock = threading.Lock()
+        barrier = threading.Barrier(n_clients)
+
+        def client(ci: int) -> None:
+            barrier.wait()
+            for j in range(per_client):
+                w = query(qs[(ci + j) % len(qs)])
+                with lat_lock:
+                    lat.append(w)
+
+        t0 = time.monotonic()
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(n_clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        conc_wall = time.monotonic() - t0
+
         print(
             json.dumps(
                 {
@@ -95,6 +121,10 @@ def main() -> None:
                     "max_ms": round(max(walls) * 1e3, 1),
                     "tunnel_rtt_ms": round(rtt * 1e3, 1),
                     "walls_over_rtt": round(float(np.median(walls)) / max(rtt, 1e-9), 2),
+                    "concurrent_clients": n_clients,
+                    "concurrent_qps": round(n_clients * per_client / conc_wall, 1),
+                    "concurrent_p50_ms": round(float(np.median(lat)) * 1e3, 1),
+                    "concurrent_p95_ms": round(float(np.quantile(lat, 0.95)) * 1e3, 1),
                     "scan_s": round(scan_s, 1),
                     "rows": len(app.searcher.matrix),
                 }

@@ -191,6 +191,20 @@ def test_snapshot_searches_not_stalled_by_save(tmp_path, monkeypatch):
     assert len(m2) == n
 
 
+def test_truncated_snapshot_falls_back(seeded, tmp_path):
+    """A corrupt/truncated snapshot file (disk fault — atomic replace makes
+    torn writes impossible, but not bit rot) falls back to a full rebuild."""
+    db, src, ids, rng = seeded
+    s1 = Searcher.build(db, 0, 0, 16, engine="xla")
+    snap = str(tmp_path / "t.npz")
+    s1.save_snapshot(db, snap)
+    data = open(snap, "rb").read()
+    with open(snap, "wb") as f:
+        f.write(data[: len(data) // 2])
+    s2 = Searcher.build(db, 0, 0, 16, engine="xla")
+    assert len(s2.matrix) == 10
+
+
 def test_snapshot_missing_file_falls_back(seeded, tmp_path):
     db, src, ids, rng = seeded
     s1 = Searcher.build(db, 0, 0, 16, engine="xla")
