@@ -174,6 +174,35 @@ def test_executor_text_path(model, corpus):
         ex.close()
 
 
+def test_executor_mixed_text_and_vector_batch(model, corpus):
+    """Text and vector queries submitted into the SAME coalescing window
+    resolve correctly: texts batch-encode once, then share sweeps with the
+    vector requests by (k, filter) signature."""
+    from perceive_tpu.index import BatchingSearchExecutor
+
+    texts, vecs, srcs = corpus
+    s = Searcher(0, 0, model.dim, dtype=jnp.float32, engine="xla")
+    s.upsert_embeddings(list(range(1, len(texts) + 1)), srcs, vecs)
+    ex = BatchingSearchExecutor(s, model=model, window_ms=60)
+    try:
+        ex.search(vecs[0], 3)  # prime: disables the idle short-circuit
+        fs = [
+            ex.submit_text("music pizza", 5),
+            ex.submit(vecs[3], 5),
+            ex.submit_text("alpha beta", 5, source_ids=[0]),
+            ex.submit(vecs[7], 3),
+        ]
+        got = [f.result(30) for f in fs]
+        assert [i for i, _ in got[0]] == [i for i, _ in s.search(model, "music pizza", 5)]
+        assert [i for i, _ in got[1]] == [i for i, _ in s.search_vector(vecs[3], 5)]
+        assert [i for i, _ in got[2]] == [
+            i for i, _ in s.search(model, "alpha beta", 5, source_ids=[0])
+        ]
+        assert [i for i, _ in got[3]] == [i for i, _ in s.search_vector(vecs[7], 3)]
+    finally:
+        ex.close()
+
+
 def test_executor_without_model_rejects_text(corpus, model):
     from perceive_tpu.index import BatchingSearchExecutor
 
