@@ -49,23 +49,10 @@ def _longest_nonspecial_run(special_mask: Sequence[int]) -> tuple[int, int]:
     return best_start, best_len
 
 
-def highlight(
-    model, query: str, documents: Sequence[str], query_emb=None
-) -> list[Optional[str]]:
-    """Best snippet per document, or None when a document yields no chunks.
-
-    The query embeds IN THE SAME device batch as the chunks (appended as one
-    more token window) unless ``query_emb`` is supplied — a separate
-    `model.encode([query])` dispatch would double the device round trips of
-    a warm serve query (VERDICT r2 #1; each dispatch costs a full tunnel
-    RTT on remote deployments)."""
-    if not documents:
-        return []
-    chunk_size, chunk_overlap = _chunk_sizes()
-    step = max(chunk_size - chunk_overlap, 1)
-
+def _prepare(model, documents, chunk_size, chunk_overlap, step):
+    """Host-side chunking of one request's documents: (encodings,
+    token chunk windows, chunk token ranges, per-doc chunk end indices)."""
     encs = model.tokenizer.encode_untruncated(list(documents))
-
     token_chunks: list[list[int]] = []
     chunk_token_ranges: list[tuple[int, int]] = []  # in doc-token coordinates
     doc_chunk_ends: list[int] = []
@@ -82,28 +69,11 @@ def highlight(
                 chunk_token_ranges.append((abs_start, abs_end))
             i += step
         doc_chunk_ends.append(len(token_chunks))
+    return encs, token_chunks, chunk_token_ranges, doc_chunk_ends
 
-    if token_chunks:
-        to_encode = list(token_chunks)
-        if query_emb is None:
-            # the query rides the chunk batch as its last row (see docstring)
-            qenc = model.tokenizer.encode_untruncated([query])[0]
-            qids = [
-                i for i, m in zip(qenc.ids, qenc.special_tokens_mask) if not m
-            ]
-            to_encode.append(qids)
-        embs = []
-        for s in range(0, len(to_encode), 256):
-            tb = model.tokenizer.encode_token_chunks(to_encode[s : s + 256])
-            embs.append(model.encode_token_batch(tb))
-        all_embs = np.concatenate(embs, axis=0)
-        if query_emb is None:
-            query_emb = all_embs[len(token_chunks)]
-        chunk_embs = all_embs[: len(token_chunks)]
-        scores = chunk_embs @ query_emb  # (n_chunks,)
-    else:
-        scores = np.zeros((0,), np.float32)
 
+def _finish(documents, encs, scores, chunk_token_ranges, doc_chunk_ends):
+    """Per-request argmax chunk -> char-range snippet extraction."""
     out: list[Optional[str]] = []
     start_idx = 0
     for doc_i, end_idx in enumerate(doc_chunk_ends):
@@ -125,3 +95,79 @@ def highlight(
             out.append(documents[doc_i][c0:c1])
         start_idx = end_idx
     return out
+
+
+def highlight_batch(
+    model,
+    pairs: Sequence[tuple[str, Sequence[str]]],
+    query_embs: Optional[Sequence] = None,
+) -> list[list[Optional[str]]]:
+    """Many (query, documents) highlight requests through ONE device batch.
+
+    All requests' chunk windows — and each request's query, unless its
+    ``query_embs`` entry is supplied — concatenate into a single bucketed
+    encode, so N concurrent serve queries cost one highlight dispatch
+    instead of N (each dispatch costs a full tunnel RTT on remote
+    deployments; this is what bounds concurrent serve QPS, BENCH_NOTES
+    round 3)."""
+    chunk_size, chunk_overlap = _chunk_sizes()
+    step = max(chunk_size - chunk_overlap, 1)
+    if query_embs is None:
+        query_embs = [None] * len(pairs)
+
+    prepared = []
+    to_encode: list[list[int]] = []
+    for (query, documents), qemb in zip(pairs, query_embs):
+        if not documents:
+            prepared.append(None)
+            continue
+        encs, chunks, ranges, ends = _prepare(
+            model, documents, chunk_size, chunk_overlap, step
+        )
+        chunk_base = len(to_encode)
+        to_encode.extend(chunks)
+        q_idx = -1
+        if chunks and qemb is None:
+            # the query rides the shared batch as one more token window
+            qenc = model.tokenizer.encode_untruncated([query])[0]
+            q_idx = len(to_encode)
+            to_encode.append(
+                [i for i, m in zip(qenc.ids, qenc.special_tokens_mask) if not m]
+            )
+        prepared.append((documents, encs, ranges, ends, chunk_base, q_idx, qemb))
+
+    all_embs = None
+    if to_encode:
+        embs = []
+        for s in range(0, len(to_encode), 256):
+            tb = model.tokenizer.encode_token_chunks(to_encode[s : s + 256])
+            embs.append(model.encode_token_batch(tb))
+        all_embs = np.concatenate(embs, axis=0)
+
+    out: list[list[Optional[str]]] = []
+    for p in prepared:
+        if p is None:
+            out.append([])
+            continue
+        documents, encs, ranges, ends, base, q_idx, qemb = p
+        n_chunks = ends[-1] if ends else 0
+        if n_chunks:
+            if qemb is None:
+                qemb = all_embs[q_idx]
+            scores = all_embs[base : base + n_chunks] @ qemb
+        else:
+            scores = np.zeros((0,), np.float32)
+        out.append(_finish(documents, encs, scores, ranges, ends))
+    return out
+
+
+def highlight(
+    model, query: str, documents: Sequence[str], query_emb=None
+) -> list[Optional[str]]:
+    """Best snippet per document, or None when a document yields no chunks.
+
+    The query embeds IN THE SAME device batch as the chunks (appended as one
+    more token window) unless ``query_emb`` is supplied — a separate
+    `model.encode([query])` dispatch would double the device round trips of
+    a warm serve query (VERDICT r2 #1)."""
+    return highlight_batch(model, [(query, documents)], [query_emb])[0]

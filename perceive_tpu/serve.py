@@ -135,6 +135,7 @@ class ServeState:
         self.error: Optional[str] = None
         self.app = None
         self.executor = None
+        self.highlighter = None  # coalesces highlight chunk-encodes
         self.refresh_scans_total = 0
         self.refresh_errors_total = 0
         self._stop_refresh = threading.Event()
@@ -147,6 +148,16 @@ class ServeState:
 
                     self.executor = BatchingSearchExecutor(
                         self.app.searcher, model=self.app.model
+                    )
+                    # N concurrent queries' highlights share ONE device
+                    # chunk-encode dispatch (models/highlight.highlight_batch)
+                    from .models.highlight import highlight_batch
+                    from .utils.coalesce import CoalescingBatcher
+
+                    hl_model = self.app.highlights_model
+                    self.highlighter = CoalescingBatcher(
+                        lambda batch: highlight_batch(hl_model, batch),
+                        name="highlight-batcher",
                     )
                     self._warm()
             except Exception as e:  # noqa: BLE001
@@ -215,6 +226,10 @@ class ServeState:
 
     def stop(self) -> None:
         self._stop_refresh.set()
+        if self.executor is not None:
+            self.executor.close()
+        if self.highlighter is not None:
+            self.highlighter.close()
 
 
 def _result_json(r) -> dict:
@@ -269,7 +284,11 @@ def make_handler(holder: ServeState):
             results = app.searcher.retrieve(app.db, hits)
             docs = [r.item.content or "" for r in results]
             if docs:
-                for r, h in zip(results, app.highlights_model.highlight(query, docs)):
+                if holder.highlighter is not None:
+                    hs = holder.highlighter.call((query, docs))
+                else:
+                    hs = app.highlights_model.highlight(query, docs)
+                for r, h in zip(results, hs):
                     r.highlight = h
             self._json(200, [_result_json(r) for r in results])
 

@@ -1,0 +1,93 @@
+"""Generic request coalescer: merge concurrent calls into one backend batch.
+
+The serving pattern behind BatchingSearchExecutor, factored for reuse: the
+device cost of an operation (a sweep, a chunk-encode) is per-DISPATCH, not
+per-request, and on remote/tunneled deployments each dispatch costs a full
+round trip — so concurrent requests should share one.  Requests enqueue; a
+dispatcher thread drains the queue every ``window_ms`` (or immediately when
+``max_batch`` are waiting, or when a single request arrives with no recent
+dispatch activity — an uncontended caller pays zero added latency) and
+answers all of them with one ``batch_fn(items)`` call.
+
+Used by serve for highlight coalescing (one chunk-encode dispatch for N
+concurrent queries; BENCH_NOTES round 3 — per-request highlight dispatches
+were what bounded concurrent serve QPS on the tunnel).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable, Sequence
+
+
+class CoalescingBatcher:
+    def __init__(
+        self,
+        batch_fn: Callable[[Sequence], Sequence],
+        *,
+        window_ms: float = 2.0,
+        max_batch: int = 64,
+        idle_factor: float = 4.0,
+        name: str = "coalescer",
+    ):
+        self.batch_fn = batch_fn
+        self.window = window_ms / 1e3
+        self.max_batch = max_batch
+        self.idle_after = idle_factor * self.window
+        self._last_drain = 0.0
+        self._queue: list[tuple[object, Future]] = []
+        self._lock = threading.Lock()
+        self._wake = threading.Condition(self._lock)
+        self._closed = False
+        self._thread = threading.Thread(target=self._run, daemon=True, name=name)
+        self._thread.start()
+
+    def submit(self, item) -> Future:
+        fut: Future = Future()
+        with self._wake:
+            if self._closed:
+                raise RuntimeError("batcher closed")
+            self._queue.append((item, fut))
+            self._wake.notify()
+        return fut
+
+    def call(self, item, timeout: float = 30.0):
+        """Blocking convenience wrapper."""
+        return self.submit(item).result(timeout)
+
+    def close(self) -> None:
+        with self._wake:
+            self._closed = True
+            self._wake.notify()
+        self._thread.join(timeout=5)
+
+    def _run(self) -> None:
+        while True:
+            with self._wake:
+                while not self._queue and not self._closed:
+                    self._wake.wait()
+                if self._closed and not self._queue:
+                    return
+                now = time.monotonic()
+                if not (len(self._queue) == 1 and now - self._last_drain > self.idle_after):
+                    deadline = now + self.window
+                    while len(self._queue) < self.max_batch and not self._closed:
+                        remaining = deadline - time.monotonic()
+                        if remaining <= 0:
+                            break
+                        self._wake.wait(remaining)
+                batch, self._queue = self._queue[: self.max_batch], self._queue[self.max_batch :]
+                self._last_drain = time.monotonic()
+            live = [(it, f) for it, f in batch if f.set_running_or_notify_cancel()]
+            if not live:
+                continue
+            try:
+                results = self.batch_fn([it for it, _ in live])
+            except Exception as e:  # noqa: BLE001 — fail the requests, not the loop
+                for _, f in live:
+                    f.set_exception(e)
+                continue
+            for (_, f), r in zip(live, results):
+                f.set_result(r)

@@ -70,3 +70,74 @@ def test_highlight_empty_and_short(model):
     assert model.highlight("q", []) == []
     out = model.highlight("alpha", ["beta"])
     assert len(out) == 1  # short doc: one chunk or None, never crashes
+
+
+def test_highlight_batch_matches_sequential(model):
+    """highlight_batch over many (query, docs) pairs == per-call highlight
+    (the serve path coalesces concurrent requests into one device batch)."""
+    from perceive_tpu.models.highlight import highlight_batch
+
+    filler = " ".join(["delta epsilon news"] * 4)
+    pairs = [
+        ("alpha beta", [f"{filler} alpha beta gamma {filler}", "delta epsilon"]),
+        ("delta epsilon", ["delta epsilon news body", f"alpha beta {filler}"]),
+        ("gamma", []),
+        ("news title", ["news title front matter", "beta"]),
+    ]
+    batched = highlight_batch(model, pairs)
+    for (q, docs), got in zip(pairs, batched):
+        want = model.highlight(q, docs)
+        assert got == want, f"batch/sequential divergence for {q!r}"
+
+
+def test_coalescing_batcher():
+    import threading
+    import time
+
+    from perceive_tpu.utils.coalesce import CoalescingBatcher
+
+    calls = []
+
+    def batch_fn(items):
+        calls.append(list(items))
+        return [i * 2 for i in items]
+
+    cb = CoalescingBatcher(batch_fn, window_ms=40)
+    try:
+        # idle single call: immediate, batch of 1
+        assert cb.call(21) == 42
+        assert calls[-1] == [21]
+        # a burst right after coalesces into shared batches
+        results = [None] * 8
+        barrier = threading.Barrier(8)
+
+        def client(i):
+            barrier.wait()
+            results[i] = cb.call(i)
+
+        ts = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert results == [i * 2 for i in range(8)]
+        assert len(calls) <= 4  # far fewer backend calls than requests
+
+        # errors propagate without killing the dispatcher
+        def boom(items):
+            raise RuntimeError("nope")
+
+        cb2 = CoalescingBatcher(boom, window_ms=1)
+        try:
+            import pytest as _pytest
+
+            with _pytest.raises(RuntimeError):
+                cb2.call(1)
+        finally:
+            cb2.close()
+    finally:
+        cb.close()
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        cb.submit(1)  # closed
