@@ -221,6 +221,11 @@ class ServeState:
                 vec = app.model.encode_query("warmup")
                 app.searcher.search_vector(vec, 10)
                 app.highlights_model.highlight("warmup", ["warm up the chunk encoder"])
+                # also warm a coalesced-size highlight batch (concurrent
+                # load lands on larger chunk-count buckets)
+                app.highlights_model.highlight(
+                    "warmup", ["warm up the chunk encoder " * 8] * 10
+                )
         except Exception as e:  # noqa: BLE001 — warming is best-effort
             print(f"serve warmup failed (continuing): {e}", file=sys.stderr)
 
