@@ -27,7 +27,7 @@ import queue
 import sys
 import threading
 import traceback
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 
@@ -233,19 +233,22 @@ def build_document(item: Item) -> Optional[str]:
     return doc or None
 
 
-def chunk_token_windows(
-    tokenizer, text: str, chunk_tokens: int, overlap: int
-) -> list[list[int]]:
-    """Split a document into overlapping chunk_tokens-sized token-id windows.
+def chunk_token_windows_batch(
+    tokenizer, texts: Sequence[str], chunk_tokens: int, overlap: int
+) -> list[list[list[int]]]:
+    """Split documents into overlapping chunk_tokens-sized token-id windows
+    (one window list per document), tokenizing the whole batch in ONE
+    tokenizer call.
 
     The north-star long-context strategy (SURVEY.md §5.7): instead of the
     reference's head-truncation at max_seq_length (model/tokenize.rs:64-71),
     every chunk is embedded and indexed, so matches deep in long documents
-    are findable.  The document is tokenized exactly ONCE: windows are id
+    are findable.  Each document is tokenized exactly ONCE: windows are id
     slices of the untruncated encoding (specials excluded), re-wrapped with
     the model's special tokens at dispatch (tokenize.pack_token_windows) —
-    never re-tokenized text, so chunk boundaries are token-exact and the
-    tokenizer CPU per document is halved vs the round-1 text-span scheme.
+    never re-tokenized text, so chunk boundaries are token-exact.  Batch
+    tokenization matters because the single-core ingest host's tokenizer
+    CPU is the throughput ceiling (BENCH_NOTES).
     """
     # clamp to what the model can actually encode after the special-token
     # wrap — a chunk_tokens at or above max_seq_length would otherwise have
@@ -253,19 +256,29 @@ def chunk_token_windows(
     # scheme's full-coverage guarantee (ADVICE r2: tokenize.py:210)
     chunk_tokens = min(chunk_tokens, tokenizer.wrap_budget)
     overlap = min(overlap, chunk_tokens - 1)
-    enc = tokenizer.encode_untruncated([text])[0]
-    ids = [i for i, m in zip(enc.ids, enc.special_tokens_mask) if not m]
-    if len(ids) <= chunk_tokens:
-        return [ids]
     step = max(chunk_tokens - overlap, 1)
-    windows = []
-    start = 0
-    while start < len(ids):
-        windows.append(ids[start : start + chunk_tokens])
-        if start + chunk_tokens >= len(ids):
-            break
-        start += step
-    return windows
+    out: list[list[list[int]]] = []
+    for enc in tokenizer.encode_untruncated(list(texts)):
+        ids = [i for i, m in zip(enc.ids, enc.special_tokens_mask) if not m]
+        if len(ids) <= chunk_tokens:
+            out.append([ids])
+            continue
+        windows = []
+        start = 0
+        while start < len(ids):
+            windows.append(ids[start : start + chunk_tokens])
+            if start + chunk_tokens >= len(ids):
+                break
+            start += step
+        out.append(windows)
+    return out
+
+
+def chunk_token_windows(
+    tokenizer, text: str, chunk_tokens: int, overlap: int
+) -> list[list[int]]:
+    """Single-document convenience wrapper over chunk_token_windows_batch."""
+    return chunk_token_windows_batch(tokenizer, [text], chunk_tokens, overlap)[0]
 
 
 class _PendingItem:
@@ -363,6 +376,30 @@ def _embed_stage(
         if len(pending) > PIPELINE_DEPTH:
             materialize(pending.pop(0))
 
+    def enqueue_parts(si, parts):
+        pi = _PendingItem(si, len(parts))
+        for ci, part in enumerate(parts):
+            buf.append((pi, ci))
+            texts.append(part)
+            if len(buf) >= batch_size:
+                dispatch()
+
+    # documents awaiting chunk-window tokenization batch up so the (single-
+    # core) host tokenizes TOK_BATCH docs per tokenizer call instead of one
+    tok_buf: list = []
+    TOK_BATCH = 64
+
+    def flush_tok():
+        nonlocal tok_buf
+        if not tok_buf:
+            return
+        pending_docs, tok_buf = tok_buf, []
+        windows = chunk_token_windows_batch(
+            model.tokenizer, [d for _, d in pending_docs], chunk_tokens, chunk_overlap
+        )
+        for (si, _), parts in zip(pending_docs, windows):
+            enqueue_parts(si, parts)
+
     for si in _drain_queue(in_q):
         if (
             si.state in (ScanItemState.UNCHANGED, ScanItemState.FOUND)
@@ -377,15 +414,12 @@ def _embed_stage(
             release([(si, [])])
             continue
         if chunk_tokens > 0:
-            parts = chunk_token_windows(model.tokenizer, doc, chunk_tokens, chunk_overlap)
+            tok_buf.append((si, doc))
+            if len(tok_buf) >= TOK_BATCH:
+                flush_tok()
         else:
-            parts = [doc]
-        pi = _PendingItem(si, len(parts))
-        for ci, part in enumerate(parts):
-            buf.append((pi, ci))
-            texts.append(part)
-            if len(buf) >= batch_size:
-                dispatch()
+            enqueue_parts(si, [doc])
+    flush_tok()
     if buf:
         dispatch()
     while pending:
