@@ -218,6 +218,13 @@ class ServeState:
                 # the separate encode + sweep pair still backs escalation /
                 # consistency re-sweeps and coalesced batches, so warm both
                 app.searcher.search_fused(app.model, "warmup", 10)
+                # a longer query lands on the next seq bucket (16 -> 32);
+                # without this, the first multi-word query pays a fresh
+                # fused-program compile (~1 s walls measured, BENCH_NOTES)
+                app.searcher.search_fused(
+                    app.model, "warm up the next query length bucket "
+                    "with a sentence of around twenty five tokens total", 10
+                )
                 vec = app.model.encode_query("warmup")
                 app.searcher.search_vector(vec, 10)
                 app.highlights_model.highlight("warmup", ["warm up the chunk encoder"])
