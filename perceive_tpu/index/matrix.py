@@ -40,6 +40,11 @@ CHUNK_STRIDE = 4096
 
 
 def chunk_key(item_id: int, chunk_idx: int = 0) -> int:
+    if not 0 <= chunk_idx < CHUNK_STRIDE:
+        # out-of-range indices would silently key into the NEXT item's
+        # group; the ingest pipeline caps windows (MAX_CHUNKS_PER_DOC), so
+        # reaching this is a caller bug — fail loud, never corrupt
+        raise ValueError(f"chunk_idx {chunk_idx} outside [0, {CHUNK_STRIDE})")
     return item_id * CHUNK_STRIDE + chunk_idx
 
 
@@ -652,6 +657,23 @@ class EmbeddingMatrix:
             self._delta_rows = None
             self._delta_removed = set()
 
+    def clear(self) -> None:
+        """Drop every row and all delta tracking (a failed snapshot load
+        falls back to a full rebuild — the partially-loaded state must not
+        leak stale keys into it)."""
+        with self._lock:
+            self.rows = 0
+            self._free.clear()
+            self.row_of.clear()
+            self.groups.clear()
+            self.multi_chunk_groups = 0
+            self.item_ids[:] = -1
+            self.source_ids[:] = -1
+            self._dirty = True  # next sync re-uploads the (empty) state
+            self._dirty_rows.clear()
+            self._delta_rows = set()
+            self._delta_removed = set()
+
     def keys_of_group(self, item_id: int) -> list[int]:
         """All chunk keys currently stored for an item.  Single chunk-0
         items have no explicit group entry (see upsert) — the implicit group
@@ -853,8 +875,13 @@ class EmbeddingMatrix:
     def apply_snapshot_delta(self, base_path: str) -> int:
         """Apply ``base_path + ".delta"`` (rows changed + keys removed since
         the base) if it exists AND its token matches the base's; returns how
-        many live rows were applied.  Removals apply first so a removed-
-        then-re-added key ends live."""
+        many live rows were applied, 0 when no delta exists, or **-1 when a
+        delta EXISTS but cannot be used** (corrupt, dim mismatch, token of a
+        different base).  -1 means the caller must fall back to a full
+        rebuild: the vector_shards manifest's max_seq was advanced by delta
+        saves, so seq replay alone does NOT cover the rows the unusable
+        delta carried — ignoring it would silently drop them.  Removals
+        apply first so a removed-then-re-added key ends live."""
         delta_path = str(base_path) + ".delta"
         if not os.path.exists(delta_path):
             return 0
@@ -862,14 +889,14 @@ class EmbeddingMatrix:
         try:
             z = np.load(delta_path)
             if int(z["dim"]) != self.dim:
-                return 0
+                return -1
             files = getattr(z, "files", [])
             if (
                 base_token is None
                 or "base_token" not in files
                 or str(z["base_token"]) != base_token
             ):
-                return 0  # delta belongs to a different base: ignore
+                return -1  # delta belongs to a different base
             if "removed_keys" in files:
                 gone = [int(k) for k in z["removed_keys"]]
                 if gone:
@@ -879,5 +906,5 @@ class EmbeddingMatrix:
             if keys:
                 self.upsert(keys, z["source_ids"][live].tolist(), z["vectors"][live])
             return len(keys)
-        except Exception:  # noqa: BLE001 — corrupt delta: base + replay covers
-            return 0
+        except Exception:  # noqa: BLE001 — corrupt delta
+            return -1

@@ -341,8 +341,15 @@ class Searcher:
             with self.matrix._lock:
                 self.matrix._delta_rows = set()
                 self.matrix._delta_removed = set()
-            self.matrix.apply_snapshot_delta(path)
+            if self.matrix.apply_snapshot_delta(path) < 0:
+                # a delta EXISTS but is unusable: the manifest's max_seq was
+                # advanced past its contents, so replay can't recover them —
+                # full rebuild (the caller drops to the BLOB scan path; the
+                # partially-loaded base must not leak into it)
+                self.matrix.clear()
+                return False
         except Exception:  # corrupt snapshot -> full rebuild
+            self.matrix.clear()
             return False
         # replay embeddings written after the snapshot
         self._load(db, " AND ie.seq > ?", (max_seq,))
@@ -715,11 +722,22 @@ class Searcher:
     _supports_fused = True  # ShardedSearcher opts out (shard_map program)
 
     def _fused_callable(self, model):
-        key = (id(model), self.engine, self.matrix.quant_bits)
-        fn = self._fused_cache.get(key)
-        if fn is None:
-            fn = _build_fused_search(model, self)
-            self._fused_cache[key] = fn
+        return self._fused_lookup(model, _build_fused_search)
+
+    def _fused_lookup(self, model, builder):
+        """Per-(engine, tier) cache of the fused program, validated against
+        the model by WEAK reference — id()-keying could serve a stale
+        program built for a garbage-collected model whose address was
+        reused (after `model set`), and strong refs would pin multi-GB
+        params per swap."""
+        import weakref
+
+        key = (self.engine, self.matrix.quant_bits)
+        entry = self._fused_cache.get(key)
+        if entry is not None and entry[0]() is model:
+            return entry[1]
+        fn = builder(model, self)
+        self._fused_cache[key] = (weakref.ref(model), fn)
         return fn
 
     def _fused_put(self, x):

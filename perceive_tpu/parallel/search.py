@@ -202,12 +202,7 @@ class ShardedSearcher(Searcher):
     (_build_fused_sharded)."""
 
     def _fused_callable(self, model):  # type: ignore[override]
-        key = (id(model), self.engine, self.matrix.quant_bits)
-        fn = self._fused_cache.get(key)
-        if fn is None:
-            fn = _build_fused_sharded(model, self)
-            self._fused_cache[key] = fn
-        return fn
+        return self._fused_lookup(model, _build_fused_sharded)
 
     def _fused_put(self, x):  # type: ignore[override]
         from .mesh import replicated

@@ -56,6 +56,9 @@ EMBED_BATCH_SIZE = min(
 READ_PARALLELISM = 8  # reference import.rs:60
 MATCH_QUEUE = 256
 EMBED_QUEUE_BATCHES = 8
+# hard cap on chunk windows per document: chunk_idx lives in a
+# CHUNK_STRIDE=4096 keyspace inside the matrix chunk key (index/matrix.py)
+MAX_CHUNKS_PER_DOC = 4096
 
 _SENTINEL = None
 
@@ -253,9 +256,12 @@ def chunk_token_windows_batch(
     # clamp to what the model can actually encode after the special-token
     # wrap — a chunk_tokens at or above max_seq_length would otherwise have
     # its tail silently dropped by pack_token_windows, breaking the overlap
-    # scheme's full-coverage guarantee (ADVICE r2: tokenize.py:210)
+    # scheme's full-coverage guarantee (ADVICE r2: tokenize.py:210).  The
+    # overlap clamps to HALF the (possibly clamped) window: a configured
+    # overlap >= the clamped window would collapse the stride to 1 and emit
+    # one window per token (~450x the embed work, silently).
     chunk_tokens = min(chunk_tokens, tokenizer.wrap_budget)
-    overlap = min(overlap, chunk_tokens - 1)
+    overlap = min(overlap, chunk_tokens // 2)
     step = max(chunk_tokens - overlap, 1)
     out: list[list[list[int]]] = []
     for enc in tokenizer.encode_untruncated(list(texts)):
@@ -267,6 +273,12 @@ def chunk_token_windows_batch(
         start = 0
         while start < len(ids):
             windows.append(ids[start : start + chunk_tokens])
+            if len(windows) >= MAX_CHUNKS_PER_DOC:
+                # chunk_idx must stay below the CHUNK_STRIDE keyspace
+                # (matrix chunk keys are item_id * 4096 + chunk_idx); a
+                # pathological multi-megabyte document indexes its first
+                # ~2M tokens rather than corrupting the NEXT item's rows
+                break
             if start + chunk_tokens >= len(ids):
                 break
             start += step

@@ -31,11 +31,18 @@ class CoalescingBatcher:
         max_batch: int = 64,
         idle_factor: float = 4.0,
         name: str = "coalescer",
+        resolving: bool = True,
     ):
+        """``resolving=True`` (default): ``batch_fn(items) -> results`` and
+        the batcher resolves each future with its result.  ``resolving=
+        False``: ``batch_fn(pairs)`` receives the live (item, future) pairs
+        and is itself responsible for resolving every future (the search
+        executor groups requests and resolves per group)."""
         self.batch_fn = batch_fn
         self.window = window_ms / 1e3
         self.max_batch = max_batch
         self.idle_after = idle_factor * self.window
+        self.resolving = resolving
         self._last_drain = 0.0
         self._queue: list[tuple[object, Future]] = []
         self._lock = threading.Lock()
@@ -83,11 +90,19 @@ class CoalescingBatcher:
             live = [(it, f) for it, f in batch if f.set_running_or_notify_cancel()]
             if not live:
                 continue
-            try:
-                results = self.batch_fn([it for it, _ in live])
-            except Exception as e:  # noqa: BLE001 — fail the requests, not the loop
-                for _, f in live:
-                    f.set_exception(e)
-                continue
-            for (_, f), r in zip(live, results):
-                f.set_result(r)
+            if self.resolving:
+                try:
+                    results = self.batch_fn([it for it, _ in live])
+                except Exception as e:  # noqa: BLE001 — fail requests, not the loop
+                    for _, f in live:
+                        f.set_exception(e)
+                    continue
+                for (_, f), r in zip(live, results):
+                    f.set_result(r)
+            else:
+                try:
+                    self.batch_fn(live)  # batch_fn resolves every future
+                except Exception as e:  # noqa: BLE001 — bug guard: batch_fn
+                    for _, f in live:  # must resolve, never raise
+                        if not f.done():
+                            f.set_exception(e)

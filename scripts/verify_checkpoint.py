@@ -90,15 +90,7 @@ def stage_torch_golden() -> str:
         # structure. For exactness we store our own final embeddings too.
         model = Model.new_pretrained(mt, compute_dtype=np.float32, attention_impl="xla")
         got = model.encode(SENTENCES)
-        fixture = FIXTURES / f"real_golden_{mt.checkpoint_dir_name}.npz"
-        if not fixture.exists():
-            np.savez(
-                fixture,
-                sentences=np.array(SENTENCES),
-                tower_mean_pooled=want,
-                embeddings=got,  # our stack's output on real weights
-            )
-            print(f"  wrote {fixture} — COMMIT THIS FILE")
+
         # cosine structure parity: pairwise similarity matrices agree
         def simmat(x):
             xn = x / np.linalg.norm(x, axis=1, keepdims=True)
@@ -108,6 +100,17 @@ def stage_torch_golden() -> str:
         print(f"  {mt.value}: max pairwise-similarity delta {diff:.5f}")
         if diff > 1e-2:
             return f"FAIL ({mt.value}: similarity structure delta {diff:.4f})"
+        # only a PASSING run may bake the committed golden — writing before
+        # the check would enshrine broken embeddings as the reference
+        fixture = FIXTURES / f"real_golden_{mt.checkpoint_dir_name}.npz"
+        if not fixture.exists():
+            np.savez(
+                fixture,
+                sentences=np.array(SENTENCES),
+                tower_mean_pooled=want,
+                embeddings=got,  # our stack's output on real weights
+            )
+            print(f"  wrote {fixture} — COMMIT THIS FILE")
     return "PASS"
 
 
