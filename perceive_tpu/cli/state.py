@@ -138,6 +138,7 @@ class AppState:
                     "float32": jnp.float32, "f32": jnp.float32,
                 }[choice]
             start = time.time()
+            auto = choice == "auto"
             if len(jax.devices()) > 1:
                 # multi-chip: row-shard the corpus over the whole mesh with
                 # per-chip top-k + all-gather merge, and scale ingest encode
@@ -156,6 +157,10 @@ class AppState:
                     self.db, self.model.model_id, self.model.model_version,
                     self.model.dim, engine=engine, dtype=dtype,
                 )
+            # the auto configuration keeps following corpus growth: a fresh
+            # DB that ingests millions of rows this session re-tiers instead
+            # of staying in the startup tier until a restart
+            self.searcher.auto_retier = auto
             if len(self.searcher.matrix):
                 print(f"Built search in {time.time() - start:.1f} seconds", file=sys.stderr)
         self.sources: list[Source] = list_sources(self.db)

@@ -657,6 +657,27 @@ class EmbeddingMatrix:
             self._delta_rows = None
             self._delta_removed = set()
 
+    def retier(self, dtype) -> None:
+        """Switch the storage dtype in place; the next sync restages the
+        whole matrix from the host mirror in the new tier.  Lets the
+        auto-tier rule follow a corpus that crosses a threshold MID-SESSION
+        (a first big ingest in a fresh DB would otherwise stay in the
+        startup tier — bf16 at 40M rows is ~30 GB of HBM and OOMs where the
+        int4 tier fits; round-3 review)."""
+
+        def tier_name(dt) -> str:
+            return dt if isinstance(dt, str) else str(
+                np.dtype(jax.dtypes.canonicalize_dtype(dt))
+            )
+
+        with self._lock:
+            if tier_name(dtype) == tier_name(self.dtype):
+                return
+            self.dtype = dtype
+            self._device_scales = None
+            self._dirty = True  # full restage in the new storage dtype
+            self._dirty_rows.clear()
+
     def clear(self) -> None:
         """Drop every row and all delta tracking (a failed snapshot load
         falls back to a full rebuild — the partially-loaded state must not

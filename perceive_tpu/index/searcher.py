@@ -244,7 +244,12 @@ class Searcher:
 
             engine = "pallas" if platform_of(self.matrix.device) == "tpu" else "xla"
         self.engine = engine
-        self._fused_cache: dict = {}  # (model id, engine, bits) -> jitted fn
+        self._fused_cache: dict = {}  # (engine, bits) -> (model weakref, fn)
+        # when True (AppState sets it for the default "auto" configuration),
+        # ingest growth re-evaluates the storage tier so a corpus crossing
+        # the 1.5M/4M thresholds MID-SESSION switches to the right tier
+        # instead of waiting for a restart (matrix.retier)
+        self.auto_retier = False
 
     # -- build ---------------------------------------------------------------
 
@@ -380,6 +385,7 @@ class Searcher:
         source_ids = [r[1] for r in rows]
         vecs = np.stack([deserialize_embedding(r[2]) for r in rows])
         self.matrix.upsert(keys, source_ids, vecs)
+        self._maybe_retier()
         return len(rows)
 
     def rebuild_source(self, db: Database, source_id: int) -> int:
@@ -412,6 +418,14 @@ class Searcher:
         if stale:
             self.matrix.remove(stale)
         self.matrix.upsert(keys, source_ids, vectors)
+        self._maybe_retier()
+
+    def _maybe_retier(self) -> None:
+        if not self.auto_retier:
+            return
+        from .matrix import auto_matrix_dtype
+
+        self.matrix.retier(auto_matrix_dtype(len(self.matrix)))
 
     def remove_items(self, item_ids: Sequence[int]) -> int:
         """Tombstone every chunk of each item."""

@@ -38,6 +38,38 @@ def test_auto_matrix_dtype_tiers():
     assert auto_matrix_dtype(10_000_000) == INT4
 
 
+def test_auto_retier_on_mid_session_growth(monkeypatch):
+    """With auto_retier on, a corpus crossing a tier threshold MID-SESSION
+    switches storage dtype in place (restaged from the host mirror) and
+    keeps returning exact results through the new tier's rerank."""
+    import jax.numpy as jnp
+
+    import perceive_tpu.index.matrix as matmod
+    from perceive_tpu.index.searcher import Searcher
+
+    monkeypatch.setattr(
+        matmod, "auto_matrix_dtype",
+        lambda n: jnp.int8 if n > 50 else jnp.bfloat16,
+    )
+    rng = np.random.default_rng(3)
+    d = 16
+    vecs = rng.standard_normal((100, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    s = Searcher(0, 0, d, dtype=jnp.bfloat16, engine="xla")
+    s.auto_retier = True
+    s.upsert_embeddings(list(range(1, 41)), [0] * 40, vecs[:40])
+    assert not s.matrix.quantized  # under the (patched) threshold
+    assert s.search_vector(vecs[7], 1)[0][0] == 8
+
+    s.upsert_embeddings(list(range(41, 101)), [0] * 60, vecs[40:])
+    assert s.matrix.quantized and s.matrix.quant_bits == 8  # re-tiered
+    q = vecs[77] + 0.01 * rng.standard_normal(d).astype(np.float32)
+    hits = s.search_vector(q, 5)
+    want = np.argsort(-(vecs @ q), kind="stable")[:5] + 1
+    assert [i for i, _ in hits] == list(want)  # exact via the new rerank
+
+
 def test_serialize_roundtrip():
     v = np.random.default_rng(0).standard_normal(384).astype(np.float32)
     assert np.array_equal(deserialize_embedding(serialize_embedding(v)), v)
