@@ -92,6 +92,26 @@ def test_chunked_scan_and_search(tmp_db, tmp_path, model):
     assert n_emb == sum(counts.values())
 
 
+def test_chunk_windows_capped_at_keyspace(model):
+    """Windows per document cap at the chunk_idx keyspace (4096) and a
+    pathological overlap cannot collapse the stride to one-token steps —
+    either would silently corrupt neighbouring items' chunk keys."""
+    from perceive_tpu.sources.pipeline import MAX_CHUNKS_PER_DOC, chunk_token_windows
+
+    text = " ".join(WORDS * 1000)  # 10k tokens
+    windows = chunk_token_windows(model.tokenizer, text, 2, 0)
+    assert len(windows) == MAX_CHUNKS_PER_DOC
+    # overlap >= window would step by 1 token (~one window per token);
+    # the clamp to half the window bounds the count near 2N/chunk_tokens
+    windows2 = chunk_token_windows(model.tokenizer, text, 8, 7)
+    assert len(windows2) <= 2 * (10_000 // 8) + 2
+    # chunk_key refuses out-of-range indices outright
+    from perceive_tpu.index.matrix import chunk_key
+
+    with pytest.raises(ValueError):
+        chunk_key(1, 4096)
+
+
 def test_chunking_default_on_finds_deep_match(tmp_db, tmp_path, model):
     """A source with NO chunk config chunk-embeds long documents by default
     (VERDICT r2 #6): a match deep past max_seq_length is found, which the

@@ -191,6 +191,47 @@ def test_snapshot_searches_not_stalled_by_save(tmp_path, monkeypatch):
     assert len(m2) == n
 
 
+def test_snapshot_delta_random_op_sequences(tmp_path):
+    """Property-style: random upsert/remove sequences interleaved with
+    full/delta saves must always reload (base + delta) to exactly the live
+    matrix's key set and vectors — the invariant behind every delta rule
+    (cumulative-since-base, removed_keys, token binding, churn flip)."""
+    from perceive_tpu.index.matrix import EmbeddingMatrix
+
+    rng = np.random.default_rng(7)
+    d = 12
+    snap = str(tmp_path / "prop.npz")
+    m = EmbeddingMatrix(d, dtype=np.float32)
+    next_key = 1
+
+    def live_state(mat):
+        return {
+            k: tuple(np.round(mat.host_vectors_for([r])[0], 5))
+            for k, r in mat.row_of.items()
+        }
+
+    for step in range(60):
+        op = rng.integers(0, 10)
+        if op < 5:  # upsert a few new keys
+            n = int(rng.integers(1, 8))
+            keys = list(range(next_key, next_key + n))
+            next_key += n
+            m.upsert(keys, [0] * n, rng.standard_normal((n, d)).astype(np.float32))
+        elif op < 7 and m.row_of:  # overwrite existing
+            keys = list(rng.choice(list(m.row_of), size=min(3, len(m.row_of)), replace=False))
+            m.upsert(keys, [0] * len(keys), rng.standard_normal((len(keys), d)).astype(np.float32))
+        elif op < 9 and m.row_of:  # remove some
+            keys = list(rng.choice(list(m.row_of), size=min(2, len(m.row_of)), replace=False))
+            m.remove([int(k) for k in keys])
+        else:  # snapshot (delta when possible) + reload + compare
+            m.save_snapshot(snap)
+            m2 = EmbeddingMatrix.load_snapshot(snap, dtype=np.float32)
+            assert live_state(m2) == live_state(m), f"divergence at step {step}"
+    m.save_snapshot(snap)
+    m2 = EmbeddingMatrix.load_snapshot(snap, dtype=np.float32)
+    assert live_state(m2) == live_state(m)
+
+
 def test_truncated_snapshot_falls_back(seeded, tmp_path):
     """A corrupt/truncated snapshot file (disk fault — atomic replace makes
     torn writes impossible, but not bit rot) falls back to a full rebuild."""
