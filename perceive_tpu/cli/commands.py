@@ -464,6 +464,7 @@ def search(state, args) -> list[SearchResult]:
     # explode just because the post-filter over-fetch would exceed MAX_K
     fetch_k = min(4 * k, MAX_K) if tag_items is not None else k
 
+    hl_q = None  # highlight-model query embedding, fused into the sweep
     if getattr(args, "like", None):
         vec = state.searcher.stored_embedding(state.db, int(args.like))
         if vec is None:
@@ -473,7 +474,14 @@ def search(state, args) -> list[SearchResult]:
         query = " ".join(args.query)
         if not query:
             raise SystemExit("search needs a query or --like <item-id>")
-        results = state.searcher.search_and_retrieve(state.db, state.model, query, fetch_k, source_ids)
+        # the fused program also embeds the query with the highlights model
+        # (reference runs both models per query, cmd/search.rs:92-104; here
+        # they share one compiled dispatch)
+        hits, hl_q = state.searcher.search_fused(
+            state.model, query, fetch_k, source_ids,
+            aux_model=state.highlights_model,
+        )
+        results = state.searcher.retrieve(state.db, hits)
 
     if tag_items is not None:
         results = [r for r in results if r.item.id in tag_items][:k]
@@ -481,7 +489,9 @@ def search(state, args) -> list[SearchResult]:
     docs = [r.item.content or "" for r in results]
     query_text = " ".join(args.query) if args.query else ""
     highlights = (
-        state.highlights_model.highlight(query_text, docs) if query_text and docs else [None] * len(docs)
+        state.highlights_model.highlight(query_text, docs, query_emb=hl_q)
+        if query_text and docs
+        else [None] * len(docs)
     )
     for r, h in zip(results, highlights):
         r.highlight = h

@@ -81,6 +81,14 @@ def _enable_jit_cache() -> None:
     choice = os.environ.get("PERCEIVE_TPU_JIT_CACHE", "")
     if choice == "0":
         return
+    if not choice and jax.default_backend() == "cpu":
+        # CPU compiles are fast, and XLA's CPU AOT cache entries key on the
+        # *compile* machine's feature set — reusing them on a different host
+        # warns about feature mismatch and risks SIGILL (seen when a data
+        # dir moves between machines).  TPU/accelerator programs (the ~113 s
+        # serve warmup this cache exists for) don't have that hazard.
+        # Setting PERCEIVE_TPU_JIT_CACHE=<dir> still forces it on.
+        return
     cache = choice or str(data_dir() / "jit_cache")
     try:
         os.makedirs(cache, exist_ok=True)

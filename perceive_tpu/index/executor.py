@@ -27,13 +27,18 @@ from ..utils.coalesce import CoalescingBatcher
 
 
 class _Request:
-    __slots__ = ("vec", "text", "k", "source_key")
+    __slots__ = ("vec", "text", "k", "source_key", "want_aux", "aux_vec")
 
-    def __init__(self, vec, k, source_key, text=None):
+    def __init__(self, vec, k, source_key, text=None, want_aux=False):
         self.vec = vec
         self.text = text  # text queries ride the fused encode+sweep dispatch
         self.k = k
         self.source_key = source_key
+        # want_aux: also return the query embedded by the executor's
+        # aux_model (the highlights model) — fused into the same dispatch
+        # when uncontended, one shared batch encode per drain otherwise
+        self.want_aux = want_aux
+        self.aux_vec = None
 
 
 class BatchingSearchExecutor:
@@ -45,6 +50,7 @@ class BatchingSearchExecutor:
         searcher,
         *,
         model=None,
+        aux_model=None,
         window_ms: float = 2.0,
         max_batch: int = 512,
         idle_factor: float = 4.0,
@@ -54,6 +60,10 @@ class BatchingSearchExecutor:
         # rides searcher.search_fused — encode + sweep in ONE dispatch;
         # coalesced text queries batch-encode once, then share the sweep)
         self.model = model
+        # optional second encoder (the serve layer's highlights model):
+        # want_aux text queries also get the query embedded by this model,
+        # inside the same fused dispatch when uncontended
+        self.aux_model = aux_model
         # observability counters (read by serve's /metrics; monotonic,
         # written only by the dispatcher thread)
         self.sweeps_total = 0
@@ -88,18 +98,31 @@ class BatchingSearchExecutor:
         return self.submit(vec, k, source_ids).result(timeout)
 
     def submit_text(
-        self, query: str, k: int, source_ids: Optional[Sequence[int]] = None
+        self,
+        query: str,
+        k: int,
+        source_ids: Optional[Sequence[int]] = None,
+        *,
+        want_aux: bool = False,
     ) -> Future:
         """Enqueue a TEXT query; encode happens on the dispatcher — fused
-        with the sweep into one device program when uncontended."""
+        with the sweep into one device program when uncontended.  With
+        ``want_aux`` the future resolves to ``(hits, aux_qvec)`` where
+        ``aux_qvec`` is the query embedded by the executor's aux_model (may
+        be None when there were no hits to highlight)."""
         if self.model is None:
             raise RuntimeError("executor built without a model; submit vectors")
+        if want_aux and self.aux_model is None:
+            raise RuntimeError("executor built without an aux_model")
         key = tuple(sorted(source_ids)) if source_ids is not None else None
-        return self._batcher.submit(_Request(None, k, key, text=query))
+        return self._batcher.submit(
+            _Request(None, k, key, text=query, want_aux=want_aux)
+        )
 
-    def search_text(self, query, k, source_ids=None, timeout: float = 30.0):
+    def search_text(self, query, k, source_ids=None, timeout: float = 30.0,
+                    *, want_aux: bool = False):
         """Blocking convenience wrapper for text queries."""
-        return self.submit_text(query, k, source_ids).result(timeout)
+        return self.submit_text(query, k, source_ids, want_aux=want_aux).result(timeout)
 
     def close(self) -> None:
         self._batcher.close()
@@ -111,12 +134,21 @@ class BatchingSearchExecutor:
         future is resolved here (CoalescingBatcher resolving=False)."""
         if len(pairs) == 1 and pairs[0][0].text is not None:
             # uncontended text query: encode + sweep in ONE compiled
-            # dispatch (searcher.search_fused, VERDICT r2 #1)
+            # dispatch (searcher.search_fused, VERDICT r2 #1); want_aux
+            # folds the highlight-model query encode into the same program
             r, fut = pairs[0]
             t0 = time.monotonic()
             try:
                 source_ids = list(r.source_key) if r.source_key is not None else None
-                hits = self.searcher.search_fused(self.model, r.text, r.k, source_ids)
+                if r.want_aux:
+                    result = self.searcher.search_fused(
+                        self.model, r.text, r.k, source_ids,
+                        aux_model=self.aux_model,
+                    )
+                else:
+                    result = self.searcher.search_fused(
+                        self.model, r.text, r.k, source_ids
+                    )
             except Exception as e:  # noqa: BLE001
                 self.query_errors_total += 1
                 fut.set_exception(e)
@@ -124,16 +156,22 @@ class BatchingSearchExecutor:
             self.sweeps_total += 1
             self.queries_total += 1
             self.sweep_seconds_total += time.monotonic() - t0
-            fut.set_result(hits)
+            fut.set_result(result)
             return
         texts = [(r, f) for r, f in pairs if r.text is not None]
         if texts:
             # coalesced text queries: ONE batched encode dispatch, then the
-            # vectors share sweeps with everything else in the drain
+            # vectors share sweeps with everything else in the drain; the
+            # want_aux requests share one aux-model batch encode too
             try:
                 vecs = self.model.encode([r.text for r, _ in texts])
                 for (r, _), v in zip(texts, vecs):
                     r.vec = np.asarray(v, np.float32).reshape(-1)
+                aux_reqs = [r for r, _ in texts if r.want_aux]
+                if aux_reqs:
+                    aux_vecs = self.aux_model.encode([r.text for r in aux_reqs])
+                    for r, v in zip(aux_reqs, aux_vecs):
+                        r.aux_vec = np.asarray(v, np.float32).reshape(-1)
             except Exception as e:  # noqa: BLE001
                 self.query_errors_total += len(texts)
                 for _, f in texts:
@@ -157,5 +195,5 @@ class BatchingSearchExecutor:
             self.sweeps_total += 1
             self.queries_total += len(reqs)
             self.sweep_seconds_total += time.monotonic() - t0
-            for (_, f), hits in zip(reqs, results):
-                f.set_result(hits)
+            for (r, f), hits in zip(reqs, results):
+                f.set_result((hits, r.aux_vec) if r.want_aux else hits)

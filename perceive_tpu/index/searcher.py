@@ -160,7 +160,7 @@ def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engi
     return _scan_topk_xla_impl(vectors, source_ids, qp, allowed, k)
 
 
-def _build_fused_search(model, searcher):
+def _build_fused_search(model, searcher, aux_model=None):
     """ONE compiled program for a text query: token ids -> encoder -> query
     pad -> scan kernel -> sorted top-k (VERDICT r2 #1; the in-process call
     stack of reference search.rs:157-193 as a single XLA executable).
@@ -169,6 +169,15 @@ def _build_fused_search(model, searcher):
     k) -> (qvec (1, dim) f32, vals (1, k) f32, rows (1, k) i32)``; ``k`` is
     static.  Quantized tiers return approximate sweep scores — the caller
     reranks against the host mirror exactly as with a separate sweep.
+
+    With ``aux_model`` (the serve layer's highlights model) the program also
+    encodes the query with the SECOND model in the same dispatch —
+    ``fn(params, ids, aux_params, aux_ids, ...) -> (qvec, aux_qvec, vals,
+    rows)`` — so the highlight scoring that follows retrieval needs no
+    query-encode dispatch of its own (the reference runs both models
+    in-process per query, cmd/search.rs:92-104; here both ride one XLA
+    executable).  The aux tower is MiniLM-class at query seq — its FLOPs
+    are noise next to the sweep.
     """
     from ..utils.platform import platform_of
 
@@ -178,6 +187,22 @@ def _build_fused_search(model, searcher):
     dim, padded = m.dim, m.padded_dim
     bits = m.quant_bits
     encode_ids = model._encode_ids_fn
+
+    if aux_model is not None:
+        aux_encode_ids = aux_model._encode_ids_fn
+
+        def fused_aux(params, ids, aux_params, aux_ids, vectors, source_ids,
+                      scales, allowed, k: int):
+            q = encode_ids(params, ids).astype(jnp.float32)  # (1, dim)
+            aq = aux_encode_ids(aux_params, aux_ids).astype(jnp.float32)
+            qp = q if padded == dim else jnp.pad(q, ((0, 0), (0, padded - dim)))
+            vals, rows = _tier_scan_in_jit(
+                vectors, scales, source_ids, qp, allowed, k,
+                bits=bits, engine=engine, interpret=interpret,
+            )
+            return q, aq, vals, rows
+
+        return jax.jit(fused_aux, static_argnames=("k",))
 
     def fused(params, ids, vectors, source_ids, scales, allowed, k: int):
         q = encode_ids(params, ids).astype(jnp.float32)  # (1, dim)
@@ -734,24 +759,37 @@ class Searcher:
     # consistency re-sweeps through the normal path.
 
     _supports_fused = True  # ShardedSearcher opts out (shard_map program)
+    # aux (second-model) query encode inside the fused program; the mesh
+    # subclass opts out (its program is a shard_map whose inputs are pinned
+    # to the mesh — a host-placed aux model's params don't belong there) and
+    # falls back to a separate aux encode dispatch
+    _supports_fused_aux = True
 
-    def _fused_callable(self, model):
-        return self._fused_lookup(model, _build_fused_search)
+    def _fused_callable(self, model, aux_model=None):
+        return self._fused_lookup(model, _build_fused_search, aux_model)
 
-    def _fused_lookup(self, model, builder):
+    def _fused_lookup(self, model, builder, aux_model=None):
         """Per-(engine, tier) cache of the fused program, validated against
-        the model by WEAK reference — id()-keying could serve a stale
+        the model(s) by WEAK reference — id()-keying could serve a stale
         program built for a garbage-collected model whose address was
         reused (after `model set`), and strong refs would pin multi-GB
         params per swap."""
         import weakref
 
-        key = (self.engine, self.matrix.quant_bits)
+        key = (self.engine, self.matrix.quant_bits, aux_model is not None)
         entry = self._fused_cache.get(key)
-        if entry is not None and entry[0]() is model:
+        if (
+            entry is not None
+            and entry[0]() is model
+            and (aux_model is None or entry[2]() is aux_model)
+        ):
             return entry[1]
-        fn = builder(model, self)
-        self._fused_cache[key] = (weakref.ref(model), fn)
+        if aux_model is not None:
+            fn = builder(model, self, aux_model)
+            self._fused_cache[key] = (weakref.ref(model), fn, weakref.ref(aux_model))
+        else:
+            fn = builder(model, self)
+            self._fused_cache[key] = (weakref.ref(model), fn, None)
         return fn
 
     def _fused_put(self, x):
@@ -767,48 +805,79 @@ class Searcher:
         query: str,
         k: int,
         source_ids: Optional[Sequence[int]] = None,
+        *,
+        aux_model=None,
     ) -> list[tuple[int, float]]:
         """Text query -> [(item_id, score)] best-first, with query encode and
         the first candidate sweep fused into one compiled dispatch.  Result
         semantics are identical to ``search`` (same rerank, escalation,
         chunk dedupe, and consistency retries — those consume the fused
         sweep and re-dispatch only when they must).  Falls back to the
-        two-dispatch path when fusion can't apply."""
+        two-dispatch path when fusion can't apply.
+
+        With ``aux_model`` the return is ``(hits, aux_qvec)`` where
+        ``aux_qvec`` is the query embedded by the second model (the serve
+        layer's highlights model) — computed INSIDE the same fused dispatch
+        when supported, so the downstream highlight pays no query-encode
+        round trip.  ``aux_qvec`` is None when there can be no hits (empty
+        corpus / empty filter): nothing to highlight, so the encode is
+        skipped rather than dispatched."""
         if k > MAX_K:
             raise ValueError(f"k={k} exceeds the maximum of {MAX_K}")
         m = self.matrix
-        if len(m) == 0:
-            return []
-        if source_ids is not None and len(source_ids) == 0:
-            return []
+        if len(m) == 0 or (source_ids is not None and len(source_ids) == 0):
+            return [] if aux_model is None else ([], None)
         kb = _k_bucket(self._first_fetch(k), m.rows)
         if (
             not self._supports_fused
             or (source_ids is not None and len(set(source_ids)) > MAX_SOURCE_FILTER)
             or (self.engine == "pallas" and kb * 8 > _KERNEL_TOPK_BYTES)
         ):
-            return self.search(model, query, k, source_ids)
+            hits = self.search(model, query, k, source_ids)
+            if aux_model is None:
+                return hits
+            return hits, (aux_model.encode_query(query) if hits else None)
+        fuse_aux = aux_model is not None and self._supports_fused_aux
         allowed = self._allowed_arrays(source_ids)[0]
-        fn = self._fused_callable(model)
+        fn = self._fused_callable(model, aux_model if fuse_aux else None)
         ids = model.tokenizer.encode_batch_ids([query], pad_batch_to=1)
+        if fuse_aux:
+            aux_ids = aux_model.tokenizer.encode_batch_ids([query], pad_batch_to=1)
         gen = m.reuse_gen
         with m._lock:  # capture-through-dispatch (see _device_scan)
             vectors, src_dev, scales = m.device_view()
             if scales is None:  # stable jit signature for unquantized tiers
                 scales = _NO_SCALES
-            q_dev, vals_dev, rows_dev = fn(
-                model.params, self._fused_put(ids), vectors, src_dev, scales,
-                self._fused_put(allowed), kb,
+            if fuse_aux:
+                q_dev, aq_dev, vals_dev, rows_dev = fn(
+                    model.params, self._fused_put(ids), aux_model.params,
+                    self._fused_put(aux_ids), vectors, src_dev, scales,
+                    self._fused_put(allowed), kb,
+                )
+            else:
+                q_dev, vals_dev, rows_dev = fn(
+                    model.params, self._fused_put(ids), vectors, src_dev, scales,
+                    self._fused_put(allowed), kb,
+                )
+        # one batched readback outside the lock (separate np.asarray calls
+        # would pay a transfer round trip each on tunneled deployments)
+        if fuse_aux:
+            qvec, aqvec, vals, rows = jax.device_get(
+                (q_dev, aq_dev, vals_dev, rows_dev)
             )
-        # one batched readback outside the lock (three separate np.asarray
-        # calls would pay a transfer round trip each on tunneled deployments)
-        qvec, vals, rows = jax.device_get((q_dev, vals_dev, rows_dev))
+        else:
+            qvec, vals, rows = jax.device_get((q_dev, vals_dev, rows_dev))
         first = (gen, kb, vals, rows)
-        return self._search_consistent(
+        hits = self._search_consistent(
             qvec, k, source_ids,
             lambda vals, rows: [self._decode_hits(vals[0], rows[0], k)],
             first=first,
         )[0]
+        if aux_model is None:
+            return hits
+        if fuse_aux:
+            return hits, aqvec[0]
+        return hits, (aux_model.encode_query(query) if hits else None)
 
     # -- retrieve (reference search.rs:195-259) -------------------------------
 

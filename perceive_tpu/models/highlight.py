@@ -12,11 +12,23 @@ to a character range of the original text.
 The HF tokenizer hands back char offsets directly, so the reference's
 byte-offset -> char_indices dance (highlight.rs:129-158) collapses to a
 min/max over the chunk's offsets.
+
+On top of the reference algorithm this module keeps a per-model LRU of each
+document's chunk embeddings (keyed by content hash, so edits invalidate
+naturally).  Result documents repeat heavily across queries — the top-k of
+related queries overlaps — and on remote-attached deployments every chunk
+encode costs a full tunnel round trip; with the cache warm and the query
+embedding supplied by the fused search program (index/searcher.search_fused
+aux encode), a highlight costs ZERO device dispatches: the scoring dot is
+k x ~32 chunks x dim of host numpy.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import threading
+from collections import OrderedDict
 from typing import Optional, Sequence
 
 import numpy as np
@@ -49,14 +61,78 @@ def _longest_nonspecial_run(special_mask: Sequence[int]) -> tuple[int, int]:
     return best_start, best_len
 
 
-def _prepare(model, documents, chunk_size, chunk_overlap, step):
-    """Host-side chunking of one request's documents: (encodings,
-    token chunk windows, chunk token ranges, per-doc chunk end indices)."""
-    encs = model.tokenizer.encode_untruncated(list(documents))
-    token_chunks: list[list[int]] = []
-    chunk_token_ranges: list[tuple[int, int]] = []  # in doc-token coordinates
-    doc_chunk_ends: list[int] = []
+class HighlightCache:
+    """Thread-safe LRU of per-document highlight chunk data.
+
+    key -> (char_ranges, embs): ``char_ranges[i]`` is the (start, end) char
+    range of chunk i in the original text (or None when the chunk's tokens
+    carry no offsets), ``embs`` is the (n_chunks, dim) f32 chunk-embedding
+    matrix.  Keys include the content hash and the chunk geometry, so a
+    changed document or a retuned CHUNK_SIZE can never serve stale entries.
+    """
+
+    def __init__(self, max_docs: int):
+        self.max_docs = max_docs
+        self._lock = threading.Lock()
+        self._entries: OrderedDict = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+    def get(self, key):
+        with self._lock:
+            v = self._entries.get(key)
+            if v is None:
+                self.misses += 1
+                return None
+            self._entries.move_to_end(key)
+            self.hits += 1
+            return v
+
+    def put(self, key, value) -> None:
+        with self._lock:
+            self._entries[key] = value
+            self._entries.move_to_end(key)
+            while len(self._entries) > self.max_docs:
+                self._entries.popitem(last=False)
+
+
+def _cache_for(model) -> Optional[HighlightCache]:
+    """The model's highlight cache (binding it to the model instance keys
+    entries by model identity for free).  PERCEIVE_TPU_HIGHLIGHT_CACHE_DOCS
+    sets the LRU size; 0 disables.  Default 1024 docs — at a typical ~32
+    chunks x 384 dims f32 that is ~50 MB of host RAM serving the working set
+    of repeat result documents."""
+    cache = getattr(model, "_highlight_cache", None)
+    if cache is None:
+        try:
+            n = int(os.environ.get("PERCEIVE_TPU_HIGHLIGHT_CACHE_DOCS", "1024"))
+        except ValueError:
+            n = 1024
+        cache = HighlightCache(n) if n > 0 else False
+        model._highlight_cache = cache
+    # NOTE: an empty HighlightCache is falsy (__len__ == 0) — test by type,
+    # not truthiness (False marks "disabled")
+    return cache if isinstance(cache, HighlightCache) else None
+
+
+def _doc_key(text: str, chunk_size: int, chunk_overlap: int) -> tuple:
+    h = hashlib.sha1(text.encode("utf-8", "surrogatepass")).hexdigest()
+    return (h, len(text), chunk_size, chunk_overlap)
+
+
+def _prepare_docs(model, texts, chunk_size, chunk_overlap, step):
+    """Host-side chunking: per document, (token chunk windows, per-chunk
+    char ranges).  Char ranges are resolved here (min/max over each chunk's
+    token offsets, highlight.rs:129-158) so a cached document never needs
+    its tokenization again."""
+    encs = model.tokenizer.encode_untruncated(list(texts))
+    out = []
     for enc in encs:
+        chunks: list[list[int]] = []
+        ranges: list[Optional[tuple[int, int]]] = []
         n = len(enc.ids)
         i = 0
         while i + chunk_overlap < n:
@@ -65,36 +141,30 @@ def _prepare(model, documents, chunk_size, chunk_overlap, step):
             abs_start = i + start
             abs_end = min(abs_start + length, end)
             if abs_end - abs_start >= chunk_size // 2:
-                token_chunks.append(list(enc.ids[abs_start:abs_end]))
-                chunk_token_ranges.append((abs_start, abs_end))
+                chunks.append(list(enc.ids[abs_start:abs_end]))
+                span = enc.offsets[abs_start:abs_end]
+                offsets = [
+                    o for o in span if o is not None and o != (0, 0)
+                ] or [o for o in span if o is not None]
+                if offsets:
+                    ranges.append(
+                        (min(o[0] for o in offsets), max(o[1] for o in offsets))
+                    )
+                else:
+                    ranges.append(None)
             i += step
-        doc_chunk_ends.append(len(token_chunks))
-    return encs, token_chunks, chunk_token_ranges, doc_chunk_ends
-
-
-def _finish(documents, encs, scores, chunk_token_ranges, doc_chunk_ends):
-    """Per-request argmax chunk -> char-range snippet extraction."""
-    out: list[Optional[str]] = []
-    start_idx = 0
-    for doc_i, end_idx in enumerate(doc_chunk_ends):
-        doc_scores = scores[start_idx:end_idx]
-        if len(doc_scores) == 0:
-            out.append(None)
-            start_idx = end_idx
-            continue
-        best = start_idx + int(np.argmax(doc_scores))
-        t0, t1 = chunk_token_ranges[best]
-        offsets = [
-            o for o in encs[doc_i].offsets[t0:t1] if o is not None and o != (0, 0)
-        ] or [o for o in encs[doc_i].offsets[t0:t1] if o is not None]
-        if not offsets:
-            out.append(None)
-        else:
-            c0 = min(o[0] for o in offsets)
-            c1 = max(o[1] for o in offsets)
-            out.append(documents[doc_i][c0:c1])
-        start_idx = end_idx
+        out.append((chunks, ranges))
     return out
+
+
+def _best_snippet(text, ranges, embs, qemb) -> Optional[str]:
+    """Argmax chunk -> char-range snippet (highlight.rs:104-158 semantics:
+    a document with no chunks, or whose best chunk has no offsets, yields
+    None)."""
+    if len(ranges) == 0:
+        return None
+    r = ranges[int(np.argmax(embs @ qemb))]
+    return None if r is None else text[r[0] : r[1]]
 
 
 def highlight_batch(
@@ -104,38 +174,78 @@ def highlight_batch(
 ) -> list[list[Optional[str]]]:
     """Many (query, documents) highlight requests through ONE device batch.
 
-    All requests' chunk windows — and each request's query, unless its
-    ``query_embs`` entry is supplied — concatenate into a single bucketed
-    encode, so N concurrent serve queries cost one highlight dispatch
-    instead of N (each dispatch costs a full tunnel RTT on remote
-    deployments; this is what bounds concurrent serve QPS, BENCH_NOTES
-    round 3)."""
+    All requests' uncached chunk windows — and each request's query, unless
+    its ``query_embs`` entry is supplied — concatenate into a single bucketed
+    encode, so N concurrent serve queries cost at most one highlight dispatch
+    (each dispatch costs a full tunnel RTT on remote deployments; this is
+    what bounds concurrent serve QPS, BENCH_NOTES round 3).  When every
+    document hits the chunk cache AND the query embedding is supplied (the
+    fused search program returns it), no device dispatch happens at all.
+    """
     chunk_size, chunk_overlap = _chunk_sizes()
     step = max(chunk_size - chunk_overlap, 1)
     if query_embs is None:
         query_embs = [None] * len(pairs)
+    cache = _cache_for(model)
 
-    prepared = []
-    to_encode: list[list[int]] = []
+    # Phase 1: cache lookups; collect the miss documents of every request.
+    # A docstate is ("hit", ranges, embs) or a mutable ["miss", key, None]
+    # slot filled by phase 2 with (base index into to_encode, count, ranges).
+    requests: list = []
+    miss_texts: list[str] = []
+    miss_slots: list[list] = []
     for (query, documents), qemb in zip(pairs, query_embs):
         if not documents:
-            prepared.append(None)
+            requests.append(None)
             continue
-        encs, chunks, ranges, ends = _prepare(
-            model, documents, chunk_size, chunk_overlap, step
-        )
-        chunk_base = len(to_encode)
-        to_encode.extend(chunks)
-        q_idx = -1
-        if chunks and qemb is None:
-            # the query rides the shared batch as one more token window
-            qenc = model.tokenizer.encode_untruncated([query])[0]
-            q_idx = len(to_encode)
-            to_encode.append(
-                [i for i, m in zip(qenc.ids, qenc.special_tokens_mask) if not m]
-            )
-        prepared.append((documents, encs, ranges, ends, chunk_base, q_idx, qemb))
+        docstates: list = []
+        for d in documents:
+            hit = None
+            key = None
+            if cache is not None:
+                key = _doc_key(d, chunk_size, chunk_overlap)
+                hit = cache.get(key)
+            if hit is not None:
+                docstates.append(("hit",) + hit)
+            else:
+                slot = ["miss", key, None]
+                docstates.append(slot)
+                miss_texts.append(d)
+                miss_slots.append(slot)
+        requests.append([query, documents, docstates, qemb, -1])
 
+    # Phase 2: tokenize + chunk all miss documents in one tokenizer batch.
+    to_encode: list[list[int]] = []
+    if miss_texts:
+        for slot, (chunks, ranges) in zip(
+            miss_slots, _prepare_docs(model, miss_texts, chunk_size, chunk_overlap, step)
+        ):
+            slot[2] = (len(to_encode), len(chunks), ranges)
+            to_encode.extend(chunks)
+
+    # Phase 3: queries whose embedding wasn't supplied ride the same batch
+    # as one more token window (highlight.rs encodes the query with the
+    # chunks; a separate encode([query]) would double the device round
+    # trips of a warm serve query, VERDICT r2 #1) — but only when the
+    # request has at least one chunk to score.
+    for req in requests:
+        if req is None:
+            continue
+        _, _, docstates, qemb, _ = req
+        if qemb is not None:
+            continue
+        n_chunks = sum(
+            len(s[2]) if s[0] == "hit" else s[2][1] for s in docstates
+        )
+        if n_chunks == 0:
+            continue
+        qenc = model.tokenizer.encode_untruncated([req[0]])[0]
+        req[4] = len(to_encode)
+        to_encode.append(
+            [i for i, m in zip(qenc.ids, qenc.special_tokens_mask) if not m]
+        )
+
+    # Phase 4: one bucketed device encode of everything that missed.
     all_embs = None
     if to_encode:
         embs = []
@@ -144,20 +254,34 @@ def highlight_batch(
             embs.append(model.encode_token_batch(tb))
         all_embs = np.concatenate(embs, axis=0)
 
+    # Phase 5: per request, assemble per-doc (ranges, embs), fill the cache,
+    # score, and slice snippets.
     out: list[list[Optional[str]]] = []
-    for p in prepared:
-        if p is None:
+    for req in requests:
+        if req is None:
             out.append([])
             continue
-        documents, encs, ranges, ends, base, q_idx, qemb = p
-        n_chunks = ends[-1] if ends else 0
-        if n_chunks:
-            if qemb is None:
-                qemb = all_embs[q_idx]
-            scores = all_embs[base : base + n_chunks] @ qemb
-        else:
-            scores = np.zeros((0,), np.float32)
-        out.append(_finish(documents, encs, scores, ranges, ends))
+        query, documents, docstates, qemb, q_idx = req
+        if q_idx >= 0:
+            qemb = all_embs[q_idx]
+        snippets: list[Optional[str]] = []
+        for d, state in zip(documents, docstates):
+            if state[0] == "hit":
+                _, ranges, dembs = state
+            else:
+                _, key, (base, count, ranges) = state
+                dembs = (
+                    all_embs[base : base + count]
+                    if count
+                    else np.zeros((0, model.dim), np.float32)
+                )
+                if cache is not None:
+                    cache.put(key, (ranges, dembs))
+            if qemb is None:  # no chunks anywhere in this request
+                snippets.append(None)
+            else:
+                snippets.append(_best_snippet(d, ranges, dembs, qemb))
+        out.append(snippets)
     return out
 
 

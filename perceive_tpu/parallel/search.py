@@ -201,7 +201,14 @@ class ShardedSearcher(Searcher):
     shard_map scan + all_gather merge in the SAME compiled dispatch
     (_build_fused_sharded)."""
 
-    def _fused_callable(self, model):  # type: ignore[override]
+    # aux encode stays a separate dispatch on the mesh path: the fused
+    # program's inputs are pinned to the mesh, and the highlights model may
+    # live on a different placement (search_fused falls back to
+    # aux_model.encode_query)
+    _supports_fused_aux = False
+
+    def _fused_callable(self, model, aux_model=None):  # type: ignore[override]
+        assert aux_model is None  # _supports_fused_aux gates this
         return self._fused_lookup(model, _build_fused_sharded)
 
     def _fused_put(self, x):  # type: ignore[override]

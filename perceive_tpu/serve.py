@@ -147,16 +147,26 @@ class ServeState:
                     from .index import BatchingSearchExecutor
 
                     self.executor = BatchingSearchExecutor(
-                        self.app.searcher, model=self.app.model
+                        self.app.searcher,
+                        model=self.app.model,
+                        aux_model=self.app.highlights_model,
                     )
                     # N concurrent queries' highlights share ONE device
-                    # chunk-encode dispatch (models/highlight.highlight_batch)
+                    # chunk-encode dispatch (models/highlight.highlight_batch);
+                    # each request carries the query embedding the fused
+                    # search already computed, and repeat documents hit the
+                    # chunk cache — a fully-warm query highlights with ZERO
+                    # device dispatches
                     from .models.highlight import highlight_batch
                     from .utils.coalesce import CoalescingBatcher
 
                     hl_model = self.app.highlights_model
                     self.highlighter = CoalescingBatcher(
-                        lambda batch: highlight_batch(hl_model, batch),
+                        lambda batch: highlight_batch(
+                            hl_model,
+                            [(q, d) for q, d, _ in batch],
+                            [e for _, _, e in batch],
+                        ),
                         name="highlight-batcher",
                     )
                     self._warm()
@@ -214,16 +224,20 @@ class ServeState:
         app = self.app
         try:
             if app.searcher is not None and len(app.searcher.matrix):
-                # the fused encode+sweep program is the serving hot path;
-                # the separate encode + sweep pair still backs escalation /
-                # consistency re-sweeps and coalesced batches, so warm both
-                app.searcher.search_fused(app.model, "warmup", 10)
+                # the fused encode+sweep(+highlight query encode) program is
+                # the serving hot path; the separate encode + sweep pair
+                # still backs escalation / consistency re-sweeps and
+                # coalesced batches, so warm both
+                app.searcher.search_fused(
+                    app.model, "warmup", 10, aux_model=app.highlights_model
+                )
                 # a longer query lands on the next seq bucket (16 -> 32);
                 # without this, the first multi-word query pays a fresh
                 # fused-program compile (~1 s walls measured, BENCH_NOTES)
                 app.searcher.search_fused(
                     app.model, "warm up the next query length bucket "
-                    "with a sentence of around twenty five tokens total", 10
+                    "with a sentence of around twenty five tokens total", 10,
+                    aux_model=app.highlights_model,
                 )
                 vec = app.model.encode_query("warmup")
                 app.searcher.search_vector(vec, 10)
@@ -286,20 +300,27 @@ def make_handler(holder: ServeState):
                 return self._json(404, {"error": f"no source {source}"})
             except ValueError:
                 return self._json(400, {"error": f"bad type {type_tag}"})
+            hl_q = None
             if holder.executor is not None:
                 # text rides the executor: uncontended -> ONE fused
-                # encode+sweep dispatch; concurrent -> batched encode +
+                # encode+sweep dispatch that ALSO embeds the query with the
+                # highlights model; concurrent -> batched encodes +
                 # coalesced sweeps (index/executor.py)
-                hits = holder.executor.search_text(query, k, source_ids)
+                hits, hl_q = holder.executor.search_text(
+                    query, k, source_ids, want_aux=True
+                )
             else:
-                hits = app.searcher.search_fused(app.model, query, k, source_ids)
+                hits, hl_q = app.searcher.search_fused(
+                    app.model, query, k, source_ids,
+                    aux_model=app.highlights_model,
+                )
             results = app.searcher.retrieve(app.db, hits)
             docs = [r.item.content or "" for r in results]
             if docs:
                 if holder.highlighter is not None:
-                    hs = holder.highlighter.call((query, docs))
+                    hs = holder.highlighter.call((query, docs, hl_q))
                 else:
-                    hs = app.highlights_model.highlight(query, docs)
+                    hs = app.highlights_model.highlight(query, docs, query_emb=hl_q)
                 for r, h in zip(results, hs):
                     r.highlight = h
             self._json(200, [_result_json(r) for r in results])

@@ -190,10 +190,14 @@ def test_serve_index_page(state):
 def test_persistent_jit_cache_enabled(tmp_path, monkeypatch):
     """AppState turns on the persistent XLA compilation cache (restart
     warmups reload executables instead of recompiling); PERCEIVE_TPU_
-    JIT_CACHE=0 opts out."""
+    JIT_CACHE=0 opts out.  On the CPU backend the cache defaults OFF
+    (XLA's CPU AOT entries mis-key across machine feature sets — SIGILL
+    hazard), so this test forces it on via the env override, which is also
+    how the auto-off default is exercised below."""
     import glob
 
     monkeypatch.setenv("PERCEIVE_TPU_DATA_DIR", str(tmp_path))
+    monkeypatch.setenv("PERCEIVE_TPU_JIT_CACHE", str(tmp_path / "jit_cache"))
     # jax's cache singleton binds to the FIRST configured dir; earlier
     # tests in the session may have initialized it — reset so this test's
     # dir takes effect (production has one data dir per process)
@@ -217,6 +221,17 @@ def test_persistent_jit_cache_enabled(tmp_path, monkeypatch):
     finally:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         app.close()
+
+
+def test_jit_cache_defaults_off_on_cpu(tmp_path, monkeypatch):
+    """Without the env override, the CPU backend gets NO persistent cache
+    dir (cross-machine AOT reuse hazard; see _enable_jit_cache)."""
+    monkeypatch.setenv("PERCEIVE_TPU_DATA_DIR", str(tmp_path))
+    monkeypatch.delenv("PERCEIVE_TPU_JIT_CACHE", raising=False)
+    from perceive_tpu.cli.state import _enable_jit_cache
+
+    _enable_jit_cache()
+    assert not (tmp_path / "jit_cache").exists()
 
 
 def test_serve_sse_load_status_push(state):

@@ -1,0 +1,198 @@
+"""Highlight chunk cache + fused aux query encode.
+
+The serving highlight path's device work is (a) the query embedded by the
+highlights model and (b) the result documents' chunk embeddings.  Round 3
+moves (a) into the fused search dispatch (searcher.search_fused aux_model)
+and caches (b) per document (models/highlight.HighlightCache), so a warm
+query's highlight is pure host numpy — zero device dispatches.  These tests
+pin the cache's correctness (identical output, content invalidation,
+eviction bound) and the aux embedding's equivalence to a separate encode.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from perceive_tpu.index.searcher import Searcher
+from perceive_tpu.models import (
+    EncoderArch,
+    HeadConfig,
+    Model,
+    TextTokenizer,
+    tiny_test_vocab,
+)
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta music pizza".split()
+
+
+def make_model(seed=3, max_seq=32):
+    vocab = tiny_test_vocab(WORDS)
+    tok = TextTokenizer.from_vocab(vocab, max_seq_length=max_seq)
+    arch = EncoderArch(vocab_size=len(vocab), hidden_size=32, num_layers=1,
+                       num_heads=4, intermediate_size=64,
+                       max_position_embeddings=max_seq)
+    m = Model.random(arch, HeadConfig(pooling="mean", normalize=True), tok, seed=seed)
+    m.model_id = 0
+    return m
+
+
+@pytest.fixture(scope="module")
+def model():
+    return make_model()
+
+
+@pytest.fixture(scope="module")
+def docs():
+    rng = np.random.default_rng(7)
+    return [" ".join(rng.choice(WORDS, size=30)) for _ in range(6)]
+
+
+def count_encodes(model, monkeypatch):
+    """Wrap encode_token_batch with a call counter (every highlight device
+    dispatch goes through it)."""
+    calls = []
+    orig = model.encode_token_batch
+    monkeypatch.setattr(
+        model, "encode_token_batch", lambda tb: (calls.append(1), orig(tb))[1]
+    )
+    return calls
+
+
+def test_cache_warm_highlight_is_identical_and_dispatch_free(model, docs, monkeypatch):
+    qemb = model.encode_query("music pizza")
+    cold = model.highlight("music pizza", docs, query_emb=qemb)
+    assert any(h is not None for h in cold)
+
+    calls = count_encodes(model, monkeypatch)
+    warm = model.highlight("music pizza", docs, query_emb=qemb)
+    assert warm == cold
+    assert calls == []  # all docs cached + query embedding supplied -> no device work
+
+    # without the supplied query embedding, exactly one dispatch (the query
+    # rides an otherwise-empty chunk batch)
+    warm2 = model.highlight("music pizza", docs)
+    assert warm2 == cold
+    assert len(calls) == 1
+
+
+def test_cache_invalidates_on_content_change(model, docs, monkeypatch):
+    qemb = model.encode_query("alpha beta")
+    model.highlight("alpha beta", docs, query_emb=qemb)  # fill
+    calls = count_encodes(model, monkeypatch)
+    changed = [docs[0] + " zeta", *docs[1:]]
+    model.highlight("alpha beta", changed, query_emb=qemb)
+    assert len(calls) == 1  # the edited doc re-encoded; the rest hit
+
+
+def test_cache_eviction_bound(monkeypatch):
+    monkeypatch.setenv("PERCEIVE_TPU_HIGHLIGHT_CACHE_DOCS", "3")
+    m = make_model(seed=5)
+    qemb = m.encode_query("alpha")
+    rng = np.random.default_rng(1)
+    many = [" ".join(rng.choice(WORDS, size=25)) for _ in range(8)]
+    m.highlight("alpha", many, query_emb=qemb)
+    assert len(m._highlight_cache) == 3
+    assert m._highlight_cache.max_docs == 3
+
+
+def test_cache_disabled(monkeypatch):
+    monkeypatch.setenv("PERCEIVE_TPU_HIGHLIGHT_CACHE_DOCS", "0")
+    m = make_model(seed=6)
+    qemb = m.encode_query("alpha")
+    doc = ["alpha beta gamma delta epsilon zeta eta theta music pizza " * 3]
+    a = m.highlight("alpha", doc, query_emb=qemb)
+    calls = count_encodes(m, monkeypatch)
+    b = m.highlight("alpha", doc, query_emb=qemb)
+    assert a == b
+    assert len(calls) == 1  # no cache -> chunks re-encode every call
+    assert m._highlight_cache is False
+
+
+def test_mixed_hit_miss_batch(model, monkeypatch):
+    """One request mixing cached and new documents encodes ONLY the new
+    ones, and the snippets match a cache-cold run."""
+    rng = np.random.default_rng(11)
+    a = [" ".join(rng.choice(WORDS, size=28)) for _ in range(3)]
+    b = [" ".join(rng.choice(WORDS, size=28)) for _ in range(3)]
+    qemb = model.encode_query("zeta eta")
+    cold_all = model.highlight("zeta eta", a + b, query_emb=qemb)
+    fresh = make_model(seed=3)  # same weights (same seed) but cold cache
+    assert fresh.highlight("zeta eta", a + b, query_emb=qemb) == cold_all
+    calls = count_encodes(model, monkeypatch)
+    again = model.highlight("zeta eta", a + b, query_emb=qemb)
+    assert again == cold_all and calls == []
+
+
+# -- fused aux query encode ---------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus(model):
+    rng = np.random.default_rng(0)
+    texts = [" ".join(rng.choice(WORDS, size=6)) for _ in range(200)]
+    vecs = model.encode(texts)
+    return texts, vecs
+
+
+def test_search_fused_aux_embedding_matches_separate_encode(model, corpus):
+    texts, vecs = corpus
+    aux = make_model(seed=9)  # a distinct "highlights model"
+    s = Searcher(0, 0, model.dim, dtype=jnp.float32, engine="xla")
+    s.upsert_embeddings(list(range(1, len(texts) + 1)), [0] * len(texts), vecs)
+    for query in ("music pizza", "alpha beta gamma"):
+        plain = s.search_fused(model, query, 5)
+        hits, aq = s.search_fused(model, query, 5, aux_model=aux)
+        assert hits == plain
+        np.testing.assert_allclose(aq, aux.encode_query(query), rtol=2e-5, atol=2e-6)
+
+
+def test_search_fused_aux_single_dispatch(model, corpus, monkeypatch):
+    """With the separate aux encode booby-trapped, the aux-fused path still
+    returns the aux embedding — it was computed inside the fused program."""
+    texts, vecs = corpus
+    aux = make_model(seed=9)
+    s = Searcher(0, 0, model.dim, dtype=jnp.float32, engine="xla")
+    s.upsert_embeddings(list(range(1, len(texts) + 1)), [0] * len(texts), vecs)
+    hits, aq = s.search_fused(model, "music", 5, aux_model=aux)  # compile first
+
+    def boom(*a, **k):
+        raise AssertionError("separate aux encode used on the fused path")
+
+    monkeypatch.setattr(Model, "encode_query", boom)
+    monkeypatch.setattr(Model, "encode", boom)
+    hits2, aq2 = s.search_fused(model, "music", 5, aux_model=aux)
+    assert hits2 == hits
+    np.testing.assert_allclose(aq2, aq)
+
+
+def test_search_fused_aux_empty_returns_none(model):
+    aux = make_model(seed=9)
+    s = Searcher(0, 0, model.dim, dtype=jnp.float32, engine="xla")
+    assert s.search_fused(model, "music", 5, aux_model=aux) == ([], None)
+
+
+def test_executor_want_aux_paths(model, corpus):
+    from perceive_tpu.index import BatchingSearchExecutor
+
+    texts, vecs = corpus
+    aux = make_model(seed=9)
+    s = Searcher(0, 0, model.dim, dtype=jnp.float32, engine="xla")
+    s.upsert_embeddings(list(range(1, len(texts) + 1)), [0] * len(texts), vecs)
+    ex = BatchingSearchExecutor(s, model=model, aux_model=aux)
+    try:
+        # uncontended: fused single dispatch
+        hits, aq = ex.search_text("music pizza", 5, want_aux=True)
+        assert hits == s.search_fused(model, "music pizza", 5)
+        np.testing.assert_allclose(aq, aux.encode_query("music pizza"), rtol=2e-5, atol=2e-6)
+        # coalesced: many concurrent want_aux queries share batched encodes
+        futs = [
+            ex.submit_text(q, 3, want_aux=True)
+            for q in ("alpha", "beta gamma", "music", "pizza zeta", "eta theta")
+            for _ in range(3)
+        ]
+        for f in futs:
+            hits, aq = f.result(30)
+            assert isinstance(hits, list) and aq is not None and aq.shape == (model.dim,)
+    finally:
+        ex.close()
