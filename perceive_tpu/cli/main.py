@@ -164,6 +164,26 @@ def build_parser() -> argparse.ArgumentParser:
         help="with --refresh: also remove items that vanished from sources",
     )
 
+    # app: the desktop-app analog (reference perceive-tauri) — serve + open
+    # the embedded search UI in the system browser once models are loaded
+    papp = sub.add_parser(
+        "app", help="desktop app: serve and open the search UI when ready"
+    )
+    papp.add_argument("--host", default="127.0.0.1")
+    papp.add_argument("--port", type=int, default=5807)
+    papp.add_argument(
+        "--refresh", type=positive_float, default=900.0, metavar="SECONDS",
+        help="background rescan of due sources (default 900; 0 disables)",
+    )
+    papp.add_argument("--prune", action="store_true",
+                      help="with --refresh: remove items that vanished")
+    papp.add_argument("--no-browser", action="store_true",
+                      help="don't open the browser (just serve)")
+    papp.add_argument(
+        "--install", action="store_true",
+        help="install a desktop launcher entry instead of starting the app",
+    )
+
     return p
 
 
@@ -210,11 +230,26 @@ def dispatch(state, args) -> None:
             state, host=args.host, port=args.port,
             refresh_interval=args.refresh, refresh_prune=args.prune,
         )
+    elif cmd == "app":
+        from ..serve import serve
+
+        serve(
+            state, host=args.host, port=args.port,
+            refresh_interval=args.refresh or None, refresh_prune=args.prune,
+            open_browser=not args.no_browser,
+        )
 
 
 def main(argv: Optional[Sequence[str]] = None, state=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+
+    if args.command == "app" and args.install:
+        # plain file write — no model load / device init needed
+        from .desktop import install_desktop_entry
+
+        print(install_desktop_entry())
+        return 0
 
     if state is None:
         from .state import AppState

@@ -516,13 +516,34 @@ def serve(
     state, host: str = "127.0.0.1", port: int = 5807,
     refresh_interval: Optional[float] = None,
     refresh_prune: bool = False,
+    open_browser: bool = False,
 ) -> None:
-    """Blocking CLI entry (`perceive-tpu serve`)."""
+    """Blocking CLI entry (`perceive-tpu serve` / `perceive-tpu app`).
+
+    ``open_browser`` is the desktop-app mode (the Tauri analog,
+    reference perceive-tauri/src-tauri/main.rs:57-106): once the models and
+    searcher are ready, the embedded search UI opens in the system browser —
+    the same page the Tauri webview hosted, over the same three RPCs
+    (status/sources/search) plus the SSE load_status push."""
     holder = ServeState(
         lambda: state, refresh_interval=refresh_interval, refresh_prune=refresh_prune
     )
     server = ThreadingHTTPServer((host, port), make_handler(holder))
-    print(f"Serving on http://{host}:{server.server_address[1]}")
+    url = f"http://{host}:{server.server_address[1]}"
+    print(f"Serving on {url}")
+    if open_browser:
+        def _open():
+            holder.ready.wait()
+            if holder.error is None:
+                import webbrowser
+
+                try:
+                    webbrowser.open(url)
+                except Exception as e:  # noqa: BLE001 — headless host
+                    print(f"could not open a browser ({e}); visit {url}",
+                          file=sys.stderr)
+
+        threading.Thread(target=_open, daemon=True).start()
     try:
         server.serve_forever()
     except KeyboardInterrupt:
