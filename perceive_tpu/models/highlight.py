@@ -69,17 +69,32 @@ class HighlightCache:
     carry no offsets), ``embs`` is the (n_chunks, dim) f32 chunk-embedding
     matrix.  Keys include the content hash and the chunk geometry, so a
     changed document or a retuned CHUNK_SIZE can never serve stale entries.
+
+    Bounded BOTH by entry count (``max_docs``) and by embedding bytes
+    (``max_bytes``) — a doc-count-only LRU would let a few pathological
+    multi-megabyte documents (thousands of chunks each) pin gigabytes of
+    host RAM.
     """
 
-    def __init__(self, max_docs: int):
+    def __init__(self, max_docs: int, max_bytes: int = 64 << 20):
         self.max_docs = max_docs
+        self.max_bytes = max_bytes
         self._lock = threading.Lock()
         self._entries: OrderedDict = OrderedDict()
+        self._bytes = 0
         self.hits = 0
         self.misses = 0
 
     def __len__(self) -> int:
         return len(self._entries)
+
+    @property
+    def nbytes(self) -> int:
+        return self._bytes
+
+    @staticmethod
+    def _size(value) -> int:
+        return int(getattr(value[1], "nbytes", 0))
 
     def get(self, key):
         with self._lock:
@@ -92,26 +107,40 @@ class HighlightCache:
             return v
 
     def put(self, key, value) -> None:
+        size = self._size(value)
+        if size > self.max_bytes:
+            return  # larger than the whole budget: never cache it
         with self._lock:
+            old = self._entries.pop(key, None)
+            if old is not None:
+                self._bytes -= self._size(old)
             self._entries[key] = value
-            self._entries.move_to_end(key)
-            while len(self._entries) > self.max_docs:
-                self._entries.popitem(last=False)
+            self._bytes += size
+            while self._entries and (
+                len(self._entries) > self.max_docs or self._bytes > self.max_bytes
+            ):
+                _, evicted = self._entries.popitem(last=False)
+                self._bytes -= self._size(evicted)
 
 
 def _cache_for(model) -> Optional[HighlightCache]:
     """The model's highlight cache (binding it to the model instance keys
     entries by model identity for free).  PERCEIVE_TPU_HIGHLIGHT_CACHE_DOCS
-    sets the LRU size; 0 disables.  Default 1024 docs — at a typical ~32
-    chunks x 384 dims f32 that is ~50 MB of host RAM serving the working set
-    of repeat result documents."""
+    sets the LRU entry cap (0 disables) and PERCEIVE_TPU_HIGHLIGHT_CACHE_MB
+    the byte budget.  Defaults: 1024 docs / 64 MB — a typical doc is ~32
+    chunks x 384 dims f32 = 48 KB, so the byte budget only bites when the
+    working set skews to very long documents."""
     cache = getattr(model, "_highlight_cache", None)
     if cache is None:
-        try:
-            n = int(os.environ.get("PERCEIVE_TPU_HIGHLIGHT_CACHE_DOCS", "1024"))
-        except ValueError:
-            n = 1024
-        cache = HighlightCache(n) if n > 0 else False
+        def env_int(name: str, default: int) -> int:
+            try:
+                return int(os.environ.get(name, ""))
+            except ValueError:
+                return default
+
+        n = env_int("PERCEIVE_TPU_HIGHLIGHT_CACHE_DOCS", 1024)
+        mb = env_int("PERCEIVE_TPU_HIGHLIGHT_CACHE_MB", 64)
+        cache = HighlightCache(n, max_bytes=mb << 20) if n > 0 and mb > 0 else False
         model._highlight_cache = cache
     # NOTE: an empty HighlightCache is falsy (__len__ == 0) — test by type,
     # not truthiness (False marks "disabled")

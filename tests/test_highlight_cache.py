@@ -196,3 +196,23 @@ def test_executor_want_aux_paths(model, corpus):
             assert isinstance(hits, list) and aq is not None and aq.shape == (model.dim,)
     finally:
         ex.close()
+
+
+def test_cache_byte_budget():
+    """The LRU evicts to a byte budget too — a few huge documents must not
+    pin unbounded host RAM (and an entry over the whole budget is never
+    cached)."""
+    from perceive_tpu.models.highlight import HighlightCache
+
+    c = HighlightCache(max_docs=100, max_bytes=10_000)
+    big = np.zeros((6, 100), np.float32)  # 2400 B each
+    for i in range(6):
+        c.put(("k", i), ([(0, 1)] * 6, big))
+    assert c.nbytes <= 10_000 and len(c) == 4
+    assert c.get(("k", 0)) is None and c.get(("k", 5)) is not None
+
+    c.put(("huge",), ([], np.zeros((100, 100), np.float32)))  # 40 KB > budget
+    assert c.get(("huge",)) is None
+    # re-putting an existing key replaces, not double-counts
+    c.put(("k", 5), ([(0, 1)] * 6, big))
+    assert c.nbytes <= 10_000
