@@ -269,7 +269,8 @@ class Searcher:
 
             engine = "pallas" if platform_of(self.matrix.device) == "tpu" else "xla"
         self.engine = engine
-        self._fused_cache: dict = {}  # (engine, bits) -> (model weakref, fn)
+        # (engine, bits, has_aux) -> (model weakref, fn, aux weakref | None)
+        self._fused_cache: dict = {}
         # when True (AppState sets it for the default "auto" configuration),
         # ingest growth re-evaluates the storage tier so a corpus crossing
         # the 1.5M/4M thresholds MID-SESSION switches to the right tier
@@ -799,6 +800,11 @@ class Searcher:
         different platform (utils.platform rationale)."""
         return jnp.asarray(x)
 
+    def _fused_aux_params(self, aux_model):
+        """Aux-model params as the fused program should receive them; the
+        mesh subclass replaces this with a cached mesh-replicated copy."""
+        return aux_model.params
+
     def search_fused(
         self,
         model,
@@ -850,7 +856,8 @@ class Searcher:
                 scales = _NO_SCALES
             if fuse_aux:
                 q_dev, aq_dev, vals_dev, rows_dev = fn(
-                    model.params, self._fused_put(ids), aux_model.params,
+                    model.params, self._fused_put(ids),
+                    self._fused_aux_params(aux_model),
                     self._fused_put(aux_ids), vectors, src_dev, scales,
                     self._fused_put(allowed), kb,
                 )

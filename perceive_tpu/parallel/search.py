@@ -158,11 +158,14 @@ def sharded_scan_topk(mesh, matrix, source_ids, q, allowed, k: int, engine: str 
     )
 
 
-def _build_fused_sharded(model, searcher):
+def _build_fused_sharded(model, searcher, aux_model=None):
     """ONE compiled program for a text query on the MESH: token ids ->
     encoder (replicated params, or GSPMD-partitioned under TP) -> the
     shard_map per-chip scan + all_gather merge (_sharded_scan) -> top-k.
-    Same contract as index.searcher._build_fused_search."""
+    Same contract as index.searcher._build_fused_search, including the
+    ``aux_model`` variant (the highlights-model query encode rides the same
+    dispatch; its params are replicated onto the mesh ONCE by
+    ShardedSearcher._fused_aux_params, not per call)."""
     from ..utils.platform import platform_of
 
     m = searcher.matrix
@@ -173,18 +176,33 @@ def _build_fused_sharded(model, searcher):
     quantized = m.quantized
     encode_ids = model._encode_ids_fn
 
-    def fused(params, ids, vectors, source_ids, scales, allowed, k: int):
-        q = encode_ids(params, ids).astype(jnp.float32)  # (1, dim)
-        qp = q if padded == dim else jnp.pad(q, ((0, 0), (0, padded - dim)))
+    def scan(vectors, source_ids, scales, qp, allowed, k):
         if not quantized:
-            n = vectors.shape[0]
-            scales_arr = jnp.zeros((n,), jnp.float32)
+            scales_arr = jnp.zeros((vectors.shape[0],), jnp.float32)
         else:
             scales_arr = scales
-        vals, rows = _sharded_scan(
+        return _sharded_scan(
             vectors, scales_arr, source_ids, qp, allowed,
             mesh=mesh, k=k, engine=engine, interpret=interpret,
         )
+
+    if aux_model is not None:
+        aux_encode_ids = aux_model._encode_ids_fn
+
+        def fused_aux(params, ids, aux_params, aux_ids, vectors, source_ids,
+                      scales, allowed, k: int):
+            q = encode_ids(params, ids).astype(jnp.float32)  # (1, dim)
+            aq = aux_encode_ids(aux_params, aux_ids).astype(jnp.float32)
+            qp = q if padded == dim else jnp.pad(q, ((0, 0), (0, padded - dim)))
+            vals, rows = scan(vectors, source_ids, scales, qp, allowed, k)
+            return q, aq, vals, rows
+
+        return jax.jit(fused_aux, static_argnames=("k",))
+
+    def fused(params, ids, vectors, source_ids, scales, allowed, k: int):
+        q = encode_ids(params, ids).astype(jnp.float32)  # (1, dim)
+        qp = q if padded == dim else jnp.pad(q, ((0, 0), (0, padded - dim)))
+        vals, rows = scan(vectors, source_ids, scales, qp, allowed, k)
         return q, vals, rows
 
     return jax.jit(fused, static_argnames=("k",))
@@ -201,15 +219,25 @@ class ShardedSearcher(Searcher):
     shard_map scan + all_gather merge in the SAME compiled dispatch
     (_build_fused_sharded)."""
 
-    # aux encode stays a separate dispatch on the mesh path: the fused
-    # program's inputs are pinned to the mesh, and the highlights model may
-    # live on a different placement (search_fused falls back to
-    # aux_model.encode_query)
-    _supports_fused_aux = False
-
     def _fused_callable(self, model, aux_model=None):  # type: ignore[override]
-        assert aux_model is None  # _supports_fused_aux gates this
-        return self._fused_lookup(model, _build_fused_sharded)
+        return self._fused_lookup(model, _build_fused_sharded, aux_model)
+
+    def _fused_aux_params(self, aux_model):  # type: ignore[override]
+        """Replicate the aux (highlights) model's params onto the mesh ONCE
+        and reuse them — passing its default-placement params into the mesh
+        program would re-transfer ~the whole model every query.  Single
+        weakref slot: a swapped-in aux model (``model set``) re-replicates;
+        the old copy is freed with the entry."""
+        import weakref
+
+        entry = self._aux_repl
+        if entry is not None and entry[0]() is aux_model:
+            return entry[1]
+        from .mesh import replicated
+
+        params = jax.device_put(aux_model.params, replicated(self.mesh))
+        self._aux_repl = (weakref.ref(aux_model), params)
+        return params
 
     def _fused_put(self, x):  # type: ignore[override]
         from .mesh import replicated
@@ -245,6 +273,7 @@ class ShardedSearcher(Searcher):
             model_id, model_version, dim, dtype=dtype, engine=engine, matrix=matrix
         )
         self.mesh = mesh
+        self._aux_repl = None  # (aux weakref, mesh-replicated params)
 
     @classmethod
     def build(cls, db, model_id, model_version, dim, mesh, *, use_snapshot=True, **kw):  # type: ignore[override]

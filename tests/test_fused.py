@@ -215,3 +215,43 @@ def test_executor_without_model_rejects_text(corpus, model):
             ex.submit_text("q", 5)
     finally:
         ex.close()
+
+
+def test_sharded_searcher_fused_aux(model, corpus, monkeypatch):
+    """aux (highlights-model) query encode rides the MESH fused program too:
+    the aux params replicate onto the mesh once, the embedding matches a
+    separate encode, and no separate encode dispatch runs."""
+    from perceive_tpu.parallel import ShardedSearcher, make_mesh
+
+    texts, vecs, srcs = corpus
+    aux = Model.random(
+        EncoderArch(vocab_size=len(tiny_test_vocab(WORDS)), hidden_size=32,
+                    num_layers=1, num_heads=4, intermediate_size=64,
+                    max_position_embeddings=32),
+        HeadConfig(pooling="mean", normalize=True),
+        TextTokenizer.from_vocab(tiny_test_vocab(WORDS), max_seq_length=32),
+        seed=11,
+    )
+    aux.model_id = 1
+    mesh = make_mesh(4)
+    ss = ShardedSearcher(0, 0, model.dim, mesh, dtype=jnp.float32)
+    ss.upsert_embeddings(list(range(1, len(texts) + 1)), srcs, vecs)
+
+    want = ss.search_fused(model, "music pizza", 5)
+    want_aq = aux.encode_query("music pizza")
+    hits, aq = ss.search_fused(model, "music pizza", 5, aux_model=aux)
+    assert hits == want
+    np.testing.assert_allclose(aq, want_aq, rtol=2e-5, atol=2e-6)
+    # the replicated param copy is cached (one slot, keyed by weakref)
+    first = ss._aux_repl
+    assert first is not None and first[0]() is aux
+
+    def boom(*a, **k):
+        raise AssertionError("separate aux encode used on the mesh fused path")
+
+    monkeypatch.setattr(Model, "encode_query", boom)
+    monkeypatch.setattr(Model, "encode", boom)
+    hits2, aq2 = ss.search_fused(model, "music pizza", 5, aux_model=aux)
+    assert hits2 == want
+    np.testing.assert_allclose(aq2, aq)
+    assert ss._aux_repl is first  # not re-replicated per call
