@@ -84,6 +84,7 @@ class HighlightCache:
         self._bytes = 0
         self.hits = 0
         self.misses = 0
+        self.evictions = 0
 
     def __len__(self) -> int:
         return len(self._entries)
@@ -121,6 +122,7 @@ class HighlightCache:
             ):
                 _, evicted = self._entries.popitem(last=False)
                 self._bytes -= self._size(evicted)
+                self.evictions += 1
 
 
 def _cache_for(model) -> Optional[HighlightCache]:
@@ -312,6 +314,63 @@ def highlight_batch(
                 snippets.append(_best_snippet(d, ranges, dembs, qemb))
         out.append(snippets)
     return out
+
+
+def precompute_chunks(model, documents: Sequence[str]) -> int:
+    """Fill the chunk cache for ``documents`` without scoring anything.
+
+    The serve layer calls this in the background after readiness (most
+    recently accessed items first) so that even a FIRST-seen query's
+    highlight needs no device dispatch — on a personal-sized corpus the
+    whole working set fits the cache budget.  Already-cached and empty
+    documents are skipped; returns how many documents were newly encoded.
+    Stops early (returns what it did) once the cache's byte budget would
+    evict what it just warmed."""
+    cache = _cache_for(model)
+    if cache is None:
+        return 0
+    chunk_size, chunk_overlap = _chunk_sizes()
+    step = max(chunk_size - chunk_overlap, 1)
+    miss: list[tuple[tuple, str]] = []
+    seen = set()
+    for d in documents:
+        if not d:
+            continue
+        key = _doc_key(d, chunk_size, chunk_overlap)
+        if key in seen:
+            continue
+        seen.add(key)
+        if cache.get(key) is None:
+            miss.append((key, d))
+    done = 0
+    ev0 = cache.evictions
+    for s in range(0, len(miss), 64):  # bounded tokenizer + device batches
+        batch = miss[s : s + 64]
+        prepared = _prepare_docs(
+            model, [d for _, d in batch], chunk_size, chunk_overlap, step
+        )
+        flat: list[list[int]] = []
+        for chunks, _ in prepared:
+            flat.extend(chunks)
+        embs = []
+        for e in range(0, len(flat), 256):
+            tb = model.tokenizer.encode_token_chunks(flat[e : e + 256])
+            embs.append(model.encode_token_batch(tb))
+        all_embs = (
+            np.concatenate(embs, axis=0)
+            if embs
+            else np.zeros((0, model.dim), np.float32)
+        )
+        base = 0
+        for (key, _), (chunks, ranges) in zip(batch, prepared):
+            dembs = all_embs[base : base + len(chunks)]
+            base += len(chunks)
+            cache.put(key, (ranges, dembs))
+            done += 1
+        if cache.evictions > ev0:
+            break  # capacity reached (docs or bytes) — warming further
+            # would only cycle the LRU
+    return done
 
 
 def highlight(

@@ -216,3 +216,70 @@ def test_cache_byte_budget():
     # re-putting an existing key replaces, not double-counts
     c.put(("k", 5), ([(0, 1)] * 6, big))
     assert c.nbytes <= 10_000
+
+
+def test_precompute_chunks_fills_cache(model, monkeypatch):
+    from perceive_tpu.models.highlight import precompute_chunks
+
+    rng = np.random.default_rng(21)
+    docs = [" ".join(rng.choice(WORDS, size=26)) for _ in range(5)]
+    assert precompute_chunks(model, docs) == 5
+    assert precompute_chunks(model, docs) == 0  # all cached now
+    assert precompute_chunks(model, ["", docs[0], docs[0]]) == 0  # empty+dup skip
+
+    qemb = model.encode_query("music")
+    calls = count_encodes(model, monkeypatch)
+    out = model.highlight("music", docs, query_emb=qemb)
+    assert calls == []  # first-ever highlight of these docs: no device work
+    assert any(h is not None for h in out)
+
+
+def test_precompute_stops_at_byte_budget():
+    from perceive_tpu.models.highlight import HighlightCache, precompute_chunks
+
+    m = make_model(seed=13)
+    m._highlight_cache = HighlightCache(10_000, max_bytes=2_000)
+    rng = np.random.default_rng(3)
+    docs = [" ".join(rng.choice(WORDS, size=26)) for _ in range(300)]
+    done = precompute_chunks(m, docs)
+    assert 0 < done < 300  # stopped early at the budget
+    assert m._highlight_cache.nbytes <= m._highlight_cache.max_bytes
+
+
+def test_serve_warms_highlight_cache(tmp_path):
+    """ServeState pre-fills the chunk cache in the background after
+    readiness (most recently accessed items first)."""
+    import time as _time
+
+    from perceive_tpu.cli import AppState
+    from perceive_tpu.db import add_source
+    from perceive_tpu.serve import start_server
+    from perceive_tpu.sources import scan_source
+    from perceive_tpu.types import Source
+
+    model = make_model(seed=3)
+    app = AppState(str(tmp_path / "db.sqlite3"), model=model, engine="xla")
+    try:
+        docs = tmp_path / "docs"
+        docs.mkdir()
+        rng = np.random.default_rng(5)
+        for i in range(7):
+            (docs / f"d{i}.txt").write_text(" ".join(rng.choice(WORDS, 24)))
+        src = add_source(app.db, Source(name="w", config={"type": "fs"}, location=str(docs)))
+        scan_source(app.db, app.model, src, on_embeddings=app.searcher.upsert_embeddings)
+
+        server = start_server(lambda: app, port=0)
+        holder = server.perceive_state
+        try:
+            holder.ready.wait(120)
+            deadline = _time.time() + 60
+            while _time.time() < deadline and holder.highlight_warmed_total < 7:
+                _time.sleep(0.1)
+            assert holder.highlight_warmed_total == 7
+            # >= 7: ServeState._warm's jit-warmup documents cache too
+            assert len(app.highlights_model._highlight_cache) >= 7
+        finally:
+            holder.stop()
+            server.shutdown()
+    finally:
+        app.close()
