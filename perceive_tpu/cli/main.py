@@ -231,6 +231,11 @@ def dispatch(state, args) -> None:
             refresh_interval=args.refresh, refresh_prune=args.prune,
         )
     elif cmd == "app":
+        if args.install:  # also reachable via the REPL re-dispatch
+            from .desktop import install_desktop_entry
+
+            print(install_desktop_entry())
+            return
         from ..serve import serve
 
         serve(

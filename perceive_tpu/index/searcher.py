@@ -760,10 +760,10 @@ class Searcher:
     # consistency re-sweeps through the normal path.
 
     _supports_fused = True  # ShardedSearcher opts out (shard_map program)
-    # aux (second-model) query encode inside the fused program; the mesh
-    # subclass opts out (its program is a shard_map whose inputs are pinned
-    # to the mesh — a host-placed aux model's params don't belong there) and
-    # falls back to a separate aux encode dispatch
+    # aux (second-model) query encode inside the fused program; a subclass
+    # whose program can't host the aux tower sets this False and
+    # search_fused falls back to a separate aux encode dispatch (the mesh
+    # subclass instead replicates the aux params once — _fused_aux_params)
     _supports_fused_aux = True
 
     def _fused_callable(self, model, aux_model=None):
