@@ -391,6 +391,23 @@ def make_handler(holder: ServeState):
                 "# TYPE perceive_refresh_errors_total counter",
                 f"perceive_refresh_errors_total {holder.refresh_errors_total}",
             ]
+            from .models.highlight import HighlightCache
+
+            hl = getattr(app, "highlights_model", None) if app else None
+            cache = getattr(hl, "_highlight_cache", None)
+            if isinstance(cache, HighlightCache):  # empty cache is falsy!
+                lines += [
+                    "# TYPE perceive_highlight_cache_docs gauge",
+                    f"perceive_highlight_cache_docs {len(cache)}",
+                    "# TYPE perceive_highlight_cache_bytes gauge",
+                    f"perceive_highlight_cache_bytes {cache.nbytes}",
+                    "# TYPE perceive_highlight_cache_hits_total counter",
+                    f"perceive_highlight_cache_hits_total {cache.hits}",
+                    "# TYPE perceive_highlight_cache_misses_total counter",
+                    f"perceive_highlight_cache_misses_total {cache.misses}",
+                    "# TYPE perceive_highlight_warmed_total counter",
+                    f"perceive_highlight_warmed_total {holder.highlight_warmed_total}",
+                ]
             if ex is not None:
                 lines += [
                     "# TYPE perceive_search_queries_total counter",

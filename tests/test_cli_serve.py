@@ -169,6 +169,10 @@ def test_serve(state, tmp_path, capsys):
         assert metrics["perceive_search_queries_total"] >= 4
         assert metrics["perceive_search_sweeps_total"] >= 4
         assert metrics["perceive_search_query_errors_total"] == 0
+        # highlight chunk cache observability (round 3)
+        assert metrics["perceive_highlight_cache_docs"] >= 1
+        assert metrics["perceive_highlight_cache_bytes"] > 0
+        assert metrics["perceive_highlight_cache_hits_total"] >= 0
     finally:
         server.shutdown()
 
