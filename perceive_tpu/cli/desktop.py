@@ -28,9 +28,19 @@ Keywords=search;semantic;index;
 """
 
 
-def _launch_command() -> str:
+def _exec_quote(arg: str) -> str:
+    """Quote one Exec argument per the Desktop Entry Spec (double quotes +
+    backslash escaping — shlex/POSIX single quotes are NOT valid there and
+    spec-compliant launchers misparse them)."""
+    if not any(c in arg for c in " \t\n\"'\\><~|&;$*?#()`"):
+        return arg
+    escaped = arg.replace("\\", "\\\\").replace('"', '\\"').replace("`", "\\`").replace("$", "\\$")
+    return f'"{escaped}"'
+
+
+def _launch_command(quote=_exec_quote) -> str:
     """The command the launcher runs: this interpreter + the CLI app mode."""
-    return f"{shlex.quote(sys.executable)} -m perceive_tpu.cli app"
+    return f"{quote(sys.executable)} -m perceive_tpu.cli app"
 
 
 def install_desktop_entry(base_dir: str | None = None) -> str:
@@ -43,7 +53,8 @@ def install_desktop_entry(base_dir: str | None = None) -> str:
         dest = Path.home() / "Applications"
         dest.mkdir(parents=True, exist_ok=True)
         path = dest / "Perceive TPU.command"
-        path.write_text(f"#!/bin/sh\nexec {_launch_command()}\n")
+        # a .command runs through sh — POSIX quoting is right here
+        path.write_text(f"#!/bin/sh\nexec {_launch_command(shlex.quote)}\n")
         path.chmod(path.stat().st_mode | stat.S_IXUSR | stat.S_IXGRP | stat.S_IXOTH)
         return str(path)
     root = Path(base_dir) if base_dir is not None else (

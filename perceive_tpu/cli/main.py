@@ -25,6 +25,13 @@ def positive_float(v: str) -> float:
     return f
 
 
+def nonnegative_float(v: str) -> float:
+    f = float(v)
+    if f < 0:
+        raise argparse.ArgumentTypeError("must be >= 0")
+    return f
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="perceive-tpu", description="Semantic search for your life, TPU-native")
     p.add_argument("--db", help="database path (default: data dir)")
@@ -172,7 +179,7 @@ def build_parser() -> argparse.ArgumentParser:
     papp.add_argument("--host", default="127.0.0.1")
     papp.add_argument("--port", type=int, default=5807)
     papp.add_argument(
-        "--refresh", type=positive_float, default=900.0, metavar="SECONDS",
+        "--refresh", type=nonnegative_float, default=900.0, metavar="SECONDS",
         help="background rescan of due sources (default 900; 0 disables)",
     )
     papp.add_argument("--prune", action="store_true",

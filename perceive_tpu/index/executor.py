@@ -167,16 +167,23 @@ class BatchingSearchExecutor:
                 vecs = self.model.encode([r.text for r, _ in texts])
                 for (r, _), v in zip(texts, vecs):
                     r.vec = np.asarray(v, np.float32).reshape(-1)
-                aux_reqs = [r for r, _ in texts if r.want_aux]
-                if aux_reqs:
-                    aux_vecs = self.aux_model.encode([r.text for r in aux_reqs])
-                    for r, v in zip(aux_reqs, aux_vecs):
-                        r.aux_vec = np.asarray(v, np.float32).reshape(-1)
             except Exception as e:  # noqa: BLE001
                 self.query_errors_total += len(texts)
                 for _, f in texts:
                     f.set_exception(e)
                 pairs = [(r, f) for r, f in pairs if r.text is None]
+            aux_reqs = [r for r, f in pairs if r.want_aux and r.text is not None]
+            if aux_reqs:
+                try:
+                    aux_vecs = self.aux_model.encode([r.text for r in aux_reqs])
+                    for r, v in zip(aux_reqs, aux_vecs):
+                        r.aux_vec = np.asarray(v, np.float32).reshape(-1)
+                except Exception:  # noqa: BLE001 — the aux embed is a
+                    # highlight optimization; its failure must not fail the
+                    # SEARCH (and certainly not the non-aux requests in the
+                    # drain).  aux_vec stays None; highlight_batch handles a
+                    # None query embedding by riding the chunk batch.
+                    pass
         # group by (k, source filter): each group is one device sweep
         groups: dict = {}
         for r, f in pairs:

@@ -108,6 +108,12 @@ class HighlightCache:
             return v
 
     def put(self, key, value) -> None:
+        ranges, embs = value
+        if getattr(embs, "base", None) is not None:
+            # a slice VIEW into a batch's concatenated encode would pin the
+            # whole base array while .nbytes counts only the slice — the
+            # byte budget must account what is actually held
+            value = (ranges, embs.copy())
         size = self._size(value)
         if size > self.max_bytes:
             return  # larger than the whole budget: never cache it
@@ -125,6 +131,9 @@ class HighlightCache:
                 self.evictions += 1
 
 
+_CACHE_INIT_LOCK = threading.Lock()
+
+
 def _cache_for(model) -> Optional[HighlightCache]:
     """The model's highlight cache (binding it to the model instance keys
     entries by model identity for free).  PERCEIVE_TPU_HIGHLIGHT_CACHE_DOCS
@@ -134,16 +143,23 @@ def _cache_for(model) -> Optional[HighlightCache]:
     working set skews to very long documents."""
     cache = getattr(model, "_highlight_cache", None)
     if cache is None:
-        def env_int(name: str, default: int) -> int:
-            try:
-                return int(os.environ.get(name, ""))
-            except ValueError:
-                return default
+        with _CACHE_INIT_LOCK:  # serve's warm thread races the first query
+            cache = getattr(model, "_highlight_cache", None)
+            if cache is None:
+                def env_int(name: str, default: int) -> int:
+                    try:
+                        return int(os.environ.get(name, ""))
+                    except ValueError:
+                        return default
 
-        n = env_int("PERCEIVE_TPU_HIGHLIGHT_CACHE_DOCS", 1024)
-        mb = env_int("PERCEIVE_TPU_HIGHLIGHT_CACHE_MB", 64)
-        cache = HighlightCache(n, max_bytes=mb << 20) if n > 0 and mb > 0 else False
-        model._highlight_cache = cache
+                n = env_int("PERCEIVE_TPU_HIGHLIGHT_CACHE_DOCS", 1024)
+                mb = env_int("PERCEIVE_TPU_HIGHLIGHT_CACHE_MB", 64)
+                cache = (
+                    HighlightCache(n, max_bytes=mb << 20)
+                    if n > 0 and mb > 0
+                    else False
+                )
+                model._highlight_cache = cache
     # NOTE: an empty HighlightCache is falsy (__len__ == 0) — test by type,
     # not truthiness (False marks "disabled")
     return cache if isinstance(cache, HighlightCache) else None
@@ -222,9 +238,13 @@ def highlight_batch(
     # Phase 1: cache lookups; collect the miss documents of every request.
     # A docstate is ("hit", ranges, embs) or a mutable ["miss", key, None]
     # slot filled by phase 2 with (base index into to_encode, count, ranges).
+    # Duplicate misses (coalesced concurrent queries share top-k documents —
+    # exactly the common case) share ONE slot, so each distinct document is
+    # tokenized and encoded once per batch.
     requests: list = []
     miss_texts: list[str] = []
     miss_slots: list[list] = []
+    slot_by_key: dict = {}
     for (query, documents), qemb in zip(pairs, query_embs):
         if not documents:
             requests.append(None)
@@ -238,11 +258,15 @@ def highlight_batch(
                 hit = cache.get(key)
             if hit is not None:
                 docstates.append(("hit",) + hit)
+            elif key is not None and key in slot_by_key:
+                docstates.append(slot_by_key[key])  # dup miss: shared slot
             else:
                 slot = ["miss", key, None]
                 docstates.append(slot)
                 miss_texts.append(d)
                 miss_slots.append(slot)
+                if key is not None:
+                    slot_by_key[key] = slot
         requests.append([query, documents, docstates, qemb, -1])
 
     # Phase 2: tokenize + chunk all miss documents in one tokenizer batch.

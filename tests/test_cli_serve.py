@@ -618,3 +618,26 @@ def test_install_desktop_entry_base_dir(tmp_path):
     path = install_desktop_entry(base_dir=str(tmp_path))
     assert path.endswith(".desktop")
     assert "perceive_tpu.cli app" in open(path).read()
+
+
+def test_app_refresh_zero_parses():
+    """`app --refresh 0` must parse (help says '0 disables') and dispatch
+    maps it to refresh_interval=None."""
+    parser = build_parser()
+    args = parser.parse_args(["app", "--refresh", "0", "--no-browser"])
+    assert args.refresh == 0.0
+    assert (args.refresh or None) is None
+
+
+def test_desktop_exec_quoting(tmp_path, monkeypatch):
+    """Exec quoting follows the Desktop Entry Spec (double quotes), not
+    POSIX single quotes, for interpreter paths containing spaces."""
+    import sys as _sys
+
+    from perceive_tpu.cli import desktop
+
+    monkeypatch.setattr(desktop.sys, "executable", "/home/u/My Projects/venv/bin/python")
+    path = desktop.install_desktop_entry(base_dir=str(tmp_path))
+    text = open(path).read()
+    assert 'Exec="/home/u/My Projects/venv/bin/python" -m perceive_tpu.cli app' in text
+    assert "'" not in text.split("Exec=")[1].splitlines()[0]

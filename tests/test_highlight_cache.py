@@ -283,3 +283,70 @@ def test_serve_warms_highlight_cache(tmp_path):
             server.shutdown()
     finally:
         app.close()
+
+
+def test_cache_entries_own_their_memory(model, docs):
+    """Cached chunk embeddings must be copies, not slice views into the
+    batch's concatenated encode — a view pins the whole base array while
+    nbytes counts only the slice, defeating the byte budget."""
+    model.highlight("music", docs, query_emb=model.encode_query("music"))
+    c = model._highlight_cache
+    assert len(c) > 0
+    for _, (_, embs) in c._entries.items():
+        assert embs.base is None
+
+
+def test_batch_dedupes_repeated_miss_docs(model, monkeypatch):
+    """Coalesced requests sharing an uncached document encode its chunks
+    ONCE per batch, not once per occurrence."""
+    from perceive_tpu.models.highlight import highlight_batch
+
+    rng = np.random.default_rng(31)
+    doc = " ".join(rng.choice(WORDS, size=40))
+    qemb = model.encode_query("alpha")
+
+    windows = []
+    orig = model.tokenizer.encode_token_chunks
+    monkeypatch.setattr(
+        model.tokenizer, "encode_token_chunks",
+        lambda ch: (windows.extend(ch), orig(ch))[1],
+    )
+    out = highlight_batch(
+        model, [("alpha", [doc]), ("alpha", [doc]), ("alpha", [doc, doc])],
+        [qemb, qemb, qemb],
+    )
+    # one doc's worth of chunk windows encoded, shared by all four slots
+    fresh = make_model(seed=3)
+    solo = fresh.highlight("alpha", [doc], query_emb=qemb)
+    assert out == [solo, solo, solo + solo]
+    # exactly the doc's own chunk count was encoded (once), matching the
+    # single cached entry — not 4x it
+    (_, embs), = list(model._highlight_cache._entries.values())[-1:]
+    assert len(windows) == embs.shape[0] > 0
+
+
+def test_executor_aux_failure_degrades_not_fails(model, corpus, monkeypatch):
+    """In a coalesced drain, an aux-encode failure must not fail searches:
+    non-aux requests resolve normally, want_aux requests get aux=None."""
+    from perceive_tpu.index import BatchingSearchExecutor
+
+    texts, vecs = corpus
+    aux = make_model(seed=9)
+    s = Searcher(0, 0, model.dim, dtype=jnp.float32, engine="xla")
+    s.upsert_embeddings(list(range(1, len(texts) + 1)), [0] * len(texts), vecs)
+    ex = BatchingSearchExecutor(s, model=model, aux_model=aux, window_ms=50.0)
+    try:
+        def boom(*a, **k):
+            raise RuntimeError("aux device gone")
+
+        monkeypatch.setattr(aux, "encode", boom)
+        # two concurrent requests force the coalesced path (window 50 ms)
+        f1 = ex.submit_text("music", 3, want_aux=True)
+        f2 = ex.submit_text("pizza", 3)
+        hits1, aq1 = f1.result(30)
+        hits2 = f2.result(30)
+        assert hits1 and aq1 is None  # degraded, not failed
+        assert hits2
+        assert ex.query_errors_total == 0
+    finally:
+        ex.close()
