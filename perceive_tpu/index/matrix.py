@@ -120,6 +120,23 @@ def _mirror_ram_budget() -> int:
         return 8 * 2**30
 
 
+def _mirror_spill_dir() -> Optional[str]:
+    """Directory for spilled mirror files (PERCEIVE_TPU_MIRROR_DIR, default
+    the app data dir).  The system temp dir is commonly tmpfs (RAM-backed)
+    on Linux — spilling there would charge the mirror against the very host
+    RAM the spill exists to relieve (round-3 review)."""
+    env = os.environ.get("PERCEIVE_TPU_MIRROR_DIR")
+    if env:
+        os.makedirs(env, exist_ok=True)
+        return env
+    try:
+        from ..paths import data_dir
+
+        return str(data_dir())
+    except OSError:
+        return None  # unwritable home: fall back to the tempfile default
+
+
 def _mirror_np_dtype():
     """Element dtype for the host mirror (PERCEIVE_TPU_MIRROR_DTYPE).
 
@@ -177,7 +194,9 @@ class HostMirror:
             return np.zeros((capacity, self.width), dtype=self.dtype)
         import tempfile
 
-        fd, path = tempfile.mkstemp(suffix=".mirror", dir=self.dir)
+        fd, path = tempfile.mkstemp(
+            suffix=".mirror", dir=self.dir if self.dir is not None else _mirror_spill_dir()
+        )
         os.close(fd)
         self.path = path
         return np.memmap(path, dtype=self.dtype, mode="w+", shape=(capacity, self.width))
@@ -677,6 +696,25 @@ class EmbeddingMatrix:
             self._device_scales = None
             self._dirty = True  # full restage in the new storage dtype
             self._dirty_rows.clear()
+            if self.quantized:
+                # upsert only maintains the high-water quantization stats
+                # while the matrix IS quantized — rows ingested in a wider
+                # tier never touched them, so a mid-session retier must
+                # recompute from the mirror or the rerank escalation margin
+                # (searcher._scan, PERCEIVE_TPU_RERANK_MARGIN_SIGMA) would
+                # silently underestimate the noise (round-3 review).  Also
+                # rescales on int8 -> int4 (qmax 127 -> 7).
+                qmax = 7.0 if self.packed4 else 127.0
+                scale_hw = norm_hw = 0.0
+                for lo in range(0, self.rows, self._SYNC_CHUNK_ROWS):
+                    hi = min(lo + self._SYNC_CHUNK_ROWS, self.rows)
+                    v = self._mirror.read_f32(slice(lo, hi), self.dim)
+                    if len(v):
+                        scale_hw = max(scale_hw, float(np.abs(v).max()) / qmax)
+                        norm_hw = max(
+                            norm_hw, float(np.linalg.norm(v, axis=1).max())
+                        )
+                self.scale_hw, self.norm_hw = scale_hw, norm_hw
 
     def clear(self) -> None:
         """Drop every row and all delta tracking (a failed snapshot load
@@ -890,19 +928,35 @@ class EmbeddingMatrix:
             z["source_ids"][live].tolist(),
             z["vectors"][live],
         )
-        m.apply_snapshot_delta(path)
+        if m.apply_snapshot_delta(path) < 0:
+            # a delta EXISTS but can't be trusted (corrupt / legacy tokenless
+            # base): silently returning the bare base could drop the rows the
+            # delta carried and resurrect keys removed since the base.  The
+            # classmethod has no DB to rebuild from — fail loud (Searcher's
+            # load path catches -1 itself and falls back to a full rebuild;
+            # provably-STALE deltas of an older base are ignored, not raised).
+            raise ValueError(
+                f"snapshot delta {path}.delta is unusable (corrupt or "
+                "unverifiable); delete it or rebuild from the database"
+            )
         return m
 
     def apply_snapshot_delta(self, base_path: str) -> int:
         """Apply ``base_path + ".delta"`` (rows changed + keys removed since
         the base) if it exists AND its token matches the base's; returns how
-        many live rows were applied, 0 when no delta exists, or **-1 when a
-        delta EXISTS but cannot be used** (corrupt, dim mismatch, token of a
-        different base).  -1 means the caller must fall back to a full
-        rebuild: the vector_shards manifest's max_seq was advanced by delta
-        saves, so seq replay alone does NOT cover the rows the unusable
-        delta carried — ignoring it would silently drop them.  Removals
-        apply first so a removed-then-re-added key ends live."""
+        many live rows were applied, 0 when no delta exists **or the delta
+        is provably STALE** (its token names a different base: a delta's
+        token always equals the base that existed when it was saved, and a
+        full snapshot captures the entire matrix state — so a newer base
+        already contains everything a leftover older delta carried; the
+        crash-between-base-replace-and-delta-unlink ordering is safe to
+        ignore), or **-1 when a delta EXISTS but cannot be trusted**
+        (corrupt, dim mismatch, or a tokenless legacy base that can't prove
+        staleness).  -1 means the caller must fall back to a full rebuild:
+        the vector_shards manifest's max_seq was advanced by delta saves, so
+        seq replay alone does NOT cover the rows the unusable delta carried
+        — ignoring it would silently drop them.  Removals apply first so a
+        removed-then-re-added key ends live."""
         delta_path = str(base_path) + ".delta"
         if not os.path.exists(delta_path):
             return 0
@@ -912,12 +966,10 @@ class EmbeddingMatrix:
             if int(z["dim"]) != self.dim:
                 return -1
             files = getattr(z, "files", [])
-            if (
-                base_token is None
-                or "base_token" not in files
-                or str(z["base_token"]) != base_token
-            ):
-                return -1  # delta belongs to a different base
+            if base_token is None or "base_token" not in files:
+                return -1  # legacy/corrupt: can't prove the delta is stale
+            if str(z["base_token"]) != base_token:
+                return 0  # stale delta of an older base: superseded, ignore
             if "removed_keys" in files:
                 gone = [int(k) for k in z["removed_keys"]]
                 if gone:

@@ -34,7 +34,13 @@ import numpy as np
 from ..db import ITEM_COLUMNS, Database, deserialize_item_row, json_ids
 from ..ops.topk import ALLOW_ALL
 from ..types import Item
-from .matrix import EmbeddingMatrix, chunk_key, deserialize_embedding, key_item
+from .matrix import (
+    CHUNK_STRIDE,
+    EmbeddingMatrix,
+    chunk_key,
+    deserialize_embedding,
+    key_item,
+)
 
 K_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
 MAX_K = K_BUCKETS[-1]
@@ -279,11 +285,19 @@ class Searcher:
 
     # -- build ---------------------------------------------------------------
 
-    _BUILD_SQL = """
+    # chunk_idx >= CHUNK_STRIDE would collide with the NEXT item's key group
+    # (matrix.chunk_key fails loud on it).  The ingest pipeline caps windows,
+    # but a database written by an older build may carry deeper rows — the
+    # load paths filter them in SQL rather than crashing startup on legacy
+    # data (round-3 review).
+    _CHUNK_STRIDE = CHUNK_STRIDE
+
+    _BUILD_SQL = f"""
         SELECT items.id, items.source_id, ie.embedding, ie.chunk_idx
         FROM items
         JOIN item_embeddings ie ON ie.item_id = items.id
           AND ie.model_id = ? AND ie.model_version = ?
+          AND ie.chunk_idx < {_CHUNK_STRIDE}
         WHERE items.skipped IS NULL AND items.hidden_at IS NULL
     """
 
@@ -389,9 +403,10 @@ class Searcher:
         live = {
             chunk_key(r[0], r[1])
             for r in db.read().execute(
-                """SELECT items.id, ie.chunk_idx FROM items
+                f"""SELECT items.id, ie.chunk_idx FROM items
                    JOIN item_embeddings ie ON ie.item_id = items.id
                      AND ie.model_id = ? AND ie.model_version = ?
+                     AND ie.chunk_idx < {self._CHUNK_STRIDE}
                    WHERE items.skipped IS NULL AND items.hidden_at IS NULL""",
                 (self.model_id, self.model_version),
             )
@@ -943,8 +958,9 @@ class Searcher:
         """Every stored (chunk_idx, vector) of an item — unhide must restore
         ALL chunk rows, not just chunk 0 (ADVICE r1: commands.py:444)."""
         rows = db.read().execute(
-            """SELECT chunk_idx, embedding FROM item_embeddings
+            f"""SELECT chunk_idx, embedding FROM item_embeddings
                WHERE model_id = ? AND model_version = ? AND item_id = ?
+                 AND chunk_idx < {self._CHUNK_STRIDE}
                ORDER BY chunk_idx""",
             (self.model_id, self.model_version, item_id),
         ).fetchall()

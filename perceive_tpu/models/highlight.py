@@ -283,6 +283,7 @@ def highlight_batch(
     # chunks; a separate encode([query]) would double the device round
     # trips of a warm serve query, VERDICT r2 #1) — but only when the
     # request has at least one chunk to score.
+    pending_q: list[list] = []
     for req in requests:
         if req is None:
             continue
@@ -294,11 +295,15 @@ def highlight_batch(
         )
         if n_chunks == 0:
             continue
-        qenc = model.tokenizer.encode_untruncated([req[0]])[0]
-        req[4] = len(to_encode)
-        to_encode.append(
-            [i for i, m in zip(qenc.ids, qenc.special_tokens_mask) if not m]
-        )
+        pending_q.append(req)
+    if pending_q:  # ONE tokenizer call for all pending queries, like the docs
+        for req, qenc in zip(
+            pending_q, model.tokenizer.encode_untruncated([r[0] for r in pending_q])
+        ):
+            req[4] = len(to_encode)
+            to_encode.append(
+                [i for i, m in zip(qenc.ids, qenc.special_tokens_mask) if not m]
+            )
 
     # Phase 4: one bucketed device encode of everything that missed.
     all_embs = None
