@@ -17,13 +17,25 @@ signatures are grouped per drain so correctness never depends on the mix.
 
 from __future__ import annotations
 
+import os
+import threading
 import time
+from collections import OrderedDict
 from concurrent.futures import Future
 from typing import Optional, Sequence
 
 import numpy as np
 
 from ..utils.coalesce import CoalescingBatcher
+
+
+def _result_cache_size() -> int:
+    """Entries in the per-executor text-query result cache
+    (PERCEIVE_TPU_RESULT_CACHE, 0 disables; default 512)."""
+    try:
+        return int(os.environ.get("PERCEIVE_TPU_RESULT_CACHE", "512"))
+    except ValueError:
+        return 512
 
 
 class _Request:
@@ -70,6 +82,21 @@ class BatchingSearchExecutor:
         self.queries_total = 0
         self.query_errors_total = 0
         self.sweep_seconds_total = 0.0
+        # Text-query result cache: key (query, k, filter, want_aux) ->
+        # (matrix.mutation_gen at sweep time, result).  A repeat query on an
+        # UNCHANGED corpus is answered from here with ZERO device dispatches
+        # (the fused path costs 1 tunnel RTT; this removes it).  Validity is
+        # the matrix's logical generation — any upsert/remove/retier bumps
+        # it and every cached entry self-invalidates on next lookup.  The
+        # gen is captured BEFORE the sweep, so a mutation racing the sweep
+        # can only waste the slot (stored gen goes stale), never serve a
+        # stale result at a newer gen.  model/aux_model are bound at
+        # construction and never reassigned, so they aren't in the key.
+        self.result_cache_hits = 0
+        self.result_cache_misses = 0
+        self._rcache: OrderedDict = OrderedDict()
+        self._rcache_max = _result_cache_size()
+        self._rcache_lock = threading.Lock()
         # the queue/window/idle-short-circuit machinery is the shared
         # CoalescingBatcher (utils/coalesce.py) in non-resolving mode:
         # _dispatch groups requests and resolves each future itself
@@ -115,6 +142,11 @@ class BatchingSearchExecutor:
         if want_aux and self.aux_model is None:
             raise RuntimeError("executor built without an aux_model")
         key = tuple(sorted(source_ids)) if source_ids is not None else None
+        cached = self._rcache_get((query, k, key, want_aux))
+        if cached is not None:
+            fut: Future = Future()
+            fut.set_result(cached)
+            return fut
         return self._batcher.submit(
             _Request(None, k, key, text=query, want_aux=want_aux)
         )
@@ -127,6 +159,43 @@ class BatchingSearchExecutor:
     def close(self) -> None:
         self._batcher.close()
 
+    # -- result cache ----------------------------------------------------------
+
+    @staticmethod
+    def _copy_result(result, want_aux: bool):
+        """Hand each caller its own hits list (the aux vector is read-only
+        by contract) so one caller's mutation can't corrupt the cache."""
+        if want_aux:
+            hits, aux = result
+            return (list(hits), aux)
+        return list(result)
+
+    def _rcache_get(self, key):
+        if self._rcache_max <= 0:
+            return None
+        gen = self.searcher.matrix.mutation_gen
+        with self._rcache_lock:
+            e = self._rcache.get(key)
+            if e is not None and e[0] == gen:
+                self._rcache.move_to_end(key)
+                self.result_cache_hits += 1
+                return self._copy_result(e[1], key[3])
+            if e is not None:
+                del self._rcache[key]  # corpus changed since: drop
+        self.result_cache_misses += 1
+        return None
+
+    def _rcache_put(self, key, gen: int, result) -> None:
+        if self._rcache_max <= 0:
+            return
+        with self._rcache_lock:
+            # store a PRIVATE copy: the filling request's caller holds the
+            # original and may mutate its hits list
+            self._rcache[key] = (gen, self._copy_result(result, key[3]))
+            self._rcache.move_to_end(key)
+            while len(self._rcache) > self._rcache_max:
+                self._rcache.popitem(last=False)
+
     # -- dispatcher (runs on the batcher thread) -------------------------------
 
     def _dispatch(self, pairs: list) -> None:
@@ -138,6 +207,7 @@ class BatchingSearchExecutor:
             # folds the highlight-model query encode into the same program
             r, fut = pairs[0]
             t0 = time.monotonic()
+            gen = self.searcher.matrix.mutation_gen  # BEFORE the sweep
             try:
                 source_ids = list(r.source_key) if r.source_key is not None else None
                 if r.want_aux:
@@ -156,6 +226,7 @@ class BatchingSearchExecutor:
             self.sweeps_total += 1
             self.queries_total += 1
             self.sweep_seconds_total += time.monotonic() - t0
+            self._rcache_put((r.text, r.k, r.source_key, r.want_aux), gen, result)
             fut.set_result(result)
             return
         texts = [(r, f) for r, f in pairs if r.text is not None]
@@ -190,6 +261,7 @@ class BatchingSearchExecutor:
             groups.setdefault((r.k, r.source_key), []).append((r, f))
         for (k, source_key), reqs in groups.items():
             t0 = time.monotonic()
+            gen = self.searcher.matrix.mutation_gen  # BEFORE the sweep
             try:
                 vecs = np.stack([r.vec for r, _ in reqs])
                 source_ids = list(source_key) if source_key is not None else None
@@ -203,4 +275,9 @@ class BatchingSearchExecutor:
             self.queries_total += len(reqs)
             self.sweep_seconds_total += time.monotonic() - t0
             for (r, f), hits in zip(reqs, results):
-                f.set_result((hits, r.aux_vec) if r.want_aux else hits)
+                result = (hits, r.aux_vec) if r.want_aux else hits
+                if r.text is not None:
+                    self._rcache_put(
+                        (r.text, r.k, r.source_key, r.want_aux), gen, result
+                    )
+                f.set_result(result)

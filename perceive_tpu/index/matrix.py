@@ -311,6 +311,11 @@ class EmbeddingMatrix:
         # as the new item with the old item's score.  Searchers snapshot this
         # before a sweep and retry when it moved (index/searcher._scan docs).
         self.reuse_gen = 0
+        # bumped on ANY logical content change (upsert/remove/clear/retier):
+        # the invalidation key for result caches above the searcher — a
+        # cached (query -> hits) pair is valid iff mutation_gen is unchanged
+        # (serve/executor query cache, round 3)
+        self.mutation_gen = 0
         # high-water quantization stats for the rerank escalation margin
         # (index/searcher._scan): the largest per-row quantization scale and
         # the largest row L2 norm ever upserted.  High-water (never lowered
@@ -616,6 +621,8 @@ class EmbeddingMatrix:
             if not self._dirty:  # a pending full upload covers every row
                 self._dirty_rows.update(rows.tolist())
             self._note_delta(rows)
+            if len(item_ids):
+                self.mutation_gen += 1
             if self.quantized and len(vectors):
                 qmax = 7.0 if self.packed4 else 127.0
                 self.scale_hw = max(self.scale_hw, float(np.abs(vectors).max()) / qmax)
@@ -646,6 +653,8 @@ class EmbeddingMatrix:
                     self._note_removed(iid)
                     self._free.append(int(row))
                     n += 1
+            if n:
+                self.mutation_gen += 1
         return n
 
     def _note_delta(self, rows) -> None:
@@ -696,6 +705,7 @@ class EmbeddingMatrix:
             self._device_scales = None
             self._dirty = True  # full restage in the new storage dtype
             self._dirty_rows.clear()
+            self.mutation_gen += 1  # sweep scores change between tiers
             if self.quantized:
                 # upsert only maintains the high-water quantization stats
                 # while the matrix IS quantized — rows ingested in a wider
@@ -732,6 +742,7 @@ class EmbeddingMatrix:
             self._dirty_rows.clear()
             self._delta_rows = set()
             self._delta_removed = set()
+            self.mutation_gen += 1
 
     def keys_of_group(self, item_id: int) -> list[int]:
         """All chunk keys currently stored for an item.  Single chunk-0
@@ -765,6 +776,8 @@ class EmbeddingMatrix:
                 self._note_delta((int(row),))
                 self._note_removed(key)
                 self._free.append(int(row))
+            if len(rows):
+                self.mutation_gen += 1
             return len(rows)
 
     def __len__(self) -> int:

@@ -418,6 +418,10 @@ def make_handler(holder: ServeState):
                     f"perceive_search_sweeps_total {ex.sweeps_total}",
                     "# TYPE perceive_search_sweep_seconds_total counter",
                     f"perceive_search_sweep_seconds_total {ex.sweep_seconds_total:.6f}",
+                    "# TYPE perceive_result_cache_hits_total counter",
+                    f"perceive_result_cache_hits_total {ex.result_cache_hits}",
+                    "# TYPE perceive_result_cache_misses_total counter",
+                    f"perceive_result_cache_misses_total {ex.result_cache_misses}",
                 ]
             body = ("\n".join(lines) + "\n").encode()
             self.send_response(200)

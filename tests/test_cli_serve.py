@@ -552,7 +552,9 @@ def test_refresh_loop_isolates_per_source_failures(state, tmp_path):
     server = start_server(lambda: state, port=0, refresh_interval=0.2)
     holder = server.perceive_state
     try:
-        deadline = time.time() + 30
+        # generous deadline: under a full-suite run on a loaded 1-core host
+        # the background refresh thread can take >30 s to get scheduled
+        deadline = time.time() + 120
         while time.time() < deadline:
             if holder.refresh_scans_total >= 1 and holder.refresh_errors_total >= 1:
                 break

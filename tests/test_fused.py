@@ -255,3 +255,88 @@ def test_sharded_searcher_fused_aux(model, corpus, monkeypatch):
     assert hits2 == want
     np.testing.assert_allclose(aq2, aq)
     assert ss._aux_repl is first  # not re-replicated per call
+
+
+def test_executor_result_cache(model, corpus):
+    """A repeat text query on an UNCHANGED corpus answers from the result
+    cache with zero device sweeps; any matrix mutation invalidates it."""
+    from perceive_tpu.index import BatchingSearchExecutor
+
+    texts, vecs, srcs = corpus
+    s = Searcher(0, 0, model.dim, dtype=jnp.float32, engine="xla")
+    s.upsert_embeddings(list(range(1, len(texts) + 1)), srcs, vecs)
+    ex = BatchingSearchExecutor(s, model=model, window_ms=5)
+    try:
+        first = ex.search_text("music pizza", 5, timeout=30)
+        sweeps0 = ex.sweeps_total
+        again = ex.search_text("music pizza", 5, timeout=30)
+        assert again == first
+        assert ex.sweeps_total == sweeps0  # answered without device work
+        assert ex.result_cache_hits == 1
+
+        # a caller mutating its hits list must not corrupt the cache
+        again.append(("junk", 0.0))
+        assert ex.search_text("music pizza", 5, timeout=30) == first
+
+        # (query, k, filter) are distinct entries
+        assert len(ex.search_text("music pizza", 3, timeout=30)) == 3
+        filt = ex.search_text("music pizza", 5, source_ids=[1], timeout=30)
+        assert filt == s.search(model, "music pizza", 5, source_ids=[1])
+
+        # corpus mutation invalidates: the next repeat re-sweeps
+        s.upsert_embeddings([len(texts) + 1], [0], vecs[:1])
+        sweeps1 = ex.sweeps_total
+        fresh = ex.search_text("music pizza", 5, timeout=30)
+        assert ex.sweeps_total == sweeps1 + 1
+        assert fresh == s.search(model, "music pizza", 5)
+    finally:
+        ex.close()
+
+
+def test_executor_result_cache_want_aux(model, corpus):
+    texts, vecs, srcs = corpus
+    from perceive_tpu.index import BatchingSearchExecutor
+
+    aux = Model.random(
+        EncoderArch(vocab_size=len(tiny_test_vocab(WORDS)), hidden_size=32,
+                    num_layers=1, num_heads=4, intermediate_size=64,
+                    max_position_embeddings=32),
+        HeadConfig(pooling="mean", normalize=True),
+        TextTokenizer.from_vocab(tiny_test_vocab(WORDS), max_seq_length=32),
+        seed=11,
+    )
+    aux.model_id = 1
+    s = Searcher(0, 0, model.dim, dtype=jnp.float32, engine="xla")
+    s.upsert_embeddings(list(range(1, len(texts) + 1)), srcs, vecs)
+    ex = BatchingSearchExecutor(s, model=model, aux_model=aux, window_ms=5)
+    try:
+        hits, aq = ex.search_text("music", 5, want_aux=True, timeout=30)
+        sweeps0 = ex.sweeps_total
+        h2, aq2 = ex.search_text("music", 5, want_aux=True, timeout=30)
+        assert h2 == hits
+        np.testing.assert_allclose(aq2, aq)
+        assert ex.sweeps_total == sweeps0
+        # want_aux and plain entries don't cross-serve
+        plain = ex.search_text("music", 5, timeout=30)
+        assert plain == hits
+    finally:
+        ex.close()
+
+
+def test_executor_result_cache_disabled(model, corpus, monkeypatch):
+    monkeypatch.setenv("PERCEIVE_TPU_RESULT_CACHE", "0")
+    from perceive_tpu.index import BatchingSearchExecutor
+
+    texts, vecs, srcs = corpus
+    s = Searcher(0, 0, model.dim, dtype=jnp.float32, engine="xla")
+    s.upsert_embeddings(list(range(1, len(texts) + 1)), srcs, vecs)
+    ex = BatchingSearchExecutor(s, model=model, window_ms=5)
+    try:
+        a = ex.search_text("music pizza", 5, timeout=30)
+        sweeps0 = ex.sweeps_total
+        b = ex.search_text("music pizza", 5, timeout=30)
+        assert b == a
+        assert ex.sweeps_total == sweeps0 + 1  # no cache: re-swept
+        assert ex.result_cache_hits == 0
+    finally:
+        ex.close()
