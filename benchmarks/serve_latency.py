@@ -136,6 +136,30 @@ def main() -> None:
             t.join()
         conc_wall = time.monotonic() - t0
 
+        # concurrent phase 2: every request a UNIQUE query string, so the
+        # result cache (round 3) never hits and the number isolates the
+        # coalesced encode+sweep path (the repeat phase above reflects the
+        # cache-assisted working-set steady state)
+        lat_u: list[float] = []
+        barrier2 = threading.Barrier(n_clients)
+
+        def client_unique(ci: int) -> None:
+            barrier2.wait()
+            for j in range(per_client):
+                w = query(qs[(ci + j) % len(qs)] + f"%20u{ci}x{j}")
+                with lat_lock:
+                    lat_u.append(w)
+
+        t0 = time.monotonic()
+        threads = [
+            threading.Thread(target=client_unique, args=(i,)) for i in range(n_clients)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        conc_unique_wall = time.monotonic() - t0
+
         print(
             json.dumps(
                 {
@@ -155,6 +179,11 @@ def main() -> None:
                     "concurrent_qps": round(n_clients * per_client / conc_wall, 1),
                     "concurrent_p50_ms": round(float(np.median(lat)) * 1e3, 1),
                     "concurrent_p95_ms": round(float(np.quantile(lat, 0.95)) * 1e3, 1),
+                    "concurrent_unique_qps": round(
+                        n_clients * per_client / conc_unique_wall, 1
+                    ),
+                    "concurrent_unique_p50_ms": round(float(np.median(lat_u)) * 1e3, 1),
+                    "result_cache_hits": st.executor.result_cache_hits,
                     "scan_s": round(scan_s, 1),
                     "highlight_prewarmed_docs": warmed,
                     "rows": len(app.searcher.matrix),
