@@ -372,3 +372,40 @@ def test_sharded_overfetch_exceeding_shard_rows():
     want = s1.search_vector(q, 200)
     assert [i for i, _ in got] == [i for i, _ in want]
     np.testing.assert_allclose([v for _, v in got], [v for _, v in want], rtol=1e-5)
+
+
+def test_sharded_auto_retier_mid_session(monkeypatch):
+    """auto_retier works on the mesh searcher too: crossing the (patched)
+    threshold restages the row-sharded matrix in the quantized tier — for
+    int4 the TRANSPOSED (D/2, capacity) packed layout under the REVERSED
+    sharding spec — and searches stay exact through the rerank."""
+    import perceive_tpu.index.matrix as matmod
+    from perceive_tpu.index.matrix import INT4
+
+    monkeypatch.setattr(
+        matmod, "auto_matrix_dtype",
+        lambda n: INT4 if n > 50 else jnp.bfloat16,
+    )
+    rng = np.random.default_rng(5)
+    d = 16
+    vecs = rng.standard_normal((100, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    mesh = make_mesh(4)
+    ss = ShardedSearcher(0, 0, d, mesh, dtype=jnp.bfloat16)
+    ss.auto_retier = True
+    ss.upsert_embeddings(list(range(1, 41)), [0] * 40, vecs[:40])
+    assert not ss.matrix.quantized
+    assert ss.search_vector(vecs[7], 1)[0][0] == 8
+
+    ss.upsert_embeddings(list(range(41, 101)), [0] * 60, vecs[40:])
+    assert ss.matrix.packed4  # re-tiered to int4 mid-session
+    q = vecs[77] + 0.01 * rng.standard_normal(d).astype(np.float32)
+    hits = ss.search_vector(q, 5)
+    want = np.argsort(-(vecs @ q), kind="stable")[:5] + 1
+    assert [i for i, _ in hits] == list(want)  # exact via the rerank
+    # transposed packed layout, still sharded over the capacity axis
+    v = ss.matrix.device_vectors
+    assert v.dtype == jnp.uint8
+    assert v.shape[0] == ss.matrix.padded_dim // 2
+    spec = v.sharding.spec
+    assert tuple(spec)[-1] is not None  # capacity (last) axis is sharded
