@@ -38,8 +38,15 @@ def source_add(state, args) -> None:
         config = {"type": "chromium_bookmarks", "skip": args.skip or []}
     else:
         raise ValueError(f"unknown source type {kind}")
-    if getattr(args, "chunk_tokens", 0):
+    if getattr(args, "chunk_tokens", None) is not None:
+        # store explicit 0 too — it's the documented head-truncation opt-out
+        # (chunk_config treats a MISSING key as "chunk at the wrap budget")
         config["chunk_tokens"] = args.chunk_tokens
+    state.refresh_sources()
+    if any(s.name == args.name for s in state.sources):
+        # every name-based path (scan/search --source/remove) resolves to ONE
+        # row; a second source under the same name would be unreachable
+        raise ValueError(f"source named {args.name!r} already exists")
     src = Source(
         name=args.name,
         config=config,
@@ -248,15 +255,18 @@ def snapshot_cmd(state, args) -> None:
 def source_scan(state, args) -> None:
     src = state.source_by_name(args.name)
     if src is None:
-        print(f"No source named {args.name}", file=sys.stderr)
-        return
+        raise SystemExit(f"No source named {args.name}")
     compare = None
     if getattr(args, "force", False):
         compare = ItemCompareStrategy.FORCE
     elif getattr(args, "by_content", False):
         compare = ItemCompareStrategy.CONTENT
-    _run_scan(state, src, compare, getattr(args, "prune", False))
+    ok = _run_scan(state, src, compare, getattr(args, "prune", False))
     state.refresh_sources()
+    if not ok:
+        # automation (cron `scan || notify`) must see a nonzero exit; the
+        # stage errors were already printed to stderr by the pipeline
+        raise SystemExit(f"scan of {src.name} failed; see errors above")
 
 
 def _due_sources(state, now: Optional[int] = None) -> list[Source]:
@@ -282,6 +292,7 @@ def refresh(state, args) -> None:
     exits cleanly even mid-scan."""
     watch = getattr(args, "watch", None)
     due_only = watch is not None or getattr(args, "due_only", False)
+    failed: list[str] = []
     try:
         while True:
             targets = _due_sources(state) if due_only else state.sources
@@ -290,13 +301,18 @@ def refresh(state, args) -> None:
             for src in targets:
                 print(f"== {src.name}")
                 try:  # one broken source must not stop the others
-                    _run_scan(state, src, None, getattr(args, "prune", False))
+                    if not _run_scan(state, src, None, getattr(args, "prune", False)):
+                        failed.append(src.name)
                 except KeyboardInterrupt:
                     raise
                 except Exception as e:  # noqa: BLE001
                     print(f"{src.name}: {e}", file=sys.stderr)
+                    failed.append(src.name)
             if watch is None:
+                if failed:  # one-shot refresh reports failure to automation
+                    raise SystemExit(f"refresh failed for: {', '.join(failed)}")
                 return
+            failed.clear()
             time.sleep(watch)
     except KeyboardInterrupt:
         print("\nrefresh interrupted")
@@ -306,8 +322,7 @@ def refresh(state, args) -> None:
 def source_reprocess(state, args) -> None:
     src = state.source_by_name(args.name)
     if src is None:
-        print(f"No source named {args.name}", file=sys.stderr)
-        return
+        raise SystemExit(f"No source named {args.name}")
     on_emb = state.searcher.upsert_embeddings if state.searcher else None
     on_rm = state.searcher.remove_items if state.searcher else None
     stats, ok = reprocess_source(
@@ -315,6 +330,8 @@ def source_reprocess(state, args) -> None:
     )
     s = stats.summary()
     print(f"Reprocessed {s['scanned']} items, {s['fetched']} changed, {s['encoded']} re-encoded")
+    if not ok:
+        raise SystemExit(f"reprocess of {src.name} failed; see errors above")
 
 
 def source_rebuild_search(state, args) -> None:

@@ -53,8 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
         pk.add_argument("--name", required=True)
         pk.add_argument("--compare-strategy", choices=COMPARE_CHOICES, default="m_time_and_content")
         pk.add_argument(
-            "--chunk-tokens", type=int, default=0,
-            help="embed long documents as overlapping N-token chunks (0 = truncate)",
+            "--chunk-tokens", type=int, default=None,
+            help="embed long documents as overlapping N-token chunks "
+                 "(default: the model's max sequence budget; 0 = truncate)",
         )
         if kind == "fs":
             pk.add_argument("--glob", action="append", help="filename glob (repeatable)")

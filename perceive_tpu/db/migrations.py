@@ -187,8 +187,18 @@ MIGRATIONS: list[str] = [
     """,
     # -- 7: unique tag names (TPU-native addition) --
     # tags.name had only a plain index; concurrent `tag add` could create
-    # duplicate rows that silently split a tag.
+    # duplicate rows that silently split a tag.  Databases written by such
+    # a build may already hold duplicates, so merge them into the lowest-id
+    # tag per name FIRST — creating the unique index over existing dupes
+    # would fail the migration and brick every subsequent open.
     """
+    UPDATE OR IGNORE item_tags SET tag_id = (
+      SELECT MIN(t2.id) FROM tags t2
+      WHERE t2.name = (SELECT t3.name FROM tags t3 WHERE t3.id = item_tags.tag_id)
+    ) WHERE tag_id NOT IN (SELECT MIN(id) FROM tags GROUP BY name);
+    DELETE FROM item_tags
+      WHERE tag_id NOT IN (SELECT MIN(id) FROM tags GROUP BY name);
+    DELETE FROM tags WHERE id NOT IN (SELECT MIN(id) FROM tags GROUP BY name);
     DROP INDEX tags_name_idx;
     CREATE UNIQUE INDEX tags_name_idx ON tags(name);
     """,

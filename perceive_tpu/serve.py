@@ -562,6 +562,19 @@ def make_handler(holder: ServeState):
     return Handler
 
 
+def _make_server(
+    builder, host: str, port: int,
+    refresh_interval: Optional[float], refresh_prune: bool,
+) -> ThreadingHTTPServer:
+    """Shared wiring for both serving entries: ServeState + handler +
+    ThreadingHTTPServer, with the state reachable from the server object
+    (tests and signal handlers need it for a graceful stop)."""
+    holder = ServeState(builder, refresh_interval=refresh_interval, refresh_prune=refresh_prune)
+    server = ThreadingHTTPServer((host, port), make_handler(holder))
+    server.perceive_state = holder
+    return server
+
+
 def start_server(
     builder, host: str = "127.0.0.1", port: int = 5807,
     refresh_interval: Optional[float] = None,
@@ -570,9 +583,7 @@ def start_server(
     """Start serving in the background; returns the server (``.server_address``
     has the bound port when port=0).  ``refresh_interval`` turns on the
     background due-source rescan loop."""
-    holder = ServeState(builder, refresh_interval=refresh_interval, refresh_prune=refresh_prune)
-    server = ThreadingHTTPServer((host, port), make_handler(holder))
-    server.perceive_state = holder  # for tests / graceful stop
+    server = _make_server(builder, host, port, refresh_interval, refresh_prune)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     return server
 
@@ -590,10 +601,10 @@ def serve(
     searcher are ready, the embedded search UI opens in the system browser —
     the same page the Tauri webview hosted, over the same three RPCs
     (status/sources/search) plus the SSE load_status push."""
-    holder = ServeState(
-        lambda: state, refresh_interval=refresh_interval, refresh_prune=refresh_prune
+    server = _make_server(
+        lambda: state, host, port, refresh_interval, refresh_prune
     )
-    server = ThreadingHTTPServer((host, port), make_handler(holder))
+    holder = server.perceive_state
     url = f"http://{host}:{server.server_address[1]}"
     print(f"Serving on {url}")
     if open_browser:

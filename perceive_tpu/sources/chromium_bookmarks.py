@@ -56,7 +56,20 @@ class ChromiumBookmarksScanner:
             if norm is None:
                 return
             fetch_url, dedupe_key = norm
-            if should_skip(self.skip, fetch_url) or dedupe_key in out:
+            if should_skip(self.skip, fetch_url):
+                return
+            prev = out.get(dedupe_key)
+            if prev is not None:
+                # same page bookmarked in two folders: MERGE instead of
+                # keeping the first wholesale — emitting a stale atime would
+                # mask the newer folder's use and the freshness gate
+                # (`new_atime > old_atime`) would never re-fetch (same
+                # hazard the history connector's MAX()/merge avoids,
+                # chromium_history.py)
+                if atime is not None and (prev.metadata.atime or 0) < atime:
+                    prev.metadata.atime = atime
+                if not prev.metadata.name and entry.get("name"):
+                    prev.metadata.name = entry["name"]
                 return
             out[dedupe_key] = Item(
                 id=-1,

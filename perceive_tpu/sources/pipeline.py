@@ -31,7 +31,7 @@ from typing import Callable, Optional, Sequence
 
 import numpy as np
 
-from ..db import Database
+from ..db import Database, json_ids
 from ..index.matrix import serialize_embedding
 from ..types import Item, ItemCompareStrategy, SkipReason, Source
 from ..utils import BatchSender
@@ -108,12 +108,17 @@ def _match_stage(
 ) -> None:
     """Batch SQL lookup + New/Changed/Found/Unchanged classification
     (reference match_existing_items.rs:9-112; decision table :81-96)."""
-    from ..db import json_ids
-
     compare_mtime = compare_strategy.should_compare_mtime
     mtime_sufficient = compare_strategy is ItemCompareStrategy.MTIME
     want_content = compare_strategy.should_compare_content
-    content_col = "content" if want_content else "''"
+    # Even when the strategy doesn't compare content, rows MISSING a vector
+    # for the active model need their stored content loaded: the web
+    # connectors' read gate re-embeds from it without a re-fetch
+    # (chromium_history._stale_read_check), and with '' there the item
+    # would be downgraded UNCHANGED and never indexed under a new model.
+    content_col = (
+        "content" if want_content else "CASE WHEN ie.item_id IS NULL THEN content ELSE '' END"
+    )
     conn = db.read()
     sql = f"""
         SELECT external_id, id, hash, modified, last_accessed, skipped,
@@ -587,6 +592,25 @@ def _write_stage(
             # device hooks INSIDE the transaction: anything committed is
             # already in the matrix, so snapshots recording MAX(seq) can
             # never reference rows the matrix is missing
+            if on_embeddings is not None and dev_ids:
+                # HIDDEN items keep their DB rows current (unhide restores
+                # from them) but must NOT re-enter the live matrix — a
+                # rescan/reprocess would otherwise undo `hide` until the
+                # next restart (match/reprocess SQL doesn't filter
+                # hidden_at; the matrix build does, searcher.py:301)
+                hidden = {
+                    r[0]
+                    for r in conn.execute(
+                        """SELECT id FROM items WHERE hidden_at IS NOT NULL
+                           AND id IN (SELECT value FROM json_each(?))""",
+                        (json_ids({k[0] for k in dev_ids}),),
+                    )
+                }
+                if hidden:
+                    kept = [i for i, k in enumerate(dev_ids) if k[0] not in hidden]
+                    dev_ids = [dev_ids[i] for i in kept]
+                    dev_srcs = [dev_srcs[i] for i in kept]
+                    dev_vecs = [dev_vecs[i] for i in kept]
             if on_embeddings is not None and dev_ids:
                 on_embeddings(dev_ids, dev_srcs, np.stack(dev_vecs))
             if on_removed is not None and removed_ids:

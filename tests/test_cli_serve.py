@@ -643,3 +643,51 @@ def test_desktop_exec_quoting(tmp_path, monkeypatch):
     text = open(path).read()
     assert 'Exec="/home/u/My Projects/venv/bin/python" -m perceive_tpu.cli app' in text
     assert "'" not in text.split("Exec=")[1].splitlines()[0]
+
+
+def test_cli_scan_failure_exits_nonzero(state, tmp_path, capsys):
+    """Automation must see failures: unknown source names and failed scans
+    exit nonzero instead of printing to stderr and returning 0 (review r3)."""
+    from perceive_tpu.cli.main import main
+
+    assert main(["source", "scan", "nosuchsource"], state=state) != 0
+    assert main(["source", "reprocess", "nosuchsource"], state=state) != 0
+    # a source whose scanner can't even start (missing History db)
+    run(state, ["source", "add", "browser-history", str(tmp_path / "nohist"),
+                "--name", "badhist"])
+    with pytest.raises(BaseException):  # _run_scan re-raises ctor errors
+        run(state, ["source", "scan", "badhist"])
+    assert main(["source", "scan", "badhist"], state=state) != 0
+    assert main(["refresh"], state=state) != 0  # one-shot refresh over it
+    capsys.readouterr()
+
+
+def test_cli_duplicate_source_name_rejected(state, tmp_path, capsys):
+    docs = tmp_path / "docs_dup"
+    docs.mkdir()
+    run(state, ["source", "add", "fs", str(docs), "--name", "docs"])
+    with pytest.raises(ValueError, match="already exists"):
+        run(state, ["source", "add", "fs", str(docs), "--name", "docs"])
+    from perceive_tpu.cli.main import main
+
+    assert main(["source", "add", "fs", str(docs), "--name", "docs"], state=state) == 1
+    capsys.readouterr()
+
+
+def test_cli_chunk_tokens_zero_stored(state, tmp_path, capsys):
+    """--chunk-tokens 0 is the documented head-truncation opt-out; it must
+    reach the source config (a falsy-check used to drop it, review r3)."""
+    from perceive_tpu.sources.pipeline import chunk_config
+
+    docs = tmp_path / "docs_ct"
+    docs.mkdir()
+    run(state, ["source", "add", "fs", str(docs), "--name", "ct0", "--chunk-tokens", "0"])
+    run(state, ["source", "add", "fs", str(docs), "--name", "ctdefault"])
+    src0 = state.source_by_name("ct0")
+    srcd = state.source_by_name("ctdefault")
+    assert src0.config["chunk_tokens"] == 0
+    assert chunk_config(src0, state.model.tokenizer) == (0, 0)
+    # default: chunk at the wrap budget
+    ct, _ = chunk_config(srcd, state.model.tokenizer)
+    assert ct == state.model.tokenizer.wrap_budget
+    capsys.readouterr()

@@ -196,3 +196,54 @@ def test_migration_upgrade_preserves_embeddings(tmp_path):
     assert row == (1, 0, 7)
     assert db.read().execute("PRAGMA user_version").fetchone()[0] == len(MIGRATIONS)
     db.close()
+
+
+def test_migration_7_merges_duplicate_tags(tmp_path):
+    """A pre-migration-7 database holding duplicate tag names (the race the
+    migration exists to prevent) must still open: duplicates merge into the
+    lowest-id tag, item_tags repoint (colliding pairs collapse), and the
+    unique index builds over the deduped table."""
+    import sqlite3
+
+    from perceive_tpu.db import Database
+    from perceive_tpu.db.migrations import MIGRATIONS
+
+    path = tmp_path / "dupes.sqlite3"
+    conn = sqlite3.connect(path)
+    for i, sql in enumerate(MIGRATIONS[:6], start=1):
+        conn.executescript(sql)
+        conn.execute(f"PRAGMA user_version = {i}")
+    conn.execute(
+        "INSERT INTO sources (name, location, compare_strategy, status) VALUES ('s','/x','m_time','{}')"
+    )
+    for ext in ("a", "b"):
+        conn.execute(
+            "INSERT INTO items (source_id, external_id, hash, content) VALUES (1,?,'','c')",
+            (ext,),
+        )
+    # Duplicate 'work' tags (ids 1 and 2) plus a clean 'home' tag (id 3).
+    conn.execute("INSERT INTO tags (id, name, color) VALUES (1, 'work', 'red')")
+    conn.execute("INSERT INTO tags (id, name, color) VALUES (2, 'work', 'blue')")
+    conn.execute("INSERT INTO tags (id, name, color) VALUES (3, 'home', 'green')")
+    # Item 1 tagged via BOTH duplicate rows (repoint must collapse, not
+    # violate the item_tags PK); item 2 tagged only via the doomed row.
+    conn.execute("INSERT INTO item_tags (item_id, tag_id) VALUES (1, 1)")
+    conn.execute("INSERT INTO item_tags (item_id, tag_id) VALUES (1, 2)")
+    conn.execute("INSERT INTO item_tags (item_id, tag_id) VALUES (2, 2)")
+    conn.commit()
+    conn.close()
+
+    db = Database(path)  # would raise before the dedupe fix
+    names = [r[0] for r in db.read().execute("SELECT name FROM tags ORDER BY name")]
+    assert names == ["home", "work"]
+    pairs = sorted(
+        db.read().execute("SELECT item_id, tag_id FROM item_tags").fetchall()
+    )
+    assert pairs == [(1, 1), (2, 1)]
+    # The unique index now rejects a second 'work'.
+    import pytest
+
+    with pytest.raises(sqlite3.IntegrityError):
+        with db.write() as w:
+            w.execute("INSERT INTO tags (name, color) VALUES ('work', 'x')")
+    db.close()

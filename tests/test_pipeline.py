@@ -429,3 +429,50 @@ def test_non_utf8_filename_skipped_not_fatal(tmp_db, tmp_path, model):
     assert stats.added.value == 1  # the good file indexed, the bad one skipped
     rows = [r[0] for r in tmp_db.read().execute("SELECT external_id FROM items")]
     assert rows and all("good.txt" in r for r in rows)
+
+
+def test_hidden_item_stays_out_of_matrix_on_rescan(tmp_db, tmp_path, model):
+    """`hide` must survive a force-rescan and a reprocess: the DB rows keep
+    updating (so unhide can restore) but the device matrix must not re-admit
+    the hidden item's vectors (review r3: match/reprocess SQL has no
+    hidden_at filter)."""
+    from perceive_tpu.index.matrix import key_item
+    from perceive_tpu.sources.reprocess import reprocess_source
+
+    root = tmp_path / "docs_hide"
+    root.mkdir()
+    (root / "x.txt").write_text("hello world")
+    (root / "y.txt").write_text("delta news")
+    src = _add_fs_source(tmp_db, root)
+    searcher = Searcher(0, 0, model.dim, engine="xla")
+    scan_source(
+        tmp_db, model, src, on_embeddings=searcher.upsert_embeddings,
+        on_removed=searcher.remove_items, embed_batch_size=4,
+    )
+    hid = tmp_db.read().execute(
+        "SELECT id FROM items WHERE external_id LIKE '%x.txt'"
+    ).fetchone()[0]
+    tmp_db.set_item_hidden(hid, True)
+    searcher.remove_items([hid])
+    assert hid not in {key_item(k) for k in searcher.matrix.row_of}
+
+    # force-rescan re-embeds the item; its vectors must NOT come back
+    scan_source(
+        tmp_db, model, src, compare_strategy=ItemCompareStrategy.FORCE,
+        on_embeddings=searcher.upsert_embeddings, on_removed=searcher.remove_items,
+        embed_batch_size=4,
+    )
+    assert hid not in {key_item(k) for k in searcher.matrix.row_of}
+    # ...and reprocess must not re-admit it either
+    reprocess_source(
+        tmp_db, model, src, on_embeddings=searcher.upsert_embeddings,
+        on_removed=searcher.remove_items, embed_batch_size=4,
+    )
+    assert hid not in {key_item(k) for k in searcher.matrix.row_of}
+    # the DB row stayed current, so unhide restores the vectors
+    tmp_db.set_item_hidden(hid, False)
+    chunks = searcher.stored_embeddings(tmp_db, hid)
+    assert chunks
+    keys = [(hid, ci) for ci, _ in chunks]
+    searcher.upsert_embeddings(keys, [src.id] * len(keys), np.stack([v for _, v in chunks]))
+    assert hid in {key_item(k) for k in searcher.matrix.row_of}

@@ -417,3 +417,88 @@ def test_extract_bare_container_text():
     assert "and more body text here" in text
     assert "with bold inline" in text
     assert "Share this post." in text
+
+
+def test_model_switch_reembeds_web_source_without_refetch(tmp_db, tmp_path):
+    """Under an mtime-only compare strategy the match stage doesn't load
+    content for comparison — but rows MISSING the active model's vector must
+    still get their stored content through to the read gate, or a model
+    switch leaves the source permanently unindexed (the freshness gate would
+    veto the re-fetch and the CHANGED item would downgrade to UNCHANGED)."""
+    from perceive_tpu.index.searcher import Searcher
+    from perceive_tpu.models import EncoderArch, HeadConfig, Model, TextTokenizer, tiny_test_vocab
+
+    vocab = tiny_test_vocab("jax tpu pallas kernels memory example other".split())
+    tok = TextTokenizer.from_vocab(vocab, max_seq_length=32)
+    arch = EncoderArch(vocab_size=len(vocab), hidden_size=32, num_layers=1, num_heads=4,
+                       intermediate_size=64, max_position_embeddings=32)
+
+    _make_history_db(tmp_path / "History", [("https://x.test/a", "A", WEBKIT_2023)])
+    src = add_source(
+        tmp_db,
+        Source(
+            name="hist",
+            config={"type": "chromium_history", "skip": []},
+            location=str(tmp_path),
+            compare_strategy=ItemCompareStrategy.MTIME,
+        ),
+    )
+    scanner = ChromiumHistoryScanner(src.id, str(tmp_path), {"skip": []})
+    scanner.session = FakeSession(
+        {"https://x.test/a": FakeResponse(200, {"Content-Type": "text/html"}, PAGE)}
+    )
+
+    model_a = Model.random(arch, HeadConfig(pooling="mean", normalize=True), tok, seed=1)
+    model_a.model_id = 0
+    searcher_a = Searcher(0, 0, model_a.dim, engine="xla")
+    stats, ok = scan_source(
+        tmp_db, model_a, src, scanner=scanner, on_embeddings=searcher_a.upsert_embeddings,
+        embed_batch_size=4,
+    )
+    assert ok and len(searcher_a.matrix) >= 1
+
+    # switch the active model (new model_id) and rescan: the same visit is
+    # NOT newer, so any re-fetch attempt would be vetoed — the re-embed must
+    # run from STORED content with zero HTTP traffic
+    scanner.session.requests.clear()
+    model_b = Model.random(arch, HeadConfig(pooling="mean", normalize=True), tok, seed=2)
+    model_b.model_id = 1
+    searcher_b = Searcher(1, 0, model_b.dim, engine="xla")
+    stats2, ok = scan_source(
+        tmp_db, model_b, src, scanner=scanner, on_embeddings=searcher_b.upsert_embeddings,
+        embed_batch_size=4,
+    )
+    assert ok
+    assert scanner.session.requests == []
+    assert stats2.encoded.value >= 1
+    assert len(searcher_b.matrix) >= 1
+    assert tmp_db.read().execute(
+        "SELECT COUNT(*) FROM item_embeddings WHERE model_id = 1"
+    ).fetchone()[0] >= 1
+
+
+def test_bookmarks_dedupe_merges_freshest_atime_and_title(tmp_path):
+    """Folder-duplicate bookmarks merge the NEWEST atime (and a non-empty
+    title) instead of keeping the first folder's entry wholesale — a stale
+    atime would make the freshness gate skip re-fetching a page the user
+    still uses (review r3; mirrors the history connector's MAX() merge)."""
+    newer = WEBKIT_2023 + 100_000_000  # +100 s
+    bookmarks = {
+        "roots": {
+            "bar": {"type": "folder", "id": "1", "name": "Bar", "children": [
+                {"type": "url", "id": "2", "url": "https://dup.org/page", "name": "",
+                 "date_added": str(WEBKIT_2023), "date_last_used": "0"},
+            ]},
+            "other": {"type": "folder", "id": "4", "name": "Other", "children": [
+                {"type": "url", "id": "5", "url": "https://dup.org/page/", "name": "Title",
+                 "date_added": str(WEBKIT_2023), "date_last_used": str(newer)},
+            ]},
+        }
+    }
+    (tmp_path / "Bookmarks").write_text(json.dumps(bookmarks))
+    scanner = ChromiumBookmarksScanner(1, str(tmp_path), {"skip": []})
+    items = []
+    scanner.scan(items.append)
+    assert len(items) == 1
+    assert items[0].metadata.atime == 1_700_000_100
+    assert items[0].metadata.name == "Title"
