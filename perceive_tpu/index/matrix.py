@@ -814,11 +814,10 @@ class EmbeddingMatrix:
         """
         delta_path = path + ".delta"
         with self._lock:
-            dr = None if self._delta_rows is None else sorted(self._delta_rows)
-            removed = sorted(self._delta_removed) if dr is not None else []
+            has_delta_tracking = self._delta_rows is not None
         token = self._snapshot_token(path)
-        if incremental and dr is not None and token is not None:
-            self._write_delta(delta_path, dr, removed, token)
+        if incremental and has_delta_tracking and token is not None:
+            self._write_delta(delta_path, token)
             return "delta"
         new_token = os.urandom(16).hex()
         for attempt in range(3):
@@ -896,16 +895,21 @@ class EmbeddingMatrix:
 
             self._replace_into(path, write)
 
-    def _write_delta(
-        self, delta_path: str, rows: list[int], removed: list[int], token: str
-    ) -> None:
+    def _write_delta(self, delta_path: str, token: str) -> None:
         """Cumulative delta since the last full base: (chunk keys, source
         ids, f32 vectors) of every row changed since the base plus the keys
         removed since it — applied by remove-then-upsert on load, so row
         numbers need not match the base's and re-added keys win.  Carries
-        the base's token (only applied to that exact base)."""
-        idx = np.asarray(rows, dtype=np.int64)
+        the base's token (only applied to that exact base).
+
+        The changed-row set, the removed-key set, and the row CONTENTS are
+        captured under ONE lock acquisition: capturing the sets in an
+        earlier acquisition would let a remove() racing between the two
+        slip out of removed_keys while the base still holds the key live —
+        resurrecting the item on a crash-reload (review r3)."""
         with self._lock:  # one bounded copy (delta capped at _note_delta)
+            idx = np.asarray(sorted(self._delta_rows), dtype=np.int64)
+            removed = sorted(self._delta_removed)
             item_ids = self.item_ids[idx].copy()
             source_ids = self.source_ids[idx].copy()
             vectors = self._mirror.read_f32(idx, self.dim)
@@ -929,18 +933,61 @@ class EmbeddingMatrix:
 
         self._replace_into(delta_path, write_zip)
 
+    # Rows per chunk when streaming snapshot vectors back in at load time.
+    # 1M × 384-d f32 ≈ 1.5 GB peak transient — bounded regardless of corpus
+    # size (a 40M-row int4-tier corpus has a ~61 GB f32 vectors member; the
+    # old `z["vectors"][live]` materialized ALL of it, defeating the
+    # HostMirror RAM budget the write path honors — review r3).
+    _LOAD_CHUNK_ROWS = 1_048_576
+
+    @staticmethod
+    def _iter_snapshot_vectors(path: str, chunk_rows: int):
+        """Yield (lo, hi, f32 ndarray) row chunks of the uncompressed
+        ``vectors.npy`` member without materializing the whole array (the
+        writer streams it ZIP_STORED, so sequential reads are raw copies)."""
+        import zipfile
+
+        from numpy.lib import format as npf
+
+        with zipfile.ZipFile(path) as zf, zf.open("vectors.npy") as f:
+            version = npf.read_magic(f)
+            if version == (1, 0):
+                shape, fortran, descr = npf.read_array_header_1_0(f)
+            elif version == (2, 0):
+                shape, fortran, descr = npf.read_array_header_2_0(f)
+            else:  # unknown future format: let np.load handle it whole
+                data = np.load(path)["vectors"]
+                yield 0, data.shape[0], np.asarray(data, dtype=np.float32)
+                return
+            rows, dim = shape
+            if fortran or np.dtype(descr) != np.dtype("<f4"):
+                # legacy/foreign layout: fall back to one full read
+                data = np.frombuffer(f.read(), dtype=descr).reshape(shape)
+                yield 0, rows, data.astype(np.float32, copy=False)
+                return
+            row_bytes = dim * 4
+            for lo in range(0, rows, chunk_rows):
+                hi = min(lo + chunk_rows, rows)
+                buf = f.read((hi - lo) * row_bytes)
+                yield lo, hi, np.frombuffer(buf, dtype="<f4").reshape(hi - lo, dim)
+
     @classmethod
     def load_snapshot(cls, path: str, *, dtype: jnp.dtype = jnp.bfloat16) -> "EmbeddingMatrix":
         z = np.load(path)
         dim = int(z["dim"])
-        rows = len(z["item_ids"])
+        item_ids = z["item_ids"]
+        source_ids = z["source_ids"]
+        rows = len(item_ids)
         m = cls(dim, dtype=dtype, capacity=max(rows, 1))
-        live = z["source_ids"] >= 0
-        m.upsert(
-            z["item_ids"][live].tolist(),
-            z["source_ids"][live].tolist(),
-            z["vectors"][live],
-        )
+        for lo, hi, vecs in cls._iter_snapshot_vectors(path, cls._LOAD_CHUNK_ROWS):
+            live = source_ids[lo:hi] >= 0
+            if not live.any():
+                continue
+            m.upsert(
+                item_ids[lo:hi][live].tolist(),
+                source_ids[lo:hi][live].tolist(),
+                vecs[live] if not live.all() else vecs,
+            )
         if m.apply_snapshot_delta(path) < 0:
             # a delta EXISTS but can't be trusted (corrupt / legacy tokenless
             # base): silently returning the bare base could drop the rows the

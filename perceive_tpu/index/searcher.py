@@ -373,12 +373,22 @@ class Searcher:
             z = np.load(path)
             if int(z["dim"]) != self.matrix.dim:
                 return False
-            live = z["source_ids"] >= 0
+            item_ids, source_ids = z["item_ids"], z["source_ids"]
             # upsert into the existing matrix so device placement (incl.
-            # mesh shardings in ShardedSearcher) is preserved
-            self.matrix.upsert(
-                z["item_ids"][live].tolist(), z["source_ids"][live].tolist(), z["vectors"][live]
-            )
+            # mesh shardings in ShardedSearcher) is preserved; the vectors
+            # member streams in bounded row chunks — at the 40M int4 scale
+            # it is a ~61 GB f32 array that must never fully materialize
+            for lo, hi, vecs in self.matrix._iter_snapshot_vectors(
+                path, self.matrix._LOAD_CHUNK_ROWS
+            ):
+                live = source_ids[lo:hi] >= 0
+                if not live.any():
+                    continue
+                self.matrix.upsert(
+                    item_ids[lo:hi][live].tolist(),
+                    source_ids[lo:hi][live].tolist(),
+                    vecs[live] if not live.all() else vecs,
+                )
             # the loaded state now equals what the on-disk base restores, so
             # delta-since-base tracking restarts here; the delta file and the
             # seq replay below re-mark their rows through the normal upsert
@@ -618,34 +628,37 @@ class Searcher:
         return out
 
     def _scan_filtered(self, q: np.ndarray, k: int, source_ids, first_sweep=None) -> tuple:
+        """Returns (vals, rows, full) — ``full`` is a (Q,) bool marking
+        queries whose candidate buffer filled in at least ONE scan group.
+        Fullness must be judged per group BEFORE merging: after the merged
+        sort, a sparse group's -inf padding lands in the tail and would mask
+        a crowded group's full buffer (underfill would never deepen)."""
         if source_ids is not None and len(source_ids) == 0:
             # an explicit empty filter matches nothing (the reference returns
             # zero results; round 1 coerced [] to "no filter" — ADVICE r1)
             return (
                 np.full((q.shape[0], 0), -np.inf, np.float32),
                 np.full((q.shape[0], 0), -1, np.int64),
+                np.zeros(q.shape[0], dtype=bool),
             )
         groups = self._allowed_arrays(source_ids)
         if len(groups) == 1:
-            return self._scan(q, k, groups[0], first_sweep=first_sweep)
+            vals, rows = self._scan(q, k, groups[0], first_sweep=first_sweep)
+            return vals, rows, np.isfinite(vals[:, -1]) if vals.shape[1] else np.zeros(q.shape[0], bool)
         parts = [self._scan(q, k, g) for g in groups]
+        full = np.any([np.isfinite(p[0][:, -1]) for p in parts], axis=0)
         vals = np.concatenate([p[0] for p in parts], axis=1)
         rows = np.concatenate([p[1] for p in parts], axis=1)
         order = np.argsort(-vals, axis=1, kind="stable")
-        return np.take_along_axis(vals, order, 1), np.take_along_axis(rows, order, 1)
+        return np.take_along_axis(vals, order, 1), np.take_along_axis(rows, order, 1), full
 
     @staticmethod
-    def _underfilled(vals: np.ndarray, outs: list, k: int) -> bool:
+    def _underfilled(full: np.ndarray, outs: list, k: int) -> bool:
         """True when some query decoded to fewer than k distinct items while
         its candidate buffer was FULL — a document with many high-scoring
         chunks can crowd the fixed over-fetch out of distinct items, and
         only a deeper fetch can recover the missing ones."""
-        if vals.shape[1] == 0:
-            return False
-        return any(
-            len(outs[qi]) < k and np.isfinite(vals[qi, -1])
-            for qi in range(vals.shape[0])
-        )
+        return any(len(outs[qi]) < k and full[qi] for qi in range(len(outs)))
 
     def _search_consistent(self, q: np.ndarray, k: int, source_ids, decode, first=None):
         """Run scan + row decode with two retry conditions:
@@ -668,7 +681,7 @@ class Searcher:
         fetch = k
         for _ in range(8):
             gen = m.reuse_gen if first is None else first[0]
-            vals, rows = self._scan_filtered(
+            vals, rows, full = self._scan_filtered(
                 q, fetch, source_ids,
                 first_sweep=None if first is None else first[1:],
             )
@@ -676,7 +689,7 @@ class Searcher:
             outs = decode(vals, rows)
             if m.reuse_gen != gen:
                 continue  # concurrent row reuse: rescan
-            if not self._underfilled(vals, outs, k):
+            if not self._underfilled(full, outs, k):
                 return outs
             if vals.shape[1] >= min(m.rows, _OVERFETCH_BUCKETS[-1]):
                 return outs  # everything fetchable was fetched
@@ -688,9 +701,9 @@ class Searcher:
             # fewer than k distinct items even though deeper candidates exist
             # (ADVICE r2: searcher.py:516)
             while True:
-                vals, rows = self._scan_filtered(q, fetch, source_ids)
+                vals, rows, full = self._scan_filtered(q, fetch, source_ids)
                 outs = decode(vals, rows)
-                if not self._underfilled(vals, outs, k):
+                if not self._underfilled(full, outs, k):
                     return outs
                 if vals.shape[1] >= min(m.rows, _OVERFETCH_BUCKETS[-1]):
                     return outs

@@ -223,3 +223,37 @@ def test_chunk_dedupe_refetches_until_k_distinct():
     assert len(hits) == k, f"dedupe truncated results to {len(hits)}"
     assert hits[0][0] == 1  # the chunked document leads with its best chunk
     assert len({i for i, _ in hits}) == k
+
+
+def test_underfill_deepens_with_split_filter_groups():
+    """A source filter spanning >MAX_SOURCE_FILTER ids runs as multiple scan
+    groups.  Underfill must be judged per group BEFORE the merge: a sparse
+    group's -inf padding sorts to the merged tail and used to mask a
+    chunk-crowded group's full buffer, so the deepening re-fetch never fired
+    and the query silently returned fewer than k items (review r3)."""
+    import numpy as np
+
+    from perceive_tpu.index.searcher import MAX_SOURCE_FILTER, Searcher
+
+    rng = np.random.default_rng(3)
+    d, k = 32, 5
+    q = rng.standard_normal(d).astype(np.float32)
+    q /= np.linalg.norm(q)
+
+    s = Searcher(0, 0, d, dtype=np.float32, engine="xla")
+    # source 0: a 40-chunk document crowding the buffer + 10 other docs
+    chunks = q[None, :] + 0.01 * rng.standard_normal((40, d)).astype(np.float32)
+    chunks /= np.linalg.norm(chunks, axis=1, keepdims=True)
+    s.upsert_embeddings([(1, ci) for ci in range(40)], [0] * 40, chunks)
+    others = q[None, :] + 0.2 * rng.standard_normal((10, d)).astype(np.float32)
+    others /= np.linalg.norm(others, axis=1, keepdims=True)
+    s.upsert_embeddings(list(range(2, 12)), [0] * 10, others)
+    # a source in the SECOND filter group holds a single (sparse) item
+    far = -q + 0.1 * rng.standard_normal(d).astype(np.float32)
+    s.upsert_embeddings([100], [MAX_SOURCE_FILTER], far.reshape(1, -1))
+
+    filt = list(range(MAX_SOURCE_FILTER + 1))  # 2 groups
+    hits = s.search_vector(q, k, source_ids=filt)
+    assert len(hits) == k, f"split-filter underfill truncated results to {len(hits)}"
+    assert hits[0][0] == 1
+    assert len({i for i, _ in hits}) == k

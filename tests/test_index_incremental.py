@@ -59,7 +59,7 @@ def test_search_retries_when_tombstoned_row_is_reused():
     raced = {"n": 0}
 
     def racing_scan(q, k, source_ids, **kw):
-        vals, rows = orig_scan(q, k, source_ids, **kw)
+        vals, rows, full = orig_scan(q, k, source_ids, **kw)
         if raced["n"] == 0:
             raced["n"] += 1
             # concurrent churn AFTER the sweep: item 1's row is freed and
@@ -69,7 +69,7 @@ def test_search_retries_when_tombstoned_row_is_reused():
             s.remove_items([1])
             s.upsert_embeddings([3], [0], c.reshape(1, -1))
             assert s.matrix.row_of[chunk_key(3, 0)] in set(rows.ravel().tolist())
-        return vals, rows
+        return vals, rows, full
 
     s._scan_filtered = racing_scan
     hits = dict(s.search_vector(a, 2))

@@ -255,3 +255,61 @@ def test_snapshot_missing_file_falls_back(seeded, tmp_path):
     os.unlink(tmp_path / "gone.npz")
     s2 = Searcher.build(db, 0, 0, 16, engine="xla")
     assert len(s2.matrix) == 10
+
+
+def test_snapshot_streamed_load_chunked(tmp_path, monkeypatch):
+    """load_snapshot streams the vectors member in bounded row chunks (the
+    40M-scale f32 member must never fully materialize, review r3) — force
+    tiny chunks and verify the reload is exact, including a tombstoned row
+    spanning a chunk boundary."""
+    from perceive_tpu.index.matrix import EmbeddingMatrix
+
+    rng = np.random.default_rng(9)
+    m = EmbeddingMatrix(16, dtype=np.float32)
+    vecs = rng.standard_normal((57, 16)).astype(np.float32)
+    m.upsert(list(range(1, 58)), [0] * 57, vecs)
+    m.remove([8, 33])  # tombstones inside different chunks
+    snap = str(tmp_path / "chunked.npz")
+    assert m.save_snapshot(snap) == "full"
+
+    monkeypatch.setattr(EmbeddingMatrix, "_LOAD_CHUNK_ROWS", 10)
+    m2 = EmbeddingMatrix.load_snapshot(snap, dtype=np.float32)
+    assert len(m2) == 55
+    assert 8 not in m2.row_of and 33 not in m2.row_of
+    for key in (1, 9, 57):
+        got = m2.host_vectors_for([m2.row_of[key]])[0]
+        np.testing.assert_allclose(got, vecs[key - 1], rtol=1e-6)
+
+
+def test_snapshot_delta_remove_racing_token_read(tmp_path, monkeypatch):
+    """A remove() racing between save_snapshot's delta decision and the
+    delta write must land in the delta's removed_keys — the sets and row
+    contents are captured under ONE lock inside _write_delta (review r3:
+    two-acquisition capture resurrected the item on crash-reload)."""
+    from perceive_tpu.index.matrix import EmbeddingMatrix
+
+    rng = np.random.default_rng(11)
+    m = EmbeddingMatrix(16, dtype=np.float32)
+    m.upsert(list(range(1, 31)), [0] * 30, rng.standard_normal((30, 16)).astype(np.float32))
+    snap = str(tmp_path / "race.npz")
+    assert m.save_snapshot(snap) == "full"
+    m.upsert([31], [0], rng.standard_normal((1, 16)).astype(np.float32))
+
+    orig_token = EmbeddingMatrix._snapshot_token
+    fired = {"n": 0}
+
+    def racing_token(path):
+        tok = orig_token(path)
+        if fired["n"] == 0 and tok is not None:
+            fired["n"] += 1
+            m.remove([5])  # fires between the decision capture and the write
+        return tok
+
+    monkeypatch.setattr(EmbeddingMatrix, "_snapshot_token", staticmethod(racing_token))
+    assert m.save_snapshot(snap) == "delta"
+    assert fired["n"] == 1
+
+    m2 = EmbeddingMatrix.load_snapshot(snap, dtype=np.float32)
+    assert 5 not in m2.row_of, "racing remove resurrected by the delta"
+    assert 31 in m2.row_of
+    assert len(m2) == 30
