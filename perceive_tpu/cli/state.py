@@ -148,7 +148,7 @@ class AppState:
             import jax
             import jax.numpy as jnp
 
-            from ..index.matrix import INT4, auto_matrix_dtype
+            from ..index.matrix import INT2, INT4, auto_matrix_dtype
 
             choice = os.environ.get("PERCEIVE_TPU_MATRIX_DTYPE", "auto").lower()
             if choice == "auto":
@@ -166,6 +166,7 @@ class AppState:
                     "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
                     "int8": jnp.int8,
                     "int4": INT4,  # packed sub-byte candidates + f32 rerank
+                    "int2": INT2,  # coarse-to-fine: 2-bit sweep + int4 rerank
                     "float32": jnp.float32, "f32": jnp.float32,
                 }[choice]
             start = time.time()

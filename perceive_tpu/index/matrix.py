@@ -34,6 +34,15 @@ LANE_ALIGN = 128  # last-dim tile width on TPU
 # than bf16 at the cost of approximate scores — the Searcher reranks in f32.
 INT4 = "int4"
 
+# Coarse-to-fine 2-bit tier (ops/topk.py int2 section): the PRIMARY device
+# array packs four dims per byte, (D/4, capacity) uint8 transposed, and a
+# COMPANION int4 matrix (+ its scales) rides along for the in-jit fine
+# rerank of the coarse candidates.  0.25 + 0.5 bytes/dim of HBM; the
+# single-query sweep reads only the 0.25 — the int4 companion is touched
+# for a few thousand gathered columns per query (and for the full-sweep
+# escalation fallback).
+INT2 = "int2"
+
 # Row keys are (item_id, chunk_idx) packed as item_id * CHUNK_STRIDE +
 # chunk_idx, so one item's chunk vectors group under integer division.
 CHUNK_STRIDE = 4096
@@ -344,18 +353,28 @@ class EmbeddingMatrix:
         self._device_vectors = None
         self._device_source_ids = None
         self._device_scales = None  # (capacity,) f32 per-row scales, int8 mode
+        # int2 tier only: the companion int4 fine matrix + its scales
+        self._device_fine = None
+        self._device_fine_scales = None
 
     @property
     def packed4(self) -> bool:
         return isinstance(self.dtype, str) and self.dtype == INT4
 
     @property
+    def packed2(self) -> bool:
+        return isinstance(self.dtype, str) and self.dtype == INT2
+
+    @property
     def quantized(self) -> bool:
-        return self.packed4 or self.dtype == jnp.int8
+        return self.packed4 or self.packed2 or self.dtype == jnp.int8
 
     @property
     def quant_bits(self) -> int:
-        """Bits per stored dim: 4 (packed), 8 (int8), 0 (not quantized)."""
+        """Bits per stored dim on the sweep path: 2 (coarse-to-fine),
+        4 (packed), 8 (int8), 0 (not quantized)."""
+        if self.packed2:
+            return 2
         return 4 if self.packed4 else (8 if self.dtype == jnp.int8 else 0)
 
     def _quantize(self, rows_f32: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -380,13 +399,42 @@ class EmbeddingMatrix:
         packed = lo | (hi << 4)
         return packed, scales.astype(np.float32)
 
+    def _quantize2(self, rows_f32: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Per-row uniform symmetric 2-bit, packed 4 dims/byte: every dim
+        snaps to the 4-level grid {-3,-1,1,3} * s with s = max(rms/2, eps)
+        (the MSE-optimal uniform scale for gaussian-ish dims; measured MSE
+        0.119 * var).  Byte j packs dims j, j+D/4, j+2D/4, j+3D/4 — planes
+        0-2 as the raw crumb c (level = 2c-3), plane 3 as t = c-2 two's
+        complement, the layout ops/topk.py's algebraic int2 kernel expects.
+        Returns ((n, D/4) uint8, (n,) f32 scales); the device stores the
+        TRANSPOSE."""
+        d = self.dim
+        scales = np.maximum(
+            np.sqrt(np.mean(rows_f32[:, :d] ** 2, axis=1)) / 2.0, 1e-12
+        )
+        # pad dims quantize to a nonzero level (the grid has no 0), which is
+        # harmless: queries are zero-padded, so pad lanes never score
+        c = np.clip(
+            np.round((rows_f32 / scales[:, None] + 3.0) / 2.0), 0, 3
+        ).astype(np.uint8)
+        d4 = self.padded_dim // 4
+        t3 = (c[:, 3 * d4 :] - 2) & 3
+        packed = (
+            c[:, :d4]
+            | (c[:, d4 : 2 * d4] << 2)
+            | (c[:, 2 * d4 : 3 * d4] << 4)
+            | (t3 << 6)
+        )
+        return packed, scales.astype(np.float32)
+
     # -- device views -------------------------------------------------------
 
     def _vectors_device(self):
-        """Placement for the vectors array.  The int4 matrix is stored
-        TRANSPOSED (D/2, capacity), so a row sharding like P(rows, None) must
-        become P(None, rows) — metadata arrays keep the original spec."""
-        if not self.packed4:
+        """Placement for the vectors array.  The packed int4/int2 matrices
+        are stored TRANSPOSED (D/2 or D/4, capacity), so a row sharding like
+        P(rows, None) must become P(None, rows) — metadata arrays keep the
+        original spec."""
+        if not (self.packed4 or self.packed2):
             return self.device
         try:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -414,16 +462,36 @@ class EmbeddingMatrix:
                 or len(self._dirty_rows) * 4 > self.rows
             )
             if full:
-                self._device_vectors = jax.device_put(
-                    self._stage_full(), self._vectors_device()
-                )
+                if self.packed2:
+                    self._stage_full_int2()
+                else:
+                    self._device_vectors = jax.device_put(
+                        self._stage_full(), self._vectors_device()
+                    )
                 self._device_source_ids = jax.device_put(
                     jnp.asarray(self.source_ids), self.ids_device
                 )
             else:
                 rows = np.fromiter(self._dirty_rows, dtype=np.int32)
                 vals = self._mirror.read_f32(rows)
-                if self.packed4:
+                if self.packed2:
+                    packed, scales = self._quantize2(vals)
+                    self._device_scales = _scatter_vals(
+                        self._device_scales, jnp.asarray(rows), jnp.asarray(scales)
+                    )
+                    self._device_vectors = _scatter_cols(
+                        self._device_vectors,
+                        jnp.asarray(rows),
+                        jnp.asarray(np.ascontiguousarray(packed.T)),
+                    )
+                    fine, fscales = self._quantize4(vals)
+                    self._device_fine_scales = _scatter_vals(
+                        self._device_fine_scales, jnp.asarray(rows), jnp.asarray(fscales)
+                    )
+                    self._device_fine = _scatter_rows(
+                        self._device_fine, jnp.asarray(rows), jnp.asarray(fine)
+                    )
+                elif self.packed4:
                     packed, scales = self._quantize4(vals)
                     self._device_scales = _scatter_vals(
                         self._device_scales, jnp.asarray(rows), jnp.asarray(scales)
@@ -455,6 +523,35 @@ class EmbeddingMatrix:
     # chunk size for full-upload staging and snapshot writes: ~100 MB of f32
     # at 384-d per chunk keeps peak temporaries and per-lock-hold copies small
     _SYNC_CHUNK_ROWS = 65_536
+
+    def _stage_full_int2(self) -> None:
+        """Full upload for the int2 tier: quantizes the mirror into BOTH the
+        coarse packed-2-bit matrix and the int4 fine companion, in row
+        chunks (same bounded-temporary discipline as _stage_full)."""
+        cap = self.capacity
+        chunk = self._SYNC_CHUNK_ROWS
+        d4 = self.padded_dim // 4
+        d2 = self.padded_dim // 2
+        coarse = np.empty((d4, cap), dtype=np.uint8)
+        cscales = np.empty((cap,), np.float32)
+        # the fine companion is ROW-MAJOR (capacity, D/2): the per-query
+        # candidate gather reads contiguous rows (ops/topk.py
+        # unpack_int4_rows_xla rationale), and row shardings apply directly
+        fine = np.empty((cap, d2), dtype=np.uint8)
+        fscales = np.empty((cap,), np.float32)
+        for lo in range(0, cap, chunk):
+            hi = min(lo + chunk, cap)
+            vals = self._mirror.read_f32(slice(lo, hi))
+            p2, s2 = self._quantize2(vals)
+            coarse[:, lo:hi] = p2.T
+            cscales[lo:hi] = s2
+            p4, s4 = self._quantize4(vals)
+            fine[lo:hi] = p4
+            fscales[lo:hi] = s4
+        self._device_vectors = jax.device_put(coarse, self._vectors_device())
+        self._device_scales = jax.device_put(jnp.asarray(cscales), self.ids_device)
+        self._device_fine = jax.device_put(fine, self.device)
+        self._device_fine_scales = jax.device_put(jnp.asarray(fscales), self.ids_device)
 
     def _stage_full(self) -> np.ndarray:
         """Host staging array in the storage dtype for a full device upload,
@@ -526,6 +623,13 @@ class EmbeddingMatrix:
         race-free while the blocking readback stays outside it."""
         with self._lock:
             self.sync()
+            if self.packed2:
+                # int2 tier: vectors/scales are (coarse, fine) pairs
+                return (
+                    (self._device_vectors, self._device_fine),
+                    self._device_source_ids,
+                    (self._device_scales, self._device_fine_scales),
+                )
             return self._device_vectors, self._device_source_ids, self._device_scales
 
     def host_vectors_for(self, rows) -> np.ndarray:
@@ -624,8 +728,15 @@ class EmbeddingMatrix:
             if len(item_ids):
                 self.mutation_gen += 1
             if self.quantized and len(vectors):
-                qmax = 7.0 if self.packed4 else 127.0
-                self.scale_hw = max(self.scale_hw, float(np.abs(vectors).max()) / qmax)
+                # scale_hw = the largest per-dim quantization STEP over all
+                # rows (feeds the escalation noise margin, searcher._scan).
+                # int2's grid {-3,-1,1,3}*(rms/2) has step 2s = rms.
+                if self.packed2:
+                    step = float(np.sqrt((vectors**2).mean(axis=1)).max())
+                else:
+                    qmax = 7.0 if self.packed4 else 127.0
+                    step = float(np.abs(vectors).max()) / qmax
+                self.scale_hw = max(self.scale_hw, step)
                 self.norm_hw = max(
                     self.norm_hw, float(np.linalg.norm(vectors, axis=1).max())
                 )
@@ -703,6 +814,8 @@ class EmbeddingMatrix:
                 return
             self.dtype = dtype
             self._device_scales = None
+            self._device_fine = None
+            self._device_fine_scales = None
             self._dirty = True  # full restage in the new storage dtype
             self._dirty_rows.clear()
             self.mutation_gen += 1  # sweep scores change between tiers
@@ -720,7 +833,11 @@ class EmbeddingMatrix:
                     hi = min(lo + self._SYNC_CHUNK_ROWS, self.rows)
                     v = self._mirror.read_f32(slice(lo, hi), self.dim)
                     if len(v):
-                        scale_hw = max(scale_hw, float(np.abs(v).max()) / qmax)
+                        if self.packed2:  # step = rms (see upsert)
+                            step = float(np.sqrt((v**2).mean(axis=1)).max())
+                        else:
+                            step = float(np.abs(v).max()) / qmax
+                        scale_hw = max(scale_hw, step)
                         norm_hw = max(
                             norm_hw, float(np.linalg.norm(v, axis=1).max())
                         )

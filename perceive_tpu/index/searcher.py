@@ -127,15 +127,27 @@ _NO_SCALES = np.zeros((1,), np.float32)
 
 
 def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engine, interpret):
-    """Traceable per-tier exact-scan dispatch -> sorted ((Q,k) vals, rows),
-    shared by every in-jit composition site (today: the fused text program)
-    so kernel selection can never fork from the standalone wrappers.  Small
-    Q only — no slab routing (large batches go through scan_topk_pallas*)."""
+    """Traceable per-tier exact-scan dispatch -> sorted ((Q,k) vals, rows,
+    floor), shared by every in-jit composition site (today: the fused text
+    program) so kernel selection can never fork from the standalone
+    wrappers.  ``floor`` is the int2 tier's coarse floor (the bound on rows
+    outside its candidate set, consumed by _scan's escalation) and None for
+    every other tier.  Small Q only — no slab routing (large batches go
+    through scan_topk_pallas*)."""
 
     def sort_k(vals, rows):
         svals, perm = jax.lax.top_k(vals, k)
-        return svals, jnp.take_along_axis(rows, perm, axis=1)
+        return svals, jnp.take_along_axis(rows, perm, axis=1), None
 
+    if bits == 2:
+        from ..ops.topk import scan_int2_coarse_fine
+
+        p2, p4 = vectors
+        s2, s4 = scales
+        return scan_int2_coarse_fine(
+            p2, s2, p4, s4, source_ids, qp, allowed, k,
+            engine=engine, interpret=interpret,
+        )
     if bits == 4:
         if engine == "pallas":
             from ..ops.topk import pallas_topk_int4_unsorted, quantize_queries
@@ -145,7 +157,7 @@ def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engi
                 vectors, scales.reshape(1, -1), source_ids.reshape(1, -1),
                 qi8, qscale, allowed, k, interpret,
             ))
-        return _scan_topk_xla_int4_impl(vectors, scales, source_ids, qp, allowed, k)
+        return (*_scan_topk_xla_int4_impl(vectors, scales, source_ids, qp, allowed, k), None)
     if bits == 8:
         if engine == "pallas":
             from ..ops.topk import pallas_topk_int8_unsorted, quantize_queries
@@ -155,7 +167,7 @@ def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engi
                 vectors, scales.reshape(1, -1), source_ids.reshape(1, -1),
                 qi8, qscale, allowed, k, interpret,
             ))
-        return _scan_topk_xla_int8_impl(vectors, scales, source_ids, qp, allowed, k)
+        return (*_scan_topk_xla_int8_impl(vectors, scales, source_ids, qp, allowed, k), None)
     if engine == "pallas":
         from ..ops.topk import pallas_topk_unsorted
 
@@ -163,7 +175,7 @@ def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engi
         return sort_k(*pallas_topk_unsorted(
             vectors, source_ids.reshape(1, -1), qc, allowed, k, interpret
         ))
-    return _scan_topk_xla_impl(vectors, source_ids, qp, allowed, k)
+    return (*_scan_topk_xla_impl(vectors, source_ids, qp, allowed, k), None)
 
 
 def _build_fused_search(model, searcher, aux_model=None):
@@ -202,22 +214,22 @@ def _build_fused_search(model, searcher, aux_model=None):
             q = encode_ids(params, ids).astype(jnp.float32)  # (1, dim)
             aq = aux_encode_ids(aux_params, aux_ids).astype(jnp.float32)
             qp = q if padded == dim else jnp.pad(q, ((0, 0), (0, padded - dim)))
-            vals, rows = _tier_scan_in_jit(
+            vals, rows, floor = _tier_scan_in_jit(
                 vectors, scales, source_ids, qp, allowed, k,
                 bits=bits, engine=engine, interpret=interpret,
             )
-            return q, aq, vals, rows
+            return q, aq, vals, rows, floor
 
         return jax.jit(fused_aux, static_argnames=("k",))
 
     def fused(params, ids, vectors, source_ids, scales, allowed, k: int):
         q = encode_ids(params, ids).astype(jnp.float32)  # (1, dim)
         qp = q if padded == dim else jnp.pad(q, ((0, 0), (0, padded - dim)))
-        vals, rows = _tier_scan_in_jit(
+        vals, rows, floor = _tier_scan_in_jit(
             vectors, scales, source_ids, qp, allowed, k,
             bits=bits, engine=engine, interpret=interpret,
         )
-        return q, vals, rows
+        return q, vals, rows, floor
 
     return jax.jit(fused, static_argnames=("k",))
 
@@ -497,9 +509,19 @@ class Searcher:
         don't serialize ingest (ADVICE r1: matrix.py:192).
         """
         m = self.matrix
+        floor = None
         with m._lock:
             vectors, source_ids, scales = m.device_view()
-            if m.packed4:
+            if m.packed2:
+                from ..ops.topk import scan_topk_int2
+
+                p2, fine_rows = vectors
+                s2, s4 = scales
+                vals, rows, floor = scan_topk_int2(
+                    p2, s2, fine_rows, s4, source_ids,
+                    jnp.asarray(qp), jnp.asarray(allowed), kb, engine,
+                )
+            elif m.packed4:
                 if engine == "pallas":
                     from ..ops.topk import scan_topk_pallas_int4
 
@@ -531,7 +553,11 @@ class Searcher:
                 vals, rows = _scan_topk_xla(
                     vectors, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
                 )
-        return np.asarray(vals), np.asarray(rows)
+        return (
+            np.asarray(vals),
+            np.asarray(rows),
+            None if floor is None else np.asarray(floor),
+        )
 
     def _first_fetch(self, k: int) -> int:
         """Candidate depth of the FIRST sweep for a user-facing k — the one
@@ -540,7 +566,7 @@ class Searcher:
         m = self.matrix
         want = k
         if m.quantized:
-            want = (RERANK_FACTOR_INT4 if m.quant_bits == 4 else RERANK_FACTOR) * want
+            want = (RERANK_FACTOR_INT4 if m.quant_bits <= 4 else RERANK_FACTOR) * want
         if m.multi_chunk_groups > 0:
             want = 2 * want  # chunk dedupe needs extra candidates
         return want
@@ -556,15 +582,20 @@ class Searcher:
         while True:
             kb = _k_bucket(want, m.rows)
             engine = self.engine
-            if engine == "pallas" and q.shape[0] * kb * 8 > _KERNEL_TOPK_BYTES:
+            if (
+                engine == "pallas"
+                and not m.packed2  # int2 selects via approx_max_k, no VMEM buffer
+                and q.shape[0] * kb * 8 > _KERNEL_TOPK_BYTES
+            ):
                 engine = "xla"  # (Q,K) buffer would blow VMEM; XLA is exact too
             if first_sweep is not None and first_sweep[0] == kb:
                 # the fused text dispatch already swept at this depth
                 vals, rows = first_sweep[1], first_sweep[2]
+                floor = first_sweep[3] if len(first_sweep) > 3 else None
                 first_sweep = None
             else:
                 first_sweep = None
-                vals, rows = self._device_scan(qp, kb, allowed, engine)
+                vals, rows, floor = self._device_scan(qp, kb, allowed, engine)
             if not m.quantized:
                 return vals, rows
             evals, erows = self._rerank(q, vals, rows)
@@ -575,6 +606,12 @@ class Searcher:
             # outside row can displace the top-k.  Otherwise re-fetch 4x
             # deeper.  Applies per sweep; sharded merge floors dominate
             # per-chip floors, so the same check is valid there.
+            #
+            # The int2 tier has TWO floors: the fine buffer's last int4
+            # score bounds rows inside the coarse candidate set but outside
+            # the fine fetch, and ``floor`` (the coarse k_coarse-th int2
+            # score) bounds rows outside the coarse set entirely.  A deeper
+            # re-fetch lowers both (int2_coarse_depth scales with kb).
             if kb >= min(m.rows, _OVERFETCH_BUCKETS[-1]):
                 return evals, erows  # fetched everything fetchable
             buffer_full = np.isfinite(vals[:, -1])  # else: all matches fetched
@@ -590,7 +627,10 @@ class Searcher:
                 margin = sigmas * np.sqrt(
                     (m.scale_hw * qnorm) ** 2 + (qscale * m.norm_hw) ** 2
                 ) / np.sqrt(12.0)
-            if not (buffer_full & (kth < vals[:, -1] + margin)).any():
+            trigger = buffer_full & (kth < vals[:, -1] + margin)
+            if floor is not None:
+                trigger |= np.isfinite(floor) & (kth < floor + margin)
+            if not trigger.any():
                 return evals, erows
             want = 4 * kb  # grow past the CURRENT bucket, not the request
 
@@ -883,26 +923,28 @@ class Searcher:
             if scales is None:  # stable jit signature for unquantized tiers
                 scales = _NO_SCALES
             if fuse_aux:
-                q_dev, aq_dev, vals_dev, rows_dev = fn(
+                q_dev, aq_dev, vals_dev, rows_dev, floor_dev = fn(
                     model.params, self._fused_put(ids),
                     self._fused_aux_params(aux_model),
                     self._fused_put(aux_ids), vectors, src_dev, scales,
                     self._fused_put(allowed), kb,
                 )
             else:
-                q_dev, vals_dev, rows_dev = fn(
+                q_dev, vals_dev, rows_dev, floor_dev = fn(
                     model.params, self._fused_put(ids), vectors, src_dev, scales,
                     self._fused_put(allowed), kb,
                 )
         # one batched readback outside the lock (separate np.asarray calls
         # would pay a transfer round trip each on tunneled deployments)
         if fuse_aux:
-            qvec, aqvec, vals, rows = jax.device_get(
-                (q_dev, aq_dev, vals_dev, rows_dev)
+            qvec, aqvec, vals, rows, floor = jax.device_get(
+                (q_dev, aq_dev, vals_dev, rows_dev, floor_dev)
             )
         else:
-            qvec, vals, rows = jax.device_get((q_dev, vals_dev, rows_dev))
-        first = (gen, kb, vals, rows)
+            qvec, vals, rows, floor = jax.device_get(
+                (q_dev, vals_dev, rows_dev, floor_dev)
+            )
+        first = (gen, kb, vals, rows, floor)
         hits = self._search_consistent(
             qvec, k, source_ids,
             lambda vals, rows: [self._decode_hits(vals[0], rows[0], k)],

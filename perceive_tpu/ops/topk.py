@@ -784,3 +784,261 @@ def scan_topk_pallas(matrix, source_ids, q, allowed, k: int):
         jnp.concatenate([v for v, _ in outs], axis=0),
         jnp.concatenate([r for _, r in outs], axis=0),
     )
+
+
+# ---------------------------------------------------------------------------
+# int2 coarse pass: the quarter-byte latency tier (round 3)
+#
+# The single-query sweep is HBM-bandwidth-bound, so 0.25 bytes/dim halves
+# the int4 tier's read again.  2-bit scores are too noisy to hand the
+# candidate set straight to the 128-deep f32 rerank (dot-noise std ~3x
+# int4's), so the tier is COARSE-TO-FINE inside one compiled program:
+#
+#     pallas scores-only int2 scan  ->  (Q, N) f32 scores in HBM
+#     jax.lax.approx_max_k          ->  INT2_COARSE_FETCH candidates
+#     gather int4 columns + int8 dot rerank -> top-k candidates
+#
+# and the Searcher's existing f32-mirror rerank + escalation runs on those
+# exactly as for the int4 tier (an escalation falls back to a FULL int4
+# sweep of the fine matrix, restoring that tier's guarantee verbatim).
+# There is no in-kernel top-k merge: writing all N scores costs ~4% of the
+# packed-matrix read and lets XLA's TPU-optimized PartialReduce do the
+# selection, which is what permits a 4096-deep coarse fetch (the in-kernel
+# merge buffer is VMEM-bound at ~1k).
+#
+# Layout ((D/4, N) uint8 transposed like int4, all Mosaic-legal ops —
+# uint8 `&` + same-width bitcasts only):
+#   byte[r, n] packs dims r, r+D/4, r+2D/4, r+3D/4 as 2-bit crumbs.
+#   Every dim quantizes to the uniform symmetric 4-level grid
+#   {-3,-1,1,3} * s_row (s_row = max(rms/2, eps): the MSE-optimal uniform
+#   scale for gaussian-ish dims, measured MSE 0.119*var).
+#   Planes 0-2 store crumb c in {0..3}, level = 2c-3:
+#       bitcast(b & 0x03, i8) = c0
+#       bitcast(b & 0x0C, i8) = 4*c1
+#       bitcast(b & 0x30, i8) = 16*c2
+#   Plane 3 stores t = (level-1)/2 in {-2..1} TWO'S COMPLEMENT in the top
+#   crumb so the masked byte reinterprets as int8 directly:
+#       bitcast(b & 0xC0, i8) = 64*t3        (level = 2t+1)
+#   With four quarter-width int8 MXU dots M0..M3 of the query slices
+#   against those masked views:
+#       sum_d q_d*level_d = 2*M0 + M1/2 + M2/8 + M3/32
+#                           - 3*(sum q0+q1+q2) + sum q3
+#   score = that * s_row * qscale.  Exactness of the algebra is tested
+#   against a numpy crumb decode (tests/test_int2.py).
+# ---------------------------------------------------------------------------
+
+# Coarse candidate depth.  At 10M gaussian rows the measured/modelled 2-bit
+# dot-noise (std 0.0176 for unit rows) puts the oracle top-10 inside the
+# coarse top-4096 with ~1e-4 per-item miss probability; the int4 fine pass
+# then reduces 4096 -> k at int4 noise (the tier whose 10M candidate
+# recall measured 0.999805 at 128).  Escalation covers the tail.
+INT2_COARSE_FETCH = 4096
+
+
+def unpack_int4_rows_xla(rows_u8):
+    """(K, D/2) uint8 ROW-MAJOR -> (K, D) int8: the same nibble semantics
+    as unpack_int4_xla in row orientation.  The int2 tier stores its fine
+    int4 companion row-major so the per-query candidate gather is K
+    contiguous D/2-byte row reads (the transposed layout measured ~1.5 ms
+    of strided single-byte gathers per query at K=2048, probe_int2b)."""
+    p = rows_u8.astype(jnp.int32)
+    hb = p >> 4
+    return jnp.concatenate(
+        [(p & 15) - 8, jnp.where(hb >= 8, hb - 16, hb)], axis=1
+    ).astype(jnp.int8)
+
+
+def unpack_int2_xla(packed):
+    """XLA decode of the transposed-packed (D/4, N) uint8 matrix into
+    (D, N) int8 LEVELS in {-3,-1,1,3} (layout above).  The ONE shared
+    decode for every non-Pallas engine, mirroring unpack_int4_xla."""
+    p = packed.astype(jnp.int32)
+    c0 = p & 3
+    c1 = (p >> 2) & 3
+    c2 = (p >> 4) & 3
+    t3 = p >> 6
+    t3 = jnp.where(t3 >= 2, t3 - 4, t3)
+    return jnp.concatenate(
+        [2 * c0 - 3, 2 * c1 - 3, 2 * c2 - 3, 2 * t3 + 1], axis=0
+    ).astype(jnp.int8)
+
+
+def xla_scores_int2(packed, scales, qi8, qscale):
+    """(Q, N) f32 approximate coarse scores (XLA engine / CPU tests)."""
+    m2 = unpack_int2_xla(packed)
+    iscores = jax.lax.dot_general(
+        qi8, m2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return iscores.astype(jnp.float32) * scales[None, :] * qscale
+
+
+def _int2_query_parts(qi8, d4):
+    """Query plane slices + the per-query bias correction (f32)."""
+    q0, q1, q2, q3 = (qi8[:, i * d4 : (i + 1) * d4] for i in range(4))
+    s012 = jnp.sum(qi8[:, : 3 * d4].astype(jnp.int32), axis=1, keepdims=True)
+    s3 = jnp.sum(q3.astype(jnp.int32), axis=1, keepdims=True)
+    qcorr = (-3.0 * s012 + 1.0 * s3).astype(jnp.float32)
+    return q0, q1, q2, q3, qcorr
+
+
+def _scan_kernel_int2_scores(
+    allowed_ref, q0_ref, q1_ref, q2_ref, q3_ref, qcorr_ref, qscale_ref,
+    m_ref, src_ref, scales_ref, out_ref, *, n_filter,
+):
+    p = m_ref[:]  # (d4, TILE_N) uint8
+    b0 = jax.lax.bitcast_convert_type(p & jnp.uint8(0x03), jnp.int8)
+    b1 = jax.lax.bitcast_convert_type(p & jnp.uint8(0x0C), jnp.int8)
+    b2 = jax.lax.bitcast_convert_type(p & jnp.uint8(0x30), jnp.int8)
+    b3 = jax.lax.bitcast_convert_type(p & jnp.uint8(0xC0), jnp.int8)
+    dims = (((1,), (0,)), ((), ()))
+    m0 = jax.lax.dot_general(q0_ref[:], b0, dims, preferred_element_type=jnp.int32)
+    m1 = jax.lax.dot_general(q1_ref[:], b1, dims, preferred_element_type=jnp.int32)
+    m2 = jax.lax.dot_general(q2_ref[:], b2, dims, preferred_element_type=jnp.int32)
+    m3 = jax.lax.dot_general(q3_ref[:], b3, dims, preferred_element_type=jnp.int32)
+    raw = (
+        2.0 * m0.astype(jnp.float32)
+        + 0.5 * m1.astype(jnp.float32)
+        + 0.125 * m2.astype(jnp.float32)
+        + 0.03125 * m3.astype(jnp.float32)
+        + qcorr_ref[:]
+    )
+    scores = raw * scales_ref[:] * qscale_ref[:]
+    mask = _source_mask(src_ref[:], allowed_ref, n_filter)
+    out_ref[:] = jnp.where(mask, scores, -jnp.inf)
+
+
+def _pick_tile_int2(n: int, nq: int, d4: int) -> int:
+    # double-buffered packed tiles + 4 masked int8 views + the score block
+    for t in _TILES:
+        if n % t:
+            continue
+        if 2 * d4 * t + 4 * d4 * t + nq * t * 4 <= _VMEM_BUDGET:
+            return t
+    if n % _TILES[-1] == 0:
+        return _TILES[-1]
+    raise ValueError(f"matrix rows {n} not a multiple of {_TILES[-1]}")
+
+
+def pallas_int2_scores(packed, scales2d, src2d, qi8, qscale, allowed, interpret):
+    """Masked coarse scores, (Q, N) f32 in HBM (no in-kernel selection —
+    see section comment).  packed: (D/4, N) uint8; qi8 (Q, D) int8."""
+    d4, n = packed.shape
+    nq = qi8.shape[0]
+    tile_n = _pick_tile_int2(n, nq, d4)
+    q0, q1, q2, q3, qcorr = _int2_query_parts(qi8, d4)
+    kernel = functools.partial(_scan_kernel_int2_scores, n_filter=allowed.shape[0])
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # allowed (F,)
+            pl.BlockSpec((nq, d4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, d4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, d4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, d4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d4, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nq, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nq, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * nq * n * d4,
+            bytes_accessed=n * d4 + n * 8 + nq * n * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(allowed, q0, q1, q2, q3, qcorr, qscale, packed, src2d, scales2d)
+
+
+def int2_coarse_depth(k: int, n: int) -> int:
+    """Coarse candidate depth for a fine fetch of ``k``: at least
+    INT2_COARSE_FETCH (the measured-recall default), scaling with deeper
+    escalation fetches so re-fetching 4x deeper also lowers the coarse
+    floor (the escalation's outside-row bound) instead of only re-ranking
+    the same candidate set."""
+    return min(max(INT2_COARSE_FETCH, 32 * k), n)
+
+
+def scan_int2_coarse_fine(
+    packed2, scales2, fine_rows, scales4, source_ids, q, allowed, k: int,
+    *, k_coarse: int = 0, engine: str = "pallas", interpret: bool = False,
+):
+    """Traceable coarse-to-fine int2 scan (see section comment).
+
+    ``fine_rows`` is the ROW-MAJOR (N, D/2) int4 companion (contiguous
+    candidate gathers; unpack_int4_rows_xla).  Returns ((Q, k) f32
+    int4-fine scores best-first, (Q, k) int32 rows, (Q,) f32 coarse floor
+    — the k_coarse-th int2 score, the bound on any row OUTSIDE the
+    candidate set; -inf when the whole corpus was fetched).
+    """
+    n = packed2.shape[1]
+    if not k_coarse:
+        k_coarse = int2_coarse_depth(k, n)
+    qi8, qscale = quantize_queries(q)
+    if engine == "pallas":
+        coarse = pallas_int2_scores(
+            packed2, scales2.reshape(1, n), source_ids.reshape(1, n),
+            qi8, qscale, allowed, interpret,
+        )
+    else:
+        coarse = xla_scores_int2(packed2, scales2, qi8, qscale)
+        valid = source_ids >= 0
+        src_ok = jnp.isin(source_ids, allowed) | (allowed[0] == ALLOW_ALL)
+        coarse = jnp.where((valid & src_ok)[None, :], coarse, -jnp.inf)
+    kc = min(k_coarse, n)
+    cvals, idx = jax.lax.approx_max_k(coarse, kc, recall_target=0.999)
+    floor = jnp.where(kc >= n, -jnp.inf, cvals[:, -1])
+    # fine pass: gather the candidates' int4 rows, rescore at int4
+    # precision, keep the best k.  Invalid rows carry -inf coarse scores;
+    # re-mask after the gather so garbage int4 bytes can't resurface them.
+    nq = q.shape[0]
+    rows_u8 = jnp.take(fine_rows, idx.reshape(-1), axis=0)  # (Q*kc, D/2)
+    lv = unpack_int4_rows_xla(rows_u8).reshape(nq, kc, -1)  # (Q, kc, D) int8
+    iscores = jnp.einsum(
+        "qd,qkd->qk", qi8, lv, preferred_element_type=jnp.int32
+    )
+    fine = (
+        iscores.astype(jnp.float32)
+        * jnp.take(scales4, idx)
+        * qscale
+    )
+    fine = jnp.where(jnp.isfinite(cvals), fine, -jnp.inf)
+    kf = min(k, kc)
+    vals, perm = jax.lax.top_k(fine, kf)
+    rows = jnp.take_along_axis(idx, perm, axis=1)
+    rows = jnp.where(jnp.isfinite(vals), rows, -1)
+    if kf < k:  # tiny corpus: pad to the requested k like the other scans
+        pad_v = jnp.full((nq, k - kf), -jnp.inf, vals.dtype)
+        pad_r = jnp.full((nq, k - kf), -1, rows.dtype)
+        vals = jnp.concatenate([vals, pad_v], axis=1)
+        rows = jnp.concatenate([rows, pad_r], axis=1)
+    return vals, rows, floor
+
+
+@functools.partial(jax.jit, static_argnames=("k", "engine", "interpret"))
+def _scan_topk_int2(
+    packed2, scales2, fine_rows, scales4, source_ids, q, allowed, k: int,
+    engine: str, interpret: bool,
+):
+    return scan_int2_coarse_fine(
+        packed2, scales2, fine_rows, scales4, source_ids, q, allowed, k,
+        engine=engine, interpret=interpret,
+    )
+
+
+def scan_topk_int2(packed2, scales2, fine_rows, scales4, source_ids, q, allowed, k: int, engine: str):
+    """Int2 coarse-to-fine candidates (approximate int4 scores; the
+    Searcher reranks the fine candidates in f32 and escalates by
+    re-fetching deeper — int2_coarse_depth scales the coarse floor down
+    with the fetch)."""
+    from ..utils.platform import platform_of
+
+    interpret = engine == "pallas" and platform_of(packed2) != "tpu"
+    return _scan_topk_int2(
+        packed2, scales2, fine_rows, scales4, source_ids, q, allowed, k,
+        engine, interpret,
+    )

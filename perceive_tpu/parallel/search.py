@@ -195,7 +195,7 @@ def _build_fused_sharded(model, searcher, aux_model=None):
             aq = aux_encode_ids(aux_params, aux_ids).astype(jnp.float32)
             qp = q if padded == dim else jnp.pad(q, ((0, 0), (0, padded - dim)))
             vals, rows = scan(vectors, source_ids, scales, qp, allowed, k)
-            return q, aq, vals, rows
+            return q, aq, vals, rows, None
 
         return jax.jit(fused_aux, static_argnames=("k",))
 
@@ -203,7 +203,7 @@ def _build_fused_sharded(model, searcher, aux_model=None):
         q = encode_ids(params, ids).astype(jnp.float32)  # (1, dim)
         qp = q if padded == dim else jnp.pad(q, ((0, 0), (0, padded - dim)))
         vals, rows = scan(vectors, source_ids, scales, qp, allowed, k)
-        return q, vals, rows
+        return q, vals, rows, None
 
     return jax.jit(fused, static_argnames=("k",))
 
@@ -261,6 +261,7 @@ class ShardedSearcher(Searcher):
             # resolve from the mesh's platform, not the default backend (the
             # base class would key on the default device, which can differ)
             engine = "pallas" if platform_of(mesh) == "tpu" else "xla"
+        dtype = self._cap_tier(dtype)
         matrix = EmbeddingMatrix(
             dim,
             dtype=dtype,
@@ -274,6 +275,23 @@ class ShardedSearcher(Searcher):
         )
         self.mesh = mesh
         self._aux_repl = None  # (aux weakref, mesh-replicated params)
+
+    @staticmethod
+    def _cap_tier(dtype):
+        """The mesh path caps quantization at int4: the int2 tier's
+        coarse-to-fine program (approx_max_k + candidate gather) is not
+        sharded yet, and per-chip bandwidth scales with the mesh anyway —
+        an 8-chip int4 sweep already beats one chip's int2 sweep 4x."""
+        from ..index.matrix import INT2, INT4
+
+        return INT4 if (isinstance(dtype, str) and dtype == INT2) else dtype
+
+    def _maybe_retier(self) -> None:  # type: ignore[override]
+        if not self.auto_retier:
+            return
+        from ..index.matrix import auto_matrix_dtype
+
+        self.matrix.retier(self._cap_tier(auto_matrix_dtype(len(self.matrix))))
 
     @classmethod
     def build(cls, db, model_id, model_version, dim, mesh, *, use_snapshot=True, **kw):  # type: ignore[override]
@@ -311,4 +329,4 @@ class ShardedSearcher(Searcher):
                 engine=engine,
                 scales=scales if m.quantized else None,
             )
-        return np.asarray(vals), np.asarray(rows)
+        return np.asarray(vals), np.asarray(rows), None

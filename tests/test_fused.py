@@ -7,7 +7,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from perceive_tpu.index.matrix import INT4
+from perceive_tpu.index.matrix import INT2, INT4
 from perceive_tpu.index.searcher import Searcher
 from perceive_tpu.models import (
     EncoderArch,
@@ -40,7 +40,7 @@ def corpus(model):
     return texts, vecs, srcs
 
 
-@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16, jnp.int8, INT4])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16, jnp.int8, INT4, INT2])
 def test_fused_matches_two_dispatch_path(model, corpus, dtype):
     texts, vecs, srcs = corpus
     s = Searcher(0, 0, model.dim, dtype=dtype, engine="xla")

@@ -1,0 +1,232 @@
+"""Int2 coarse-to-fine tier (round 3): 0.25 bytes/dim sweep + in-jit int4
+candidate rerank + the searcher's f32 rerank / escalation on top.
+
+The tier exists because the single-query sweep is HBM-bandwidth-bound
+(BENCH_NOTES.md): halving int4's bytes halves the 10M-row p50 again.  The
+2-bit scores alone are too noisy for a 128-candidate rerank, hence the
+coarse(4096)->fine(int4)->f32 ladder (ops/topk.py int2 section)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from perceive_tpu.index.matrix import INT2, EmbeddingMatrix
+from perceive_tpu.index.searcher import Searcher
+from perceive_tpu.ops import topk as topk_mod
+from perceive_tpu.ops.topk import (
+    ALLOW_ALL,
+    quantize_queries,
+    scan_int2_coarse_fine,
+    unpack_int2_xla,
+    xla_scores_int2,
+)
+
+
+def _unit_rows(rng, n, d):
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def _allow_all():
+    allowed = np.full(16, -9, np.int32)
+    allowed[0] = ALLOW_ALL
+    return allowed
+
+
+def test_quantize2_pack_roundtrip():
+    m = EmbeddingMatrix(256, dtype=INT2)
+    rng = np.random.default_rng(0)
+    rows = rng.standard_normal((64, 256)).astype(np.float32)
+    packed, scales = m._quantize2(rows)
+    assert packed.shape == (64, 64) and packed.dtype == np.uint8
+    # decode through the shared XLA unpack (the one the engines use)
+    levels = np.asarray(unpack_int2_xla(jnp.asarray(packed.T)))  # (256, 64)
+    assert set(np.unique(levels)) <= {-3, -1, 1, 3}
+    recon = levels.T * scales[:, None]
+    # interior dims land within one grid step s; clipped tails within 3s+|v|
+    err = np.abs(recon - rows)
+    inside = np.abs(rows) <= 3 * scales[:, None]
+    assert err[inside].max() <= (scales.max() + 1e-6)
+    # MSE near the 0.119*var optimum for gaussian rows (allow slack)
+    assert np.mean(err**2) / np.mean(rows**2) < 0.16
+
+
+def test_int2_xla_scores_match_numpy():
+    rng = np.random.default_rng(1)
+    n, d = 512, 128
+    m = EmbeddingMatrix(d, dtype=INT2, capacity=n)
+    rows = _unit_rows(rng, n, d)
+    packed, scales = m._quantize2(rows)
+    q = _unit_rows(rng, 3, d)
+    qi8, qscale = quantize_queries(jnp.asarray(q))
+    got = np.asarray(
+        xla_scores_int2(jnp.asarray(packed.T.copy()), jnp.asarray(scales), qi8, qscale)
+    )
+    levels = np.asarray(unpack_int2_xla(jnp.asarray(packed.T.copy()))).astype(np.float64)
+    want = (np.asarray(qi8).astype(np.float64) @ levels) * scales[None, :] * np.asarray(qscale)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_int2_pallas_interpret_matches_xla():
+    """The Pallas coarse kernel (interpret mode off-TPU) and the XLA unpack
+    fallback produce identical masked coarse scores."""
+    from perceive_tpu.ops.topk import pallas_int2_scores
+
+    rng = np.random.default_rng(2)
+    n, d = 1024, 128
+    m = EmbeddingMatrix(d, dtype=INT2, capacity=n)
+    rows = _unit_rows(rng, n, d)
+    packed, scales = m._quantize2(rows)
+    packed_t = jnp.asarray(packed.T.copy())
+    src = np.zeros(n, np.int32)
+    src[17:40] = -1  # tombstones
+    q = _unit_rows(rng, 2, d)
+    qi8, qscale = quantize_queries(jnp.asarray(q))
+    allowed = jnp.asarray(_allow_all())
+    got = np.asarray(
+        pallas_int2_scores(
+            packed_t, jnp.asarray(scales.reshape(1, n)),
+            jnp.asarray(src.reshape(1, n)), qi8, qscale, allowed, interpret=True,
+        )
+    )
+    want = np.asarray(xla_scores_int2(packed_t, jnp.asarray(scales), qi8, qscale)).copy()
+    want[:, src < 0] = -np.inf
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_int2_coarse_fine_exact_candidates():
+    """At a corpus larger than the coarse depth, the coarse-to-fine scan's
+    candidate set plus the searcher-style f32 rerank recovers the exact
+    top-k (the real guarantee: oracle winners inside the fine fetch)."""
+    rng = np.random.default_rng(3)
+    n, d, k = 8192, 128, 10  # lane-aligned: direct _quantize2 calls skip padding
+    mm = EmbeddingMatrix(d, dtype=INT2, capacity=n)
+    rows = _unit_rows(rng, n, d)
+    packed, s2 = mm._quantize2(rows)
+    fine, s4 = mm._quantize4(rows)
+    q = _unit_rows(rng, 8, d)
+    src = np.zeros(n, np.int32)
+
+    vals, rws, floor = jax.jit(
+        lambda *a: scan_int2_coarse_fine(*a, 128, engine="xla")
+    )(
+        jnp.asarray(packed.T.copy()), jnp.asarray(s2), jnp.asarray(fine),
+        jnp.asarray(s4), jnp.asarray(src), jnp.asarray(q),
+        jnp.asarray(_allow_all()),
+    )
+    vals, rws, floor = np.asarray(vals), np.asarray(rws), np.asarray(floor)
+    assert np.isfinite(floor).all()  # coarse depth (4096) < n: real floor
+    exact = q @ rows.T
+    oracle = np.argsort(-exact, axis=1)[:, :k]
+    for qi in range(len(q)):
+        cand = set(rws[qi][np.isfinite(vals[qi])].tolist())
+        missing = [r for r in oracle[qi] if r not in cand]
+        assert not missing, f"query {qi} lost oracle rows {missing}"
+
+
+def test_int2_searcher_exact_topk_vs_oracle():
+    rng = np.random.default_rng(4)
+    n, d, k = 8192, 64, 10
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    rows = _unit_rows(rng, n, d)
+    s.upsert_embeddings(list(range(1, n + 1)), [0] * n, rows)
+    q = _unit_rows(rng, 4, d)
+    exact = q @ rows.T
+    for qi in range(len(q)):
+        hits = s.search_vector(q[qi], k)
+        got = [iid for iid, _ in hits]
+        want = (np.argsort(-exact[qi])[:k] + 1).tolist()
+        assert got == want, f"query {qi}: {got} != {want}"
+        np.testing.assert_allclose(
+            [sc for _, sc in hits], np.sort(exact[qi])[::-1][:k], rtol=1e-5
+        )
+
+
+def test_int2_source_filter_and_tombstones():
+    rng = np.random.default_rng(5)
+    n, d, k = 4096, 64, 5
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    rows = _unit_rows(rng, n, d)
+    src = (np.arange(n) % 3).astype(int)
+    s.upsert_embeddings(list(range(1, n + 1)), src.tolist(), rows)
+    s.remove_items([1, 2, 3])
+    q = _unit_rows(rng, 1, d)[0]
+    hits = s.search_vector(q, k, source_ids=[1])
+    assert len(hits) == k
+    exact = rows @ q
+    exact[src != 1] = -np.inf
+    exact[:3] = -np.inf
+    want = (np.argsort(-exact)[:k] + 1).tolist()
+    assert [iid for iid, _ in hits] == want
+
+
+def test_int2_retier_mid_session():
+    """int8 -> int2 retier re-quantizes from the mirror; search stays exact
+    and the fine companion arrays exist."""
+    rng = np.random.default_rng(6)
+    n, d, k = 4096, 64, 10
+    s = Searcher(0, 0, d, dtype=jnp.int8, engine="xla")
+    rows = _unit_rows(rng, n, d)
+    s.upsert_embeddings(list(range(1, n + 1)), [0] * n, rows)
+    s.matrix.retier(INT2)
+    assert s.matrix.packed2 and s.matrix.quant_bits == 2
+    vectors, _, scales = s.matrix.device_view()
+    p2, fine = vectors
+    s2, s4 = scales
+    assert p2.shape == (s.matrix.padded_dim // 4, s.matrix.capacity)
+    assert fine.shape == (s.matrix.capacity, s.matrix.padded_dim // 2)
+    q = _unit_rows(rng, 1, d)[0]
+    exact = rows @ q
+    want = (np.argsort(-exact)[:k] + 1).tolist()
+    assert [iid for iid, _ in s.search_vector(q, k)] == want
+
+
+def test_int2_coarse_floor_triggers_escalation(monkeypatch):
+    """The coarse floor is a bound on rows OUTSIDE the candidate set: when
+    the k-th exact score cannot clear it, _scan must re-fetch deeper.
+    Force the floor high on the first sweep and verify the deepening
+    happens (and that the final result is the exact top-k)."""
+    rng = np.random.default_rng(7)
+    n, d, k = 4096, 64, 10
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    rows = _unit_rows(rng, n, d)
+    s.upsert_embeddings(list(range(1, n + 1)), [0] * n, rows)
+
+    scans = {"n": 0}
+    orig = Searcher._device_scan
+
+    def forcing(self, *a, **kw):
+        scans["n"] += 1
+        vals, rws, floor = orig(self, *a, **kw)
+        if scans["n"] == 1:
+            # claim an outside row could score higher than anything fetched
+            floor = np.full(vals.shape[0], 1e9, np.float32)
+        return vals, rws, floor
+
+    monkeypatch.setattr(Searcher, "_device_scan", forcing)
+    q = _unit_rows(rng, 1, d)[0]
+    exact = rows @ q
+    want = (np.argsort(-exact)[:k] + 1).tolist()
+    assert [iid for iid, _ in s.search_vector(q, k)] == want
+    assert scans["n"] >= 2, "an unbeatable coarse floor must escalate"
+
+
+def test_int2_incremental_sync_scatter():
+    """Delta sync scatters BOTH the coarse and fine device arrays."""
+    rng = np.random.default_rng(8)
+    n, d = 2048, 64
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    rows = _unit_rows(rng, n, d)
+    s.upsert_embeddings(list(range(1, n + 1)), [0] * n, rows)
+    s.matrix.sync()  # full upload
+    v2 = _unit_rows(rng, 1, d)
+    s.upsert_embeddings([5], [0], v2)  # small delta -> scatter path
+    q = v2[0]
+    hits = s.search_vector(q, 1)
+    assert hits[0][0] == 5
+    np.testing.assert_allclose(hits[0][1], float(v2[0] @ v2[0]), rtol=1e-5)
+
+
+# The fused text-program coverage for the int2 tier lives in
+# tests/test_fused.py (INT2 added to its dtype parametrization).
