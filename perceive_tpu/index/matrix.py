@@ -488,8 +488,10 @@ class EmbeddingMatrix:
                     self._device_fine_scales = _scatter_vals(
                         self._device_fine_scales, jnp.asarray(rows), jnp.asarray(fscales)
                     )
-                    self._device_fine = _scatter_rows(
-                        self._device_fine, jnp.asarray(rows), jnp.asarray(fine)
+                    self._device_fine = _scatter_cols(
+                        self._device_fine,
+                        jnp.asarray(rows),
+                        jnp.asarray(np.ascontiguousarray(fine.T)),
                     )
                 elif self.packed4:
                     packed, scales = self._quantize4(vals)
@@ -534,10 +536,12 @@ class EmbeddingMatrix:
         d2 = self.padded_dim // 2
         coarse = np.empty((d4, cap), dtype=np.uint8)
         cscales = np.empty((cap,), np.float32)
-        # the fine companion is ROW-MAJOR (capacity, D/2): the per-query
-        # candidate gather reads contiguous rows (ops/topk.py
-        # unpack_int4_rows_xla rationale), and row shardings apply directly
-        fine = np.empty((cap, d2), dtype=np.uint8)
+        # the fine companion is TRANSPOSED (D/2, capacity) — byte-identical
+        # to the int4 tier's matrix, so batched queries and escalation
+        # sweeps run the int4 kernels on it directly, and the candidate
+        # column gather is ~free (probe_int2c; a row-major layout's
+        # unaligned 192-byte rows gathered ~200x slower)
+        fine = np.empty((d2, cap), dtype=np.uint8)
         fscales = np.empty((cap,), np.float32)
         for lo in range(0, cap, chunk):
             hi = min(lo + chunk, cap)
@@ -546,11 +550,12 @@ class EmbeddingMatrix:
             coarse[:, lo:hi] = p2.T
             cscales[lo:hi] = s2
             p4, s4 = self._quantize4(vals)
-            fine[lo:hi] = p4
+            fine[:, lo:hi] = p4.T
             fscales[lo:hi] = s4
-        self._device_vectors = jax.device_put(coarse, self._vectors_device())
+        dev = self._vectors_device()
+        self._device_vectors = jax.device_put(coarse, dev)
         self._device_scales = jax.device_put(jnp.asarray(cscales), self.ids_device)
-        self._device_fine = jax.device_put(fine, self.device)
+        self._device_fine = jax.device_put(fine, dev)
         self._device_fine_scales = jax.device_put(jnp.asarray(fscales), self.ids_device)
 
     def _stage_full(self) -> np.ndarray:

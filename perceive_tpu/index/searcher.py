@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..db import ITEM_COLUMNS, Database, deserialize_item_row, json_ids
-from ..ops.topk import ALLOW_ALL
+from ..ops.topk import ALLOW_ALL, INT2_COARSE_FETCH
 from ..types import Item
 from .matrix import (
     CHUNK_STRIDE,
@@ -252,6 +252,13 @@ def _build_fused_search(model, searcher, aux_model=None):
 # keeps the fetched-floor semantics and the measured latency).
 RERANK_FACTOR = 4
 RERANK_FACTOR_INT4 = 8  # 4-bit scores are noisier; start deeper
+
+# Batch width above which the int2 tier's coarse pass (which materializes
+# (Q, N) f32 scores in HBM — 40 MB per query at 10M rows) yields to an
+# int4-kernel sweep of its fine matrix.  8 queries = 320 MB of transient
+# scores, well within headroom; the coarse path is a LATENCY optimization
+# and batches this size already amortize the dispatch.
+_INT2_MAX_Q = 8
 
 
 def _margin_sigma() -> float:
@@ -497,9 +504,14 @@ class Searcher:
 
     # -- query ---------------------------------------------------------------
 
-    def _device_scan(self, qp: np.ndarray, kb: int, allowed: np.ndarray, engine: str):
-        """One device sweep -> ((Q, kb) scores, (Q, kb) rows) as host arrays
-        (quantized matrices return approximate int8 scores; _scan reranks).
+    def _device_scan(
+        self, qp: np.ndarray, kb: int, allowed: np.ndarray, engine: str,
+        use_coarse: bool = True,
+    ):
+        """One device sweep -> ((Q, kb) scores, (Q, kb) rows, floor) as host
+        arrays (quantized matrices return approximate scores; _scan
+        reranks).  ``use_coarse=False`` forces the int2 tier onto its
+        fine-matrix int4 sweep (escalation fallback).
 
         Dispatch happens under the matrix lock: a concurrent incremental
         sync() donates (invalidates) the device arrays another thread
@@ -513,14 +525,32 @@ class Searcher:
         with m._lock:
             vectors, source_ids, scales = m.device_view()
             if m.packed2:
-                from ..ops.topk import scan_topk_int2
-
-                p2, fine_rows = vectors
+                p2, p4 = vectors
                 s2, s4 = scales
-                vals, rows, floor = scan_topk_int2(
-                    p2, s2, fine_rows, s4, source_ids,
-                    jnp.asarray(qp), jnp.asarray(allowed), kb, engine,
-                )
+                if qp.shape[0] > _INT2_MAX_Q or not use_coarse:
+                    # fine-sweep path: big batches (the coarse pass would
+                    # materialize (Q, N) f32 scores) and escalations (the
+                    # coarse floor was insufficient) sweep the TRANSPOSED
+                    # int4 fine matrix with the int4 kernels (identical
+                    # layout) — full int4-tier throughput and guarantees
+                    if engine == "pallas":
+                        from ..ops.topk import scan_topk_pallas_int4
+
+                        vals, rows = scan_topk_pallas_int4(
+                            p4, s4, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
+                        )
+                    else:
+                        vals, rows = _scan_topk_xla_int4(
+                            p4, s4, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
+                        )
+                    floor = None
+                else:
+                    from ..ops.topk import scan_topk_int2
+
+                    vals, rows, floor = scan_topk_int2(
+                        p2, s2, p4, s4, source_ids,
+                        jnp.asarray(qp), jnp.asarray(allowed), kb, engine,
+                    )
             elif m.packed4:
                 if engine == "pallas":
                     from ..ops.topk import scan_topk_pallas_int4
@@ -579,12 +609,17 @@ class Searcher:
             qp = np.concatenate(
                 [q, np.zeros((q.shape[0], m.padded_dim - m.dim), q.dtype)], axis=1
             )
+        use_coarse = True
         while True:
             kb = _k_bucket(want, m.rows)
+            if m.packed2 and 2 * kb > INT2_COARSE_FETCH:
+                # fetching half the coarse set: the coarse pass stops paying
+                use_coarse = False
+            coarse_now = m.packed2 and use_coarse and q.shape[0] <= _INT2_MAX_Q
             engine = self.engine
             if (
                 engine == "pallas"
-                and not m.packed2  # int2 selects via approx_max_k, no VMEM buffer
+                and not coarse_now  # the coarse path has no (Q,K) VMEM buffer
                 and q.shape[0] * kb * 8 > _KERNEL_TOPK_BYTES
             ):
                 engine = "xla"  # (Q,K) buffer would blow VMEM; XLA is exact too
@@ -595,7 +630,9 @@ class Searcher:
                 first_sweep = None
             else:
                 first_sweep = None
-                vals, rows, floor = self._device_scan(qp, kb, allowed, engine)
+                vals, rows, floor = self._device_scan(
+                    qp, kb, allowed, engine, use_coarse=use_coarse
+                )
             if not m.quantized:
                 return vals, rows
             evals, erows = self._rerank(q, vals, rows)
@@ -632,6 +669,10 @@ class Searcher:
                 trigger |= np.isfinite(floor) & (kth < floor + margin)
             if not trigger.any():
                 return evals, erows
+            # int2: any escalation abandons the coarse pass — the re-fetch
+            # runs the int4 kernels on the fine matrix, restoring that
+            # tier's floor semantics at bounded cost
+            use_coarse = False
             want = 4 * kb  # grow past the CURRENT bucket, not the request
 
     def _rerank(self, q: np.ndarray, vals: np.ndarray, rows: np.ndarray):

@@ -835,19 +835,6 @@ def scan_topk_pallas(matrix, source_ids, q, allowed, k: int):
 INT2_COARSE_FETCH = 4096
 
 
-def unpack_int4_rows_xla(rows_u8):
-    """(K, D/2) uint8 ROW-MAJOR -> (K, D) int8: the same nibble semantics
-    as unpack_int4_xla in row orientation.  The int2 tier stores its fine
-    int4 companion row-major so the per-query candidate gather is K
-    contiguous D/2-byte row reads (the transposed layout measured ~1.5 ms
-    of strided single-byte gathers per query at K=2048, probe_int2b)."""
-    p = rows_u8.astype(jnp.int32)
-    hb = p >> 4
-    return jnp.concatenate(
-        [(p & 15) - 8, jnp.where(hb >= 8, hb - 16, hb)], axis=1
-    ).astype(jnp.int8)
-
-
 def unpack_int2_xla(packed):
     """XLA decode of the transposed-packed (D/4, N) uint8 matrix into
     (D, N) int8 LEVELS in {-3,-1,1,3} (layout above).  The ONE shared
@@ -954,26 +941,64 @@ def pallas_int2_scores(packed, scales2d, src2d, qi8, qscale, allowed, interpret)
     )(allowed, q0, q1, q2, q3, qcorr, qscale, packed, src2d, scales2d)
 
 
+# Window width of the hierarchical coarse selection (lane width: the
+# window max is one cheap reduce over the score row).
+_INT2_WINDOW = 128
+
+
+def _select_topk_hier(scores_row, k: int):
+    """EXACT top-k of a (N,) f32 score row via window-max pooling — the
+    full-array lax.top_k costs ~25 ms at 10M on the bench chip (a sort),
+    while this costs one bandwidth-bound window reduce + two small top_k
+    calls (~0.2 ms measured, probe_int2e):
+
+        window-128 maxes -> top-k windows -> gather those windows' score
+        blocks (contiguous 512 B each) -> top-k of the k*128 gathered.
+
+    Exact because a row with global rank R has at most R-1 rows above it,
+    hence at most R-1 windows with a higher max: every rank<=k row's
+    window survives the window-level top-k, so the gathered set contains
+    the entire true top-k.  Requires n % 128 == 0 (matrix capacity is
+    512-aligned) and n//128 >= k (the caller falls back to lax.top_k
+    below that)."""
+    n = scores_row.shape[0]
+    nw = n // _INT2_WINDOW
+    wmax = jnp.max(scores_row.reshape(nw, _INT2_WINDOW), axis=1)
+    _, widx = jax.lax.top_k(wmax, k)
+    blocks = jnp.take(scores_row.reshape(nw, _INT2_WINDOW), widx, axis=0)
+    gidx = (
+        widx[:, None] * _INT2_WINDOW + jnp.arange(_INT2_WINDOW)[None, :]
+    ).reshape(-1)
+    v, p = jax.lax.top_k(blocks.reshape(-1), k)
+    return v, jnp.take(gidx, p)
+
+
 def int2_coarse_depth(k: int, n: int) -> int:
-    """Coarse candidate depth for a fine fetch of ``k``: at least
-    INT2_COARSE_FETCH (the measured-recall default), scaling with deeper
-    escalation fetches so re-fetching 4x deeper also lowers the coarse
-    floor (the escalation's outside-row bound) instead of only re-ranking
-    the same candidate set."""
-    return min(max(INT2_COARSE_FETCH, 32 * k), n)
+    """Coarse candidate depth for a fine fetch of ``k``.  Constant
+    INT2_COARSE_FETCH (clamped to the corpus): escalations that need to
+    see past the coarse floor do NOT deepen this pass — the searcher
+    falls back to a full int4 sweep of the fine matrix instead
+    (searcher._scan), whose cost is bounded and whose floor semantics are
+    the proven int4-tier ones.  (Scaling the depth here would blow up the
+    hierarchical selection's final top_k, which is O(depth*128) sorted.)"""
+    return min(max(INT2_COARSE_FETCH, 2 * k), n)
 
 
 def scan_int2_coarse_fine(
-    packed2, scales2, fine_rows, scales4, source_ids, q, allowed, k: int,
+    packed2, scales2, packed4, scales4, source_ids, q, allowed, k: int,
     *, k_coarse: int = 0, engine: str = "pallas", interpret: bool = False,
 ):
     """Traceable coarse-to-fine int2 scan (see section comment).
 
-    ``fine_rows`` is the ROW-MAJOR (N, D/2) int4 companion (contiguous
-    candidate gathers; unpack_int4_rows_xla).  Returns ((Q, k) f32
-    int4-fine scores best-first, (Q, k) int32 rows, (Q,) f32 coarse floor
-    — the k_coarse-th int2 score, the bound on any row OUTSIDE the
-    candidate set; -inf when the whole corpus was fetched).
+    ``packed4`` is the TRANSPOSED (D/2, N) int4 companion — byte-identical
+    to the int4 tier's matrix, so batched queries and escalation sweeps
+    run the int4 kernels on it directly, and the per-query candidate
+    gather of k_coarse columns measured ~0.07 ms (probe_int2c; the
+    row-major alternative's unaligned 192-byte rows gathered ~200x
+    slower).  Returns ((Q, k) f32 int4-fine scores best-first, (Q, k)
+    int32 rows, (Q,) f32 coarse floor — the k_coarse-th int2 score, the
+    bound on any row OUTSIDE the candidate set; -inf when the whole
+    corpus was fetched).
     """
     n = packed2.shape[1]
     if not k_coarse:
@@ -990,16 +1015,19 @@ def scan_int2_coarse_fine(
         src_ok = jnp.isin(source_ids, allowed) | (allowed[0] == ALLOW_ALL)
         coarse = jnp.where((valid & src_ok)[None, :], coarse, -jnp.inf)
     kc = min(k_coarse, n)
-    cvals, idx = jax.lax.approx_max_k(coarse, kc, recall_target=0.999)
+    if n % _INT2_WINDOW == 0 and n // _INT2_WINDOW >= kc:
+        cvals, idx = jax.vmap(lambda s: _select_topk_hier(s, kc))(coarse)
+    else:  # small corpus: plain top_k is cheap there
+        cvals, idx = jax.lax.top_k(coarse, kc)
     floor = jnp.where(kc >= n, -jnp.inf, cvals[:, -1])
-    # fine pass: gather the candidates' int4 rows, rescore at int4
+    # fine pass: gather the candidates' int4 columns, rescore at int4
     # precision, keep the best k.  Invalid rows carry -inf coarse scores;
     # re-mask after the gather so garbage int4 bytes can't resurface them.
     nq = q.shape[0]
-    rows_u8 = jnp.take(fine_rows, idx.reshape(-1), axis=0)  # (Q*kc, D/2)
-    lv = unpack_int4_rows_xla(rows_u8).reshape(nq, kc, -1)  # (Q, kc, D) int8
+    cols = jnp.take(packed4, idx.reshape(-1), axis=1)  # (D/2, Q*kc)
+    lv = unpack_int4_xla(cols).reshape(-1, nq, kc)  # (D, Q, kc) int8
     iscores = jnp.einsum(
-        "qd,qkd->qk", qi8, lv, preferred_element_type=jnp.int32
+        "qd,dqk->qk", qi8, lv, preferred_element_type=jnp.int32
     )
     fine = (
         iscores.astype(jnp.float32)
@@ -1021,16 +1049,16 @@ def scan_int2_coarse_fine(
 
 @functools.partial(jax.jit, static_argnames=("k", "engine", "interpret"))
 def _scan_topk_int2(
-    packed2, scales2, fine_rows, scales4, source_ids, q, allowed, k: int,
+    packed2, scales2, packed4, scales4, source_ids, q, allowed, k: int,
     engine: str, interpret: bool,
 ):
     return scan_int2_coarse_fine(
-        packed2, scales2, fine_rows, scales4, source_ids, q, allowed, k,
+        packed2, scales2, packed4, scales4, source_ids, q, allowed, k,
         engine=engine, interpret=interpret,
     )
 
 
-def scan_topk_int2(packed2, scales2, fine_rows, scales4, source_ids, q, allowed, k: int, engine: str):
+def scan_topk_int2(packed2, scales2, packed4, scales4, source_ids, q, allowed, k: int, engine: str):
     """Int2 coarse-to-fine candidates (approximate int4 scores; the
     Searcher reranks the fine candidates in f32 and escalates by
     re-fetching deeper — int2_coarse_depth scales the coarse floor down
@@ -1039,6 +1067,6 @@ def scan_topk_int2(packed2, scales2, fine_rows, scales4, source_ids, q, allowed,
 
     interpret = engine == "pallas" and platform_of(packed2) != "tpu"
     return _scan_topk_int2(
-        packed2, scales2, fine_rows, scales4, source_ids, q, allowed, k,
+        packed2, scales2, packed4, scales4, source_ids, q, allowed, k,
         engine, interpret,
     )

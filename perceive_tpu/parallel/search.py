@@ -301,7 +301,10 @@ class ShardedSearcher(Searcher):
         s._load(db, extra_sql="", params=())
         return s
 
-    def _device_scan(self, qp: np.ndarray, kb: int, allowed: np.ndarray, engine: str):
+    def _device_scan(
+        self, qp: np.ndarray, kb: int, allowed: np.ndarray, engine: str,
+        use_coarse: bool = True,  # int2-only knob; the mesh caps at int4
+    ):
         """Mesh-wide sweep (overrides Searcher._device_scan; the shared _scan
         orchestration — padding, k-bucketing, int8 rerank + over-fetch
         escalation — lives in the base class.  The escalation floor check is

@@ -111,7 +111,7 @@ def test_int2_coarse_fine_exact_candidates():
     vals, rws, floor = jax.jit(
         lambda *a: scan_int2_coarse_fine(*a, 128, engine="xla")
     )(
-        jnp.asarray(packed.T.copy()), jnp.asarray(s2), jnp.asarray(fine),
+        jnp.asarray(packed.T.copy()), jnp.asarray(s2), jnp.asarray(fine.T.copy()),
         jnp.asarray(s4), jnp.asarray(src), jnp.asarray(q),
         jnp.asarray(_allow_all()),
     )
@@ -175,7 +175,7 @@ def test_int2_retier_mid_session():
     p2, fine = vectors
     s2, s4 = scales
     assert p2.shape == (s.matrix.padded_dim // 4, s.matrix.capacity)
-    assert fine.shape == (s.matrix.capacity, s.matrix.padded_dim // 2)
+    assert fine.shape == (s.matrix.padded_dim // 2, s.matrix.capacity)
     q = _unit_rows(rng, 1, d)[0]
     exact = rows @ q
     want = (np.argsort(-exact)[:k] + 1).tolist()
@@ -230,3 +230,34 @@ def test_int2_incremental_sync_scatter():
 
 # The fused text-program coverage for the int2 tier lives in
 # tests/test_fused.py (INT2 added to its dtype parametrization).
+
+
+def test_hier_selection_matches_topk():
+    """_select_topk_hier is exact: identical values (and, off ties,
+    identical rows) to lax.top_k on the full score row."""
+    from perceive_tpu.ops.topk import _select_topk_hier
+
+    rng = np.random.default_rng(10)
+    n, k = 512 * 600, 128  # n/128 = 2400 windows >= k
+    s = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    hv, hi = jax.jit(lambda x: _select_topk_hier(x, k))(s)
+    tv, ti = jax.lax.top_k(s, k)
+    np.testing.assert_array_equal(np.asarray(hv), np.asarray(tv))
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(ti))
+
+
+def test_int2_batch_routes_through_fine_int4():
+    """Batches wider than _INT2_MAX_Q sweep the transposed int4 fine
+    matrix (identical layout to the int4 tier) instead of materializing
+    (Q, N) coarse scores — results stay exact after the f32 rerank."""
+    rng = np.random.default_rng(11)
+    n, d, k = 4096, 64, 10
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    rows = _unit_rows(rng, n, d)
+    s.upsert_embeddings(list(range(1, n + 1)), [0] * n, rows)
+    q = _unit_rows(rng, 16, d)  # > _INT2_MAX_Q
+    hits = s.search_vectors_batch(q, k)
+    exact = q @ rows.T
+    for qi in range(len(q)):
+        want = (np.argsort(-exact[qi])[:k] + 1).tolist()
+        assert [iid for iid, _ in hits[qi]] == want

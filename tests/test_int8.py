@@ -158,9 +158,9 @@ def test_rerank_margin_sigma_escalates(monkeypatch):
     sweeps = []
     orig = s_i8._device_scan
 
-    def spy(qp, kb, allowed, engine):
+    def spy(qp, kb, allowed, engine, **kw):
         sweeps.append(kb)
-        return orig(qp, kb, allowed, engine)
+        return orig(qp, kb, allowed, engine, **kw)
 
     s_i8._device_scan = spy
 
