@@ -36,6 +36,8 @@ from perceive_tpu.ops.topk import (
 
 N, D, K, FETCH = 10_002_432, 384, 10, 128
 N_QUERIES = 1024
+# coarse depth under test: argv[1], 0 = production default (int2_coarse_depth)
+KC = int(sys.argv[1]) if len(sys.argv) > 1 else 0
 CHUNK = 1_250_304  # N / 8
 D4, D2 = D // 4, D // 2
 
@@ -111,7 +113,7 @@ def main():
         ov, orows = pallas_topk_unsorted(
             m, s1.reshape(1, N), q.astype(jnp.bfloat16), allowed, 16, False)
         vals, rows, floor = scan_int2_coarse_fine(
-            pp2, ss2, pp4, ss4, s1, q, allowed, FETCH, engine="pallas")
+            pp2, ss2, pp4, ss4, s1, q, allowed, FETCH, k_coarse=KC, engine="pallas")
         # oracle-arithmetic rerank of the fine candidates (see recall_10m)
         cand = m[jnp.clip(rows, 0, N - 1)]
         exact = jnp.einsum(
@@ -197,7 +199,7 @@ def main():
         def f(qs, pp2, ss2, pp4, ss4, s1):
             def it(i, acc):
                 vals, rows, floor = scan_int2_coarse_fine(
-                    pp2, ss2, pp4, ss4, s1, qs[i], allowed, FETCH, engine="pallas")
+                    pp2, ss2, pp4, ss4, s1, qs[i], allowed, FETCH, k_coarse=KC, engine="pallas")
                 return acc + jnp.sum(vals) + jnp.sum(rows.astype(jnp.float32)) + jnp.sum(floor)
             return jax.lax.fori_loop(0, r, it, 0.0)
         return jax.jit(f)

@@ -894,9 +894,17 @@ def _scan_kernel_int2_scores(
     out_ref[:] = jnp.where(mask, scores, -jnp.inf)
 
 
+# The scores-only kernel is pure streaming (no in-kernel top-k state), so
+# it profits from fatter tiles than the merge kernels: 12288 measured
+# 672 GB/s of packed bytes vs 518 at 8192 (probe_int2 round 2, confirmed
+# in composition by probe_int2o: full pipeline 2.13 ms @12288 vs 2.46
+# @8192).  12288 = 24*512 keeps the ROW_ALIGN invariant.
+_TILES_INT2 = (12288,) + _TILES
+
+
 def _pick_tile_int2(n: int, nq: int, d4: int) -> int:
     # double-buffered packed tiles + 4 masked int8 views + the score block
-    for t in _TILES:
+    for t in _TILES_INT2:
         if n % t:
             continue
         if 2 * d4 * t + 4 * d4 * t + nq * t * 4 <= _VMEM_BUDGET:
@@ -1015,15 +1023,32 @@ def scan_int2_coarse_fine(
         src_ok = jnp.isin(source_ids, allowed) | (allowed[0] == ALLOW_ALL)
         coarse = jnp.where((valid & src_ok)[None, :], coarse, -jnp.inf)
     kc = min(k_coarse, n)
+    nq = q.shape[0]
     if n % _INT2_WINDOW == 0 and n // _INT2_WINDOW >= kc:
-        cvals, idx = jax.vmap(lambda s: _select_topk_hier(s, kc))(coarse)
+        # UNROLLED per-query select, never vmapped: vmapping the window
+        # gather turns the clean 2D `jnp.take(blocks, widx, axis=0)` into
+        # a batched gather that costs ~+2.5 ms/query at 10M (probe_int2o:
+        # full pipeline 6.4 ms vmapped / 4.2 ms via take_along_axis /
+        # 2.1 ms unrolled).  The coarse path only ever sees Q <= 8
+        # (searcher._INT2_MAX_Q), so the unroll is bounded.
+        outs = [_select_topk_hier(coarse[i], kc) for i in range(nq)]
+        cvals = jnp.stack([v for v, _ in outs])
+        idx = jnp.stack([p for _, p in outs])
     else:  # small corpus: plain top_k is cheap there
         cvals, idx = jax.lax.top_k(coarse, kc)
     floor = jnp.where(kc >= n, -jnp.inf, cvals[:, -1])
     # fine pass: gather the candidates' int4 columns, rescore at int4
-    # precision, keep the best k.  Invalid rows carry -inf coarse scores;
-    # re-mask after the gather so garbage int4 bytes can't resurface them.
-    nq = q.shape[0]
+    # precision, keep the best k.  The gather runs ADDRESS-ORDERED
+    # (argsort of (Q, kc) indices first): an isolated sorted-index column
+    # gather measured 0.14 ms vs 0.52 ms score-ordered (probe_int2g) —
+    # the gather coalesces ascending addresses.  Composed-pipeline effect
+    # is within measurement weather (probe_int2l: 7.0-7.4 ms both ways);
+    # kept because it is never slower and the argsort is noise.
+    # Invalid rows carry -inf coarse scores; re-mask after the gather so
+    # garbage int4 bytes can't resurface them.
+    order = jnp.argsort(idx, axis=1)
+    idx = jnp.take_along_axis(idx, order, axis=1)
+    cvals = jnp.take_along_axis(cvals, order, axis=1)
     cols = jnp.take(packed4, idx.reshape(-1), axis=1)  # (D/2, Q*kc)
     lv = unpack_int4_xla(cols).reshape(-1, nq, kc)  # (D, Q, kc) int8
     iscores = jnp.einsum(
