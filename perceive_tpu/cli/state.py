@@ -14,9 +14,10 @@ loud warning.  Set PERCEIVE_TPU_REQUIRE_CHECKPOINT=1 to fail instead.
 
 PERCEIVE_TPU_MATRIX_DTYPE selects the device-matrix storage dtype.  The
 default is ``auto``: the latency tier for the corpus size actually in the
-store (bfloat16 <= 1.5M rows, int8 <= 4M, packed int4 above — every tier
-exact via the built-in f32 rerank; see index.matrix.auto_matrix_dtype).
-Explicit values: bfloat16, int8, int4, float32.
+store (bfloat16 <= 1.5M rows, int8 <= 4M, int2 coarse-to-fine <= 24M,
+packed int4 above — every tier exact via the built-in f32 rerank; see
+index.matrix.auto_matrix_dtype).  Explicit values: bfloat16, int8, int4,
+int2, float32.
 """
 
 from __future__ import annotations
@@ -153,8 +154,9 @@ class AppState:
             choice = os.environ.get("PERCEIVE_TPU_MATRIX_DTYPE", "auto").lower()
             if choice == "auto":
                 # default: pick the latency tier for the corpus actually in
-                # the store (bf16 small, int8/int4 + f32 rerank at scale —
-                # see index.matrix.auto_matrix_dtype; VERDICT r2 #2)
+                # the store (bf16 small, int8 then int2 coarse-to-fine at
+                # scale, int4 at capacity — see
+                # index.matrix.auto_matrix_dtype; VERDICT r2 #2)
                 n_rows = self.db.read().execute(
                     "SELECT COUNT(*) FROM item_embeddings WHERE model_id=?"
                     " AND model_version=?",

@@ -78,8 +78,16 @@ def auto_matrix_dtype(n_rows: int):
       <= 1.5M rows   bfloat16   (sweep <= ~1.6 ms; no quantization noise)
       <= 4M rows     int8       (1 byte/dim; sweep <= ~2.1 ms; exact after
                                  the built-in f32 rerank)
-      >  4M rows     int4       (0.5 bytes/dim; 10M rows ~3.1 ms measured;
-                                 also 4x the corpus per chip of bf16)
+      <= 24M rows    int2       (coarse-to-fine: 0.25-byte/dim sweep +
+                                 in-jit int4 rerank; 10M rows 2.65 ms
+                                 measured at candidate-recall 0.9996,
+                                 benchmarks/recall_int2.py — beats the
+                                 int4 sweep's 3.1 ms at +50% HBM: the
+                                 tier stores coarse int2 AND fine int4)
+      >  24M rows    int4       (0.5 bytes/dim, the leanest device tier —
+                                 capacity wins over the int2 latency edge
+                                 once 0.75 byte/dim pressures HBM; 40M
+                                 validated on hardware, BENCH_NOTES)
 
     Every tier returns exact top-k: quantized tiers over-fetch candidates,
     rerank them in f32 against the host mirror, and escalate the fetch when
@@ -89,6 +97,8 @@ def auto_matrix_dtype(n_rows: int):
         return jnp.bfloat16
     if n_rows <= 4_000_000:
         return jnp.int8
+    if n_rows <= 24_000_000:
+        return INT2
     return INT4
 
 

@@ -795,16 +795,18 @@ def scan_topk_pallas(matrix, source_ids, q, allowed, k: int):
 # int4's), so the tier is COARSE-TO-FINE inside one compiled program:
 #
 #     pallas scores-only int2 scan  ->  (Q, N) f32 scores in HBM
-#     jax.lax.approx_max_k          ->  INT2_COARSE_FETCH candidates
+#     EXACT hierarchical top-k      ->  INT2_COARSE_FETCH candidates
+#       (_select_topk_hier: window-max pool + two small top_k calls)
 #     gather int4 columns + int8 dot rerank -> top-k candidates
 #
 # and the Searcher's existing f32-mirror rerank + escalation runs on those
 # exactly as for the int4 tier (an escalation falls back to a FULL int4
 # sweep of the fine matrix, restoring that tier's guarantee verbatim).
 # There is no in-kernel top-k merge: writing all N scores costs ~4% of the
-# packed-matrix read and lets XLA's TPU-optimized PartialReduce do the
-# selection, which is what permits a 4096-deep coarse fetch (the in-kernel
-# merge buffer is VMEM-bound at ~1k).
+# packed-matrix read, which is what permits a 4096-deep coarse fetch (the
+# in-kernel merge buffer is VMEM-bound at ~1k and measured 5x slower,
+# probe_int2d); approx_max_k was rejected for the selection because the
+# coarse floor's escalation bound needs the EXACT kc-th coarse score.
 #
 # Layout ((D/4, N) uint8 transposed like int4, all Mosaic-legal ops —
 # uint8 `&` + same-width bitcasts only):

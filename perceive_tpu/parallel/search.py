@@ -279,9 +279,9 @@ class ShardedSearcher(Searcher):
     @staticmethod
     def _cap_tier(dtype):
         """The mesh path caps quantization at int4: the int2 tier's
-        coarse-to-fine program (approx_max_k + candidate gather) is not
-        sharded yet, and per-chip bandwidth scales with the mesh anyway —
-        an 8-chip int4 sweep already beats one chip's int2 sweep 4x."""
+        coarse-to-fine program (hierarchical select + candidate gather) is
+        not sharded yet, and per-chip bandwidth scales with the mesh anyway
+        — an 8-chip int4 sweep already beats one chip's int2 sweep 4x."""
         from ..index.matrix import INT2, INT4
 
         return INT4 if (isinstance(dtype, str) and dtype == INT2) else dtype

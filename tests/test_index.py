@@ -29,13 +29,14 @@ def test_auto_matrix_dtype_tiers():
     quantization that keeps the bandwidth-bound sweep under ~2 ms."""
     import jax.numpy as jnp
 
-    from perceive_tpu.index.matrix import INT4, auto_matrix_dtype
+    from perceive_tpu.index.matrix import INT2, INT4, auto_matrix_dtype
 
     assert auto_matrix_dtype(0) == jnp.bfloat16
     assert auto_matrix_dtype(1_500_000) == jnp.bfloat16
     assert auto_matrix_dtype(1_500_001) == jnp.int8
     assert auto_matrix_dtype(4_000_000) == jnp.int8
-    assert auto_matrix_dtype(10_000_000) == INT4
+    assert auto_matrix_dtype(10_000_000) == INT2
+    assert auto_matrix_dtype(24_000_001) == INT4
 
 
 def test_auto_retier_on_mid_session_growth(monkeypatch):
