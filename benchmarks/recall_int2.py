@@ -19,6 +19,7 @@ rerank) and measures:
    jit on this corpus.
 """
 
+import functools
 import sys
 import time
 
@@ -38,12 +39,30 @@ N, D, K, FETCH = 10_002_432, 384, 10, 128
 N_QUERIES = 1024
 # coarse depth under test: argv[1], 0 = production default (int2_coarse_depth)
 KC = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+# corpus shape: argv[2] = "clustered" stresses the DENSE-TIE regime real
+# embeddings live in (thousands of near-duplicate scores within one int2
+# noise width of each other), where gaussian corpora are the easy case:
+# rows = normalize(center[i % NC] + LAM*noise) -> within-cluster cosine
+# ~1/sqrt(1+LAM^2) ~ 0.85, ~4.9k rows per cluster at 10M (cluster size >
+# kc, so the coarse pass CANNOT just keep the whole cluster); queries =
+# normalize(center + 0.2*noise) land mid-cluster where the true top-10
+# margin over rank-4096 is smallest.
+MODE = sys.argv[2] if len(sys.argv) > 2 else "gaussian"
+N_CLUSTERS = 2048
+LAM = 0.62
 CHUNK = 1_250_304  # N / 8
 D4, D2 = D // 4, D // 2
 
 
 def _normalize(x):
     return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("offset",))
+def _gen_chunk_clustered(key, centers, offset: int):
+    cids = (offset + jnp.arange(CHUNK)) % N_CLUSTERS
+    noise = jax.random.normal(key, (CHUNK, D), jnp.float32)
+    return _normalize(centers[cids] + LAM * noise).astype(jnp.bfloat16)
 
 
 @jax.jit
@@ -91,8 +110,15 @@ def main():
     p4 = jnp.zeros((D2, N), jnp.uint8)
     s2 = jnp.zeros((N,), jnp.float32)
     s4 = jnp.zeros((N,), jnp.float32)
+    centers = None
+    if MODE == "clustered":
+        centers = jax.block_until_ready(_normalize(
+            jax.random.normal(jax.random.PRNGKey(99), (N_CLUSTERS, D), jnp.float32)))
     for j, kk in enumerate(keys):
-        c = _gen_chunk_bf16(kk)
+        if MODE == "clustered":
+            c = _gen_chunk_clustered(kk, centers, j * CHUNK)
+        else:
+            c = _gen_chunk_bf16(kk)
         off = jnp.int32(j * CHUNK)
         matrix = upd_rows(matrix, c, off)
         a, sa = _pack_chunk_int2(c)
@@ -158,9 +184,14 @@ def main():
 
     tot_member = tot_agree = total = n_escalate = 0
     rng = np.random.default_rng(1)
+    centers_np = np.asarray(centers) if centers is not None else None
     B = 8  # the int2 coarse path is the <=8-query latency path
     for step in range(N_QUERIES // B):
         q = rng.standard_normal((B, D)).astype(np.float32)
+        if MODE == "clustered":
+            # mid-cluster queries: the dense-tie stress (module comment)
+            cids = rng.integers(0, N_CLUSTERS, B)
+            q = centers_np[cids] + 0.2 * q
         q /= np.linalg.norm(q, axis=1, keepdims=True)
         qj = jnp.asarray(q)
         orows, rrows, ov, rv, floor, ffloor, crows = (
@@ -182,7 +213,7 @@ def main():
     member_recall = tot_member / total
     agreement = tot_agree / total
     print(
-        f"int2 over {total // K} queries, fine fetch {FETCH}: "
+        f"int2 [{MODE}] over {total // K} queries, fine fetch {FETCH}: "
         f"candidate-recall@{K}={member_recall:.6f}  "
         f"top-{K} agreement (bf16-ulp ties)={agreement:.6f}  "
         f"escalation rate={n_escalate / (total // K):.3f}",

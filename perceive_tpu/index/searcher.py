@@ -253,12 +253,16 @@ def _build_fused_search(model, searcher, aux_model=None):
 RERANK_FACTOR = 4
 RERANK_FACTOR_INT4 = 8  # 4-bit scores are noisier; start deeper
 
-# Batch width above which the int2 tier's coarse pass (which materializes
-# (Q, N) f32 scores in HBM — 40 MB per query at 10M rows) yields to an
-# int4-kernel sweep of its fine matrix.  8 queries = 320 MB of transient
-# scores, well within headroom; the coarse path is a LATENCY optimization
-# and batches this size already amortize the dispatch.
-_INT2_MAX_Q = 8
+# Batch width above which the int2 tier's coarse pass yields to an
+# int4-kernel sweep of its fine matrix.  The coarse path costs
+# sweep(Q-flat) + Q * (hierarchical select + candidate gather) — LINEAR
+# in Q — while the int4 sweep is bandwidth-bound and nearly Q-flat at
+# small Q.  Measured crossover at 10M x 384 (probe_int2r): Q=1 int2
+# wins 2.68 vs 3.29 ms; Q=2 is a wash (3.82 vs 3.76); Q>=3 the int4
+# sweep wins outright (5.5 vs 3.7 at Q=3).  So the coarse pass is the
+# SINGLE-QUERY latency path only; coalesced/batched queries take the
+# int4 kernels' better amortization (and its slab kernels at width).
+_INT2_MAX_Q = 1
 
 
 def _margin_sigma() -> float:

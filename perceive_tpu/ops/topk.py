@@ -1032,7 +1032,8 @@ def scan_int2_coarse_fine(
         # a batched gather that costs ~+2.5 ms/query at 10M (probe_int2o:
         # full pipeline 6.4 ms vmapped / 4.2 ms via take_along_axis /
         # 2.1 ms unrolled).  The coarse path only ever sees Q <= 8
-        # (searcher._INT2_MAX_Q), so the unroll is bounded.
+        # (searcher._INT2_MAX_Q routes wider batches to the int4 fine sweep,
+        # measured crossover probe_int2r), so the unroll is bounded.
         outs = [_select_topk_hier(coarse[i], kc) for i in range(nq)]
         cvals = jnp.stack([v for v, _ in outs])
         idx = jnp.stack([p for _, p in outs])
