@@ -390,9 +390,10 @@ def main() -> None:
     # BASELINE.md target (VERDICT r2 #2: report what an out-of-the-box serve
     # actually ships, not an opt-in env configuration).  vs_baseline is
     # target_ms / measured_ms, >1 = beating the target.  Batch throughput of
-    # the default tier is the int4 slab number: int2 batches >8 queries
-    # route to the int4 kernels on the tier's fine matrix (searcher
-    # _INT2_MAX_Q), byte-identical layout.
+    # the default tier is the int4 slab number: int2 batches of >=2
+    # queries route to the int4 kernels on the tier's fine matrix
+    # (searcher._INT2_MAX_Q = 1, measured crossover probe_int2r),
+    # byte-identical layout.
     headline_p50_ms = (p50_int2_s or p50_int4_s or p50_s) * 1e3
     print(
         json.dumps(

@@ -1031,9 +1031,10 @@ def scan_int2_coarse_fine(
         # gather turns the clean 2D `jnp.take(blocks, widx, axis=0)` into
         # a batched gather that costs ~+2.5 ms/query at 10M (probe_int2o:
         # full pipeline 6.4 ms vmapped / 4.2 ms via take_along_axis /
-        # 2.1 ms unrolled).  The coarse path only ever sees Q <= 8
-        # (searcher._INT2_MAX_Q routes wider batches to the int4 fine sweep,
-        # measured crossover probe_int2r), so the unroll is bounded.
+        # 2.1 ms unrolled).  The unroll is LINEAR in Q in both compile
+        # time and runtime: the searcher only routes single queries here
+        # (searcher._INT2_MAX_Q = 1, measured crossover probe_int2r) and
+        # direct callers (recall/probe harnesses) stay <= 8.
         outs = [_select_topk_hier(coarse[i], kc) for i in range(nq)]
         cvals = jnp.stack([v for v, _ in outs])
         idx = jnp.stack([p for _, p in outs])
