@@ -48,6 +48,36 @@ INT2 = "int2"
 CHUNK_STRIDE = 4096
 
 
+# -- prefix sweep ------------------------------------------------------------
+# Device arrays are CAPACITY-sized, but live rows occupy the prefix
+# [0, rows): appends go at the high-water mark and tombstone reuse fills
+# holes below it.  Queries therefore only need to sweep a round-up of the
+# high-water mark, not the whole capacity — power-of-2 capacity growth
+# leaves an average ~40% dead-row overhang that the sweep would otherwise
+# pay on every single query (round-3 review).  The round-up follows a
+# geometric ladder (ratio 9/8) so corpus growth causes O(log n) kernel
+# recompiles instead of one per 512-row step.
+#
+# _SWEEP_ALIGN is the lcm of every kernel row tile, INCLUDING the int2
+# scores kernel's fat 12288 tile (2^12 * 3) that power-of-2 capacities can
+# never hit — ladder values are always fat-tile-divisible.
+_SWEEP_ALIGN = 24576  # lcm(12288, 8192, ..., 512)
+_SWEEP_MIN = 98304  # 4 * _SWEEP_ALIGN; below this just sweep the capacity
+
+
+def sweep_rows_for(hwm: int, capacity: int) -> int:
+    """Rows a query sweep must cover: the smallest ladder value >= the
+    live-row high-water mark ``hwm`` (<= 12.5% overhang), clamped to the
+    capacity.  Small matrices sweep the whole capacity (sub-ms anyway,
+    and it keeps the tiny-corpus test matrix of compiled programs to 1)."""
+    if capacity <= _SWEEP_MIN or hwm >= capacity:
+        return capacity
+    v = _SWEEP_MIN
+    while v < hwm:
+        v = _round_up(v + v // 8, _SWEEP_ALIGN)
+    return min(v, capacity)
+
+
 def chunk_key(item_id: int, chunk_idx: int = 0) -> int:
     if not 0 <= chunk_idx < CHUNK_STRIDE:
         # out-of-range indices would silently key into the NEXT item's
@@ -646,6 +676,13 @@ class EmbeddingMatrix:
                     (self._device_scales, self._device_fine_scales),
                 )
             return self._device_vectors, self._device_source_ids, self._device_scales
+
+    @property
+    def sweep_rows(self) -> int:
+        """Static row count a query sweep must cover (prefix of the
+        capacity-sized device arrays; see sweep_rows_for).  Capture under
+        the same lock as device_view so it can't race a growing ingest."""
+        return sweep_rows_for(self.rows, self.capacity)
 
     def host_vectors_for(self, rows) -> np.ndarray:
         """f32 host mirror rows (exact rerank of quantized candidates).

@@ -71,13 +71,15 @@ class SearchResult:
     highlight: Optional[str] = None
 
 
-def _scan_topk_xla_impl(matrix, source_ids, q, allowed, k: int):
+def _scan_topk_xla_impl(matrix, source_ids, q, allowed, k: int, n_sweep: int = 0):
     """Exact scan: (Q,D) queries x (N,D) matrix -> top-k values/rows.
 
     Static k (bucketed by caller).  ``allowed`` is (MAX_SOURCE_FILTER,) int32,
     first element ALLOW_ALL to disable filtering; invalid rows carry
     source_id -1 and are always masked.
     """
+    if n_sweep and n_sweep < matrix.shape[0]:
+        matrix, source_ids = matrix[:n_sweep], source_ids[:n_sweep]
     qm = q.astype(matrix.dtype)
     scores = jnp.einsum("qd,nd->qn", qm, matrix, preferred_element_type=jnp.float32)
     valid = source_ids >= 0
@@ -87,12 +89,14 @@ def _scan_topk_xla_impl(matrix, source_ids, q, allowed, k: int):
     return jax.lax.top_k(scores, k)
 
 
-_scan_topk_xla = jax.jit(_scan_topk_xla_impl, static_argnames=("k",))
+_scan_topk_xla = jax.jit(_scan_topk_xla_impl, static_argnames=("k", "n_sweep"))
 
 
-def _scan_topk_xla_int8_impl(matrix, scales, source_ids, q, allowed, k: int):
+def _scan_topk_xla_int8_impl(matrix, scales, source_ids, q, allowed, k: int, n_sweep: int = 0):
     from ..ops.topk import quantize_queries, xla_scores_int8
 
+    if n_sweep and n_sweep < matrix.shape[0]:
+        matrix, scales, source_ids = matrix[:n_sweep], scales[:n_sweep], source_ids[:n_sweep]
     qi8, qscale = quantize_queries(q)
     scores = xla_scores_int8(matrix, scales, qi8, qscale)
     valid = source_ids >= 0
@@ -102,14 +106,16 @@ def _scan_topk_xla_int8_impl(matrix, scales, source_ids, q, allowed, k: int):
     return jax.lax.top_k(scores, k)
 
 
-_scan_topk_xla_int8 = jax.jit(_scan_topk_xla_int8_impl, static_argnames=("k",))
+_scan_topk_xla_int8 = jax.jit(_scan_topk_xla_int8_impl, static_argnames=("k", "n_sweep"))
 
 
-def _scan_topk_xla_int4_impl(packed, scales, source_ids, q, allowed, k: int):
+def _scan_topk_xla_int4_impl(packed, scales, source_ids, q, allowed, k: int, n_sweep: int = 0):
     """XLA unpack + int8 dot over the (D/2, N) transposed-packed matrix
     (CPU engine and the oversized-k fallback)."""
     from ..ops.topk import quantize_queries, xla_scores_int4
 
+    if n_sweep and n_sweep < packed.shape[1]:
+        packed, scales, source_ids = packed[:, :n_sweep], scales[:n_sweep], source_ids[:n_sweep]
     qi8, qscale = quantize_queries(q)
     scores = xla_scores_int4(packed, scales, qi8, qscale)
     valid = source_ids >= 0
@@ -119,14 +125,14 @@ def _scan_topk_xla_int4_impl(packed, scales, source_ids, q, allowed, k: int):
     return jax.lax.top_k(scores, k)
 
 
-_scan_topk_xla_int4 = jax.jit(_scan_topk_xla_int4_impl, static_argnames=("k",))
+_scan_topk_xla_int4 = jax.jit(_scan_topk_xla_int4_impl, static_argnames=("k", "n_sweep"))
 
 # placeholder scales argument so the fused program has one stable signature
 # across quantized and unquantized tiers
 _NO_SCALES = np.zeros((1,), np.float32)
 
 
-def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engine, interpret):
+def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engine, interpret, n_sweep=0):
     """Traceable per-tier exact-scan dispatch -> sorted ((Q,k) vals, rows,
     floor), shared by every in-jit composition site (today: the fused text
     program) so kernel selection can never fork from the standalone
@@ -146,7 +152,7 @@ def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engi
         s2, s4 = scales
         return scan_int2_coarse_fine(
             p2, s2, p4, s4, source_ids, qp, allowed, k,
-            engine=engine, interpret=interpret,
+            engine=engine, interpret=interpret, n_sweep=n_sweep,
         )
     if bits == 4:
         if engine == "pallas":
@@ -155,9 +161,9 @@ def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engi
             qi8, qscale = quantize_queries(qp)
             return sort_k(*pallas_topk_int4_unsorted(
                 vectors, scales.reshape(1, -1), source_ids.reshape(1, -1),
-                qi8, qscale, allowed, k, interpret,
+                qi8, qscale, allowed, k, interpret, n_sweep,
             ))
-        return (*_scan_topk_xla_int4_impl(vectors, scales, source_ids, qp, allowed, k), None)
+        return (*_scan_topk_xla_int4_impl(vectors, scales, source_ids, qp, allowed, k, n_sweep), None)
     if bits == 8:
         if engine == "pallas":
             from ..ops.topk import pallas_topk_int8_unsorted, quantize_queries
@@ -165,17 +171,17 @@ def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engi
             qi8, qscale = quantize_queries(qp)
             return sort_k(*pallas_topk_int8_unsorted(
                 vectors, scales.reshape(1, -1), source_ids.reshape(1, -1),
-                qi8, qscale, allowed, k, interpret,
+                qi8, qscale, allowed, k, interpret, n_sweep,
             ))
-        return (*_scan_topk_xla_int8_impl(vectors, scales, source_ids, qp, allowed, k), None)
+        return (*_scan_topk_xla_int8_impl(vectors, scales, source_ids, qp, allowed, k, n_sweep), None)
     if engine == "pallas":
         from ..ops.topk import pallas_topk_unsorted
 
         qc = qp.astype(vectors.dtype)
         return sort_k(*pallas_topk_unsorted(
-            vectors, source_ids.reshape(1, -1), qc, allowed, k, interpret
+            vectors, source_ids.reshape(1, -1), qc, allowed, k, interpret, n_sweep
         ))
-    return (*_scan_topk_xla_impl(vectors, source_ids, qp, allowed, k), None)
+    return (*_scan_topk_xla_impl(vectors, source_ids, qp, allowed, k, n_sweep), None)
 
 
 def _build_fused_search(model, searcher, aux_model=None):
@@ -210,28 +216,28 @@ def _build_fused_search(model, searcher, aux_model=None):
         aux_encode_ids = aux_model._encode_ids_fn
 
         def fused_aux(params, ids, aux_params, aux_ids, vectors, source_ids,
-                      scales, allowed, k: int):
+                      scales, allowed, k: int, n_sweep: int = 0):
             q = encode_ids(params, ids).astype(jnp.float32)  # (1, dim)
             aq = aux_encode_ids(aux_params, aux_ids).astype(jnp.float32)
             qp = q if padded == dim else jnp.pad(q, ((0, 0), (0, padded - dim)))
             vals, rows, floor = _tier_scan_in_jit(
                 vectors, scales, source_ids, qp, allowed, k,
-                bits=bits, engine=engine, interpret=interpret,
+                bits=bits, engine=engine, interpret=interpret, n_sweep=n_sweep,
             )
             return q, aq, vals, rows, floor
 
-        return jax.jit(fused_aux, static_argnames=("k",))
+        return jax.jit(fused_aux, static_argnames=("k", "n_sweep"))
 
-    def fused(params, ids, vectors, source_ids, scales, allowed, k: int):
+    def fused(params, ids, vectors, source_ids, scales, allowed, k: int, n_sweep: int = 0):
         q = encode_ids(params, ids).astype(jnp.float32)  # (1, dim)
         qp = q if padded == dim else jnp.pad(q, ((0, 0), (0, padded - dim)))
         vals, rows, floor = _tier_scan_in_jit(
             vectors, scales, source_ids, qp, allowed, k,
-            bits=bits, engine=engine, interpret=interpret,
+            bits=bits, engine=engine, interpret=interpret, n_sweep=n_sweep,
         )
         return q, vals, rows, floor
 
-    return jax.jit(fused, static_argnames=("k",))
+    return jax.jit(fused, static_argnames=("k", "n_sweep"))
 
 # Quantized scans over-fetch candidates by these factors, then rerank them
 # against the f32 host mirror — exact top-k provided the true winners land in
@@ -528,6 +534,7 @@ class Searcher:
         floor = None
         with m._lock:
             vectors, source_ids, scales = m.device_view()
+            ns = m.sweep_rows  # static prefix: skip dead rows past the hwm
             if m.packed2:
                 p2, p4 = vectors
                 s2, s4 = scales
@@ -541,11 +548,11 @@ class Searcher:
                         from ..ops.topk import scan_topk_pallas_int4
 
                         vals, rows = scan_topk_pallas_int4(
-                            p4, s4, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
+                            p4, s4, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb, ns
                         )
                     else:
                         vals, rows = _scan_topk_xla_int4(
-                            p4, s4, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
+                            p4, s4, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb, ns
                         )
                     floor = None
                 else:
@@ -553,39 +560,39 @@ class Searcher:
 
                     vals, rows, floor = scan_topk_int2(
                         p2, s2, p4, s4, source_ids,
-                        jnp.asarray(qp), jnp.asarray(allowed), kb, engine,
+                        jnp.asarray(qp), jnp.asarray(allowed), kb, engine, ns,
                     )
             elif m.packed4:
                 if engine == "pallas":
                     from ..ops.topk import scan_topk_pallas_int4
 
                     vals, rows = scan_topk_pallas_int4(
-                        vectors, scales, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
+                        vectors, scales, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb, ns
                     )
                 else:
                     vals, rows = _scan_topk_xla_int4(
-                        vectors, scales, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
+                        vectors, scales, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb, ns
                     )
             elif m.quantized:
                 if engine == "pallas":
                     from ..ops.topk import scan_topk_pallas_int8
 
                     vals, rows = scan_topk_pallas_int8(
-                        vectors, scales, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
+                        vectors, scales, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb, ns
                     )
                 else:
                     vals, rows = _scan_topk_xla_int8(
-                        vectors, scales, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
+                        vectors, scales, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb, ns
                     )
             elif engine == "pallas":
                 from ..ops.topk import scan_topk_pallas
 
                 vals, rows = scan_topk_pallas(
-                    vectors, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
+                    vectors, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb, ns
                 )
             else:
                 vals, rows = _scan_topk_xla(
-                    vectors, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb
+                    vectors, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb, ns
                 )
         return (
             np.asarray(vals),
@@ -965,6 +972,7 @@ class Searcher:
         gen = m.reuse_gen
         with m._lock:  # capture-through-dispatch (see _device_scan)
             vectors, src_dev, scales = m.device_view()
+            ns = m.sweep_rows  # static prefix: skip dead rows past the hwm
             if scales is None:  # stable jit signature for unquantized tiers
                 scales = _NO_SCALES
             if fuse_aux:
@@ -972,12 +980,12 @@ class Searcher:
                     model.params, self._fused_put(ids),
                     self._fused_aux_params(aux_model),
                     self._fused_put(aux_ids), vectors, src_dev, scales,
-                    self._fused_put(allowed), kb,
+                    self._fused_put(allowed), kb, ns,
                 )
             else:
                 q_dev, vals_dev, rows_dev, floor_dev = fn(
                     model.params, self._fused_put(ids), vectors, src_dev, scales,
-                    self._fused_put(allowed), kb,
+                    self._fused_put(allowed), kb, ns,
                 )
         # one batched readback outside the lock (separate np.asarray calls
         # would pay a transfer round trip each on tunneled deployments)

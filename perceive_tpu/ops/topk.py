@@ -72,6 +72,17 @@ def _pick_tile(n: int, nq: int = 1, d: int = 128, itemsize: int = 2) -> int:
     raise ValueError(f"matrix rows {n} not a multiple of {_TILES[-1]}")
 
 
+def _sweep_n(n: int, n_sweep: int) -> int:
+    """Clamp a kernel's row sweep to the live-row prefix (the caller passes
+    index/matrix.EmbeddingMatrix.sweep_rows).  Device arrays stay
+    capacity-sized; the grid just stops after the first n_sweep rows, so
+    dead rows past the high-water mark cost no HBM traffic.  0 = sweep all
+    (raw-array callers: bench, probes, sharded per-shard bodies)."""
+    if not n_sweep or n_sweep >= n:
+        return n
+    return n_sweep
+
+
 def _argmax2d(x, iota):
     """(rows, idx) of the per-row max via the iota trick (2D keepdims only —
     avoids 1D argmax lowering in Mosaic).  Ties pick the lowest index."""
@@ -212,8 +223,9 @@ def _scan_kernel_int8_slabbed(
         _merge_tile_topk(sc_ref, vals_ref, rows_ref, qsl, t * tile_n, k, n_iota, k_iota)
 
 
-def pallas_topk_int8_slabbed(matrix, scales2d, src2d, qi8, qscale, allowed, k: int, interpret: bool):
+def pallas_topk_int8_slabbed(matrix, scales2d, src2d, qi8, qscale, allowed, k: int, interpret: bool, n_sweep: int = 0):
     n, d = matrix.shape
+    n = _sweep_n(n, n_sweep)
     nq = qi8.shape[0]
     tile_n = (
         4096
@@ -254,11 +266,12 @@ def pallas_topk_int8_slabbed(matrix, scales2d, src2d, qi8, qscale, allowed, k: i
     )(allowed, qi8, qscale, matrix, src2d, scales2d)
 
 
-def pallas_topk_int8_unsorted(matrix, scales2d, src2d, qi8, qscale, allowed, k: int, interpret: bool):
+def pallas_topk_int8_unsorted(matrix, scales2d, src2d, qi8, qscale, allowed, k: int, interpret: bool, n_sweep: int = 0):
     """Raw int8 kernel invocation (unsorted buffer); callable inside
     jit/shard_map.  matrix (N,D) int8; scales2d (1,N) f32; qi8 (Q,D) int8;
     qscale (Q,1) f32."""
     n, d = matrix.shape
+    n = _sweep_n(n, n_sweep)
     nq = qi8.shape[0]
     tile_n = _pick_tile(n, nq, d, 1)
     n_filter = allowed.shape[0]
@@ -334,33 +347,33 @@ def xla_scores_int4(packed, scales, qi8, qscale):
     return iscores.astype(jnp.float32) * scales[None, :] * qscale
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def _scan_topk_int8(matrix, scales, source_ids, q, allowed, k: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "n_sweep"))
+def _scan_topk_int8(matrix, scales, source_ids, q, allowed, k: int, interpret: bool, n_sweep: int = 0):
     n = matrix.shape[0]
     qi8, qscale = quantize_queries(q)
     if q.shape[0] >= 2 * QUERY_SLAB and q.shape[0] % QUERY_SLAB == 0:
         vals, rows = pallas_topk_int8_slabbed(
-            matrix, scales.reshape(1, n), source_ids.reshape(1, n), qi8, qscale, allowed, k, interpret
+            matrix, scales.reshape(1, n), source_ids.reshape(1, n), qi8, qscale, allowed, k, interpret, n_sweep
         )
     else:
         vals, rows = pallas_topk_int8_unsorted(
-            matrix, scales.reshape(1, n), source_ids.reshape(1, n), qi8, qscale, allowed, k, interpret
+            matrix, scales.reshape(1, n), source_ids.reshape(1, n), qi8, qscale, allowed, k, interpret, n_sweep
         )
     svals, perm = jax.lax.top_k(vals, k)
     return svals, jnp.take_along_axis(rows, perm, axis=1)
 
 
-def scan_topk_pallas_int8(matrix, scales, source_ids, q, allowed, k: int):
+def scan_topk_pallas_int8(matrix, scales, source_ids, q, allowed, k: int, n_sweep: int = 0):
     """Int8 exact-scan top-k (approximate scores; combine with f32 rerank of
     the candidate set for exact results — index.Searcher does this)."""
     from ..utils.platform import platform_of
 
     interpret = platform_of(matrix) != "tpu"  # keyed on where the matrix lives
     if q.shape[0] <= MAX_QUERY_SLAB:
-        return _scan_topk_int8(matrix, scales, source_ids, q, allowed, k, interpret)
+        return _scan_topk_int8(matrix, scales, source_ids, q, allowed, k, interpret, n_sweep)
     outs = [
         _scan_topk_int8(
-            matrix, scales, source_ids, q[s : s + MAX_QUERY_SLAB], allowed, k, interpret
+            matrix, scales, source_ids, q[s : s + MAX_QUERY_SLAB], allowed, k, interpret, n_sweep
         )
         for s in range(0, q.shape[0], MAX_QUERY_SLAB)
     ]
@@ -443,13 +456,14 @@ def _pick_tile_int4(n: int, nq: int, d2: int) -> int:
     raise ValueError(f"matrix rows {n} not a multiple of {_TILES[-1]}")
 
 
-def pallas_topk_int4_unsorted(packed, scales2d, src2d, qi8, qscale, allowed, k: int, interpret: bool):
+def pallas_topk_int4_unsorted(packed, scales2d, src2d, qi8, qscale, allowed, k: int, interpret: bool, n_sweep: int = 0):
     """Raw int4 kernel invocation (unsorted buffer).  packed: (D/2, N) uint8
     transposed-packed (see section comment); scales2d (1, N) f32 per-row;
     qi8 (Q, D) int8 symmetric-quantized queries; qscale (Q, 1) f32.  The
     query halves and the -8*sum(q_lo) bias correction are derived here, at
     the XLA level, so the kernel sees only aligned operands."""
     d2, n = packed.shape
+    n = _sweep_n(n, n_sweep)
     nq, d = qi8.shape
     tile_n = _pick_tile_int4(n, nq, d2)
     qlo, qhi = qi8[:, :d2], qi8[:, d2:]
@@ -541,9 +555,10 @@ def _pick_tile_int4_slabbed(n: int, d2: int) -> int:
     raise ValueError(f"matrix rows {n} not a multiple of {_TILES[-1]}")
 
 
-def pallas_topk_int4_slabbed(packed, scales2d, src2d, qi8, qscale, allowed, k: int, interpret: bool):
+def pallas_topk_int4_slabbed(packed, scales2d, src2d, qi8, qscale, allowed, k: int, interpret: bool, n_sweep: int = 0):
     """Slabbed int4 invocation for Q a multiple of QUERY_SLAB."""
     d2, n = packed.shape
+    n = _sweep_n(n, n_sweep)
     nq, d = qi8.shape
     tile_n = _pick_tile_int4_slabbed(n, d2)
     qlo, qhi = qi8[:, :d2], qi8[:, d2:]
@@ -584,33 +599,33 @@ def pallas_topk_int4_slabbed(packed, scales2d, src2d, qi8, qscale, allowed, k: i
     )(allowed, qlo, qhi, qcorr, qscale, packed, src2d, scales2d)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def _scan_topk_int4(packed, scales, source_ids, q, allowed, k: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "n_sweep"))
+def _scan_topk_int4(packed, scales, source_ids, q, allowed, k: int, interpret: bool, n_sweep: int = 0):
     n = packed.shape[1]
     qi8, qscale = quantize_queries(q)
     if q.shape[0] >= 2 * QUERY_SLAB and q.shape[0] % QUERY_SLAB == 0:
         vals, rows = pallas_topk_int4_slabbed(
-            packed, scales.reshape(1, n), source_ids.reshape(1, n), qi8, qscale, allowed, k, interpret
+            packed, scales.reshape(1, n), source_ids.reshape(1, n), qi8, qscale, allowed, k, interpret, n_sweep
         )
     else:
         vals, rows = pallas_topk_int4_unsorted(
-            packed, scales.reshape(1, n), source_ids.reshape(1, n), qi8, qscale, allowed, k, interpret
+            packed, scales.reshape(1, n), source_ids.reshape(1, n), qi8, qscale, allowed, k, interpret, n_sweep
         )
     svals, perm = jax.lax.top_k(vals, k)
     return svals, jnp.take_along_axis(rows, perm, axis=1)
 
 
-def scan_topk_pallas_int4(packed, scales, source_ids, q, allowed, k: int):
+def scan_topk_pallas_int4(packed, scales, source_ids, q, allowed, k: int, n_sweep: int = 0):
     """Int4 packed exact-scan top-k candidates (approximate scores; the
     Searcher reranks in f32 and escalates the over-fetch)."""
     from ..utils.platform import platform_of
 
     interpret = platform_of(packed) != "tpu"
     if q.shape[0] <= MAX_QUERY_SLAB:
-        return _scan_topk_int4(packed, scales, source_ids, q, allowed, k, interpret)
+        return _scan_topk_int4(packed, scales, source_ids, q, allowed, k, interpret, n_sweep)
     outs = [
         _scan_topk_int4(
-            packed, scales, source_ids, q[s : s + MAX_QUERY_SLAB], allowed, k, interpret
+            packed, scales, source_ids, q[s : s + MAX_QUERY_SLAB], allowed, k, interpret, n_sweep
         )
         for s in range(0, q.shape[0], MAX_QUERY_SLAB)
     ]
@@ -654,9 +669,10 @@ def _scan_kernel_slabbed(
         _merge_tile_topk(sc_ref, vals_ref, rows_ref, qsl, t * tile_n, k, n_iota, k_iota)
 
 
-def pallas_topk_slabbed(matrix, src2d, qc, allowed, k: int, interpret: bool):
+def pallas_topk_slabbed(matrix, src2d, qc, allowed, k: int, interpret: bool, n_sweep: int = 0):
     """Raw slabbed-kernel invocation for Q a multiple of QUERY_SLAB."""
     n, d = matrix.shape
+    n = _sweep_n(n, n_sweep)
     nq = qc.shape[0]
     # prefer the measured-fastest 4096 tile, but only when it actually fits
     # the VMEM budget — f32 storage or wide padded dims need smaller tiles
@@ -700,7 +716,7 @@ def pallas_topk_slabbed(matrix, src2d, qc, allowed, k: int, interpret: bool):
     )(allowed, qc, matrix, src2d)
 
 
-def pallas_topk_unsorted(matrix, src2d, qc, allowed, k: int, interpret: bool):
+def pallas_topk_unsorted(matrix, src2d, qc, allowed, k: int, interpret: bool, n_sweep: int = 0):
     """Raw kernel invocation: unsorted (Q,K) candidate buffer.
 
     Callable inside jit/shard_map (per-shard local top-k for the sharded
@@ -741,14 +757,14 @@ def pallas_topk_unsorted(matrix, src2d, qc, allowed, k: int, interpret: bool):
     return vals, rows
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def _scan_topk(matrix, source_ids, q, allowed, k: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "n_sweep"))
+def _scan_topk(matrix, source_ids, q, allowed, k: int, interpret: bool, n_sweep: int = 0):
     qc = q.astype(matrix.dtype)
     src2d = source_ids.reshape(1, matrix.shape[0])
     if q.shape[0] >= 2 * QUERY_SLAB and q.shape[0] % QUERY_SLAB == 0:
-        vals, rows = pallas_topk_slabbed(matrix, src2d, qc, allowed, k, interpret)
+        vals, rows = pallas_topk_slabbed(matrix, src2d, qc, allowed, k, interpret, n_sweep)
     else:
-        vals, rows = pallas_topk_unsorted(matrix, src2d, qc, allowed, k, interpret)
+        vals, rows = pallas_topk_unsorted(matrix, src2d, qc, allowed, k, interpret, n_sweep)
     # Buffer is an unordered k-set; order it best-first (tiny (Q,K) op).
     svals, perm = jax.lax.top_k(vals, k)
     srows = jnp.take_along_axis(rows, perm, axis=1)
@@ -760,7 +776,7 @@ def _scan_topk(matrix, source_ids, q, allowed, k: int, interpret: bool):
 MAX_QUERY_SLAB = 2048
 
 
-def scan_topk_pallas(matrix, source_ids, q, allowed, k: int):
+def scan_topk_pallas(matrix, source_ids, q, allowed, k: int, n_sweep: int = 0):
     """Exact top-k of ``q @ matrix.T`` with row validity/source filtering.
 
     matrix: (N, D) storage dtype (bf16/f32), N a multiple of 512.
@@ -775,9 +791,9 @@ def scan_topk_pallas(matrix, source_ids, q, allowed, k: int):
 
     interpret = platform_of(matrix) != "tpu"  # keyed on where the matrix lives
     if q.shape[0] <= MAX_QUERY_SLAB:
-        return _scan_topk(matrix, source_ids, q, allowed, k, interpret)
+        return _scan_topk(matrix, source_ids, q, allowed, k, interpret, n_sweep)
     outs = [
-        _scan_topk(matrix, source_ids, q[s : s + MAX_QUERY_SLAB], allowed, k, interpret)
+        _scan_topk(matrix, source_ids, q[s : s + MAX_QUERY_SLAB], allowed, k, interpret, n_sweep)
         for s in range(0, q.shape[0], MAX_QUERY_SLAB)
     ]
     return (
@@ -916,10 +932,12 @@ def _pick_tile_int2(n: int, nq: int, d4: int) -> int:
     raise ValueError(f"matrix rows {n} not a multiple of {_TILES[-1]}")
 
 
-def pallas_int2_scores(packed, scales2d, src2d, qi8, qscale, allowed, interpret):
-    """Masked coarse scores, (Q, N) f32 in HBM (no in-kernel selection —
-    see section comment).  packed: (D/4, N) uint8; qi8 (Q, D) int8."""
+def pallas_int2_scores(packed, scales2d, src2d, qi8, qscale, allowed, interpret, n_sweep: int = 0):
+    """Masked coarse scores, (Q, n_sweep or N) f32 in HBM (no in-kernel
+    selection — see section comment).  packed: (D/4, N) uint8; qi8 (Q, D)
+    int8."""
     d4, n = packed.shape
+    n = _sweep_n(n, n_sweep)
     nq = qi8.shape[0]
     tile_n = _pick_tile_int2(n, nq, d4)
     q0, q1, q2, q3, qcorr = _int2_query_parts(qi8, d4)
@@ -997,6 +1015,7 @@ def int2_coarse_depth(k: int, n: int) -> int:
 def scan_int2_coarse_fine(
     packed2, scales2, packed4, scales4, source_ids, q, allowed, k: int,
     *, k_coarse: int = 0, engine: str = "pallas", interpret: bool = False,
+    n_sweep: int = 0,
 ):
     """Traceable coarse-to-fine int2 scan (see section comment).
 
@@ -1010,19 +1029,20 @@ def scan_int2_coarse_fine(
     bound on any row OUTSIDE the candidate set; -inf when the whole
     corpus was fetched).
     """
-    n = packed2.shape[1]
+    n_full = packed2.shape[1]
+    n = _sweep_n(n_full, n_sweep)
     if not k_coarse:
         k_coarse = int2_coarse_depth(k, n)
     qi8, qscale = quantize_queries(q)
     if engine == "pallas":
         coarse = pallas_int2_scores(
-            packed2, scales2.reshape(1, n), source_ids.reshape(1, n),
-            qi8, qscale, allowed, interpret,
+            packed2, scales2.reshape(1, n_full), source_ids.reshape(1, n_full),
+            qi8, qscale, allowed, interpret, n,
         )
     else:
-        coarse = xla_scores_int2(packed2, scales2, qi8, qscale)
-        valid = source_ids >= 0
-        src_ok = jnp.isin(source_ids, allowed) | (allowed[0] == ALLOW_ALL)
+        coarse = xla_scores_int2(packed2[:, :n], scales2[:n], qi8, qscale)
+        valid = source_ids[:n] >= 0
+        src_ok = jnp.isin(source_ids[:n], allowed) | (allowed[0] == ALLOW_ALL)
         coarse = jnp.where((valid & src_ok)[None, :], coarse, -jnp.inf)
     kc = min(k_coarse, n)
     nq = q.shape[0]
@@ -1076,18 +1096,18 @@ def scan_int2_coarse_fine(
     return vals, rows, floor
 
 
-@functools.partial(jax.jit, static_argnames=("k", "engine", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "engine", "interpret", "n_sweep"))
 def _scan_topk_int2(
     packed2, scales2, packed4, scales4, source_ids, q, allowed, k: int,
-    engine: str, interpret: bool,
+    engine: str, interpret: bool, n_sweep: int = 0,
 ):
     return scan_int2_coarse_fine(
         packed2, scales2, packed4, scales4, source_ids, q, allowed, k,
-        engine=engine, interpret=interpret,
+        engine=engine, interpret=interpret, n_sweep=n_sweep,
     )
 
 
-def scan_topk_int2(packed2, scales2, packed4, scales4, source_ids, q, allowed, k: int, engine: str):
+def scan_topk_int2(packed2, scales2, packed4, scales4, source_ids, q, allowed, k: int, engine: str, n_sweep: int = 0):
     """Int2 coarse-to-fine candidates (approximate int4 scores; the
     Searcher reranks the fine candidates in f32 and escalates by
     re-fetching deeper — int2_coarse_depth scales the coarse floor down
@@ -1097,5 +1117,5 @@ def scan_topk_int2(packed2, scales2, packed4, scales4, source_ids, q, allowed, k
     interpret = engine == "pallas" and platform_of(packed2) != "tpu"
     return _scan_topk_int2(
         packed2, scales2, packed4, scales4, source_ids, q, allowed, k,
-        engine, interpret,
+        engine, interpret, n_sweep,
     )

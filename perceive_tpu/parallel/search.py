@@ -190,22 +190,27 @@ def _build_fused_sharded(model, searcher, aux_model=None):
         aux_encode_ids = aux_model._encode_ids_fn
 
         def fused_aux(params, ids, aux_params, aux_ids, vectors, source_ids,
-                      scales, allowed, k: int):
+                      scales, allowed, k: int, n_sweep: int = 0):
+            # n_sweep (the live-row prefix) is accepted for signature parity
+            # with the single-chip fused program but IGNORED: rows are
+            # round-robin sharded, so the live prefix is not contiguous per
+            # shard — each shard sweeps its full slice (dead rows carry
+            # src=-1 and mask out)
             q = encode_ids(params, ids).astype(jnp.float32)  # (1, dim)
             aq = aux_encode_ids(aux_params, aux_ids).astype(jnp.float32)
             qp = q if padded == dim else jnp.pad(q, ((0, 0), (0, padded - dim)))
             vals, rows = scan(vectors, source_ids, scales, qp, allowed, k)
             return q, aq, vals, rows, None
 
-        return jax.jit(fused_aux, static_argnames=("k",))
+        return jax.jit(fused_aux, static_argnames=("k", "n_sweep"))
 
-    def fused(params, ids, vectors, source_ids, scales, allowed, k: int):
+    def fused(params, ids, vectors, source_ids, scales, allowed, k: int, n_sweep: int = 0):
         q = encode_ids(params, ids).astype(jnp.float32)  # (1, dim)
         qp = q if padded == dim else jnp.pad(q, ((0, 0), (0, padded - dim)))
         vals, rows = scan(vectors, source_ids, scales, qp, allowed, k)
         return q, vals, rows, None
 
-    return jax.jit(fused, static_argnames=("k",))
+    return jax.jit(fused, static_argnames=("k", "n_sweep"))
 
 
 class ShardedSearcher(Searcher):

@@ -71,6 +71,53 @@ def test_auto_retier_on_mid_session_growth(monkeypatch):
     assert [i for i, _ in hits] == list(want)  # exact via the new rerank
 
 
+def test_sweep_rows_ladder():
+    """sweep_rows_for: small matrices sweep the capacity; large ones sweep
+    a 24576-aligned ladder round-up of the high-water mark (<= 12.5%
+    overhang), clamped to capacity — so the per-query sweep skips the
+    dead rows power-of-2 capacity growth leaves past the hwm."""
+    from perceive_tpu.index.matrix import _SWEEP_ALIGN, _SWEEP_MIN, sweep_rows_for
+
+    assert sweep_rows_for(100, 4096) == 4096  # small: whole capacity
+    assert sweep_rows_for(0, _SWEEP_MIN) == _SWEEP_MIN
+    # large capacity, small hwm: ladder value, aligned, bounded overhang
+    cap = 16_777_216  # 4096 * 2**12 — a real power-of-2 growth endpoint
+    for hwm in (1, 98_304, 100_000, 1_000_000, 10_000_000, 16_000_000):
+        ns = sweep_rows_for(hwm, cap)
+        assert hwm <= ns <= cap
+        assert ns == cap or ns % _SWEEP_ALIGN == 0
+        assert ns <= max(_SWEEP_MIN, int(hwm * 1.125) + _SWEEP_ALIGN)
+    # hwm at/above capacity: sweep everything
+    assert sweep_rows_for(cap, cap) == cap
+    # monotone in hwm (a growing corpus never shrinks its sweep)
+    vals = [sweep_rows_for(h, cap) for h in range(0, 2_000_000, 37_123)]
+    assert vals == sorted(vals)
+
+
+def test_prefix_sweep_exact_past_sweep_min():
+    """A matrix whose capacity crosses _SWEEP_MIN sweeps only the ladder
+    prefix (sweep_rows < capacity) yet stays exact — rows live near the
+    high-water mark must be found."""
+    import jax.numpy as jnp
+
+    from perceive_tpu.index.matrix import _SWEEP_MIN
+
+    rng = np.random.default_rng(11)
+    d, n = 16, 120_000  # capacity doubles to 131072 > _SWEEP_MIN
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    s = Searcher(0, 0, d, dtype=jnp.bfloat16, engine="xla")
+    s.upsert_embeddings(list(range(1, n + 1)), [0] * n, vecs)
+    m = s.matrix
+    assert m.capacity > _SWEEP_MIN
+    assert n <= m.sweep_rows < m.capacity  # the prefix actually engages
+    # query targeting a row at the very top of the hwm (inside the ladder
+    # round-up, past any naive truncation bug)
+    q = vecs[n - 3] + 0.005 * rng.standard_normal(d).astype(np.float32)
+    want = np.argsort(-(vecs @ q), kind="stable")[:5] + 1
+    assert [i for i, _ in s.search_vector(q, 5)] == list(want)
+
+
 def test_serialize_roundtrip():
     v = np.random.default_rng(0).standard_normal(384).astype(np.float32)
     assert np.array_equal(deserialize_embedding(serialize_embedding(v)), v)
