@@ -193,9 +193,10 @@ def _build_fused_sharded(model, searcher, aux_model=None):
                       scales, allowed, k: int, n_sweep: int = 0):
             # n_sweep (the live-row prefix) is accepted for signature parity
             # with the single-chip fused program but IGNORED: rows are
-            # round-robin sharded, so the live prefix is not contiguous per
-            # shard — each shard sweeps its full slice (dead rows carry
-            # src=-1 and mask out)
+            # BLOCK-sharded and allocated sequentially, so whenever the
+            # corpus exceeds one shard the fullest shard is at capacity and
+            # sets the latency — a uniform per-shard prefix would win
+            # nothing (dead rows carry src=-1 and mask out)
             q = encode_ids(params, ids).astype(jnp.float32)  # (1, dim)
             aq = aux_encode_ids(aux_params, aux_ids).astype(jnp.float32)
             qp = q if padded == dim else jnp.pad(q, ((0, 0), (0, padded - dim)))

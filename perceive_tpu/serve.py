@@ -210,6 +210,8 @@ class ServeState:
                 self.refresh_errors_total += 1
                 print(f"background refresh failed: {e}", file=sys.stderr)
                 continue
+            m = self.app.searcher.matrix if self.app.searcher else None
+            pre_key = m and (m.sweep_rows, m.quant_bits)
             for src in due:
                 if self._stop_refresh.is_set():
                     return
@@ -222,6 +224,12 @@ class ServeState:
                     self.refresh_scans_total += 1
                 else:
                     self.refresh_errors_total += 1
+            # a rescan that grew the corpus across a sweep-ladder bucket (or
+            # re-tiered the storage dtype) invalidates the compiled serving
+            # programs; re-warm HERE, off the request path, so no user query
+            # ever pays the fused-program compile mid-session
+            if due and m is not None and (m.sweep_rows, m.quant_bits) != pre_key:
+                self._warm()
 
     def _warm_highlights(self) -> None:
         """Pre-fill the highlight chunk cache from the corpus, most recently
