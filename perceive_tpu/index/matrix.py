@@ -818,7 +818,65 @@ class EmbeddingMatrix:
                     n += 1
             if n:
                 self.mutation_gen += 1
+            self._maybe_compact()
         return n
+
+    # Compaction trigger: tombstones outnumber live rows by this floor.
+    # Below it the dead prefix rows cost < one ladder bucket of sweep time
+    # and moving rows would churn the delta snapshot for nothing.
+    _COMPACT_MIN = 4096
+
+    def _maybe_compact(self) -> None:
+        live = len(self.row_of)
+        if self.rows - live >= max(self._COMPACT_MIN, live):
+            self.compact()
+
+    def compact(self) -> int:
+        """Pack live rows into the prefix [0, live) and lower the high-water
+        mark, so the prefix sweep (sweep_rows) shrinks back after mass
+        removals — without it, `source remove` of a large source leaves the
+        hwm (and every query's sweep cost) stuck at its peak forever.
+
+        Moves only the live rows stranded in the tail; the raw mirror rows
+        copy losslessly in storage dtype, device state follows through the
+        normal dirty-row sync, and ``reuse_gen`` bumps exactly as for
+        tombstone reuse so an in-flight search that captured pre-move
+        device arrays retries instead of decoding a moved row as its old
+        key (searcher._search_consistent).  Returns rows moved.
+
+        Auto-invoked from remove/remove_source past _COMPACT_MIN; callable
+        explicitly for tests/maintenance."""
+        with self._lock:
+            live = len(self.row_of)
+            moved = 0
+            if self.rows > live:
+                arr = self._mirror.arr
+                free_low = iter(sorted(r for r in self._free if r < live))
+                for row in range(live, self.rows):
+                    key = int(self.item_ids[row])
+                    if key < 0:
+                        continue
+                    dst = next(free_low)
+                    arr[dst] = arr[row]
+                    self.item_ids[dst] = key
+                    self.source_ids[dst] = self.source_ids[row]
+                    self.item_ids[row] = -1
+                    self.source_ids[row] = -1
+                    self.row_of[key] = dst
+                    if not self._dirty:
+                        self._dirty_rows.update((int(dst), int(row)))
+                    self._note_delta((int(dst), int(row)))
+                    moved += 1
+                self.rows = live
+            # rebuild the free list from ground truth: moves consumed every
+            # free slot below the new hwm, and slots past it are unreachable
+            self._free = [
+                int(r) for r in np.nonzero(self.item_ids[: self.rows] < 0)[0]
+            ]
+            if moved:
+                self.reuse_gen += 1
+                self.mutation_gen += 1
+            return moved
 
     def _note_delta(self, rows) -> None:
         """Track rows changed since the last full snapshot (delta-snapshot
@@ -947,6 +1005,7 @@ class EmbeddingMatrix:
                 self._free.append(int(row))
             if len(rows):
                 self.mutation_gen += 1
+                self._maybe_compact()
             return len(rows)
 
     def __len__(self) -> int:

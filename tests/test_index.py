@@ -118,6 +118,56 @@ def test_prefix_sweep_exact_past_sweep_min():
     assert [i for i, _ in s.search_vector(q, 5)] == list(want)
 
 
+def test_compact_lowers_hwm_after_mass_removal():
+    """Removing most of the corpus auto-compacts: live rows pack into the
+    prefix, the high-water mark (and hence sweep_rows) drops back, reuse_gen
+    bumps so in-flight searches retry, and searches stay exact."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(21)
+    d, n = 16, 12_000
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    s = Searcher(0, 0, d, dtype=jnp.int8, engine="xla")
+    # source 0 = ids 1..8000, source 1 = ids 8001..12000
+    s.upsert_embeddings(list(range(1, 8001)), [0] * 8000, vecs[:8000])
+    s.upsert_embeddings(list(range(8001, n + 1)), [1] * 4000, vecs[8000:])
+    m = s.matrix
+    assert m.rows == n
+    gen0 = m.reuse_gen
+    removed = m.remove_source(0)
+    assert removed == 8000
+    assert m.rows == 4000  # compacted: hwm back to the live count
+    assert m.reuse_gen > gen0
+    assert not m._free
+    # all survivors findable and exact
+    q = vecs[8000 + 1234] + 0.005 * rng.standard_normal(d).astype(np.float32)
+    exact = vecs @ q
+    exact[:8000] = -np.inf
+    want = (np.argsort(-exact, kind="stable")[:5] + 1).tolist()
+    assert [i for i, _ in s.search_vector(q, 5)] == want
+    # post-compact upserts land in fresh rows without clobbering survivors
+    s.upsert_embeddings([90001], [2], vecs[:1])
+    assert m.rows == 4001
+    got = [i for i, _ in s.search_vector(vecs[0], 1)]
+    assert got == [90001]
+
+
+def test_compact_noop_below_threshold():
+    """Light churn must NOT move rows (delta-snapshot churn for nothing)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(22)
+    d, n = 16, 6_000
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    s = Searcher(0, 0, d, dtype=jnp.bfloat16, engine="xla")
+    s.upsert_embeddings(list(range(1, n + 1)), [0] * n, vecs)
+    m = s.matrix
+    s.remove_items(list(range(1, 101)))  # 100 tombstones << _COMPACT_MIN
+    assert m.rows == n  # hwm unchanged
+    assert len(m._free) == 100  # slots queued for reuse, not compacted
+
+
 def test_serialize_roundtrip():
     v = np.random.default_rng(0).standard_normal(384).astype(np.float32)
     assert np.array_equal(deserialize_embedding(serialize_embedding(v)), v)
