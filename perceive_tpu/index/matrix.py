@@ -850,23 +850,26 @@ class EmbeddingMatrix:
             live = len(self.row_of)
             moved = 0
             if self.rows > live:
-                arr = self._mirror.arr
-                free_low = iter(sorted(r for r in self._free if r < live))
-                for row in range(live, self.rows):
-                    key = int(self.item_ids[row])
-                    if key < 0:
-                        continue
-                    dst = next(free_low)
-                    arr[dst] = arr[row]
-                    self.item_ids[dst] = key
-                    self.source_ids[dst] = self.source_ids[row]
-                    self.item_ids[row] = -1
-                    self.source_ids[row] = -1
-                    self.row_of[key] = dst
+                # vectorized: the lock is also what searches dispatch under,
+                # so no per-row Python loop here (a multi-M-row compaction
+                # would stall serving for its duration otherwise)
+                srcs = live + np.nonzero(self.item_ids[live : self.rows] >= 0)[0]
+                dsts = np.nonzero(self.item_ids[:live] < 0)[0][: len(srcs)]
+                if len(srcs):
+                    arr = self._mirror.arr
+                    arr[dsts] = arr[srcs]
+                    keys = self.item_ids[srcs]
+                    self.item_ids[dsts] = keys
+                    self.source_ids[dsts] = self.source_ids[srcs]
+                    self.item_ids[srcs] = -1
+                    self.source_ids[srcs] = -1
+                    self.row_of.update(zip(keys.tolist(), dsts.tolist()))
                     if not self._dirty:
-                        self._dirty_rows.update((int(dst), int(row)))
-                    self._note_delta((int(dst), int(row)))
-                    moved += 1
+                        self._dirty_rows.update(dsts.tolist())
+                        self._dirty_rows.update(srcs.tolist())
+                    self._note_delta(dsts)
+                    self._note_delta(srcs)
+                    moved = len(srcs)
                 self.rows = live
             # rebuild the free list from ground truth: moves consumed every
             # free slot below the new hwm, and slots past it are unreachable

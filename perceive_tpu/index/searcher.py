@@ -880,6 +880,11 @@ class Searcher:
     # consistency re-sweeps through the normal path.
 
     _supports_fused = True  # ShardedSearcher opts out (shard_map program)
+    # whether the fused program's sweep responds to n_sweep: the mesh
+    # subclass ignores it (block-sharded rows; the fullest shard sets the
+    # latency), so passing the ladder value there would only force a
+    # recompile of the most expensive program in the codebase per bucket
+    _fused_takes_sweep = True
     # aux (second-model) query encode inside the fused program; a subclass
     # whose program can't host the aux tower sets this False and
     # search_fused falls back to a separate aux encode dispatch (the mesh
@@ -972,7 +977,9 @@ class Searcher:
         gen = m.reuse_gen
         with m._lock:  # capture-through-dispatch (see _device_scan)
             vectors, src_dev, scales = m.device_view()
-            ns = m.sweep_rows  # static prefix: skip dead rows past the hwm
+            # static prefix: skip dead rows past the hwm (0 on the mesh
+            # path, where the value is ignored — avoid recompiles)
+            ns = m.sweep_rows if self._fused_takes_sweep else 0
             if scales is None:  # stable jit signature for unquantized tiers
                 scales = _NO_SCALES
             if fuse_aux:

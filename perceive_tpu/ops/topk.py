@@ -723,6 +723,7 @@ def pallas_topk_unsorted(matrix, src2d, qc, allowed, k: int, interpret: bool, n_
     searcher).  ``src2d`` is (1, N) int32; ``qc`` already in matrix dtype.
     """
     n, d = matrix.shape
+    n = _sweep_n(n, n_sweep)
     nq = qc.shape[0]
     tile_n = _pick_tile(n, nq, d, matrix.dtype.itemsize)
     n_filter = allowed.shape[0]

@@ -225,6 +225,8 @@ class ShardedSearcher(Searcher):
     shard_map scan + all_gather merge in the SAME compiled dispatch
     (_build_fused_sharded)."""
 
+    _fused_takes_sweep = False  # see Searcher: mesh sweep ignores n_sweep
+
     def _fused_callable(self, model, aux_model=None):  # type: ignore[override]
         return self._fused_lookup(model, _build_fused_sharded, aux_model)
 

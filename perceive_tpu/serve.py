@@ -211,7 +211,7 @@ class ServeState:
                 print(f"background refresh failed: {e}", file=sys.stderr)
                 continue
             m = self.app.searcher.matrix if self.app.searcher else None
-            pre_key = m and (m.sweep_rows, m.quant_bits)
+            pre_key = None if m is None else (m.sweep_rows, m.quant_bits)
             for src in due:
                 if self._stop_refresh.is_set():
                     return
@@ -228,7 +228,7 @@ class ServeState:
             # re-tiered the storage dtype) invalidates the compiled serving
             # programs; re-warm HERE, off the request path, so no user query
             # ever pays the fused-program compile mid-session
-            if due and m is not None and (m.sweep_rows, m.quant_bits) != pre_key:
+            if due and pre_key is not None and (m.sweep_rows, m.quant_bits) != pre_key:
                 self._warm()
 
     def _warm_highlights(self) -> None:

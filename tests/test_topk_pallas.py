@@ -190,3 +190,55 @@ def test_slabbed_kernel_source_filter():
     evals, erows = _oracle(matrix, source_ids, q, allowed, k)
     np.testing.assert_allclose(np.asarray(vals), evals, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(rows), erows)
+
+
+def test_prefix_sweep_pallas_kernels_match_oracle():
+    """n_sweep clamps every Pallas wrapper's grid to the live prefix: rows
+    past it are never read, and results match the oracle restricted to the
+    prefix — covers the bf16 unsorted kernel the round-3 review found
+    missing the clamp (engine-level companion of the searcher-level
+    test_prefix_sweep_exact_past_sweep_min, which ran XLA-only)."""
+    import jax
+
+    from perceive_tpu.ops.topk import (
+        pallas_topk_int4_unsorted,
+        pallas_topk_int8_unsorted,
+        pallas_topk_unsorted,
+        quantize_queries,
+    )
+
+    n, ns, d, k = 2048, 1024, 64, 16
+    matrix, source_ids = _make(n, d, 3, seed=5)
+    # poison the dead tail with huge values: if any kernel reads past
+    # n_sweep, these rows win and the oracle check fails
+    matrix[ns:] = 100.0
+    source_ids[ns:] = 0  # live-looking, so only the grid clamp excludes them
+    q = np.random.default_rng(6).standard_normal((2, d)).astype(np.float32)
+    allowed = _allowed()
+    want_v, want_r = _oracle(matrix[:ns], source_ids[:ns], q, allowed, k)
+
+    mj = jnp.asarray(matrix, jnp.bfloat16)
+    src2d = jnp.asarray(source_ids).reshape(1, n)
+    vals, rows = pallas_topk_unsorted(
+        mj, src2d, jnp.asarray(q, jnp.bfloat16), jnp.asarray(allowed), k, True, ns
+    )
+    svals, perm = jax.lax.top_k(vals, k)
+    srows = np.take_along_axis(np.asarray(rows), np.asarray(perm), axis=1)
+    assert set(srows[0].tolist()) == set(want_r[0].tolist())
+    assert (np.asarray(srows) < ns).all()
+
+    qi8, qsc = quantize_queries(jnp.asarray(q))
+    sc2d = jnp.ones((1, n), jnp.float32)
+    m8 = jnp.asarray(np.clip(matrix, -1, 1) * 127, jnp.int8)
+    vals, rows = pallas_topk_int8_unsorted(
+        m8, sc2d, src2d, qi8, qsc, jnp.asarray(allowed), k, True, ns
+    )
+    assert (np.asarray(rows)[np.asarray(rows) >= 0] < ns).all()
+    # int4: transposed-packed poison tail likewise never surfaces
+    lo = (np.clip(matrix[:, : d // 2], -0.9, 0.9) * 7 + 8).astype(np.uint8)
+    hi = (np.clip(matrix[:, d // 2 :], -0.9, 0.9) * 7).astype(np.int8).astype(np.uint8) & 15
+    p4 = jnp.asarray((lo | (hi << 4)).T)
+    vals, rows = pallas_topk_int4_unsorted(
+        p4, sc2d, src2d, qi8, qsc, jnp.asarray(allowed), k, True, ns
+    )
+    assert (np.asarray(rows)[np.asarray(rows) >= 0] < ns).all()
