@@ -100,6 +100,38 @@ def _marginal_sweep_s(matrix, source_ids, allowed, batch: int, k: int, *, reps, 
     return max(marginal, 1e-9), walls[reps[0]]
 
 
+def _injit_marginal(body, arrays, *, batch, d, reps, seed_base, iters=3):
+    """Shared in-jit repeat-marginal harness (module docstring): jit a
+    fori_loop running ``body(q_i, *arrays)`` r times over DISTINCT query
+    slices, take marginal = (wall_R - wall_1)/(R - 1).  ONE implementation
+    so the timing method can never diverge between the tier measurements
+    being compared against each other (round-3 review)."""
+
+    def queries(seed, r):
+        q = jax.random.normal(jax.random.PRNGKey(seed), (r, batch, d), jnp.float32)
+        return jax.block_until_ready(q / jnp.linalg.norm(q, axis=2, keepdims=True))
+
+    def make(r):
+        def f(qs, *args):
+            def it(i, acc):
+                return acc + body(qs[i], *args)
+            return jax.lax.fori_loop(0, r, it, 0.0)
+        return jax.jit(f)
+
+    walls = {}
+    for r in reps:
+        fn = make(r)
+        np.asarray(fn(queries(1, r), *arrays))  # compile + warm
+        ts = []
+        for i in range(iters):
+            qs = queries(seed_base + 7 * i + r, r)
+            t0 = time.perf_counter()
+            np.asarray(fn(qs, *arrays))
+            ts.append(time.perf_counter() - t0)
+        walls[r] = float(np.median(ts))
+    return max((walls[reps[1]] - walls[reps[0]]) / (reps[1] - reps[0]), 1e-9)
+
+
 def _marginal_int8_qps(n: int, d: int, allowed, *, iters=3):
     """Batch-2048 throughput of the int8 slabbed kernel at k=40 (the 4x
     rerank over-fetch) — the capacity/QPS tier: exact after the f32 rerank.
@@ -118,31 +150,15 @@ def _marginal_int8_qps(n: int, d: int, allowed, *, iters=3):
         scales2d = jax.block_until_ready(jnp.full((1, n), 0.01, jnp.float32))
         src2d = jax.block_until_ready(jnp.zeros((1, n), jnp.int32))
 
-        def queries(seed, r):
-            q = jax.random.normal(jax.random.PRNGKey(seed), (r, QUERY_BATCH, d), jnp.float32)
-            return jax.block_until_ready(q / jnp.linalg.norm(q, axis=2, keepdims=True))
+        def body(q, m, sc2, s2):
+            qi8, qsc = quantize_queries(q)
+            v, rows = pallas_topk_int8_slabbed(m, sc2, s2, qi8, qsc, allowed, 40, False)
+            return jnp.sum(v) + jnp.sum(rows.astype(jnp.float32))
 
-        def make(r):
-            def f(qs, m, sc2, s2):
-                def it(i, acc):
-                    qi8, qsc = quantize_queries(qs[i])
-                    v, rows = pallas_topk_int8_slabbed(m, sc2, s2, qi8, qsc, allowed, 40, False)
-                    return acc + jnp.sum(v) + jnp.sum(rows.astype(jnp.float32))
-                return jax.lax.fori_loop(0, r, it, 0.0)
-            return jax.jit(f)
-
-        walls = {}
-        for r in (1, 3):
-            fn = make(r)
-            np.asarray(fn(queries(1, r), m8, scales2d, src2d))
-            ts = []
-            for i in range(iters):
-                qs = queries(500 + 7 * i + r, r)
-                t0 = time.perf_counter()
-                np.asarray(fn(qs, m8, scales2d, src2d))
-                ts.append(time.perf_counter() - t0)
-            walls[r] = float(np.median(ts))
-        marginal = max((walls[3] - walls[1]) / 2, 1e-9)
+        marginal = _injit_marginal(
+            body, (m8, scales2d, src2d), batch=QUERY_BATCH, d=d,
+            reps=(1, 3), seed_base=500, iters=iters,
+        )
         return QUERY_BATCH / marginal
     except Exception as e:  # noqa: BLE001
         print(f"# int8 slabbed kernel unavailable ({e})", flush=True)
@@ -164,31 +180,15 @@ def _marginal_int4_qps(n: int, d: int, allowed, *, iters=3):
         scales2d = jax.block_until_ready(jnp.full((1, n), 0.01, jnp.float32))
         src2d = jax.block_until_ready(jnp.zeros((1, n), jnp.int32))
 
-        def queries(seed, r):
-            q = jax.random.normal(jax.random.PRNGKey(seed), (r, QUERY_BATCH, d), jnp.float32)
-            return jax.block_until_ready(q / jnp.linalg.norm(q, axis=2, keepdims=True))
+        def body(q, m, sc2, s2):
+            qi8, qsc = quantize_queries(q)
+            v, rows = pallas_topk_int4_slabbed(m, sc2, s2, qi8, qsc, allowed, 80, False)
+            return jnp.sum(v) + jnp.sum(rows.astype(jnp.float32))
 
-        def make(r):
-            def f(qs, m, sc2, s2):
-                def it(i, acc):
-                    qi8, qsc = quantize_queries(qs[i])
-                    v, rows = pallas_topk_int4_slabbed(m, sc2, s2, qi8, qsc, allowed, 80, False)
-                    return acc + jnp.sum(v) + jnp.sum(rows.astype(jnp.float32))
-                return jax.lax.fori_loop(0, r, it, 0.0)
-            return jax.jit(f)
-
-        walls = {}
-        for r in (1, 3):
-            fn = make(r)
-            np.asarray(fn(queries(1, r), packed, scales2d, src2d))
-            ts = []
-            for i in range(iters):
-                qs = queries(700 + 7 * i + r, r)
-                t0 = time.perf_counter()
-                np.asarray(fn(qs, packed, scales2d, src2d))
-                ts.append(time.perf_counter() - t0)
-            walls[r] = float(np.median(ts))
-        marginal = max((walls[3] - walls[1]) / 2, 1e-9)
+        marginal = _injit_marginal(
+            body, (packed, scales2d, src2d), batch=QUERY_BATCH, d=d,
+            reps=(1, 3), seed_base=700, iters=iters,
+        )
         return QUERY_BATCH / marginal
     except Exception as e:  # noqa: BLE001
         print(f"# int4 slabbed kernel unavailable ({e})", flush=True)
@@ -212,31 +212,15 @@ def _marginal_int4_s(n: int, d: int, allowed, *, reps, iters=3):
         scales2d = jax.block_until_ready(jnp.full((1, n), 0.01, jnp.float32))
         src2d = jax.block_until_ready(jnp.zeros((1, n), jnp.int32))
 
-        def queries(seed: int, r: int):
-            q = jax.random.normal(jax.random.PRNGKey(seed), (r, 1, d), jnp.float32)
-            return jax.block_until_ready(q / jnp.linalg.norm(q, axis=2, keepdims=True))
+        def body(q, m, sc2, s2):
+            qi8, qsc = quantize_queries(q)
+            v, rows = pallas_topk_int4_unsorted(m, sc2, s2, qi8, qsc, allowed, 128, False)
+            return jnp.sum(v) + jnp.sum(rows.astype(jnp.float32))
 
-        def make(r):
-            def f(qs, m, sc2, s2):
-                def it(i, acc):
-                    qi8, qsc = quantize_queries(qs[i])
-                    v, rows = pallas_topk_int4_unsorted(m, sc2, s2, qi8, qsc, allowed, 128, False)
-                    return acc + jnp.sum(v) + jnp.sum(rows.astype(jnp.float32))
-                return jax.lax.fori_loop(0, r, it, 0.0)
-            return jax.jit(f)
-
-        walls = {}
-        for r in reps:
-            fn = make(r)
-            np.asarray(fn(queries(1, r), packed, scales2d, src2d))
-            ts = []
-            for i in range(iters):
-                qs = queries(300 + 7 * i + r, r)
-                t0 = time.perf_counter()
-                np.asarray(fn(qs, packed, scales2d, src2d))
-                ts.append(time.perf_counter() - t0)
-            walls[r] = float(np.median(ts))
-        return max((walls[reps[1]] - walls[reps[0]]) / (reps[1] - reps[0]), 1e-9)
+        return _injit_marginal(
+            body, (packed, scales2d, src2d), batch=1, d=d,
+            reps=reps, seed_base=300, iters=iters,
+        )
     except Exception as e:  # noqa: BLE001
         print(f"# int4 kernel unavailable ({e})", flush=True)
         return None
@@ -263,34 +247,14 @@ def _marginal_int2_s(n: int, d: int, allowed, *, reps, iters=3):
         scales = jax.block_until_ready(jnp.full((n,), 0.01, jnp.float32))
         src = jax.block_until_ready(jnp.zeros((n,), jnp.int32))
 
-        def queries(seed: int, r: int):
-            q = jax.random.normal(jax.random.PRNGKey(seed), (r, 1, d), jnp.float32)
-            return jax.block_until_ready(q / jnp.linalg.norm(q, axis=2, keepdims=True))
+        def body(q, p2, sc, s1, p4):
+            v, rows, fl = scan_int2_coarse_fine(p2, sc, p4, sc, s1, q, allowed, 128)
+            return jnp.sum(v) + jnp.sum(rows.astype(jnp.float32)) + jnp.sum(fl)
 
-        def make(r):
-            def f(qs, p2, sc, s1, p4):
-                def it(i, acc):
-                    v, rows, fl = scan_int2_coarse_fine(
-                        p2, sc, p4, sc, s1, qs[i], allowed, 128
-                    )
-                    return (
-                        acc + jnp.sum(v) + jnp.sum(rows.astype(jnp.float32)) + jnp.sum(fl)
-                    )
-                return jax.lax.fori_loop(0, r, it, 0.0)
-            return jax.jit(f)
-
-        walls = {}
-        for r in reps:
-            fn = make(r)
-            np.asarray(fn(queries(1, r), packed2, scales, src, packed4))
-            ts = []
-            for i in range(iters):
-                qs = queries(900 + 7 * i + r, r)
-                t0 = time.perf_counter()
-                np.asarray(fn(qs, packed2, scales, src, packed4))
-                ts.append(time.perf_counter() - t0)
-            walls[r] = float(np.median(ts))
-        return max((walls[reps[1]] - walls[reps[0]]) / (reps[1] - reps[0]), 1e-9)
+        return _injit_marginal(
+            body, (packed2, scales, src, packed4), batch=1, d=d,
+            reps=reps, seed_base=900, iters=iters,
+        )
     except Exception as e:  # noqa: BLE001
         print(f"# int2 tier unavailable ({e})", flush=True)
         return None
