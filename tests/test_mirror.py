@@ -96,3 +96,29 @@ def test_lazy_groups_accounting():
     m.remove([chunk_key(1, 0)])
     assert m.keys_of_group(1) == []
     assert len(m) == 0
+
+
+def test_compact_through_mmap_mirror(monkeypatch, tmp_path):
+    """Compaction's vectorized arr[dsts] = arr[srcs] block move must work
+    when the mirror has spilled to a memory-mapped file, and searches stay
+    exact afterwards (round-3: compaction + mirror-spill interplay)."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("PERCEIVE_TPU_MIRROR_RAM_GB", str(64 * 1024 / 2**30))
+    monkeypatch.setenv("PERCEIVE_TPU_MIRROR_DIR", str(tmp_path))
+    rng = np.random.default_rng(31)
+    d, n = 32, 12_000
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    s = Searcher(0, 0, d, dtype=jnp.int8, engine="xla")
+    s.upsert_embeddings(list(range(1, 8001)), [0] * 8000, vecs[:8000])
+    s.upsert_embeddings(list(range(8001, n + 1)), [1] * 4000, vecs[8000:])
+    m = s.matrix
+    assert m._mirror.is_mmap
+    assert m.remove_source(0) == 8000
+    assert m.rows == 4000  # compacted through the mmap
+    q = vecs[8000 + 99] + 0.005 * rng.standard_normal(d).astype(np.float32)
+    exact = vecs @ q
+    exact[:8000] = -np.inf
+    want = (np.argsort(-exact, kind="stable")[:5] + 1).tolist()
+    assert [i for i, _ in s.search_vector(q, 5)] == want
