@@ -72,13 +72,18 @@ def _normalize(x):
 
 @functools.partial(jax.jit, static_argnames=("offset",))
 def _gen_chunk(key, centers, offset: int):
+    """-> (bf16 rows, max row norm AS STORED in bf16) — the norm rides the
+    jit so no full-chunk f32 copy ever materializes (HBM is tight: the
+    bf16 matrix + packed tier + generator temporaries must coexist)."""
     if MODE == "gaussian":
-        return _normalize(jax.random.normal(key, (CHUNK, D), jnp.float32)).astype(
-            jnp.bfloat16
-        )
-    cids = (offset + jnp.arange(CHUNK)) % N_CLUSTERS
-    noise = _normalize(jax.random.normal(key, (CHUNK, D), jnp.float32))
-    return _normalize(centers[cids] + LAM * noise).astype(jnp.bfloat16)
+        rows = _normalize(jax.random.normal(key, (CHUNK, D), jnp.float32))
+    else:
+        cids = (offset + jnp.arange(CHUNK)) % N_CLUSTERS
+        noise = _normalize(jax.random.normal(key, (CHUNK, D), jnp.float32))
+        rows = _normalize(centers[cids] + LAM * noise)
+    rows = rows.astype(jnp.bfloat16)
+    norms = jnp.linalg.norm(rows.astype(jnp.float32), axis=1)
+    return rows, jnp.max(norms)
 
 
 @jax.jit
@@ -125,11 +130,8 @@ def main():
     qscales = jnp.zeros((N,), jnp.float32)
     norm_hw = 0.0
     for j, kk in enumerate(jax.random.split(jax.random.PRNGKey(0), N // CHUNK)):
-        c = _gen_chunk(kk, centers, j * CHUNK)
-        norm_hw = max(
-            norm_hw,
-            float(jnp.max(jnp.linalg.norm(c.astype(jnp.float32), axis=1))),
-        )
+        c, mx = _gen_chunk(kk, centers, j * CHUNK)
+        norm_hw = max(norm_hw, float(mx))
         off = jnp.int32(j * CHUNK)
         matrix = upd_rows(matrix, c, off)
         if TIER == "int4":

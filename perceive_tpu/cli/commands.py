@@ -394,6 +394,16 @@ def stats_cmd(state, args) -> None:
             f"({str(m.dtype.__name__ if hasattr(m.dtype, '__name__') else m.dtype)}, ~{hbm:.1f} MB HBM), "
             f"engine {state.searcher.engine}"
         )
+        audit = state.searcher.coarse_audit
+        if audit is not None:
+            verdict = "coarse pass serving" if audit["trusted"] else (
+                "coarse pass DEMOTED to the int4 fine sweep (dense ties)"
+            )
+            print(
+                f"int2 coarse self-audit: top-10 overlap {audit['overlap']:.4f} "
+                f"over {audit['queries']} sampled vectors at {audit['rows']} rows "
+                f"— {verdict}"
+            )
 
 
 def source_edit(state, args) -> None:

@@ -371,6 +371,15 @@ class EmbeddingMatrix:
         # on remove) keeps them conservative.
         self.scale_hw = 0.0
         self.norm_hw = 0.0
+        # int2 tier only: whether the coarse pass may serve queries.  Set by
+        # the Searcher's corpus self-audit (searcher.audit_coarse): on
+        # corpora whose score ties are denser than the int2 grid can rank
+        # (topical clusters), the coarse pass silently loses top-k rows and
+        # no escalation margin can detect it (BENCH_NOTES round-3,
+        # clustered2) — False reroutes every query to the int4 fine sweep.
+        # The coarse matrix stays resident so a later re-audit (corpus
+        # drift) can re-enable it without restaging.
+        self.coarse_trusted = True
         self.row_of: dict[int, int] = {}
         # key-group index: item id -> set of chunk keys currently stored
         self.groups: dict[int, set[int]] = {}
@@ -929,6 +938,9 @@ class EmbeddingMatrix:
             self._device_scales = None
             self._device_fine = None
             self._device_fine_scales = None
+            # fresh tier, unaudited: trust until the searcher's corpus
+            # self-audit (which its retier hook re-runs) says otherwise
+            self.coarse_trusted = True
             self._dirty = True  # full restage in the new storage dtype
             self._dirty_rows.clear()
             self.mutation_gen += 1  # sweep scores change between tiers

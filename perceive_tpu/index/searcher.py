@@ -132,19 +132,27 @@ _scan_topk_xla_int4 = jax.jit(_scan_topk_xla_int4_impl, static_argnames=("k", "n
 _NO_SCALES = np.zeros((1,), np.float32)
 
 
-def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engine, interpret, n_sweep=0):
+def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engine, interpret, n_sweep=0, use_coarse=True):
     """Traceable per-tier exact-scan dispatch -> sorted ((Q,k) vals, rows,
     floor), shared by every in-jit composition site (today: the fused text
     program) so kernel selection can never fork from the standalone
     wrappers.  ``floor`` is the int2 tier's coarse floor (the bound on rows
     outside its candidate set, consumed by _scan's escalation) and None for
     every other tier.  Small Q only — no slab routing (large batches go
-    through scan_topk_pallas*)."""
+    through scan_topk_pallas*).
+
+    ``use_coarse=False`` demotes an int2 matrix to its int4 fine companion
+    (byte-identical to the int4 tier's layout) — the corpus self-audit
+    (Searcher.audit_coarse) compiles the fused program this way when the
+    coarse pass is untrustworthy on the actual corpus."""
 
     def sort_k(vals, rows):
         svals, perm = jax.lax.top_k(vals, k)
         return svals, jnp.take_along_axis(rows, perm, axis=1), None
 
+    if bits == 2 and not use_coarse:
+        vectors, scales = vectors[1], scales[1]
+        bits = 4
     if bits == 2:
         from ..ops.topk import scan_int2_coarse_fine
 
@@ -210,6 +218,9 @@ def _build_fused_search(model, searcher, aux_model=None):
     interpret = platform_of(m.device) != "tpu"
     dim, padded = m.dim, m.padded_dim
     bits = m.quant_bits
+    # baked at build time; the fused cache key includes coarse_trusted so an
+    # audit demotion recompiles onto the int4 fine companion
+    use_coarse = m.coarse_trusted
     encode_ids = model._encode_ids_fn
 
     if aux_model is not None:
@@ -223,6 +234,7 @@ def _build_fused_search(model, searcher, aux_model=None):
             vals, rows, floor = _tier_scan_in_jit(
                 vectors, scales, source_ids, qp, allowed, k,
                 bits=bits, engine=engine, interpret=interpret, n_sweep=n_sweep,
+                use_coarse=use_coarse,
             )
             return q, aq, vals, rows, floor
 
@@ -234,6 +246,7 @@ def _build_fused_search(model, searcher, aux_model=None):
         vals, rows, floor = _tier_scan_in_jit(
             vectors, scales, source_ids, qp, allowed, k,
             bits=bits, engine=engine, interpret=interpret, n_sweep=n_sweep,
+            use_coarse=use_coarse,
         )
         return q, vals, rows, floor
 
@@ -280,6 +293,31 @@ def _margin_sigma() -> float:
         return 0.0
 
 
+def _coarse_audit_queries() -> int:
+    """Sample size of the int2 coarse self-audit (0 disables the audit and
+    trusts the coarse pass unconditionally)."""
+    import os
+
+    try:
+        return int(os.environ.get("PERCEIVE_TPU_COARSE_AUDIT", "12"))
+    except ValueError:
+        return 12
+
+
+def _coarse_audit_min() -> float:
+    """Minimum mean top-k overlap (coarse pipeline vs its escalation
+    target) for the coarse pass to keep serving.  Measured separation is
+    wide: ~0.82 on dense-tie clustered corpora vs ~0.9996 isotropic
+    (BENCH_NOTES round-3), so the default sits between with margin on the
+    false-demotion side."""
+    import os
+
+    try:
+        return float(os.environ.get("PERCEIVE_TPU_COARSE_AUDIT_MIN", "0.95"))
+    except ValueError:
+        return 0.95
+
+
 class Searcher:
     def __init__(
         self,
@@ -311,6 +349,11 @@ class Searcher:
         # the 1.5M/4M thresholds MID-SESSION switches to the right tier
         # instead of waiting for a restart (matrix.retier)
         self.auto_retier = False
+        # corpus self-audit state (audit_coarse): result dict of the last
+        # audit, and the live-row count it ran at (-1 = never; growth past
+        # _COARSE_AUDIT_GROWTH re-runs it)
+        self.coarse_audit: Optional[dict] = None
+        self._coarse_audit_rows = -1
 
     # -- build ---------------------------------------------------------------
 
@@ -352,8 +395,10 @@ class Searcher:
         """
         s = cls(model_id, model_version, dim, dtype=dtype, engine=engine)
         if use_snapshot and s._load_snapshot(db):
+            s._audit_coarse_if_stale()
             return s
         s._load(db, extra_sql="", params=())
+        s._audit_coarse_if_stale()
         return s
 
     # -- snapshots (vector_shards manifest; TPU-native fast startup) ---------
@@ -473,6 +518,7 @@ class Searcher:
         self.matrix.remove_source(source_id)
         n = self._load(db, " AND items.source_id = ?", (source_id,))
         self.matrix.sync()
+        self._audit_coarse_if_stale()
         return n
 
     # -- incremental updates (pipeline hooks; HNSW couldn't do these) --------
@@ -499,13 +545,138 @@ class Searcher:
             self.matrix.remove(stale)
         self.matrix.upsert(keys, source_ids, vectors)
         self._maybe_retier()
+        self._audit_coarse_if_stale()
 
     def _maybe_retier(self) -> None:
         if not self.auto_retier:
             return
         from .matrix import auto_matrix_dtype
 
+        before = self.matrix.dtype
         self.matrix.retier(auto_matrix_dtype(len(self.matrix)))
+        if self.matrix.dtype is not before:
+            self._coarse_audit_rows = -1  # fresh tier: re-audit immediately
+
+    # -- int2 coarse self-audit ------------------------------------------------
+
+    # re-audit when the corpus grew this much since the last audit (content
+    # drift can change the tie structure the audit gates on)
+    _COARSE_AUDIT_GROWTH = 1.25
+
+    def _audit_coarse_if_stale(self) -> None:
+        if not self.matrix.packed2:
+            return
+        rows = len(self.matrix)
+        if rows == 0:
+            return
+        if (
+            self._coarse_audit_rows < 0
+            or rows >= self._COARSE_AUDIT_GROWTH * max(self._coarse_audit_rows, 1)
+        ):
+            self.audit_coarse()
+
+    def audit_coarse(self, max_queries: int = 0, k: int = 10) -> Optional[float]:
+        """Measure whether the int2 coarse pass is trustworthy ON THIS
+        corpus, and demote it to the int4 fine sweep when it is not.
+
+        Why a measurement and not a margin: the coarse pass keeps the
+        top-k_coarse rows by int2 score.  On corpora whose top-k score ties
+        are denser than the int2 grid can rank (topical clusters — the
+        regime real embedding corpora live in), quantization DELETES
+        within-cluster rank order: the within-cluster exact spread is
+        smaller than the grid half-step, so the coarse pass keeps a
+        near-random kc-subset of the tie bulk (measured candidate-recall@10
+        0.817 ~ kc/cluster_size on benchmarks/recall_int2.py clustered2)
+        while the k-th exact score still clears the collapsed coarse floor
+        — margin-based escalation is structurally blind to it, and any
+        margin wide enough to catch it fires ~always on easy corpora
+        (BENCH_NOTES round-3).  The only sound gate is measuring the corpus
+        itself: stored vectors are the worst-case queries (they sit
+        mid-cluster by construction), so sample them, run the production
+        coarse pipeline against the tier's own escalation target (the int4
+        fine sweep fetched 4x deeper), and compare exact-reranked top-k.
+
+        Sets ``matrix.coarse_trusted``; False reroutes every query
+        (including the fused text program, which recompiles onto the int4
+        fine companion) to the int4 fine sweep.  The coarse matrix stays
+        resident so a later re-audit (corpus drift, _COARSE_AUDIT_GROWTH)
+        can re-enable it without restaging.  Returns the mean top-k
+        overlap, or None when not applicable / disabled
+        (PERCEIVE_TPU_COARSE_AUDIT=0).  Cost: ~2(n+1) small dispatches that
+        double as warmup of the production scan programs.
+        """
+        m = self.matrix
+        if not m.packed2 or len(m) == 0:
+            return None
+        n_q = max_queries or _coarse_audit_queries()
+        if n_q <= 0:  # audit disabled: trust unconditionally
+            m.coarse_trusted = True
+            self._coarse_audit_rows = len(m)
+            return None
+        with m._lock:
+            live = np.flatnonzero(m.source_ids[: m.rows] >= 0)
+            if len(live) == 0:
+                return None
+            sample = live[
+                np.linspace(0, len(live) - 1, min(n_q, len(live))).astype(np.int64)
+            ]
+            vecs = m.host_vectors_for(sample)
+        vecs = (
+            vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        ).astype(np.float32)
+        qp = vecs
+        if m.padded_dim > m.dim:
+            qp = np.concatenate(
+                [vecs, np.zeros((len(vecs), m.padded_dim - m.dim), np.float32)],
+                axis=1,
+            )
+        allowed = self._allowed_arrays(None)[0]
+        kb = _k_bucket(self._first_fetch(k), m.rows)
+        kb_ref = _k_bucket(4 * kb, m.rows)
+        ref_engine = self.engine
+        if ref_engine == "pallas" and kb_ref * 8 > _KERNEL_TOPK_BYTES:
+            ref_engine = "xla"
+        overlap = 0.0
+        for i in range(len(qp)):
+            q1 = qp[i : i + 1]
+            # production coarse pipeline at the production fetch depth
+            # (Q=1: the only shape routed to the coarse pass, _INT2_MAX_Q)
+            cvals, crows, _ = self._device_scan(
+                q1, kb, allowed, self.engine, use_coarse=True
+            )
+            _, cr = self._rerank(vecs[i : i + 1], cvals, crows)
+            # escalation target: int4 fine sweep, one bucket deeper
+            rvals, rrows, _ = self._device_scan(
+                q1, kb_ref, allowed, ref_engine, use_coarse=False
+            )
+            _, rr = self._rerank(vecs[i : i + 1], rvals, rrows)
+            ref = [r for r in rr[0][:k].tolist() if r >= 0]
+            if not ref:
+                continue
+            got = set(cr[0][: len(ref)].tolist())
+            overlap += len(set(ref) & got) / len(ref)
+        overlap /= len(qp)
+        trusted = overlap >= _coarse_audit_min()
+        demoted = m.coarse_trusted and not trusted
+        m.coarse_trusted = trusted
+        self.coarse_audit = {
+            "overlap": round(float(overlap), 6),
+            "queries": int(len(qp)),
+            "trusted": trusted,
+            "rows": len(m),
+        }
+        self._coarse_audit_rows = len(m)
+        if demoted:
+            import sys
+
+            print(
+                f"int2 coarse self-audit: top-{k} overlap {overlap:.4f} < "
+                f"{_coarse_audit_min():.2f} on {len(qp)} sampled corpus "
+                "vectors — demoting queries to the int4 fine sweep "
+                "(dense score ties; see BENCH_NOTES round-3 clustered2)",
+                file=sys.stderr,
+            )
+        return overlap
 
     def remove_items(self, item_ids: Sequence[int]) -> int:
         """Tombstone every chunk of each item."""
@@ -620,7 +791,9 @@ class Searcher:
             qp = np.concatenate(
                 [q, np.zeros((q.shape[0], m.padded_dim - m.dim), q.dtype)], axis=1
             )
-        use_coarse = True
+        # the corpus self-audit (audit_coarse) demotes an untrustworthy
+        # coarse pass for EVERY query, not just escalations
+        use_coarse = m.coarse_trusted
         while True:
             kb = _k_bucket(want, m.rows)
             if m.packed2 and 2 * kb > INT2_COARSE_FETCH:
@@ -902,7 +1075,12 @@ class Searcher:
         params per swap."""
         import weakref
 
-        key = (self.engine, self.matrix.quant_bits, aux_model is not None)
+        key = (
+            self.engine,
+            self.matrix.quant_bits,
+            self.matrix.coarse_trusted,  # audit demotion -> int4-path program
+            aux_model is not None,
+        )
         entry = self._fused_cache.get(key)
         if (
             entry is not None

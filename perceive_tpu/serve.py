@@ -211,7 +211,7 @@ class ServeState:
                 print(f"background refresh failed: {e}", file=sys.stderr)
                 continue
             m = self.app.searcher.matrix if self.app.searcher else None
-            pre_key = None if m is None else (m.sweep_rows, m.quant_bits)
+            pre_key = None if m is None else (m.sweep_rows, m.quant_bits, m.coarse_trusted)
             for src in due:
                 if self._stop_refresh.is_set():
                     return
@@ -228,7 +228,7 @@ class ServeState:
             # re-tiered the storage dtype) invalidates the compiled serving
             # programs; re-warm HERE, off the request path, so no user query
             # ever pays the fused-program compile mid-session
-            if due and pre_key is not None and (m.sweep_rows, m.quant_bits) != pre_key:
+            if due and pre_key is not None and (m.sweep_rows, m.quant_bits, m.coarse_trusted) != pre_key:
                 self._warm()
 
     def _warm_highlights(self) -> None:
@@ -439,7 +439,7 @@ def make_handler(holder: ServeState):
             self.wfile.write(body)
 
         def _status_payload(self) -> dict:
-            return {
+            out = {
                 "model_loaded": holder.ready.is_set() and holder.error is None,
                 "searcher_built": bool(holder.app and holder.app.searcher),
                 "rows": len(holder.app.searcher.matrix)
@@ -447,6 +447,9 @@ def make_handler(holder: ServeState):
                 else 0,
                 "error": holder.error,
             }
+            if holder.app and holder.app.searcher and holder.app.searcher.coarse_audit:
+                out["coarse_audit"] = holder.app.searcher.coarse_audit
+            return out
 
         def _events(self) -> None:
             """Server-PUSHED load status (SSE).  The reference's Tauri host

@@ -1,0 +1,179 @@
+"""Int2 coarse self-audit (round 3): the coarse pass may only serve
+queries when a measurement ON THE ACTUAL CORPUS says it is trustworthy.
+
+Why: on corpora whose score ties are denser than the int2 grid can rank
+(topical clusters with within-cluster exact spread below the grid
+half-step), quantization deletes within-cluster rank order — the coarse
+pass keeps a near-random kc-subset of the tie bulk (candidate-recall@10
+0.817 measured at 10M, benchmarks/recall_int2.py clustered2) and the
+statistical floor cannot see it.  No margin separates that regime from
+the easy one, so the searcher samples stored vectors (worst-case
+queries: they sit mid-cluster by construction), compares the coarse
+pipeline against its own escalation target (the int4 fine sweep,
+4x deeper), and demotes the coarse pass when top-k overlap flunks
+(searcher.audit_coarse, BENCH_NOTES round-3).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from perceive_tpu.index import searcher as searcher_mod
+from perceive_tpu.index.matrix import INT2, INT4
+from perceive_tpu.index.searcher import Searcher
+
+
+def _unit(rng, n, d):
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def _clustered_rows(rng, n_cluster, n_bg, d, spread):
+    """One near-duplicate cluster of ``n_cluster`` rows (within-cluster
+    per-dim offset ``spread`` in units of the row rms) + ``n_bg`` random
+    rows.  Cluster rows are int2-indistinguishable when spread is well
+    under the grid half-step (0.5 rms)."""
+    center = _unit(rng, 1, d)[0]
+    noise = _unit(rng, n_cluster, d)
+    cluster = center[None, :] + spread * noise
+    cluster /= np.linalg.norm(cluster, axis=1, keepdims=True)
+    return np.concatenate([cluster, _unit(rng, n_bg, d)]).astype(np.float32)
+
+
+def test_audit_trusts_isotropic_corpus():
+    rng = np.random.default_rng(0)
+    n, d = 8192, 64
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    s.upsert_embeddings(list(range(1, n + 1)), [0] * n, _unit(rng, n, d))
+    # upsert_embeddings audited automatically (never-audited -> stale)
+    assert s.coarse_audit is not None
+    assert s.coarse_audit["trusted"] and s.matrix.coarse_trusted
+    assert s.coarse_audit["overlap"] >= 0.95
+    assert s.coarse_audit["queries"] > 0
+
+
+def test_audit_demotes_on_dense_tie_corpus_and_fine_path_serves():
+    """A 20k-row near-duplicate cluster (> kc = 4096) with spread ~0.2 rms:
+    the coarse pass can only keep ~4096/20000 of the tie bulk, the audit
+    must flunk it, and subsequent queries must return exactly what the
+    int4 tier returns on the same rows (the demoted path IS the int4
+    sweep — byte-identical fine matrix)."""
+    rng = np.random.default_rng(1)
+    d = 64
+    rows = _clustered_rows(rng, n_cluster=20_000, n_bg=4_576, d=d, spread=0.2)
+    ids = list(range(1, len(rows) + 1))
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    s.upsert_embeddings(ids, [0] * len(rows), rows)
+    assert s.coarse_audit is not None and not s.coarse_audit["trusted"]
+    assert not s.matrix.coarse_trusted
+    assert s.coarse_audit["overlap"] < 0.95
+    # demoted queries == the int4 tier's results on identical rows
+    ref = Searcher(0, 0, d, dtype=INT4, engine="xla")
+    ref.upsert_embeddings(ids, [0] * len(rows), rows)
+    q = rows[37] + 0.01 * _unit(rng, 1, d)[0]
+    q /= np.linalg.norm(q)
+    got = s.search_vector(q, 10)
+    want = ref.search_vector(q, 10)
+    assert [i for i, _ in got] == [i for i, _ in want]
+    np.testing.assert_allclose(
+        [v for _, v in got], [v for _, v in want], rtol=1e-6
+    )
+
+
+def test_audit_reruns_on_growth_only(monkeypatch):
+    rng = np.random.default_rng(2)
+    d = 64
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    calls = {"n": 0}
+    orig = Searcher.audit_coarse
+
+    def counting(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(Searcher, "audit_coarse", counting)
+    s.upsert_embeddings(list(range(1, 4001)), [0] * 4000, _unit(rng, 4000, d))
+    assert calls["n"] == 1
+    # +5% growth: under the 1.25x re-audit threshold -> no re-run
+    s.upsert_embeddings(list(range(4001, 4201)), [0] * 200, _unit(rng, 200, d))
+    assert calls["n"] == 1
+    # past 1.25x total -> re-audit
+    s.upsert_embeddings(
+        list(range(4201, 5501)), [0] * 1300, _unit(rng, 1300, d)
+    )
+    assert calls["n"] == 2
+    assert s.coarse_audit["rows"] == len(s.matrix)
+
+
+def test_audit_disabled_by_env(monkeypatch):
+    monkeypatch.setenv("PERCEIVE_TPU_COARSE_AUDIT", "0")
+    rng = np.random.default_rng(3)
+    d = 64
+    rows = _clustered_rows(rng, n_cluster=8_000, n_bg=192, d=d, spread=0.2)
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    s.upsert_embeddings(list(range(1, len(rows) + 1)), [0] * len(rows), rows)
+    # disabled: trusted unconditionally, no measurement recorded
+    assert s.matrix.coarse_trusted
+    assert s.coarse_audit is None
+
+
+def test_retier_into_int2_forces_fresh_audit(monkeypatch):
+    """auto_retier entering the int2 tier must re-audit immediately — the
+    previous tier's audit (or none) says nothing about the new one."""
+    rng = np.random.default_rng(4)
+    d = 64
+    monkeypatch.setattr(
+        "perceive_tpu.index.matrix.auto_matrix_dtype",
+        lambda n: INT2 if n > 1000 else jnp.int8,
+    )
+    s = Searcher(0, 0, d, dtype=jnp.int8, engine="xla")
+    s.auto_retier = True
+    calls = {"n": 0}
+    orig = Searcher.audit_coarse
+
+    def counting(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(Searcher, "audit_coarse", counting)
+    s.upsert_embeddings(list(range(1, 901)), [0] * 900, _unit(rng, 900, d))
+    assert calls["n"] == 0 and not s.matrix.packed2  # int8: no audit
+    s.upsert_embeddings(list(range(901, 1201)), [0] * 300, _unit(rng, 300, d))
+    assert s.matrix.packed2 and calls["n"] == 1
+    assert s.matrix.coarse_trusted  # isotropic rows: audit passes
+
+
+def test_demotion_recompiles_fused_program():
+    """The fused text program bakes use_coarse at build time; a trust flip
+    must produce a DIFFERENT compiled callable (cache key includes
+    coarse_trusted), or a demoted matrix would keep serving coarse sweeps
+    through the stale program."""
+    from perceive_tpu.models import (
+        EncoderArch,
+        HeadConfig,
+        Model,
+        TextTokenizer,
+        tiny_test_vocab,
+    )
+
+    words = "alpha beta gamma delta".split()
+    vocab = tiny_test_vocab(words)
+    tok = TextTokenizer.from_vocab(vocab, max_seq_length=16)
+    arch = EncoderArch(
+        vocab_size=len(vocab), hidden_size=16, num_layers=1, num_heads=2,
+        intermediate_size=32, max_position_embeddings=16,
+    )
+    model = Model.random(arch, HeadConfig(pooling="mean", normalize=True), tok, seed=0)
+    model.model_id = 0
+    rng = np.random.default_rng(5)
+    s = Searcher(0, 0, model.dim, dtype=INT2, engine="xla")
+    s.upsert_embeddings([1, 2, 3], [0, 0, 0], _unit(rng, 3, model.dim))
+    fn_trusted = s._fused_callable(model, None)
+    s.matrix.coarse_trusted = False
+    fn_demoted = s._fused_callable(model, None)
+    assert fn_trusted is not fn_demoted
+    # and results through the demoted program still match search()
+    texts_hits = s.search_fused(model, "alpha beta", 2)
+    want = s.search(model, "alpha beta", 2)
+    assert [i for i, _ in texts_hits] == [i for i, _ in want]
