@@ -395,12 +395,16 @@ def stats_cmd(state, args) -> None:
             f"engine {state.searcher.engine}"
         )
         audit = state.searcher.coarse_audit
-        if audit is not None:
-            verdict = "coarse pass serving" if audit["trusted"] else (
+        if audit is not None and m.packed2:
+            # verdict from the LIVE matrix flag, not the recorded dict —
+            # they can only disagree through a manual flip, but the flag is
+            # what routing actually consults (round-3 review)
+            verdict = "coarse pass serving" if m.coarse_trusted else (
                 "coarse pass DEMOTED to the int4 fine sweep (dense ties)"
             )
             print(
-                f"int2 coarse self-audit: top-10 overlap {audit['overlap']:.4f} "
+                f"int2 coarse self-audit: top-{audit.get('k', 10)} overlap "
+                f"{audit['overlap']:.4f} (min {audit.get('min_overlap', audit['overlap']):.4f}) "
                 f"over {audit['queries']} sampled vectors at {audit['rows']} rows "
                 f"— {verdict}"
             )

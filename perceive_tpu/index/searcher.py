@@ -354,6 +354,7 @@ class Searcher:
         # _COARSE_AUDIT_GROWTH re-runs it)
         self.coarse_audit: Optional[dict] = None
         self._coarse_audit_rows = -1
+        self._audit_seq = 0  # fresh sampling seed per audit
 
     # -- build ---------------------------------------------------------------
 
@@ -518,6 +519,11 @@ class Searcher:
         self.matrix.remove_source(source_id)
         n = self._load(db, " AND items.source_id = ?", (source_id,))
         self.matrix.sync()
+        # corpus COMPOSITION changed even if the row count barely moved —
+        # the trust decision the audit gates on is exactly about
+        # composition (tie structure), so force a fresh audit (round-3
+        # review: the growth-only check no-oped here)
+        self._coarse_audit_rows = -1
         self._audit_coarse_if_stale()
         return n
 
@@ -559,19 +565,33 @@ class Searcher:
 
     # -- int2 coarse self-audit ------------------------------------------------
 
-    # re-audit when the corpus grew this much since the last audit (content
-    # drift can change the tie structure the audit gates on)
+    # demote when ANY single sampled query's overlap falls below this, even
+    # if the mean clears the gate: one mid-cluster sample is a direct
+    # observation of the failure regime and the mean must not dilute it
+    _COARSE_AUDIT_MIN_SINGLE = 0.5
+
+    # re-audit when the corpus grew OR shrank this much since the last audit
+    # (content drift in either direction can change the tie structure the
+    # audit gates on: removals can strip the isotropic background and leave
+    # a pure dense-tie corpus — round-3 review)
     _COARSE_AUDIT_GROWTH = 1.25
 
     def _audit_coarse_if_stale(self) -> None:
         if not self.matrix.packed2:
+            # left the int2 tier (retier): the recorded verdict describes a
+            # coarse pass that no longer exists — drop it so stats//status
+            # never show a demotion banner for a tier without a coarse pass
+            self.coarse_audit = None
+            self._coarse_audit_rows = -1
             return
         rows = len(self.matrix)
         if rows == 0:
             return
+        prev = self._coarse_audit_rows
         if (
-            self._coarse_audit_rows < 0
-            or rows >= self._COARSE_AUDIT_GROWTH * max(self._coarse_audit_rows, 1)
+            prev < 0
+            or rows >= self._COARSE_AUDIT_GROWTH * max(prev, 1)
+            or rows * self._COARSE_AUDIT_GROWTH <= prev
         ):
             self.audit_coarse()
 
@@ -604,6 +624,18 @@ class Searcher:
         overlap, or None when not applicable / disabled
         (PERCEIVE_TPU_COARSE_AUDIT=0).  Cost: ~2(n+1) small dispatches that
         double as warmup of the production scan programs.
+
+        Sampling resolution, stated honestly: the gate demotes on the MEAN
+        overlap (>= _coarse_audit_min) and on any SINGLE sampled query's
+        overlap (< _COARSE_AUDIT_MIN_SINGLE — one mid-cluster sample is
+        enough to flunk, the mean can't dilute it).  Samples are uniform
+        over live rows with a fresh seed per audit, so a dense-tie cluster
+        holding fraction p of the corpus is caught with prob 1-(1-p)^n per
+        audit and coverage COMPOUNDS across re-audits (growth/shrink/
+        rebuild re-runs resample).  A cluster small enough to dodge that —
+        p << 1/n — also holds proportionally little of the corpus mass; its
+        residual risk is documented in BENCH_NOTES round-3 rather than
+        papered over with a margin the measurements show cannot work.
         """
         m = self.matrix
         if not m.packed2 or len(m) == 0:
@@ -613,23 +645,24 @@ class Searcher:
             m.coarse_trusted = True
             self._coarse_audit_rows = len(m)
             return None
+        self._audit_seq += 1
         with m._lock:
             live = np.flatnonzero(m.source_ids[: m.rows] >= 0)
             if len(live) == 0:
                 return None
-            sample = live[
-                np.linspace(0, len(live) - 1, min(n_q, len(live))).astype(np.int64)
-            ]
+            # fresh seed per audit: repeated audits explore DIFFERENT rows
+            # (a deterministic evenly-spaced pick would re-miss the same
+            # minority cluster forever — round-3 review); sorted for mirror
+            # read locality
+            rng = np.random.default_rng(0xC0A005E + self._audit_seq)
+            sample = np.sort(
+                rng.choice(live, size=min(n_q, len(live)), replace=False)
+            )
             vecs = m.host_vectors_for(sample)
         vecs = (
             vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         ).astype(np.float32)
-        qp = vecs
-        if m.padded_dim > m.dim:
-            qp = np.concatenate(
-                [vecs, np.zeros((len(vecs), m.padded_dim - m.dim), np.float32)],
-                axis=1,
-            )
+        qp = self._pad_queries(vecs)
         allowed = self._allowed_arrays(None)[0]
         kb = _k_bucket(self._first_fetch(k), m.rows)
         kb_ref = _k_bucket(4 * kb, m.rows)
@@ -637,6 +670,7 @@ class Searcher:
         if ref_engine == "pallas" and kb_ref * 8 > _KERNEL_TOPK_BYTES:
             ref_engine = "xla"
         overlap = 0.0
+        min_overlap = 1.0
         for i in range(len(qp)):
             q1 = qp[i : i + 1]
             # production coarse pipeline at the production fetch depth
@@ -654,14 +688,27 @@ class Searcher:
             if not ref:
                 continue
             got = set(cr[0][: len(ref)].tolist())
-            overlap += len(set(ref) & got) / len(ref)
+            o = len(set(ref) & got) / len(ref)
+            overlap += o
+            min_overlap = min(min_overlap, o)
         overlap /= len(qp)
-        trusted = overlap >= _coarse_audit_min()
-        demoted = m.coarse_trusted and not trusted
-        m.coarse_trusted = trusted
+        trusted = (
+            overlap >= _coarse_audit_min()
+            and min_overlap >= self._COARSE_AUDIT_MIN_SINGLE
+        )
+        with m._lock:
+            demoted = m.coarse_trusted and not trusted
+            if trusted != m.coarse_trusted:
+                m.coarse_trusted = trusted
+                # coarse <-> fine flips change what a sweep returns: cached
+                # text results computed by the now-distrusted pass must not
+                # keep serving (executor's result cache keys on this gen)
+                m.mutation_gen += 1
         self.coarse_audit = {
             "overlap": round(float(overlap), 6),
+            "min_overlap": round(float(min_overlap), 6),
             "queries": int(len(qp)),
+            "k": int(k),
             "trusted": trusted,
             "rows": len(m),
         }
@@ -670,9 +717,10 @@ class Searcher:
             import sys
 
             print(
-                f"int2 coarse self-audit: top-{k} overlap {overlap:.4f} < "
-                f"{_coarse_audit_min():.2f} on {len(qp)} sampled corpus "
-                "vectors — demoting queries to the int4 fine sweep "
+                f"int2 coarse self-audit: top-{k} overlap mean {overlap:.4f} "
+                f"/ min {min_overlap:.4f} (gates {_coarse_audit_min():.2f} / "
+                f"{self._COARSE_AUDIT_MIN_SINGLE:.2f}) on {len(qp)} sampled "
+                "corpus vectors — demoting queries to the int4 fine sweep "
                 "(dense score ties; see BENCH_NOTES round-3 clustered2)",
                 file=sys.stderr,
             )
@@ -681,7 +729,12 @@ class Searcher:
     def remove_items(self, item_ids: Sequence[int]) -> int:
         """Tombstone every chunk of each item."""
         keys = [k for iid in item_ids for k in self.matrix.keys_of_group(int(iid))]
-        return self.matrix.remove(keys)
+        n = self.matrix.remove(keys)
+        if n:
+            # shrinks move the tie structure too (round-3 review: a removal
+            # wave can strip the easy background out from under the audit)
+            self._audit_coarse_if_stale()
+        return n
 
     # -- query ---------------------------------------------------------------
 
@@ -783,14 +836,20 @@ class Searcher:
             want = 2 * want  # chunk dedupe needs extra candidates
         return want
 
+    def _pad_queries(self, q: np.ndarray) -> np.ndarray:
+        """Zero-pad queries to the matrix's lane-aligned width — the ONE
+        place the padding rule lives (shared by _scan and audit_coarse)."""
+        m = self.matrix
+        if m.padded_dim <= m.dim:
+            return q
+        return np.concatenate(
+            [q, np.zeros((q.shape[0], m.padded_dim - m.dim), q.dtype)], axis=1
+        )
+
     def _scan(self, q: np.ndarray, k: int, allowed: np.ndarray, first_sweep=None):
         m = self.matrix
         want = self._first_fetch(k)
-        qp = q
-        if m.padded_dim > m.dim:  # zero-pad queries to the lane-aligned width
-            qp = np.concatenate(
-                [q, np.zeros((q.shape[0], m.padded_dim - m.dim), q.dtype)], axis=1
-            )
+        qp = self._pad_queries(q)
         # the corpus self-audit (audit_coarse) demotes an untrustworthy
         # coarse pass for EVERY query, not just escalations
         use_coarse = m.coarse_trusted

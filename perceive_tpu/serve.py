@@ -447,8 +447,12 @@ def make_handler(holder: ServeState):
                 else 0,
                 "error": holder.error,
             }
-            if holder.app and holder.app.searcher and holder.app.searcher.coarse_audit:
-                out["coarse_audit"] = holder.app.searcher.coarse_audit
+            s = holder.app.searcher if holder.app else None
+            if s and s.coarse_audit and s.matrix.packed2:
+                # 'trusted' reflects the LIVE routing flag (round-3 review)
+                out["coarse_audit"] = {
+                    **s.coarse_audit, "trusted": s.matrix.coarse_trusted,
+                }
             return out
 
         def _events(self) -> None:

@@ -81,6 +81,90 @@ def test_audit_demotes_on_dense_tie_corpus_and_fine_path_serves():
     )
 
 
+def test_audit_reruns_on_shrink(monkeypatch):
+    """Removals can strip the easy background and leave a pure dense-tie
+    corpus — a >= 1.25x SHRINK must re-audit (round-3 review: the
+    growth-only check went stale exactly when composition changed)."""
+    rng = np.random.default_rng(7)
+    d = 64
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    calls = {"n": 0}
+    orig = Searcher.audit_coarse
+
+    def counting(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(Searcher, "audit_coarse", counting)
+    s.upsert_embeddings(list(range(1, 5001)), [0] * 5000, _unit(rng, 5000, d))
+    assert calls["n"] == 1
+    # tombstone 10%: 4500 * 1.25 > 5000 -> no re-audit yet
+    s.remove_items(list(range(1, 501)))
+    assert calls["n"] == 1
+    # down to 3500 live: 3500 * 1.25 <= 5000 -> re-audit
+    s.remove_items(list(range(501, 1501)))
+    assert calls["n"] == 2
+    assert s.coarse_audit["rows"] == len(s.matrix)
+
+
+def test_single_query_gate_demotes_when_mean_passes(monkeypatch):
+    """The per-query minimum gate must demote even when the mean gate is
+    satisfied: drop the mean gate to 0.1 on a dense-tie corpus (measured
+    mean ~0.5) and the min gate (0.5, hit by the worst samples) must still
+    flunk the coarse pass."""
+    monkeypatch.setenv("PERCEIVE_TPU_COARSE_AUDIT_MIN", "0.1")
+    rng = np.random.default_rng(8)
+    d = 64
+    rows = _clustered_rows(rng, n_cluster=20_000, n_bg=4_576, d=d, spread=0.2)
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    s.upsert_embeddings(list(range(1, len(rows) + 1)), [0] * len(rows), rows)
+    a = s.coarse_audit
+    assert a["overlap"] >= 0.1  # mean gate passes...
+    assert a["min_overlap"] < 0.5  # ...but a sampled query flunks
+    assert not a["trusted"] and not s.matrix.coarse_trusted
+
+
+def test_trust_flip_bumps_mutation_gen():
+    """A demotion changes what a sweep returns; the executor's text-result
+    cache keys on mutation_gen, so the flip must bump it (round-3 review:
+    stale coarse-pass results would keep serving from cache)."""
+    rng = np.random.default_rng(9)
+    d = 64
+    rows = _clustered_rows(rng, n_cluster=20_000, n_bg=4_576, d=d, spread=0.2)
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    s.matrix.upsert(
+        list(range(1, len(rows) + 1)), [0] * len(rows), rows
+    )
+    gen0 = s.matrix.mutation_gen
+    s.audit_coarse()
+    assert not s.matrix.coarse_trusted
+    assert s.matrix.mutation_gen > gen0
+    # no flip on a repeat audit with the same verdict -> no gratuitous bump
+    gen1 = s.matrix.mutation_gen
+    s.audit_coarse()
+    assert s.matrix.mutation_gen == gen1
+
+
+def test_leaving_int2_clears_stale_verdict(monkeypatch):
+    """Retier out of int2 must drop the recorded audit dict — stats//status
+    would otherwise show a demotion banner for a tier with no coarse pass
+    (round-3 review)."""
+    rng = np.random.default_rng(10)
+    d = 64
+    tiers = {"n": INT2}
+    monkeypatch.setattr(
+        "perceive_tpu.index.matrix.auto_matrix_dtype", lambda n: tiers["n"]
+    )
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    s.auto_retier = True
+    s.upsert_embeddings(list(range(1, 2001)), [0] * 2000, _unit(rng, 2000, d))
+    assert s.coarse_audit is not None
+    tiers["n"] = jnp.int8  # next upsert auto-retiers out of int2
+    s.upsert_embeddings(list(range(2001, 2101)), [0] * 100, _unit(rng, 100, d))
+    assert not s.matrix.packed2
+    assert s.coarse_audit is None
+
+
 def test_audit_reruns_on_growth_only(monkeypatch):
     rng = np.random.default_rng(2)
     d = 64
