@@ -34,6 +34,7 @@ from ..ops.topk import (
     pallas_topk_slabbed,
     pallas_topk_unsorted,
     quantize_queries,
+    scan_int2_coarse_fine,
     xla_scores_int4,
     xla_scores_int8,
 )
@@ -137,6 +138,67 @@ def _sharded_scan(matrix, scales, source_ids, q, allowed, *, mesh, k, engine, in
     )(matrix, scales, source_ids, q, allowed)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "k", "engine", "interpret")
+)
+def _sharded_scan_int2(
+    packed2, cscales, packed4, fscales, source_ids, q, allowed,
+    *, mesh, k, engine, interpret,
+):
+    """Sharded int2 coarse-to-fine: each chip runs the COMPLETE single-chip
+    pipeline (2-bit sweep -> exact hierarchical select -> in-jit int4
+    rescore, ops/topk.scan_int2_coarse_fine) on its row shard, then the
+    per-chip (Q, kl) int4-fine candidates merge with the same all_gather +
+    tiny top-k as every other tier.  Returns (vals, rows, floor) where
+    ``floor`` is the MAX over shards of the per-shard coarse floor: a row
+    not in the merged candidate set is outside its own shard's coarse set,
+    so its score is bounded by that shard's kc-th coarse score <= the max —
+    the escalation bound the base Searcher._scan consumes keeps its
+    guarantee verbatim (it escalates onto the fine matrix's int4 sweep)."""
+    ndev = mesh.size
+
+    def local(p2, s2, p4, s4, src, q_, allowed_):
+        n_local = p2.shape[1]
+        kl = min(k, n_local)
+        vals, rows, floor = scan_int2_coarse_fine(
+            p2, s2, p4, s4, src, q_, allowed_, kl,
+            engine=engine, interpret=interpret,
+        )
+        idx = jax.lax.axis_index(ROWS_AXES)
+        rows = jnp.where(rows >= 0, rows + idx * n_local, -1)
+        vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
+        vals_all = jax.lax.all_gather(vals, ROWS_AXES)  # (ndev, Q, kl)
+        rows_all = jax.lax.all_gather(rows, ROWS_AXES)
+        floor_all = jax.lax.all_gather(floor, ROWS_AXES)  # (ndev, Q)
+        nq = q_.shape[0]
+        vcat = jnp.transpose(vals_all, (1, 0, 2)).reshape(nq, ndev * kl)
+        rcat = jnp.transpose(rows_all, (1, 0, 2)).reshape(nq, ndev * kl)
+        mv, perm = jax.lax.top_k(vcat, min(k, ndev * kl))
+        out = jnp.take_along_axis(rcat, perm, axis=1)
+        gfloor = jnp.max(floor_all, axis=0)
+        if mv.shape[1] < k:  # k exceeded the global row count: pad
+            pad = k - mv.shape[1]
+            mv = jnp.pad(mv, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+            out = jnp.pad(out, ((0, 0), (0, pad)), constant_values=-1)
+        return mv, out, gfloor
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, ROWS_AXES),  # coarse (D/4, N) transposed-packed
+            P(ROWS_AXES),
+            P(None, ROWS_AXES),  # fine (D/2, N) transposed-packed
+            P(ROWS_AXES),
+            P(ROWS_AXES),
+            P(None, None),
+            P(None),
+        ),
+        out_specs=(P(None, None), P(None, None), P(None)),
+        check_vma=False,  # see _sharded_scan
+    )(packed2, cscales, packed4, fscales, source_ids, q, allowed)
+
+
 def sharded_scan_topk(mesh, matrix, source_ids, q, allowed, k: int, engine: str = "xla", scales=None):
     """Exact top-k over a row-sharded matrix.
 
@@ -174,17 +236,36 @@ def _build_fused_sharded(model, searcher, aux_model=None):
     interpret = platform_of(mesh) != "tpu"
     dim, padded = m.dim, m.padded_dim
     quantized = m.quantized
+    bits = m.quant_bits
+    # baked at build time; the fused cache key includes coarse_trusted so an
+    # audit demotion recompiles onto the int4 fine companion (searcher
+    # _fused_lookup — shared with the single-chip builder)
+    use_coarse = m.coarse_trusted
     encode_ids = model._encode_ids_fn
 
     def scan(vectors, source_ids, scales, qp, allowed, k):
+        if bits == 2:
+            p2, p4 = vectors
+            s2, s4 = scales
+            if use_coarse:
+                return _sharded_scan_int2(
+                    p2, s2, p4, s4, source_ids, qp, allowed,
+                    mesh=mesh, k=k, engine=engine, interpret=interpret,
+                )
+            vals, rows = _sharded_scan(
+                p4, s4, source_ids, qp, allowed,
+                mesh=mesh, k=k, engine=engine, interpret=interpret,
+            )
+            return vals, rows, None
         if not quantized:
             scales_arr = jnp.zeros((vectors.shape[0],), jnp.float32)
         else:
             scales_arr = scales
-        return _sharded_scan(
+        vals, rows = _sharded_scan(
             vectors, scales_arr, source_ids, qp, allowed,
             mesh=mesh, k=k, engine=engine, interpret=interpret,
         )
+        return vals, rows, None
 
     if aux_model is not None:
         aux_encode_ids = aux_model._encode_ids_fn
@@ -200,16 +281,16 @@ def _build_fused_sharded(model, searcher, aux_model=None):
             q = encode_ids(params, ids).astype(jnp.float32)  # (1, dim)
             aq = aux_encode_ids(aux_params, aux_ids).astype(jnp.float32)
             qp = q if padded == dim else jnp.pad(q, ((0, 0), (0, padded - dim)))
-            vals, rows = scan(vectors, source_ids, scales, qp, allowed, k)
-            return q, aq, vals, rows, None
+            vals, rows, floor = scan(vectors, source_ids, scales, qp, allowed, k)
+            return q, aq, vals, rows, floor
 
         return jax.jit(fused_aux, static_argnames=("k", "n_sweep"))
 
     def fused(params, ids, vectors, source_ids, scales, allowed, k: int, n_sweep: int = 0):
         q = encode_ids(params, ids).astype(jnp.float32)  # (1, dim)
         qp = q if padded == dim else jnp.pad(q, ((0, 0), (0, padded - dim)))
-        vals, rows = scan(vectors, source_ids, scales, qp, allowed, k)
-        return q, vals, rows, None
+        vals, rows, floor = scan(vectors, source_ids, scales, qp, allowed, k)
+        return q, vals, rows, floor
 
     return jax.jit(fused, static_argnames=("k", "n_sweep"))
 
@@ -269,7 +350,6 @@ class ShardedSearcher(Searcher):
             # resolve from the mesh's platform, not the default backend (the
             # base class would key on the default device, which can differ)
             engine = "pallas" if platform_of(mesh) == "tpu" else "xla"
-        dtype = self._cap_tier(dtype)
         matrix = EmbeddingMatrix(
             dim,
             dtype=dtype,
@@ -284,60 +364,89 @@ class ShardedSearcher(Searcher):
         self.mesh = mesh
         self._aux_repl = None  # (aux weakref, mesh-replicated params)
 
-    @staticmethod
-    def _cap_tier(dtype):
-        """The mesh path caps quantization at int4: the int2 tier's
-        coarse-to-fine program (hierarchical select + candidate gather) is
-        not sharded yet, and per-chip bandwidth scales with the mesh anyway
-        — an 8-chip int4 sweep already beats one chip's int2 sweep 4x."""
-        from ..index.matrix import INT2, INT4
-
-        return INT4 if (isinstance(dtype, str) and dtype == INT2) else dtype
-
     def _maybe_retier(self) -> None:  # type: ignore[override]
+        """Auto tier keyed on PER-CHIP rows, not the global count: every
+        threshold in auto_matrix_dtype is a per-chip concern — the
+        bf16/int8/int2 crossovers are absolute per-chip sweep latencies
+        (the int2 selection's ~0.5 ms fixed cost only pays off above ~4M
+        rows *on the chip that runs it*) and the 24M int4-capacity bound is
+        per-chip HBM.  An 80M-row corpus on 8 chips is 10M rows/chip — the
+        int2 latency regime — where the global count would wrongly pick
+        the int4 capacity tier."""
         if not self.auto_retier:
             return
         from ..index.matrix import auto_matrix_dtype
 
-        self.matrix.retier(self._cap_tier(auto_matrix_dtype(len(self.matrix))))
+        before = self.matrix.dtype
+        per_chip = -(-len(self.matrix) // self.mesh.size)
+        self.matrix.retier(auto_matrix_dtype(per_chip))
+        if self.matrix.dtype is not before:
+            self._coarse_audit_rows = -1  # fresh tier: re-audit immediately
 
     @classmethod
     def build(cls, db, model_id, model_version, dim, mesh, *, use_snapshot=True, **kw):  # type: ignore[override]
         s = cls(model_id, model_version, dim, mesh, **kw)
         if use_snapshot and s._load_snapshot(db):
+            s._audit_coarse_if_stale()
             return s
         s._load(db, extra_sql="", params=())
+        s._audit_coarse_if_stale()
         return s
 
     def _device_scan(
         self, qp: np.ndarray, kb: int, allowed: np.ndarray, engine: str,
-        use_coarse: bool = True,  # int2-only knob; the mesh caps at int4
+        use_coarse: bool = True,
     ):
         """Mesh-wide sweep (overrides Searcher._device_scan; the shared _scan
         orchestration — padding, k-bucketing, int8 rerank + over-fetch
         escalation — lives in the base class.  The escalation floor check is
         valid here because the merged kb-th score dominates every chip's
-        local kb-th floor)."""
+        local kb-th floor).
+
+        Int2 routing mirrors the base class: single queries with a trusted
+        coarse pass run the sharded coarse-to-fine program
+        (_sharded_scan_int2); batches, escalations, and audit demotions
+        sweep the int4 fine companion through the standard sharded int4
+        kernels (byte-identical layout)."""
+        from ..index.searcher import _INT2_MAX_Q
+        from ..utils.platform import platform_of
         from .mesh import replicated
 
         m = self.matrix
         rep = replicated(self.mesh)
+        floor = None
         # dispatch under the matrix lock so a concurrent incremental sync's
         # donating scatter cannot invalidate the captured arrays before the
         # kernel is enqueued (enqueued executions pin their buffers; the race
         # was Python-side capture->donate->launch).  Materialize outside.
         with m._lock:
             vectors, source_ids, scales = m.device_view()  # atomic capture
-            vals, rows = sharded_scan_topk(
-                self.mesh,
-                vectors,
-                source_ids,
-                # explicit mesh placement: uncommitted jnp arrays would land on
-                # the DEFAULT device, which may be a different platform
-                jax.device_put(np.asarray(qp, np.float32), rep),
-                jax.device_put(np.asarray(allowed, np.int32), rep),
-                kb,
-                engine=engine,
-                scales=scales if m.quantized else None,
-            )
-        return np.asarray(vals), np.asarray(rows), None
+            # explicit mesh placement: uncommitted jnp arrays would land on
+            # the DEFAULT device, which may be a different platform
+            q_dev = jax.device_put(np.asarray(qp, np.float32), rep)
+            a_dev = jax.device_put(np.asarray(allowed, np.int32), rep)
+            if m.packed2:
+                p2, p4 = vectors
+                s2, s4 = scales
+                interpret = platform_of(self.mesh) != "tpu"
+                if qp.shape[0] > _INT2_MAX_Q or not use_coarse:
+                    vals, rows = _sharded_scan(
+                        p4, s4, source_ids, q_dev, a_dev,
+                        mesh=self.mesh, k=kb, engine=engine, interpret=interpret,
+                    )
+                else:
+                    vals, rows, fl = _sharded_scan_int2(
+                        p2, s2, p4, s4, source_ids, q_dev, a_dev,
+                        mesh=self.mesh, k=kb, engine=engine, interpret=interpret,
+                    )
+                    floor = fl
+            else:
+                vals, rows = sharded_scan_topk(
+                    self.mesh, vectors, source_ids, q_dev, a_dev, kb,
+                    engine=engine, scales=scales if m.quantized else None,
+                )
+        return (
+            np.asarray(vals),
+            np.asarray(rows),
+            None if floor is None else np.asarray(floor),
+        )

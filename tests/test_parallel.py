@@ -382,9 +382,11 @@ def test_sharded_auto_retier_mid_session(monkeypatch):
     import perceive_tpu.index.matrix as matmod
     from perceive_tpu.index.matrix import INT4
 
+    # the mesh keys the auto rule on PER-CHIP rows (round 3): 40 rows / 4
+    # chips = 10 stays bf16, 100 rows / 4 chips = 25 crosses the threshold
     monkeypatch.setattr(
         matmod, "auto_matrix_dtype",
-        lambda n: INT4 if n > 50 else jnp.bfloat16,
+        lambda n: INT4 if n > 12 else jnp.bfloat16,
     )
     rng = np.random.default_rng(5)
     d = 16

@@ -1,0 +1,147 @@
+"""Sharded int2 coarse-to-fine tier (round 3): the single-chip latency
+champion runs under shard_map too — per-chip 2-bit sweep + exact
+hierarchical select + in-jit int4 rescore, merged with the same
+all_gather + tiny top-k as every other tier, coarse floors max-merged
+for the escalation bound.  Previously the mesh capped at int4
+(`_cap_tier`), forfeiting the measured ~0.3-0.5 ms/chip win
+(BENCH_NOTES probe_tier_ab) whenever the corpus was sharded.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from perceive_tpu.index.matrix import INT2, INT4
+from perceive_tpu.index.searcher import Searcher
+from perceive_tpu.parallel import ShardedSearcher, make_mesh
+
+
+def _unit(rng, n, d):
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def _clustered_rows(rng, n_cluster, n_bg, d, spread):
+    center = _unit(rng, 1, d)[0]
+    cluster = center[None, :] + spread * _unit(rng, n_cluster, d)
+    cluster /= np.linalg.norm(cluster, axis=1, keepdims=True)
+    return np.concatenate([cluster, _unit(rng, n_bg, d)]).astype(np.float32)
+
+
+def test_sharded_int2_matches_exact_oracle():
+    """Trusted coarse pass over 4 shards == the f32 single-chip oracle
+    (the inherited rerank + escalation restore exactness)."""
+    rng = np.random.default_rng(0)
+    n, d = 3000, 32
+    rows = _unit(rng, n, d)
+    ids = list(range(1, n + 1))
+    mesh = make_mesh(4)
+    ss = ShardedSearcher(0, 0, d, mesh, dtype=INT2, engine="xla")
+    ss.upsert_embeddings(ids, [0] * n, rows)
+    assert ss.matrix.packed2
+    assert ss.coarse_audit is not None and ss.coarse_audit["trusted"]
+    oracle = Searcher(0, 0, d, dtype=jnp.float32, engine="xla")
+    oracle.upsert_embeddings(ids, [0] * n, rows)
+    for qi in (3, 700, 2400):
+        got = ss.search_vector(rows[qi], 8)
+        want = oracle.search_vector(rows[qi], 8)
+        assert [i for i, _ in got] == [i for i, _ in want]
+        np.testing.assert_allclose(
+            [v for _, v in got], [v for _, v in want], rtol=1e-5
+        )
+
+
+def test_sharded_int2_batch_routes_to_fine():
+    """Batched queries (> _INT2_MAX_Q) sweep the int4 fine companion under
+    shard_map and stay exact after the rerank."""
+    rng = np.random.default_rng(1)
+    n, d = 2000, 32
+    rows = _unit(rng, n, d)
+    ids = list(range(1, n + 1))
+    mesh = make_mesh(4)
+    ss = ShardedSearcher(0, 0, d, mesh, dtype=INT2, engine="xla")
+    ss.upsert_embeddings(ids, [0] * n, rows)
+    oracle = Searcher(0, 0, d, dtype=jnp.float32, engine="xla")
+    oracle.upsert_embeddings(ids, [0] * n, rows)
+    q = rows[[10, 500, 999, 1500]]
+    got = ss.search_vectors_batch(q, 5)
+    want = oracle.search_vectors_batch(q, 5)
+    for g, w in zip(got, want):
+        assert [i for i, _ in g] == [i for i, _ in w]
+
+
+def test_sharded_audit_demotes_and_matches_int4():
+    """The corpus self-audit runs on the mesh too: a dense-tie corpus
+    demotes the sharded coarse pass, and demoted queries return exactly
+    what a sharded int4 searcher returns on the same rows."""
+    rng = np.random.default_rng(2)
+    d = 64
+    rows = _clustered_rows(rng, n_cluster=20_000, n_bg=4_576, d=d, spread=0.2)
+    ids = list(range(1, len(rows) + 1))
+    mesh = make_mesh(4)
+    ss = ShardedSearcher(0, 0, d, mesh, dtype=INT2, engine="xla")
+    ss.upsert_embeddings(ids, [0] * len(rows), rows)
+    assert ss.coarse_audit is not None and not ss.coarse_audit["trusted"]
+    assert not ss.matrix.coarse_trusted
+    ref = ShardedSearcher(0, 0, d, mesh, dtype=INT4, engine="xla")
+    ref.upsert_embeddings(ids, [0] * len(rows), rows)
+    q = rows[37] + 0.01 * _unit(rng, 1, d)[0]
+    q /= np.linalg.norm(q)
+    got = ss.search_vector(q, 10)
+    want = ref.search_vector(q, 10)
+    assert [i for i, _ in got] == [i for i, _ in want]
+    np.testing.assert_allclose(
+        [v for _, v in got], [v for _, v in want], rtol=1e-6
+    )
+
+
+def test_mesh_retier_keys_on_per_chip_rows(monkeypatch):
+    """auto_matrix_dtype thresholds are per-chip concerns: the mesh must
+    divide the corpus by the mesh size before consulting the rule, and a
+    tier flip must force a fresh audit."""
+    seen = []
+
+    def fake_auto(n):
+        seen.append(n)
+        return INT2 if n >= 300 else jnp.int8
+
+    monkeypatch.setattr(
+        "perceive_tpu.index.matrix.auto_matrix_dtype", fake_auto
+    )
+    rng = np.random.default_rng(3)
+    d = 32
+    mesh = make_mesh(4)
+    ss = ShardedSearcher(0, 0, d, mesh, dtype=jnp.int8, engine="xla")
+    ss.auto_retier = True
+    # 800 rows / 4 chips = 200 per chip: stays int8 (global count would
+    # have crossed the fake 300 threshold and mis-tiered)
+    ss.upsert_embeddings(list(range(1, 801)), [0] * 800, _unit(rng, 800, d))
+    assert seen[-1] == 200 and not ss.matrix.packed2
+    # 1600 rows / 4 chips = 400 per chip: re-tiers into int2 and audits
+    ss.upsert_embeddings(
+        list(range(801, 1601)), [0] * 800, _unit(rng, 800, d)
+    )
+    assert seen[-1] == 400 and ss.matrix.packed2
+    assert ss.coarse_audit is not None and ss.coarse_audit["trusted"]
+
+
+def test_sharded_int2_fused_text_query():
+    """The mesh fused text program routes through the sharded coarse-to-
+    fine scan when trusted, recompiles onto the int4 fine path on a trust
+    flip, and both match the unfused search()."""
+    from tests.test_parallel import _tiny_model
+
+    model, words = _tiny_model()
+    rng = np.random.default_rng(4)
+    mesh = make_mesh(4)
+    ss = ShardedSearcher(0, 0, model.dim, mesh, dtype=INT2, engine="xla")
+    ss.upsert_embeddings([1, 2, 3, 4], [0] * 4, _unit(rng, 4, model.dim))
+    fn_trusted = ss._fused_callable(model, None)
+    hits = ss.search_fused(model, "alpha beta", 2)
+    want = ss.search(model, "alpha beta", 2)
+    assert [i for i, _ in hits] == [i for i, _ in want]
+    ss.matrix.coarse_trusted = False
+    fn_demoted = ss._fused_callable(model, None)
+    assert fn_trusted is not fn_demoted
+    hits2 = ss.search_fused(model, "alpha beta", 2)
+    want2 = ss.search(model, "alpha beta", 2)
+    assert [i for i, _ in hits2] == [i for i, _ in want2]
