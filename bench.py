@@ -24,7 +24,11 @@ Measurement notes:
   * corpus rows are generated directly in bf16 on device (10M x 384 =
     7.7 GB; no f32 staging) and row-padded to the kernel's 4096 tile;
   * the headline QPS uses batch 2048 through the query-slabbed kernel (the
-    serving path coalesces concurrent queries; index/executor.py).
+    serving path coalesces concurrent queries; index/executor.py);
+  * the int2/int4 single-query p50s are measured INTERLEAVED (both
+    pipelines compiled first, A/B/A/B alternating rounds, median per tier)
+    — sequential per-tier runs carry ~0.6 ms of chip weather, enough to
+    rank the tiers wrong (BENCH_NOTES round-3 probe_tier_ab).
 """
 
 from __future__ import annotations
@@ -195,69 +199,91 @@ def _marginal_int4_qps(n: int, d: int, allowed, *, iters=3):
         return None
 
 
-def _marginal_int4_s(n: int, d: int, allowed, *, reps, iters=3):
-    """Single-query marginal sweep of the int4 packed candidate pass
-    (k=128 over-fetch, i.e. RERANK_FACTOR_INT4 * k=10 bucketed) on a random
-    packed corpus.  The f32 rerank of those 128 candidates is host-side
-    numpy on 128 rows — microseconds, so the sweep IS the p50.  Returns
-    marginal seconds, or None off-TPU / on kernel failure."""
-    from perceive_tpu.ops.topk import pallas_topk_int4_unsorted, quantize_queries
+def _marginal_single_query_tiers(n: int, d: int, allowed, *, rounds=10, r=8):
+    """Single-query p50 of BOTH quantized tiers, measured INTERLEAVED:
+
+      int2: the coarse-to-fine default tier (pallas 2-bit sweep -> exact
+            hierarchical top-4096 -> in-jit int4 rescore to the k=128
+            over-fetch, one compiled program, ops/topk.scan_int2_coarse_fine)
+      int4: the capacity tier's candidate pass (k=128 over-fetch)
+
+    Sequential per-tier measurement carries ~0.6 ms of cross-process /
+    chip-weather drift — enough to RANK THE TIERS WRONG (BENCH_NOTES
+    round-3 probe_tier_ab, which this mirrors): so both pipelines compile
+    first, then A/B/A/B alternating rounds of the in-jit repeat marginal,
+    median per tier.  The f32 rerank of 128 candidates is host-side
+    microseconds, so these marginals ARE the p50s.  The int4 fine matrix is
+    SHARED between the tiers (byte-identical layout).  Returns
+    (int2_seconds, int4_seconds), either None on kernel failure."""
+    from perceive_tpu.ops.topk import (
+        pallas_topk_int4_unsorted,
+        quantize_queries,
+        scan_int2_coarse_fine,
+    )
+
+    def gen_packed(key, rows):
+        w = jax.random.bits(key, (rows, n // 4), jnp.uint32)
+        return jax.block_until_ready(
+            jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(rows, n)
+        )
+
+    def queries(seed, reps):
+        q = jax.random.normal(jax.random.PRNGKey(seed), (reps, 1, d), jnp.float32)
+        return jax.block_until_ready(q / jnp.linalg.norm(q, axis=2, keepdims=True))
+
+    def loop(reps, body):
+        def f(qs, *args):
+            def it(i, acc):
+                return acc + body(qs[i], *args)
+            return jax.lax.fori_loop(0, reps, it, 0.0)
+        return jax.jit(f)
 
     try:
-        words = jax.random.bits(jax.random.PRNGKey(7), (d // 2, n // 4), jnp.uint32)
-        packed = jax.block_until_ready(
-            jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(d // 2, n)
-        )
-        del words
-        scales2d = jax.block_until_ready(jnp.full((1, n), 0.01, jnp.float32))
-        src2d = jax.block_until_ready(jnp.zeros((1, n), jnp.int32))
-
-        def body(q, m, sc2, s2):
-            qi8, qsc = quantize_queries(q)
-            v, rows = pallas_topk_int4_unsorted(m, sc2, s2, qi8, qsc, allowed, 128, False)
-            return jnp.sum(v) + jnp.sum(rows.astype(jnp.float32))
-
-        return _injit_marginal(
-            body, (packed, scales2d, src2d), batch=1, d=d,
-            reps=reps, seed_base=300, iters=iters,
-        )
-    except Exception as e:  # noqa: BLE001
-        print(f"# int4 kernel unavailable ({e})", flush=True)
-        return None
-
-
-def _marginal_int2_s(n: int, d: int, allowed, *, reps, iters=3):
-    """Single-query marginal of the int2 COARSE-TO-FINE tier (the default
-    above 4M rows): pallas 2-bit sweep -> exact hierarchical top-4096 ->
-    in-jit int4 rerank to the k=128 over-fetch, all one compiled program
-    (ops/topk.scan_int2_coarse_fine).  The f32 rerank of 128 candidates is
-    host-side microseconds, so this marginal IS the p50.  Returns marginal
-    seconds, or None off-TPU / on kernel failure."""
-    from perceive_tpu.ops.topk import scan_int2_coarse_fine
-
-    try:
-        def gen_packed(key, rows):
-            w = jax.random.bits(key, (rows, n // 4), jnp.uint32)
-            return jax.block_until_ready(
-                jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(rows, n)
-            )
-
-        packed2 = gen_packed(jax.random.PRNGKey(11), d // 4)
         packed4 = gen_packed(jax.random.PRNGKey(13), d // 2)
+        packed2 = gen_packed(jax.random.PRNGKey(11), d // 4)
         scales = jax.block_until_ready(jnp.full((n,), 0.01, jnp.float32))
+        scales2d = jax.block_until_ready(scales.reshape(1, n))
         src = jax.block_until_ready(jnp.zeros((n,), jnp.int32))
+        src2d = jax.block_until_ready(src.reshape(1, n))
 
-        def body(q, p2, sc, s1, p4):
+        def body_int2(q, p2, sc, s1, p4):
             v, rows, fl = scan_int2_coarse_fine(p2, sc, p4, sc, s1, q, allowed, 128)
             return jnp.sum(v) + jnp.sum(rows.astype(jnp.float32)) + jnp.sum(fl)
 
-        return _injit_marginal(
-            body, (packed2, scales, src, packed4), batch=1, d=d,
-            reps=reps, seed_base=900, iters=iters,
+        def body_int4(q, p4, sc2, s2):
+            qi8, qsc = quantize_queries(q)
+            v, rows = pallas_topk_int4_unsorted(p4, sc2, s2, qi8, qsc, allowed, 128, False)
+            return jnp.sum(v) + jnp.sum(rows.astype(jnp.float32))
+
+        cases = {
+            "int2": (body_int2, (packed2, scales, src, packed4)),
+            "int4": (body_int4, (packed4, scales2d, src2d)),
+        }
+        fns = {}
+        for name, (body, args) in cases.items():
+            f1, fR = loop(1, body), loop(r, body)
+            np.asarray(f1(queries(0, 1), *args))  # compile + warm
+            np.asarray(fR(queries(0, r), *args))
+            fns[name] = (f1, fR, args)
+        marg = {name: [] for name in cases}
+        for rnd in range(rounds):
+            for name, (f1, fR, args) in fns.items():  # interleaved A/B
+                q1 = queries(1000 + 31 * rnd, 1)
+                t0 = time.perf_counter()
+                np.asarray(f1(q1, *args))
+                w1 = time.perf_counter() - t0
+                qR = queries(5000 + 31 * rnd, r)
+                t0 = time.perf_counter()
+                np.asarray(fR(qR, *args))
+                wR = time.perf_counter() - t0
+                marg[name].append(max((wR - w1) / (r - 1), 1e-9))
+        return (
+            float(np.median(marg["int2"])),
+            float(np.median(marg["int4"])),
         )
     except Exception as e:  # noqa: BLE001
-        print(f"# int2 tier unavailable ({e})", flush=True)
-        return None
+        print(f"# quantized single-query tiers unavailable ({e})", flush=True)
+        return None, None
 
 
 def measure_embed_docs_per_sec() -> float:
@@ -338,11 +364,8 @@ def main() -> None:
     p50_ms = p50_s * 1e3
 
     del matrix  # free 7.7 GB before the int2/int4/int8 corpora / embed tower
-    p50_int2_s = (
-        _marginal_int2_s(n, d, allowed, reps=(1, 9)) if on_tpu else None
-    )
-    p50_int4_s = (
-        _marginal_int4_s(n, d, allowed, reps=(1, 9)) if on_tpu else None
+    p50_int2_s, p50_int4_s = (
+        _marginal_single_query_tiers(n, d, allowed) if on_tpu else (None, None)
     )
     qps_int4 = _marginal_int4_qps(n, d, allowed) if on_tpu else None
     qps_int8 = _marginal_int8_qps(n, d, allowed) if on_tpu else None
@@ -387,7 +410,10 @@ def main() -> None:
                 "effective_gbps": round(n * d * 2 / p50_s / 1e9, 1),
                 "embed_docs_per_sec": round(embed_dps, 1),
                 "embed_vs_baseline": round(embed_dps / 5_000.0, 3),
-                "timing_method": "in-jit repeat marginal (module docstring)",
+                "timing_method": (
+                    "in-jit repeat marginal; int2/int4 p50 A/B-interleaved "
+                    "(module docstring)"
+                ),
                 "backend": jax.default_backend(),
                 "corpus_rows": n,
             }
