@@ -4,18 +4,24 @@ DEPTH (k=80 rerank over-fetch vs int8's k=40) or the unpack algebra?
 int4's two half-depth masked dots are the SAME MAC count as int8's one
 full-depth dot, and it reads half the bytes — yet bench measures 10.5k
 QPS (int4 slab, k=80) vs 19.3k (int8 slab, k=40) at batch 2048 / 10M.
-If the k=80 merge is the cost, a shallower batch over-fetch (plus
+If the k=80 merge were the cost, a shallower batch over-fetch (plus
 per-query escalation) could nearly double the default tier's batch
-throughput.  Grid: {int4, int8} x {k=40, k=80}, interleaved rounds.
+throughput.  Grid: {int4, int8} x {k=40, k=80}, interleaved rounds
+(benchmarks.abmarginal).
+
+Measured: int4 k=40 11.6k / k=80 10.6k; int8 k=40 19.0k / k=80 16.6k —
+halving the merge depth buys int4 only 9%; the 64% gap at equal k is
+the kernel body (masked-view bitcasts + two half-depth dots).  Parked
+(BENCH_NOTES round-3).
 """
 
 import itertools
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from benchmarks.abmarginal import ab_interleaved_marginal, report
 from benchmarks.probe_int2n import D, D2, N, allowed_np, gen_packed
 from perceive_tpu.ops.topk import (
     pallas_topk_int4_slabbed,
@@ -49,13 +55,6 @@ def main():
     src2d = jax.block_until_ready(jnp.zeros((1, N), jnp.int32))
     print("arrays resident", flush=True)
 
-    def loop(r, body):
-        def f(qs, *args):
-            def it(i, acc):
-                return acc + body(qs[i], *args)
-            return jax.lax.fori_loop(0, r, it, 0.0)
-        return jax.jit(f)
-
     def mk4(k):
         def body(q, m, sc2, s2):
             qi8, qsc = quantize_queries(q)
@@ -73,30 +72,9 @@ def main():
     cases = {}
     for bits, k in itertools.product((4, 8), (40, 80)):
         body, args = (mk4 if bits == 4 else mk8)(k)
-        cases[f"int{bits}_k{k}"] = (loop(1, body), loop(R, body), args)
-    for name, (f1, fR, args) in cases.items():
-        np.asarray(f1(queries(1, 1), *args))
-        np.asarray(fR(queries(1, R), *args))
-    print("compiled", flush=True)
-
-    marg = {name: [] for name in cases}
-    for rnd in range(ROUNDS):
-        for name, (f1, fR, args) in cases.items():
-            q1 = queries(1000 + 31 * rnd, 1)
-            t0 = time.perf_counter()
-            np.asarray(f1(q1, *args))
-            w1 = time.perf_counter() - t0
-            qR = queries(5000 + 31 * rnd, R)
-            t0 = time.perf_counter()
-            np.asarray(fR(qR, *args))
-            wR = time.perf_counter() - t0
-            marg[name].append((wR - w1) / (R - 1))
-    for name, s in marg.items():
-        med = float(np.median(s))
-        print(
-            f"{name:9s} sweep {med * 1e3:7.2f} ms  QPS {Q / med:8.1f}",
-            flush=True,
-        )
+        cases[f"int{bits}_k{k}"] = (body, args)
+    marg = ab_interleaved_marginal(cases, queries, r=R, rounds=ROUNDS)
+    report(marg, qps_q=Q)
 
 
 if __name__ == "__main__":

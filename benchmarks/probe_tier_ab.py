@@ -4,18 +4,19 @@ int4 2.70-3.36 ms — one run even ranked them opposite ways), and the
 notes' device-weather warnings say cross-process numbers can't settle
 it.  So: ONE process, both complete pipelines pre-compiled over the
 same-size corpora, A/B/A/B interleaved invocations (drift cancels in
-the pairwise diff), in-jit repeat marginals, median over 15 rounds.
+the pairwise diff), in-jit repeat marginals, median over the rounds
+(benchmarks.abmarginal — the shared harness).
 
 Decides whether auto_matrix_dtype's 4M-24M -> int2 rule actually buys
-latency on this chip or only on paper.
+latency on this chip or only on paper.  Measured (first run): int2
+2.301 ms vs int4 2.794, int2 wins 13/15 — the rule stands.
 """
-
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from benchmarks.abmarginal import ab_interleaved_marginal, report
 from benchmarks.probe_int2n import (
     D,
     D2,
@@ -32,7 +33,7 @@ from perceive_tpu.ops.topk import (
     scan_int2_coarse_fine,
 )
 
-R = 10  # in-jit repeats; marginal = (wall_R - wall_1) / (R - 1)
+R = 10
 ROUNDS = 15
 
 
@@ -47,13 +48,6 @@ def main():
     src2d = jax.block_until_ready(src.reshape(1, N))
     print("arrays resident", flush=True)
 
-    def loop(r, body):
-        def f(qs, *args):
-            def it(i, acc):
-                return acc + body(qs[i], *args)
-            return jax.lax.fori_loop(0, r, it, 0.0)
-        return jax.jit(f)
-
     def body_int2(q, p2, sc, s1, p4):
         v, rows, fl = scan_int2_coarse_fine(p2, sc, p4, sc, s1, q, allowed, K)
         return jnp.sum(v) + jnp.sum(rows.astype(jnp.float32)) + jnp.sum(fl)
@@ -63,40 +57,19 @@ def main():
         v, rows = pallas_topk_int4_unsorted(p4, sc2, s2, qi8, qsc, allowed, K, False)
         return jnp.sum(v) + jnp.sum(rows.astype(jnp.float32))
 
-    cases = {
-        "int2_c2f": (body_int2, (packed2, scales, src, packed4)),
-        "int4_full": (body_int4, (packed4, scales2d, src2d)),
-    }
-    fns = {}
-    for name, (body, args) in cases.items():
-        f1, fR = loop(1, body), loop(R, body)
-        np.asarray(f1(queries(1, 1), *args))  # compile + warm
-        np.asarray(fR(queries(1, R), *args))
-        fns[name] = (f1, fR, args)
-    print("compiled", flush=True)
-
-    marg = {name: [] for name in cases}
-    for rnd in range(ROUNDS):
-        for name, (f1, fR, args) in fns.items():  # interleaved A/B
-            q1 = queries(1000 + 31 * rnd, 1)
-            t0 = time.perf_counter()
-            np.asarray(f1(q1, *args))
-            w1 = time.perf_counter() - t0
-            qR = queries(5000 + 31 * rnd, R)
-            t0 = time.perf_counter()
-            np.asarray(fR(qR, *args))
-            wR = time.perf_counter() - t0
-            marg[name].append((wR - w1) / (R - 1) * 1e3)
-    for name, ms in marg.items():
-        arr = np.array(ms)
-        print(
-            f"{name:10s} p50 {np.median(arr):6.3f} ms  "
-            f"IQR [{np.percentile(arr, 25):6.3f}, {np.percentile(arr, 75):6.3f}]",
-            flush=True,
-        )
+    marg = ab_interleaved_marginal(
+        {
+            "int2_c2f": (body_int2, (packed2, scales, src, packed4)),
+            "int4_full": (body_int4, (packed4, scales2d, src2d)),
+        },
+        queries,
+        r=R,
+        rounds=ROUNDS,
+    )
+    report(marg)
     d = np.array(marg["int4_full"]) - np.array(marg["int2_c2f"])
     print(
-        f"paired diff (int4 - int2): median {np.median(d):+.3f} ms, "
+        f"paired diff (int4 - int2): median {np.median(d) * 1e3:+.3f} ms, "
         f"int2 wins {int((d > 0).sum())}/{ROUNDS} rounds",
         flush=True,
     )

@@ -2,23 +2,27 @@
 
 probe_tier_ab (packed2 allocated first, fresh process) ranks int2 ahead
 by ~0.3-0.5 ms, 13/15 rounds.  bench.py's process (a 7.7 GB bf16 corpus
-allocated and freed first, then packed4, then packed2) ranks int4 ahead
-by ~0.4 ms — and BOTH are within-process consistent under A/B
-interleaving, so this is not weather.  Reproduce both allocation
-histories in one script, selected by argv, to isolate the variable:
+allocated and freed first, then packed4, then packed2) once ranked int4
+ahead by ~0.4 ms — and BOTH were within-process consistent under A/B
+interleaving.  Reproduce both allocation histories in one script,
+selected by argv, to isolate the variable:
 
   python -m benchmarks.probe_tier_alloc p2first      # probe_tier_ab order
   python -m benchmarks.probe_tier_alloc p4first      # bench order
   python -m benchmarks.probe_tier_alloc bf16_p4first # bench order + bf16 alloc/free
+
+Measured: all three orders rank int2 ahead (paired diff +0.50 / +0.98 /
++0.55 ms, int2 wins 8/10 each) — allocation history is NOT the
+variable; that bench run was an unlucky weather draw (BENCH_NOTES).
 """
 
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from benchmarks.abmarginal import ab_interleaved_marginal, report
 from benchmarks.probe_int2n import D, D2, D4, K, N, allowed_np, gen_packed, queries
 from perceive_tpu.ops.topk import (
     pallas_topk_int4_unsorted,
@@ -28,10 +32,12 @@ from perceive_tpu.ops.topk import (
 
 R = 8
 ROUNDS = 10
+_MODES = ("p2first", "p4first", "bf16_p4first")
 
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "p2first"
+    assert mode in _MODES, f"unknown mode {mode!r}; pick one of {_MODES}"
     assert jax.default_backend() == "tpu"
     allowed = jnp.asarray(allowed_np)
     if mode == "bf16_p4first":
@@ -51,13 +57,6 @@ def main():
     src2d = jax.block_until_ready(src.reshape(1, N))
     print(f"arrays resident ({mode})", flush=True)
 
-    def loop(r, body):
-        def f(qs, *args):
-            def it(i, acc):
-                return acc + body(qs[i], *args)
-            return jax.lax.fori_loop(0, r, it, 0.0)
-        return jax.jit(f)
-
     def body_int2(q, p2, sc, s1, p4):
         v, rows, fl = scan_int2_coarse_fine(p2, sc, p4, sc, s1, q, allowed, K)
         return jnp.sum(v) + jnp.sum(rows.astype(jnp.float32)) + jnp.sum(fl)
@@ -67,38 +66,19 @@ def main():
         v, rows = pallas_topk_int4_unsorted(p4, sc2, s2, qi8, qsc, allowed, K, False)
         return jnp.sum(v) + jnp.sum(rows.astype(jnp.float32))
 
-    cases = {
-        "int2_c2f": (body_int2, (packed2, scales, src, packed4)),
-        "int4_full": (body_int4, (packed4, scales2d, src2d)),
-    }
-    fns = {}
-    for name, (body, args) in cases.items():
-        f1, fR = loop(1, body), loop(R, body)
-        np.asarray(f1(queries(1, 1), *args))
-        np.asarray(fR(queries(1, R), *args))
-        fns[name] = (f1, fR, args)
-    marg = {name: [] for name in cases}
-    for rnd in range(ROUNDS):
-        for name, (f1, fR, args) in fns.items():
-            q1 = queries(1000 + 31 * rnd, 1)
-            t0 = time.perf_counter()
-            np.asarray(f1(q1, *args))
-            w1 = time.perf_counter() - t0
-            qR = queries(5000 + 31 * rnd, R)
-            t0 = time.perf_counter()
-            np.asarray(fR(qR, *args))
-            wR = time.perf_counter() - t0
-            marg[name].append((wR - w1) / (R - 1) * 1e3)
-    for name, ms in marg.items():
-        arr = np.array(ms)
-        print(
-            f"{mode:12s} {name:10s} p50 {np.median(arr):6.3f} ms  "
-            f"IQR [{np.percentile(arr, 25):6.3f}, {np.percentile(arr, 75):6.3f}]",
-            flush=True,
-        )
+    marg = ab_interleaved_marginal(
+        {
+            "int2_c2f": (body_int2, (packed2, scales, src, packed4)),
+            "int4_full": (body_int4, (packed4, scales2d, src2d)),
+        },
+        queries,
+        r=R,
+        rounds=ROUNDS,
+    )
+    report(marg)
     d = np.array(marg["int4_full"]) - np.array(marg["int2_c2f"])
     print(
-        f"{mode}: paired diff (int4 - int2) median {np.median(d):+.3f} ms, "
+        f"{mode}: paired diff (int4 - int2) median {np.median(d) * 1e3:+.3f} ms, "
         f"int2 wins {int((d > 0).sum())}/{ROUNDS}",
         flush=True,
     )

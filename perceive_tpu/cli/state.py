@@ -182,11 +182,9 @@ class AppState:
 
                 mesh = make_mesh()
                 if auto:
-                    # every auto_matrix_dtype threshold is a per-chip
-                    # concern (sweep-latency crossovers, per-chip HBM), so
-                    # the mesh keys the tier on its per-chip row share —
-                    # matches ShardedSearcher._maybe_retier
-                    dtype = auto_matrix_dtype(-(-n_rows // mesh.size))
+                    # per-chip tier keying — the ONE rule shared with
+                    # mid-session retiers (ShardedSearcher.auto_tier)
+                    dtype = ShardedSearcher.auto_tier(n_rows, mesh)
                 self.searcher = ShardedSearcher.build(
                     self.db, self.model.model_id, self.model.model_version,
                     self.model.dim, mesh, engine=engine, dtype=dtype,

@@ -52,6 +52,28 @@ def _local_topk_xla(scores, k: int):
     return jax.lax.top_k(scores, k)
 
 
+def _merge_local_candidates(vals, rows, *, k, ndev, n_local):
+    """Shared merge tail of every shard_map local body: globalize the local
+    row indices (shard offset via axis_index), all_gather the per-chip
+    (Q, kl) candidates, and keep the global top-k — ONE implementation so
+    the tiers can never drift on the -inf sanitization / k-padding rules."""
+    idx = jax.lax.axis_index(ROWS_AXES)
+    rows = jnp.where(rows >= 0, rows + idx * n_local, -1)
+    vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
+    vals_all = jax.lax.all_gather(vals, ROWS_AXES)  # (ndev, Q, kl)
+    rows_all = jax.lax.all_gather(rows, ROWS_AXES)
+    nq, kl = vals.shape
+    vcat = jnp.transpose(vals_all, (1, 0, 2)).reshape(nq, ndev * kl)
+    rcat = jnp.transpose(rows_all, (1, 0, 2)).reshape(nq, ndev * kl)
+    mv, perm = jax.lax.top_k(vcat, min(k, ndev * kl))
+    out = jnp.take_along_axis(rcat, perm, axis=1)
+    if mv.shape[1] < k:  # k exceeded the global row count: pad
+        pad = k - mv.shape[1]
+        mv = jnp.pad(mv, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        out = jnp.pad(out, ((0, 0), (0, pad)), constant_values=-1)
+    return mv, out
+
+
 def _mask_scores(scores, src_shard, allowed):
     valid = src_shard >= 0
     ok = jnp.isin(src_shard, allowed) | (allowed[0] == ALLOW_ALL)
@@ -108,23 +130,8 @@ def _sharded_scan(matrix, scales, source_ids, q, allowed, *, mesh, k, engine, in
                     qc, m_shard, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
                 )
                 vals, rows = _local_topk_xla(_mask_scores(scores, src_shard, allowed_), kl)
-        # local row index -> global row index (shard offset); keep -1 invalid
-        idx = jax.lax.axis_index(ROWS_AXES)
-        rows = jnp.where(rows >= 0, rows + idx * n_local, -1)
-        vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
         # merge across chips: one small all-gather riding the ICI
-        vals_all = jax.lax.all_gather(vals, ROWS_AXES)  # (ndev, Q, kl)
-        rows_all = jax.lax.all_gather(rows, ROWS_AXES)
-        nq = q_.shape[0]
-        vcat = jnp.transpose(vals_all, (1, 0, 2)).reshape(nq, ndev * kl)
-        rcat = jnp.transpose(rows_all, (1, 0, 2)).reshape(nq, ndev * kl)
-        mv, perm = jax.lax.top_k(vcat, min(k, ndev * kl))
-        out = jnp.take_along_axis(rcat, perm, axis=1)
-        if mv.shape[1] < k:  # k exceeded the global row count: pad
-            pad = k - mv.shape[1]
-            mv = jnp.pad(mv, ((0, 0), (0, pad)), constant_values=-jnp.inf)
-            out = jnp.pad(out, ((0, 0), (0, pad)), constant_values=-1)
-        return mv, out
+        return _merge_local_candidates(vals, rows, k=k, ndev=ndev, n_local=n_local)
 
     m_spec = P(None, ROWS_AXES) if int4 else P(ROWS_AXES, None)
     return shard_map(
@@ -150,11 +157,19 @@ def _sharded_scan_int2(
     rescore, ops/topk.scan_int2_coarse_fine) on its row shard, then the
     per-chip (Q, kl) int4-fine candidates merge with the same all_gather +
     tiny top-k as every other tier.  Returns (vals, rows, floor) where
-    ``floor`` is the MAX over shards of the per-shard coarse floor: a row
-    not in the merged candidate set is outside its own shard's coarse set,
-    so its score is bounded by that shard's kc-th coarse score <= the max —
-    the escalation bound the base Searcher._scan consumes keeps its
-    guarantee verbatim (it escalates onto the fine matrix's int4 sweep)."""
+    ``floor`` is the MAX over shards of the per-shard coarse floor.
+
+    Soundness of the escalation bound, precisely (what Searcher._scan
+    consumes): a row outside EVERY shard's coarse candidate set scores at
+    most its own shard's kc-th coarse score <= this max-merged floor —
+    that is the half ``floor`` covers.  A row INSIDE some shard's coarse
+    (or fine) set but dropped by the global top-k merge is NOT bounded by
+    the coarse floor; it is bounded by the merged kb-th int4 value, which
+    _scan's separate ``buffer_full`` trigger (kth exact < vals[:, -1])
+    already checks — the same two-trigger structure as the single-chip
+    int2 tier, where the fine buffer's last int4 score plays that role.
+    Neither trigger may be removed for this tier, and the floors must
+    max-merge (a min would under-bound rows on the max shard)."""
     ndev = mesh.size
 
     def local(p2, s2, p4, s4, src, q_, allowed_):
@@ -164,22 +179,9 @@ def _sharded_scan_int2(
             p2, s2, p4, s4, src, q_, allowed_, kl,
             engine=engine, interpret=interpret,
         )
-        idx = jax.lax.axis_index(ROWS_AXES)
-        rows = jnp.where(rows >= 0, rows + idx * n_local, -1)
-        vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
-        vals_all = jax.lax.all_gather(vals, ROWS_AXES)  # (ndev, Q, kl)
-        rows_all = jax.lax.all_gather(rows, ROWS_AXES)
         floor_all = jax.lax.all_gather(floor, ROWS_AXES)  # (ndev, Q)
-        nq = q_.shape[0]
-        vcat = jnp.transpose(vals_all, (1, 0, 2)).reshape(nq, ndev * kl)
-        rcat = jnp.transpose(rows_all, (1, 0, 2)).reshape(nq, ndev * kl)
-        mv, perm = jax.lax.top_k(vcat, min(k, ndev * kl))
-        out = jnp.take_along_axis(rcat, perm, axis=1)
         gfloor = jnp.max(floor_all, axis=0)
-        if mv.shape[1] < k:  # k exceeded the global row count: pad
-            pad = k - mv.shape[1]
-            mv = jnp.pad(mv, ((0, 0), (0, pad)), constant_values=-jnp.inf)
-            out = jnp.pad(out, ((0, 0), (0, pad)), constant_values=-1)
+        mv, out = _merge_local_candidates(vals, rows, k=k, ndev=ndev, n_local=n_local)
         return mv, out, gfloor
 
     return shard_map(
@@ -364,7 +366,8 @@ class ShardedSearcher(Searcher):
         self.mesh = mesh
         self._aux_repl = None  # (aux weakref, mesh-replicated params)
 
-    def _maybe_retier(self) -> None:  # type: ignore[override]
+    @staticmethod
+    def auto_tier(n_rows: int, mesh):
         """Auto tier keyed on PER-CHIP rows, not the global count: every
         threshold in auto_matrix_dtype is a per-chip concern — the
         bf16/int8/int2 crossovers are absolute per-chip sweep latencies
@@ -372,14 +375,19 @@ class ShardedSearcher(Searcher):
         rows *on the chip that runs it*) and the 24M int4-capacity bound is
         per-chip HBM.  An 80M-row corpus on 8 chips is 10M rows/chip — the
         int2 latency regime — where the global count would wrongly pick
-        the int4 capacity tier."""
-        if not self.auto_retier:
-            return
+        the int4 capacity tier.  The ONE rule shared by AppState's startup
+        choice and _maybe_retier, so the startup tier can never diverge
+        from what the first mid-session retier would pick (which would
+        restage a multi-GB corpus right after every boot)."""
         from ..index.matrix import auto_matrix_dtype
 
+        return auto_matrix_dtype(-(-max(n_rows, 0) // mesh.size))
+
+    def _maybe_retier(self) -> None:  # type: ignore[override]
+        if not self.auto_retier:
+            return
         before = self.matrix.dtype
-        per_chip = -(-len(self.matrix) // self.mesh.size)
-        self.matrix.retier(auto_matrix_dtype(per_chip))
+        self.matrix.retier(self.auto_tier(len(self.matrix), self.mesh))
         if self.matrix.dtype is not before:
             self._coarse_audit_rows = -1  # fresh tier: re-audit immediately
 
