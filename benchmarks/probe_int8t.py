@@ -1,0 +1,102 @@
+"""Probe: does the transposed-int8 slab kernel (the int2 tier's int8
+fine-companion batch path, ops/topk.py int8t section) actually deliver
+the row-major int8 slab's throughput?
+
+Motivation: the default tier at 10M rows is int2 coarse-to-fine; its
+BATCH path sweeps the fine companion.  With the int4 companion that
+batch path measured 10.6k QPS vs the int8 tier's 19k — a structural
+unpack deficit (probe_slab_k).  The int8 companion must be TRANSPOSED
+(D, N) for the single-query candidate column gather, so the question is
+whether the transposed layout's single full-depth dot matches the
+row-major kernel (same MACs, same bytes; only the operand orientation
+into the MXU differs).
+
+Grid (k = 40, the factor-4 over-fetch for k=10 at int8 precision):
+  int8_rm   row-major (N, D) slab kernel   — the int8 tier's batch path
+  int8_t    transposed (D, N) slab kernel  — the int8-companion batch path
+Interleaved rounds (benchmarks.abmarginal) at 10M x 384, batch 2048.
+(The int4 companion's number is on record from probe_slab_k: 11.57k QPS
+at k=40 / 10.6k at k=80; holding a third 10M corpus here OOMs the chip.)
+
+MEASURED: see the `# RESULT` comment at the bottom of this file after a
+run; the adoption decision is recorded in BENCH_NOTES.md round-3.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from benchmarks.abmarginal import ab_interleaved_marginal, report
+from benchmarks.probe_int2n import D, N, allowed_np
+from perceive_tpu.ops.topk import (
+    pallas_topk_int8_slabbed,
+    pallas_topk_int8t_slabbed,
+    quantize_queries,
+)
+
+Q = 2048
+K = 40
+R = 3
+ROUNDS = 8
+
+
+def queries(seed, r):
+    q = jax.random.normal(jax.random.PRNGKey(seed), (r, Q, D), jnp.float32)
+    return jax.block_until_ready(q / jnp.linalg.norm(q, axis=2, keepdims=True))
+
+
+def main():
+    assert jax.default_backend() == "tpu"
+    allowed = jnp.asarray(allowed_np)
+    # random int8 matrix in both layouts (bit-identical content irrelevant
+    # to timing; build each independently to dodge a 3.8 GB transpose).
+    # Chunked in-place generation: a full-size random.bits call's uint32
+    # intermediate + bitcast copies peak ~3x the matrix (15.75 GB HBM,
+    # verify skill) — donation keeps the peak at matrix + ~0.5 GB.
+    @functools.partial(jax.jit, donate_argnums=0)
+    def _fill(buf, vals, lo):
+        return jax.lax.dynamic_update_slice(
+            buf, vals, (lo, jnp.zeros((), jnp.int32))
+        )
+
+    def rand_i8(key, shape, chunk=1 << 20):
+        out = jnp.zeros(shape, jnp.int8)
+        for lo in range(0, shape[0], chunk):
+            rows = min(chunk, shape[0] - lo)
+            w = jax.random.bits(
+                jax.random.fold_in(key, lo), (rows, shape[1] // 4), jnp.uint32
+            )
+            vals = jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(rows, shape[1]),
+                jnp.int8,
+            )
+            out = _fill(out, vals, jnp.int32(lo))
+        return jax.block_until_ready(out)
+
+    m8 = rand_i8(jax.random.PRNGKey(21), (N, D))
+    m8t = rand_i8(jax.random.PRNGKey(22), (D, N), chunk=48)
+    scales2d = jax.block_until_ready(jnp.full((1, N), 0.01, jnp.float32))
+    src2d = jax.block_until_ready(jnp.zeros((1, N), jnp.int32))
+    print("arrays resident", flush=True)
+
+    def body_rm(q, m, sc2, s2):
+        qi8, qsc = quantize_queries(q)
+        v, rows = pallas_topk_int8_slabbed(m, sc2, s2, qi8, qsc, allowed, K, False)
+        return jnp.sum(v) + jnp.sum(rows.astype(jnp.float32))
+
+    def body_t(q, m, sc2, s2):
+        qi8, qsc = quantize_queries(q)
+        v, rows = pallas_topk_int8t_slabbed(m, sc2, s2, qi8, qsc, allowed, K, False)
+        return jnp.sum(v) + jnp.sum(rows.astype(jnp.float32))
+
+    cases = {
+        "int8_rm": (body_rm, (m8, scales2d, src2d)),
+        "int8_t": (body_t, (m8t, scales2d, src2d)),
+    }
+    marg = ab_interleaved_marginal(cases, queries, r=R, rounds=ROUNDS)
+    report(marg, qps_q=Q)
+
+
+if __name__ == "__main__":
+    main()

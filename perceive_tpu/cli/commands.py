@@ -386,6 +386,8 @@ def stats_cmd(state, args) -> None:
         m = state.searcher.matrix
         if m.quant_bits:
             dtype_bytes = m.quant_bits / 8
+            if m.packed2:  # the fine companion rides along (int8 or int4)
+                dtype_bytes += m.fine_bits / 8
         else:  # storage dtype width (bf16 = 2, float32 = 4)
             dtype_bytes = np.dtype(m.dtype).itemsize
         hbm = m.capacity * m.padded_dim * dtype_bytes / 1e6
@@ -399,8 +401,9 @@ def stats_cmd(state, args) -> None:
             # verdict from the LIVE matrix flag, not the recorded dict —
             # they can only disagree through a manual flip, but the flag is
             # what routing actually consults (round-3 review)
+            fine = f"int{m.fine_bits}"
             verdict = "coarse pass serving" if m.coarse_trusted else (
-                "coarse pass DEMOTED to the int4 fine sweep (dense ties)"
+                f"coarse pass DEMOTED to the {fine} fine sweep (dense ties)"
             )
             print(
                 f"int2 coarse self-audit: top-{audit.get('k', 10)} overlap "

@@ -36,11 +36,15 @@ INT4 = "int4"
 
 # Coarse-to-fine 2-bit tier (ops/topk.py int2 section): the PRIMARY device
 # array packs four dims per byte, (D/4, capacity) uint8 transposed, and a
-# COMPANION int4 matrix (+ its scales) rides along for the in-jit fine
-# rerank of the coarse candidates.  0.25 + 0.5 bytes/dim of HBM; the
-# single-query sweep reads only the 0.25 — the int4 companion is touched
-# for a few thousand gathered columns per query (and for the full-sweep
-# escalation fallback).
+# COMPANION fine matrix (+ its scales) rides along for the in-jit fine
+# rerank of the coarse candidates.  The companion is int8 (1 byte/dim,
+# transposed (D, capacity) — the THROUGHPUT companion: batch sweeps of it
+# run the single-dot int8t kernels at int8-tier QPS, ops/topk.py int8t
+# section) while coarse+fine fit the device budget, else packed int4
+# (0.5 bytes/dim, the capacity companion).  Either way the single-query
+# sweep reads only the 0.25 bytes/dim coarse matrix — the companion is
+# touched for a few thousand gathered columns per query (and for batch /
+# full-sweep escalation paths).  See int2_fine_bits.
 INT2 = "int2"
 
 # Row keys are (item_id, chunk_idx) packed as item_id * CHUNK_STRIDE +
@@ -109,11 +113,13 @@ def auto_matrix_dtype(n_rows: int):
       <= 4M rows     int8       (1 byte/dim; sweep <= ~2.1 ms; exact after
                                  the built-in f32 rerank)
       <= 24M rows    int2       (coarse-to-fine: 0.25-byte/dim sweep +
-                                 in-jit int4 rerank; 10M rows 2.65 ms
+                                 in-jit fine rerank; 10M rows 2.65 ms
                                  measured at candidate-recall 0.9996,
                                  benchmarks/recall_int2.py — beats the
-                                 int4 sweep's 3.1 ms at +50% HBM: the
-                                 tier stores coarse int2 AND fine int4)
+                                 int4 sweep's 3.1 ms; the tier stores
+                                 coarse int2 AND a fine companion, int8
+                                 while HBM allows else int4 —
+                                 int2_fine_bits)
       >  24M rows    int4       (0.5 bytes/dim, the leanest device tier —
                                  capacity wins over the int2 latency edge
                                  once 0.75 byte/dim pressures HBM; 40M
@@ -130,6 +136,37 @@ def auto_matrix_dtype(n_rows: int):
     if n_rows <= 24_000_000:
         return INT2
     return INT4
+
+
+def _int2_fine_int8_budget() -> int:
+    """Device bytes the int2 tier's coarse+fine pair may occupy before the
+    fine companion drops from int8 to packed int4
+    (PERCEIVE_TPU_INT2_FINE_INT8_GB, default 10 — conservative for a 16 GB
+    v5e-class chip once scales/ids/score-buffer/encoder params are
+    budgeted)."""
+    try:
+        return int(
+            float(os.environ.get("PERCEIVE_TPU_INT2_FINE_INT8_GB", "10")) * 2**30
+        )
+    except ValueError:
+        return 10 * 2**30
+
+
+def int2_fine_bits(capacity: int, padded_dim: int) -> int:
+    """Fine-companion width for an int2-tier matrix of this device shape:
+    8 (int8 transposed — int8-class batch QPS and lower-noise fine
+    rescoring) when coarse (0.25 B/dim) + fine (1 B/dim) fit the budget,
+    else 4 (packed int4, the capacity companion).  PERCEIVE_TPU_INT2_FINE
+    = int8 | int4 overrides.  Derived from CAPACITY, not live rows, so the
+    answer only changes on growth — which always forces a full restage."""
+    env = os.environ.get("PERCEIVE_TPU_INT2_FINE", "auto").lower()
+    if env in ("int8", "8"):
+        return 8
+    if env in ("int4", "4"):
+        return 4
+    if capacity * padded_dim * 1.25 <= _int2_fine_int8_budget():
+        return 8
+    return 4
 
 
 def _scatter_rows_impl(matrix, rows, vals):
@@ -426,6 +463,20 @@ class EmbeddingMatrix:
             return 2
         return 4 if self.packed4 else (8 if self.dtype == jnp.int8 else 0)
 
+    @property
+    def fine_bits(self) -> int:
+        """Int2 tier only: width of the fine companion (8 or 4); 0 for
+        every other tier.  Reports the STORED companion when one exists —
+        an env flip mid-session must not desync routing/scatter decisions
+        from the bytes actually on device; the int2_fine_bits policy is
+        consulted only when (re)staging builds fresh arrays."""
+        if not self.packed2:
+            return 0
+        df = self._device_fine
+        if df is not None:
+            return 8 if df.dtype == jnp.int8 else 4
+        return int2_fine_bits(self.capacity, self.padded_dim)
+
     def _quantize(self, rows_f32: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Per-row symmetric int8: scale = max|v|/127 (min-clamped so all-zero
         rows stay representable); returns (int8 values, f32 scales)."""
@@ -533,7 +584,10 @@ class EmbeddingMatrix:
                         jnp.asarray(rows),
                         jnp.asarray(np.ascontiguousarray(packed.T)),
                     )
-                    fine, fscales = self._quantize4(vals)
+                    if self.fine_bits == 8:
+                        fine, fscales = self._quantize(vals)
+                    else:
+                        fine, fscales = self._quantize4(vals)
                     self._device_fine_scales = _scatter_vals(
                         self._device_fine_scales, jnp.asarray(rows), jnp.asarray(fscales)
                     )
@@ -582,15 +636,21 @@ class EmbeddingMatrix:
         cap = self.capacity
         chunk = self._SYNC_CHUNK_ROWS
         d4 = self.padded_dim // 4
-        d2 = self.padded_dim // 2
         coarse = np.empty((d4, cap), dtype=np.uint8)
         cscales = np.empty((cap,), np.float32)
-        # the fine companion is TRANSPOSED (D/2, capacity) — byte-identical
-        # to the int4 tier's matrix, so batched queries and escalation
-        # sweeps run the int4 kernels on it directly, and the candidate
-        # column gather is ~free (probe_int2c; a row-major layout's
-        # unaligned 192-byte rows gathered ~200x slower)
-        fine = np.empty((d2, cap), dtype=np.uint8)
+        # the fine companion is TRANSPOSED — the candidate column gather is
+        # ~free that way (probe_int2c; a row-major layout's unaligned rows
+        # gathered ~200x slower).  int8 (D, cap) when the budget allows
+        # (int2_fine_bits: batch sweeps then run the int8t kernels at
+        # int8-tier QPS), else packed int4 (D/2, cap), byte-identical to
+        # the int4 tier's matrix.  A full restage consults the POLICY (not
+        # the fine_bits property, which reports whatever is currently
+        # stored): growth or an env change re-decides here.
+        fb = int2_fine_bits(cap, self.padded_dim)
+        if fb == 8:
+            fine = np.empty((self.padded_dim, cap), dtype=np.int8)
+        else:
+            fine = np.empty((self.padded_dim // 2, cap), dtype=np.uint8)
         fscales = np.empty((cap,), np.float32)
         for lo in range(0, cap, chunk):
             hi = min(lo + chunk, cap)
@@ -598,9 +658,9 @@ class EmbeddingMatrix:
             p2, s2 = self._quantize2(vals)
             coarse[:, lo:hi] = p2.T
             cscales[lo:hi] = s2
-            p4, s4 = self._quantize4(vals)
-            fine[:, lo:hi] = p4.T
-            fscales[lo:hi] = s4
+            pf, sf = self._quantize(vals) if fb == 8 else self._quantize4(vals)
+            fine[:, lo:hi] = pf.T
+            fscales[lo:hi] = sf
         dev = self._vectors_device()
         self._device_vectors = jax.device_put(coarse, dev)
         self._device_scales = jax.device_put(jnp.asarray(cscales), self.ids_device)

@@ -109,6 +109,25 @@ def _scan_topk_xla_int8_impl(matrix, scales, source_ids, q, allowed, k: int, n_s
 _scan_topk_xla_int8 = jax.jit(_scan_topk_xla_int8_impl, static_argnames=("k", "n_sweep"))
 
 
+def _scan_topk_xla_int8t_impl(m8t, scales, source_ids, q, allowed, k: int, n_sweep: int = 0):
+    """XLA int8 dot over the (D, N) TRANSPOSED int8 matrix — the int2
+    tier's int8 fine companion (CPU engine and oversized-k fallback)."""
+    from ..ops.topk import quantize_queries, xla_scores_int8t
+
+    if n_sweep and n_sweep < m8t.shape[1]:
+        m8t, scales, source_ids = m8t[:, :n_sweep], scales[:n_sweep], source_ids[:n_sweep]
+    qi8, qscale = quantize_queries(q)
+    scores = xla_scores_int8t(m8t, scales, qi8, qscale)
+    valid = source_ids >= 0
+    allow_all = allowed[0] == ALLOW_ALL
+    src_ok = jnp.isin(source_ids, allowed) | allow_all
+    scores = jnp.where((valid & src_ok)[None, :], scores, -jnp.inf)
+    return jax.lax.top_k(scores, k)
+
+
+_scan_topk_xla_int8t = jax.jit(_scan_topk_xla_int8t_impl, static_argnames=("k", "n_sweep"))
+
+
 def _scan_topk_xla_int4_impl(packed, scales, source_ids, q, allowed, k: int, n_sweep: int = 0):
     """XLA unpack + int8 dot over the (D/2, N) transposed-packed matrix
     (CPU engine and the oversized-k fallback)."""
@@ -141,10 +160,10 @@ def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engi
     every other tier.  Small Q only — no slab routing (large batches go
     through scan_topk_pallas*).
 
-    ``use_coarse=False`` demotes an int2 matrix to its int4 fine companion
-    (byte-identical to the int4 tier's layout) — the corpus self-audit
-    (Searcher.audit_coarse) compiles the fused program this way when the
-    coarse pass is untrustworthy on the actual corpus."""
+    ``use_coarse=False`` demotes an int2 matrix to its fine companion
+    (int8 transposed or packed int4, whichever it stores) — the corpus
+    self-audit (Searcher.audit_coarse) compiles the fused program this way
+    when the coarse pass is untrustworthy on the actual corpus."""
 
     def sort_k(vals, rows):
         svals, perm = jax.lax.top_k(vals, k)
@@ -152,7 +171,7 @@ def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engi
 
     if bits == 2 and not use_coarse:
         vectors, scales = vectors[1], scales[1]
-        bits = 4
+        bits = "8t" if vectors.dtype == jnp.int8 else 4
     if bits == 2:
         from ..ops.topk import scan_int2_coarse_fine
 
@@ -161,7 +180,18 @@ def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engi
         return scan_int2_coarse_fine(
             p2, s2, p4, s4, source_ids, qp, allowed, k,
             engine=engine, interpret=interpret, n_sweep=n_sweep,
+            fine_bits=8 if p4.dtype == jnp.int8 else 4,
         )
+    if bits == "8t":
+        if engine == "pallas":
+            from ..ops.topk import pallas_topk_int8t_unsorted, quantize_queries
+
+            qi8, qscale = quantize_queries(qp)
+            return sort_k(*pallas_topk_int8t_unsorted(
+                vectors, scales.reshape(1, -1), source_ids.reshape(1, -1),
+                qi8, qscale, allowed, k, interpret, n_sweep,
+            ))
+        return (*_scan_topk_xla_int8t_impl(vectors, scales, source_ids, qp, allowed, k, n_sweep), None)
     if bits == 4:
         if engine == "pallas":
             from ..ops.topk import pallas_topk_int4_unsorted, quantize_queries
@@ -720,8 +750,9 @@ class Searcher:
                 f"int2 coarse self-audit: top-{k} overlap mean {overlap:.4f} "
                 f"/ min {min_overlap:.4f} (gates {_coarse_audit_min():.2f} / "
                 f"{self._COARSE_AUDIT_MIN_SINGLE:.2f}) on {len(qp)} sampled "
-                "corpus vectors — demoting queries to the int4 fine sweep "
-                "(dense score ties; see BENCH_NOTES round-3 clustered2)",
+                f"corpus vectors — demoting queries to the int{m.fine_bits} "
+                "fine sweep (dense score ties; see BENCH_NOTES round-3 "
+                "clustered2)",
                 file=sys.stderr,
             )
         return overlap
@@ -762,20 +793,28 @@ class Searcher:
             if m.packed2:
                 p2, p4 = vectors
                 s2, s4 = scales
+                fine8 = p4.dtype == jnp.int8
                 if qp.shape[0] > _INT2_MAX_Q or not use_coarse:
                     # fine-sweep path: big batches (the coarse pass would
                     # materialize (Q, N) f32 scores) and escalations (the
                     # coarse floor was insufficient) sweep the TRANSPOSED
-                    # int4 fine matrix with the int4 kernels (identical
-                    # layout) — full int4-tier throughput and guarantees
+                    # fine matrix with its matching kernels — int8t (int8
+                    # companion: single-dot, int8-tier QPS) or int4
+                    # (identical layout to the int4 tier) — full
+                    # fine-tier throughput and guarantees
                     if engine == "pallas":
-                        from ..ops.topk import scan_topk_pallas_int4
+                        from ..ops.topk import (
+                            scan_topk_pallas_int4,
+                            scan_topk_pallas_int8t,
+                        )
 
-                        vals, rows = scan_topk_pallas_int4(
+                        kern = scan_topk_pallas_int8t if fine8 else scan_topk_pallas_int4
+                        vals, rows = kern(
                             p4, s4, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb, ns
                         )
                     else:
-                        vals, rows = _scan_topk_xla_int4(
+                        kern = _scan_topk_xla_int8t if fine8 else _scan_topk_xla_int4
+                        vals, rows = kern(
                             p4, s4, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb, ns
                         )
                     floor = None
@@ -785,6 +824,7 @@ class Searcher:
                     vals, rows, floor = scan_topk_int2(
                         p2, s2, p4, s4, source_ids,
                         jnp.asarray(qp), jnp.asarray(allowed), kb, engine, ns,
+                        fine_bits=8 if fine8 else 4,
                     )
             elif m.packed4:
                 if engine == "pallas":
@@ -831,7 +871,12 @@ class Searcher:
         m = self.matrix
         want = k
         if m.quantized:
-            want = (RERANK_FACTOR_INT4 if m.quant_bits <= 4 else RERANK_FACTOR) * want
+            bits = m.quant_bits
+            if bits == 2 and m.fine_bits == 8:
+                # candidate ordering comes from the int8-precision fine
+                # rescore — the int8 tier's shallower over-fetch applies
+                bits = 8
+            want = (RERANK_FACTOR_INT4 if bits <= 4 else RERANK_FACTOR) * want
         if m.multi_chunk_groups > 0:
             want = 2 * want  # chunk dedupe needs extra candidates
         return want

@@ -635,6 +635,227 @@ def scan_topk_pallas_int4(packed, scales, source_ids, q, allowed, k: int, n_swee
     )
 
 
+# ---------------------------------------------------------------------------
+# transposed int8 scan ("int8t"): the int2 tier's THROUGHPUT fine companion
+#
+# The int2 tier stores its fine rescore matrix transposed — (depth, N), the
+# column-gather-friendly layout scan_int2_coarse_fine needs (a candidate is
+# one contiguous column).  With an int4 companion, batch sweeps of that
+# matrix pay int4's measured structural deficit: two masked-view bitcasts +
+# three half-depth dots per tile run 10.6k QPS at batch 2048 vs int8's 19k
+# AT EQUAL MACs (BENCH_NOTES round-3 "the deficit is the unpack").  These
+# kernels sweep a (D, N) *int8* transposed matrix with ONE full-depth dot —
+# the same MXU shape as the row-major int8 kernels, so an int2 matrix whose
+# HBM budget allows a 1-byte/dim companion gets int8-tier batch throughput
+# AND int8-precision fine rescoring, while keeping the 2-bit single-query
+# sweep.  Layout: m[d, n] = int8 level of dim d of row n; per-row scales as
+# in the row-major int8 tier (matrix._quantize).
+# ---------------------------------------------------------------------------
+
+
+def xla_scores_int8t(m8t, scales, qi8, qscale):
+    """(Q, N) f32 approximate scores over the TRANSPOSED (D, N) int8
+    matrix; the non-Pallas engine twin of the kernels below."""
+    iscores = jax.lax.dot_general(
+        qi8, m8t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return iscores.astype(jnp.float32) * scales[None, :] * qscale
+
+
+def _scan_kernel_int8t(
+    allowed_ref, q_ref, qscale_ref, m_ref, src_ref, scales_ref,
+    vals_ref, rows_ref, sc_ref, *, k, tile_n, n_filter,
+):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        vals_ref[:] = jnp.full(vals_ref.shape, -jnp.inf, vals_ref.dtype)
+        rows_ref[:] = jnp.full(rows_ref.shape, -1, rows_ref.dtype)
+
+    iscores = jax.lax.dot_general(
+        q_ref[:], m_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (Q, TILE_N) int32
+    scores = iscores.astype(jnp.float32) * scales_ref[:] * qscale_ref[:]
+
+    mask = _source_mask(src_ref[:], allowed_ref, n_filter)
+    sc_ref[:] = jnp.where(mask, scores, -jnp.inf)
+
+    n_iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (scores.shape[0], k), 1)
+    _merge_tile_topk(sc_ref, vals_ref, rows_ref, slice(None), t * tile_n, k, n_iota, k_iota)
+
+
+def _pick_tile_int8t(n: int, nq: int, d: int) -> int:
+    for t in _TILES:
+        if n % t:
+            continue
+        # double-buffered (d, tile) int8 tiles + the score block
+        if 2 * d * t + nq * t * 4 <= _VMEM_BUDGET:
+            return t
+    if n % _TILES[-1] == 0:
+        return _TILES[-1]
+    raise ValueError(f"matrix rows {n} not a multiple of {_TILES[-1]}")
+
+
+def pallas_topk_int8t_unsorted(m8t, scales2d, src2d, qi8, qscale, allowed, k: int, interpret: bool, n_sweep: int = 0):
+    """Raw transposed-int8 kernel invocation (unsorted buffer).  m8t:
+    (D, N) int8 transposed; scales2d (1, N) f32; qi8 (Q, D) int8; qscale
+    (Q, 1) f32."""
+    d, n = m8t.shape
+    n = _sweep_n(n, n_sweep)
+    nq = qi8.shape[0]
+    tile_n = _pick_tile_int8t(n, nq, d)
+    kernel = functools.partial(_scan_kernel_int8t, k=k, tile_n=tile_n, n_filter=allowed.shape[0])
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # allowed (F,)
+            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nq, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, k), jnp.float32),
+            jax.ShapeDtypeStruct((nq, k), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((nq, tile_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nq * n * d,
+            bytes_accessed=n * d + n * 8 + nq * d,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(allowed, qi8, qscale, m8t, src2d, scales2d)
+
+
+def _scan_kernel_int8t_slabbed(
+    allowed_ref, q_ref, qscale_ref, m_ref, src_ref, scales_ref,
+    vals_ref, rows_ref, sc_ref, *, k, tile_n, n_filter, n_slabs,
+):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        vals_ref[:] = jnp.full(vals_ref.shape, -jnp.inf, vals_ref.dtype)
+        rows_ref[:] = jnp.full(rows_ref.shape, -1, rows_ref.dtype)
+
+    m_tile = m_ref[:]  # (d, TILE_N) int8
+    mask = _source_mask(src_ref[:], allowed_ref, n_filter)
+    row_scales = scales_ref[:]
+    n_iota = jax.lax.broadcasted_iota(jnp.int32, (QUERY_SLAB, tile_n), 1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (QUERY_SLAB, k), 1)
+
+    for s in range(n_slabs):
+        qsl = slice(s * QUERY_SLAB, (s + 1) * QUERY_SLAB)
+        iscores = jax.lax.dot_general(
+            q_ref[qsl, :], m_tile, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = iscores.astype(jnp.float32) * row_scales * qscale_ref[qsl, :]
+        sc_ref[:] = jnp.where(mask, scores, -jnp.inf)
+        _merge_tile_topk(sc_ref, vals_ref, rows_ref, qsl, t * tile_n, k, n_iota, k_iota)
+
+
+def _pick_tile_int8t_slabbed(n: int, d: int) -> int:
+    # double-buffered (d, tile) int8 tiles + one (SLAB, TILE) int32 dot
+    # output + the (SLAB, TILE) f32 score scratch per tile-row
+    per_row = 2 * d + 2 * QUERY_SLAB * 4
+    for t in _TILES:
+        if n % t:
+            continue
+        if per_row * t <= _VMEM_BUDGET:
+            return t
+    if n % _TILES[-1] == 0:
+        return _TILES[-1]
+    raise ValueError(f"matrix rows {n} not a multiple of {_TILES[-1]}")
+
+
+def pallas_topk_int8t_slabbed(m8t, scales2d, src2d, qi8, qscale, allowed, k: int, interpret: bool, n_sweep: int = 0):
+    """Slabbed transposed-int8 invocation for Q a multiple of QUERY_SLAB."""
+    d, n = m8t.shape
+    n = _sweep_n(n, n_sweep)
+    nq = qi8.shape[0]
+    tile_n = _pick_tile_int8t_slabbed(n, d)
+    kernel = functools.partial(
+        _scan_kernel_int8t_slabbed, k=k, tile_n=tile_n, n_filter=allowed.shape[0],
+        n_slabs=nq // QUERY_SLAB,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # allowed (F,)
+            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nq, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, k), jnp.float32),
+            jax.ShapeDtypeStruct((nq, k), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((QUERY_SLAB, tile_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nq * n * d,
+            bytes_accessed=n * d + n * 8 + nq * d,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(allowed, qi8, qscale, m8t, src2d, scales2d)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "n_sweep"))
+def _scan_topk_int8t(m8t, scales, source_ids, q, allowed, k: int, interpret: bool, n_sweep: int = 0):
+    n = m8t.shape[1]
+    qi8, qscale = quantize_queries(q)
+    if q.shape[0] >= 2 * QUERY_SLAB and q.shape[0] % QUERY_SLAB == 0:
+        vals, rows = pallas_topk_int8t_slabbed(
+            m8t, scales.reshape(1, n), source_ids.reshape(1, n), qi8, qscale, allowed, k, interpret, n_sweep
+        )
+    else:
+        vals, rows = pallas_topk_int8t_unsorted(
+            m8t, scales.reshape(1, n), source_ids.reshape(1, n), qi8, qscale, allowed, k, interpret, n_sweep
+        )
+    svals, perm = jax.lax.top_k(vals, k)
+    return svals, jnp.take_along_axis(rows, perm, axis=1)
+
+
+def scan_topk_pallas_int8t(m8t, scales, source_ids, q, allowed, k: int, n_sweep: int = 0):
+    """Transposed-int8 exact-scan top-k candidates (approximate scores; the
+    Searcher reranks in f32 exactly as for the row-major int8 tier)."""
+    from ..utils.platform import platform_of
+
+    interpret = platform_of(m8t) != "tpu"
+    if q.shape[0] <= MAX_QUERY_SLAB:
+        return _scan_topk_int8t(m8t, scales, source_ids, q, allowed, k, interpret, n_sweep)
+    outs = [
+        _scan_topk_int8t(
+            m8t, scales, source_ids, q[s : s + MAX_QUERY_SLAB], allowed, k, interpret, n_sweep
+        )
+        for s in range(0, q.shape[0], MAX_QUERY_SLAB)
+    ]
+    return (
+        jnp.concatenate([v for v, _ in outs], axis=0),
+        jnp.concatenate([r for _, r in outs], axis=0),
+    )
+
+
 QUERY_SLAB = 128  # MXU-width query slabs for the large-batch kernel
 
 
@@ -1016,16 +1237,19 @@ def int2_coarse_depth(k: int, n: int) -> int:
 def scan_int2_coarse_fine(
     packed2, scales2, packed4, scales4, source_ids, q, allowed, k: int,
     *, k_coarse: int = 0, engine: str = "pallas", interpret: bool = False,
-    n_sweep: int = 0,
+    n_sweep: int = 0, fine_bits: int = 4,
 ):
     """Traceable coarse-to-fine int2 scan (see section comment).
 
-    ``packed4`` is the TRANSPOSED (D/2, N) int4 companion — byte-identical
-    to the int4 tier's matrix, so batched queries and escalation sweeps
-    run the int4 kernels on it directly, and the per-query candidate
-    gather of k_coarse columns measured ~0.07 ms (probe_int2c; the
-    row-major alternative's unaligned 192-byte rows gathered ~200x
-    slower).  Returns ((Q, k) f32 int4-fine scores best-first, (Q, k)
+    ``packed4`` is the TRANSPOSED fine companion: with ``fine_bits=4`` a
+    (D/2, N) packed-int4 matrix byte-identical to the int4 tier's, with
+    ``fine_bits=8`` a (D, N) int8 matrix (the throughput companion — see
+    the int8t section; batch sweeps of it run int8-class QPS instead of
+    paying int4's unpack deficit).  Either way batched queries and
+    escalation sweeps run the matching kernels on it directly, and the
+    per-query candidate gather of k_coarse columns measured ~0.07 ms
+    (probe_int2c; a row-major layout's unaligned rows gathered ~200x
+    slower).  Returns ((Q, k) f32 fine scores best-first, (Q, k)
     int32 rows, (Q,) f32 coarse floor — the k_coarse-th int2 score, the
     bound on any row OUTSIDE the candidate set; -inf when the whole
     corpus was fetched).
@@ -1074,8 +1298,11 @@ def scan_int2_coarse_fine(
     order = jnp.argsort(idx, axis=1)
     idx = jnp.take_along_axis(idx, order, axis=1)
     cvals = jnp.take_along_axis(cvals, order, axis=1)
-    cols = jnp.take(packed4, idx.reshape(-1), axis=1)  # (D/2, Q*kc)
-    lv = unpack_int4_xla(cols).reshape(-1, nq, kc)  # (D, Q, kc) int8
+    cols = jnp.take(packed4, idx.reshape(-1), axis=1)  # (depth, Q*kc)
+    if fine_bits == 8:
+        lv = cols.reshape(-1, nq, kc)  # already (D, Q, kc) int8 levels
+    else:
+        lv = unpack_int4_xla(cols).reshape(-1, nq, kc)  # (D, Q, kc) int8
     iscores = jnp.einsum(
         "qd,dqk->qk", qi8, lv, preferred_element_type=jnp.int32
     )
@@ -1097,20 +1324,20 @@ def scan_int2_coarse_fine(
     return vals, rows, floor
 
 
-@functools.partial(jax.jit, static_argnames=("k", "engine", "interpret", "n_sweep"))
+@functools.partial(jax.jit, static_argnames=("k", "engine", "interpret", "n_sweep", "fine_bits"))
 def _scan_topk_int2(
     packed2, scales2, packed4, scales4, source_ids, q, allowed, k: int,
-    engine: str, interpret: bool, n_sweep: int = 0,
+    engine: str, interpret: bool, n_sweep: int = 0, fine_bits: int = 4,
 ):
     return scan_int2_coarse_fine(
         packed2, scales2, packed4, scales4, source_ids, q, allowed, k,
-        engine=engine, interpret=interpret, n_sweep=n_sweep,
+        engine=engine, interpret=interpret, n_sweep=n_sweep, fine_bits=fine_bits,
     )
 
 
-def scan_topk_int2(packed2, scales2, packed4, scales4, source_ids, q, allowed, k: int, engine: str, n_sweep: int = 0):
-    """Int2 coarse-to-fine candidates (approximate int4 scores; the
-    Searcher reranks the fine candidates in f32 and escalates by
+def scan_topk_int2(packed2, scales2, packed4, scales4, source_ids, q, allowed, k: int, engine: str, n_sweep: int = 0, fine_bits: int = 4):
+    """Int2 coarse-to-fine candidates (approximate fine-companion scores;
+    the Searcher reranks the fine candidates in f32 and escalates by
     re-fetching deeper — int2_coarse_depth scales the coarse floor down
     with the fetch)."""
     from ..utils.platform import platform_of
@@ -1118,5 +1345,5 @@ def scan_topk_int2(packed2, scales2, packed4, scales4, source_ids, q, allowed, k
     interpret = engine == "pallas" and platform_of(packed2) != "tpu"
     return _scan_topk_int2(
         packed2, scales2, packed4, scales4, source_ids, q, allowed, k,
-        engine, interpret, n_sweep,
+        engine, interpret, n_sweep, fine_bits,
     )

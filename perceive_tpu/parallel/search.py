@@ -31,12 +31,15 @@ from ..ops.topk import (
     pallas_topk_int4_unsorted,
     pallas_topk_int8_slabbed,
     pallas_topk_int8_unsorted,
+    pallas_topk_int8t_slabbed,
+    pallas_topk_int8t_unsorted,
     pallas_topk_slabbed,
     pallas_topk_unsorted,
     quantize_queries,
     scan_int2_coarse_fine,
     xla_scores_int4,
     xla_scores_int8,
+    xla_scores_int8t,
 )
 
 
@@ -81,15 +84,19 @@ def _mask_scores(scores, src_shard, allowed):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "k", "engine", "interpret")
+    jax.jit, static_argnames=("mesh", "k", "engine", "interpret", "int8t")
 )
-def _sharded_scan(matrix, scales, source_ids, q, allowed, *, mesh, k, engine, interpret):
+def _sharded_scan(matrix, scales, source_ids, q, allowed, *, mesh, k, engine, interpret, int8t=False):
     ndev = mesh.size
-    int8 = matrix.dtype == jnp.int8
+    # ``int8t`` must be a STATIC caller flag: the int2 tier's transposed
+    # (D, N) int8 fine companion has the same dtype as the row-major int8
+    # tier's (N, D) matrix, so dtype alone cannot pick the layout
+    int8 = matrix.dtype == jnp.int8 and not int8t
     int4 = matrix.dtype == jnp.uint8  # transposed-packed (D/2, N), ops/topk.py
+    transposed = int4 or int8t
 
     def local(m_shard, sc_shard, src_shard, q_, allowed_):
-        n_local = m_shard.shape[1] if int4 else m_shard.shape[0]
+        n_local = m_shard.shape[1] if transposed else m_shard.shape[0]
         # the per-chip candidate count can't exceed the shard's rows:
         # lax.top_k rejects k > n, and an over-fetch bucket (escalation,
         # chunk dedupe) can legitimately exceed a small shard.  The gathered
@@ -106,6 +113,17 @@ def _sharded_scan(matrix, scales, source_ids, q, allowed, *, mesh, k, engine, in
                 )
             else:
                 scores = xla_scores_int4(m_shard, sc_shard, qi8, qscale)
+                vals, rows = _local_topk_xla(_mask_scores(scores, src_shard, allowed_), kl)
+        elif int8t:
+            qi8, qscale = quantize_queries(q_)
+            if engine == "pallas":
+                kern = pallas_topk_int8t_slabbed if _slabbable(q_) else pallas_topk_int8t_unsorted
+                vals, rows = kern(
+                    m_shard, sc_shard.reshape(1, -1), src_shard.reshape(1, -1),
+                    qi8, qscale, allowed_, kl, interpret,
+                )
+            else:
+                scores = xla_scores_int8t(m_shard, sc_shard, qi8, qscale)
                 vals, rows = _local_topk_xla(_mask_scores(scores, src_shard, allowed_), kl)
         elif int8:
             qi8, qscale = quantize_queries(q_)
@@ -133,7 +151,7 @@ def _sharded_scan(matrix, scales, source_ids, q, allowed, *, mesh, k, engine, in
         # merge across chips: one small all-gather riding the ICI
         return _merge_local_candidates(vals, rows, k=k, ndev=ndev, n_local=n_local)
 
-    m_spec = P(None, ROWS_AXES) if int4 else P(ROWS_AXES, None)
+    m_spec = P(None, ROWS_AXES) if transposed else P(ROWS_AXES, None)
     return shard_map(
         local,
         mesh=mesh,
@@ -146,17 +164,18 @@ def _sharded_scan(matrix, scales, source_ids, q, allowed, *, mesh, k, engine, in
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "k", "engine", "interpret")
+    jax.jit, static_argnames=("mesh", "k", "engine", "interpret", "fine_bits")
 )
 def _sharded_scan_int2(
     packed2, cscales, packed4, fscales, source_ids, q, allowed,
-    *, mesh, k, engine, interpret,
+    *, mesh, k, engine, interpret, fine_bits=4,
 ):
     """Sharded int2 coarse-to-fine: each chip runs the COMPLETE single-chip
-    pipeline (2-bit sweep -> exact hierarchical select -> in-jit int4
+    pipeline (2-bit sweep -> exact hierarchical select -> in-jit fine
     rescore, ops/topk.scan_int2_coarse_fine) on its row shard, then the
-    per-chip (Q, kl) int4-fine candidates merge with the same all_gather +
-    tiny top-k as every other tier.  Returns (vals, rows, floor) where
+    per-chip (Q, kl) fine candidates merge with the same all_gather +
+    tiny top-k as every other tier.  ``fine_bits`` matches the companion's
+    storage (matrix.fine_bits).  Returns (vals, rows, floor) where
     ``floor`` is the MAX over shards of the per-shard coarse floor.
 
     Soundness of the escalation bound, precisely (what Searcher._scan
@@ -177,7 +196,7 @@ def _sharded_scan_int2(
         kl = min(k, n_local)
         vals, rows, floor = scan_int2_coarse_fine(
             p2, s2, p4, s4, src, q_, allowed_, kl,
-            engine=engine, interpret=interpret,
+            engine=engine, interpret=interpret, fine_bits=fine_bits,
         )
         floor_all = jax.lax.all_gather(floor, ROWS_AXES)  # (ndev, Q)
         gfloor = jnp.max(floor_all, axis=0)
@@ -190,7 +209,7 @@ def _sharded_scan_int2(
         in_specs=(
             P(None, ROWS_AXES),  # coarse (D/4, N) transposed-packed
             P(ROWS_AXES),
-            P(None, ROWS_AXES),  # fine (D/2, N) transposed-packed
+            P(None, ROWS_AXES),  # fine (D/2 or D, N) transposed
             P(ROWS_AXES),
             P(ROWS_AXES),
             P(None, None),
@@ -249,14 +268,17 @@ def _build_fused_sharded(model, searcher, aux_model=None):
         if bits == 2:
             p2, p4 = vectors
             s2, s4 = scales
+            fine8 = p4.dtype == jnp.int8
             if use_coarse:
                 return _sharded_scan_int2(
                     p2, s2, p4, s4, source_ids, qp, allowed,
                     mesh=mesh, k=k, engine=engine, interpret=interpret,
+                    fine_bits=8 if fine8 else 4,
                 )
             vals, rows = _sharded_scan(
                 p4, s4, source_ids, qp, allowed,
                 mesh=mesh, k=k, engine=engine, interpret=interpret,
+                int8t=fine8,
             )
             return vals, rows, None
         if not quantized:
@@ -414,8 +436,9 @@ class ShardedSearcher(Searcher):
         Int2 routing mirrors the base class: single queries with a trusted
         coarse pass run the sharded coarse-to-fine program
         (_sharded_scan_int2); batches, escalations, and audit demotions
-        sweep the int4 fine companion through the standard sharded int4
-        kernels (byte-identical layout)."""
+        sweep the fine companion through the matching sharded kernels
+        (int8t for an int8 companion, else the int4 kernels on the
+        byte-identical int4 layout)."""
         from ..index.searcher import _INT2_MAX_Q
         from ..utils.platform import platform_of
         from .mesh import replicated
@@ -436,16 +459,19 @@ class ShardedSearcher(Searcher):
             if m.packed2:
                 p2, p4 = vectors
                 s2, s4 = scales
+                fine8 = p4.dtype == jnp.int8
                 interpret = platform_of(self.mesh) != "tpu"
                 if qp.shape[0] > _INT2_MAX_Q or not use_coarse:
                     vals, rows = _sharded_scan(
                         p4, s4, source_ids, q_dev, a_dev,
                         mesh=self.mesh, k=kb, engine=engine, interpret=interpret,
+                        int8t=fine8,
                     )
                 else:
                     vals, rows, fl = _sharded_scan_int2(
                         p2, s2, p4, s4, source_ids, q_dev, a_dev,
                         mesh=self.mesh, k=kb, engine=engine, interpret=interpret,
+                        fine_bits=8 if fine8 else 4,
                     )
                     floor = fl
             else:

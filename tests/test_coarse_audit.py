@@ -53,12 +53,15 @@ def test_audit_trusts_isotropic_corpus():
     assert s.coarse_audit["queries"] > 0
 
 
-def test_audit_demotes_on_dense_tie_corpus_and_fine_path_serves():
+@pytest.mark.parametrize("fine", ["int4", "int8"])
+def test_audit_demotes_on_dense_tie_corpus_and_fine_path_serves(fine, monkeypatch):
     """A 20k-row near-duplicate cluster (> kc = 4096) with spread ~0.2 rms:
     the coarse pass can only keep ~4096/20000 of the tie bulk, the audit
     must flunk it, and subsequent queries must return exactly what the
-    int4 tier returns on the same rows (the demoted path IS the int4
-    sweep — byte-identical fine matrix)."""
+    same-width tier returns on the same rows (the demoted path IS that
+    sweep — byte-identical int4 fine matrix, or the int8 companion with
+    the row-major int8 tier's levels and scales)."""
+    monkeypatch.setenv("PERCEIVE_TPU_INT2_FINE", fine)
     rng = np.random.default_rng(1)
     d = 64
     rows = _clustered_rows(rng, n_cluster=20_000, n_bg=4_576, d=d, spread=0.2)
@@ -68,8 +71,8 @@ def test_audit_demotes_on_dense_tie_corpus_and_fine_path_serves():
     assert s.coarse_audit is not None and not s.coarse_audit["trusted"]
     assert not s.matrix.coarse_trusted
     assert s.coarse_audit["overlap"] < 0.95
-    # demoted queries == the int4 tier's results on identical rows
-    ref = Searcher(0, 0, d, dtype=INT4, engine="xla")
+    # demoted queries == the same-width tier's results on identical rows
+    ref = Searcher(0, 0, d, dtype=INT4 if fine == "int4" else jnp.int8, engine="xla")
     ref.upsert_embeddings(ids, [0] * len(rows), rows)
     q = rows[37] + 0.01 * _unit(rng, 1, d)[0]
     q /= np.linalg.norm(q)

@@ -125,10 +125,13 @@ def test_int2_coarse_fine_exact_candidates():
         assert not missing, f"query {qi} lost oracle rows {missing}"
 
 
-def test_int2_searcher_exact_topk_vs_oracle():
+@pytest.mark.parametrize("fine", ["int8", "int4"])
+def test_int2_searcher_exact_topk_vs_oracle(fine, monkeypatch):
+    monkeypatch.setenv("PERCEIVE_TPU_INT2_FINE", fine)
     rng = np.random.default_rng(4)
     n, d, k = 8192, 64, 10
     s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    assert s.matrix.fine_bits == (8 if fine == "int8" else 4)
     rows = _unit_rows(rng, n, d)
     s.upsert_embeddings(list(range(1, n + 1)), [0] * n, rows)
     q = _unit_rows(rng, 4, d)
@@ -175,7 +178,11 @@ def test_int2_retier_mid_session():
     p2, fine = vectors
     s2, s4 = scales
     assert p2.shape == (s.matrix.padded_dim // 4, s.matrix.capacity)
-    assert fine.shape == (s.matrix.padded_dim // 2, s.matrix.capacity)
+    # tiny capacity fits the int8-companion budget, so auto stages the
+    # (D, cap) int8 throughput companion (int2_fine_bits)
+    assert s.matrix.fine_bits == 8
+    assert fine.dtype == jnp.int8
+    assert fine.shape == (s.matrix.padded_dim, s.matrix.capacity)
     q = _unit_rows(rng, 1, d)[0]
     exact = rows @ q
     want = (np.argsort(-exact)[:k] + 1).tolist()
@@ -212,8 +219,11 @@ def test_int2_coarse_floor_triggers_escalation(monkeypatch):
     assert scans["n"] >= 2, "an unbeatable coarse floor must escalate"
 
 
-def test_int2_incremental_sync_scatter():
-    """Delta sync scatters BOTH the coarse and fine device arrays."""
+@pytest.mark.parametrize("fine", ["int8", "int4"])
+def test_int2_incremental_sync_scatter(fine, monkeypatch):
+    """Delta sync scatters BOTH the coarse and fine device arrays (in
+    whichever companion dtype is staged)."""
+    monkeypatch.setenv("PERCEIVE_TPU_INT2_FINE", fine)
     rng = np.random.default_rng(8)
     n, d = 2048, 64
     s = Searcher(0, 0, d, dtype=INT2, engine="xla")
@@ -246,10 +256,13 @@ def test_hier_selection_matches_topk():
     np.testing.assert_array_equal(np.asarray(hi), np.asarray(ti))
 
 
-def test_int2_batch_routes_through_fine_int4():
-    """Batches wider than _INT2_MAX_Q sweep the transposed int4 fine
-    matrix (identical layout to the int4 tier) instead of materializing
-    (Q, N) coarse scores — results stay exact after the f32 rerank."""
+@pytest.mark.parametrize("fine", ["int8", "int4"])
+def test_int2_batch_routes_through_fine(fine, monkeypatch):
+    """Batches wider than _INT2_MAX_Q sweep the transposed fine matrix
+    (int8t kernels for the int8 companion, int4 kernels for the packed
+    one) instead of materializing (Q, N) coarse scores — results stay
+    exact after the f32 rerank."""
+    monkeypatch.setenv("PERCEIVE_TPU_INT2_FINE", fine)
     rng = np.random.default_rng(11)
     n, d, k = 4096, 64, 10
     s = Searcher(0, 0, d, dtype=INT2, engine="xla")
@@ -261,3 +274,110 @@ def test_int2_batch_routes_through_fine_int4():
     for qi in range(len(q)):
         want = (np.argsort(-exact[qi])[:k] + 1).tolist()
         assert [iid for iid, _ in hits[qi]] == want
+
+
+def test_int2_fine_bits_policy(monkeypatch):
+    """int2_fine_bits: env override wins; auto keys on capacity * 1.25
+    bytes/dim vs the budget; the matrix property reports the STORED
+    companion once staged (an env flip mid-session can't desync the
+    scatter path from the device bytes)."""
+    from perceive_tpu.index.matrix import int2_fine_bits
+
+    monkeypatch.setenv("PERCEIVE_TPU_INT2_FINE", "int4")
+    assert int2_fine_bits(512, 64) == 4
+    monkeypatch.setenv("PERCEIVE_TPU_INT2_FINE", "int8")
+    assert int2_fine_bits(10**9, 384) == 8
+    monkeypatch.delenv("PERCEIVE_TPU_INT2_FINE")
+    monkeypatch.setenv("PERCEIVE_TPU_INT2_FINE_INT8_GB", "1")
+    assert int2_fine_bits(1_000_000, 384) == 8  # 0.48 GB <= 1 GB
+    assert int2_fine_bits(4_000_000, 384) == 4  # 1.92 GB > 1 GB
+    monkeypatch.delenv("PERCEIVE_TPU_INT2_FINE_INT8_GB")
+
+    # stored-dtype reporting: stage under int4, flip env, property holds
+    monkeypatch.setenv("PERCEIVE_TPU_INT2_FINE", "int4")
+    rng = np.random.default_rng(20)
+    d = 64
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    rows = _unit_rows(rng, 512, d)
+    s.upsert_embeddings(list(range(1, 513)), [0] * 512, rows)
+    s.matrix.sync()
+    assert s.matrix.fine_bits == 4
+    monkeypatch.setenv("PERCEIVE_TPU_INT2_FINE", "int8")
+    assert s.matrix.fine_bits == 4  # stored companion wins until restage
+    # incremental scatter after the flip still lands in the stored dtype
+    v2 = _unit_rows(rng, 1, d)
+    s.upsert_embeddings([5], [0], v2)
+    assert s.search_vector(v2[0], 1)[0][0] == 5
+
+
+def test_int8t_kernels_match_xla_oracle():
+    """The transposed-int8 kernels (the int2 tier's throughput companion
+    path) reproduce the XLA oracle exactly: same int32 dot, same scales —
+    flat kernel at small Q, slabbed at Q=256."""
+    from perceive_tpu.ops.topk import (
+        pallas_topk_int8t_slabbed,
+        pallas_topk_int8t_unsorted,
+        xla_scores_int8t,
+    )
+
+    rng = np.random.default_rng(21)
+    n, d, k = 2048, 128, 8
+    m = EmbeddingMatrix(d, dtype=INT2, capacity=n)
+    rows = _unit_rows(rng, n, d)
+    q8, scales = m._quantize(rows)  # row-major int8 + scales
+    m8t = jnp.asarray(q8.T.copy())  # (D, N) transposed companion layout
+    src = jnp.zeros((1, n), jnp.int32)
+    sc2 = jnp.asarray(scales).reshape(1, n)
+    allowed = jnp.asarray(_allow_all())
+    for nq, kern in ((3, pallas_topk_int8t_unsorted), (256, pallas_topk_int8t_slabbed)):
+        q = _unit_rows(rng, nq, d)
+        qi8, qscale = quantize_queries(jnp.asarray(q))
+        vals, rws = jax.jit(
+            lambda a, b, c, e, f, g: kern(a, b, c, e, f, g, k, True)
+        )(m8t, sc2, src, qi8, qscale, allowed)
+        oracle = np.asarray(xla_scores_int8t(m8t, jnp.asarray(scales), qi8, qscale))
+        ov = np.sort(oracle, axis=1)[:, ::-1][:, :k]
+        got = np.sort(np.asarray(vals), axis=1)[:, ::-1]
+        np.testing.assert_allclose(got, ov, rtol=1e-6)
+        # rows actually correspond to their scores
+        for qi in range(nq):
+            np.testing.assert_allclose(
+                np.asarray(vals)[qi],
+                oracle[qi, np.asarray(rws)[qi]],
+                rtol=1e-6,
+            )
+
+
+def test_int2_coarse_fine_int8_companion_candidates():
+    """scan_int2_coarse_fine with fine_bits=8: oracle top-k inside the
+    fine fetch, and the fine scores match an int8 rescore of the gathered
+    candidates."""
+    rng = np.random.default_rng(22)
+    n, d, k = 8192, 128, 10  # lane-aligned: direct _quantize* calls skip padding
+    mm = EmbeddingMatrix(d, dtype=INT2, capacity=n)
+    rows = _unit_rows(rng, n, d)
+    packed, s2 = mm._quantize2(rows)
+    q8, s8 = mm._quantize(rows)
+    q = _unit_rows(rng, 2, d)
+    vals, rws, floor = jax.jit(
+        lambda *a: scan_int2_coarse_fine(*a, 128, engine="xla", fine_bits=8)
+    )(
+        jnp.asarray(packed.T.copy()), jnp.asarray(s2), jnp.asarray(q8.T.copy()),
+        jnp.asarray(s8), jnp.zeros(n, jnp.int32), jnp.asarray(q),
+        jnp.asarray(_allow_all()),
+    )
+    vals, rws = np.asarray(vals), np.asarray(rws)
+    exact = q @ rows.T
+    oracle = np.argsort(-exact, axis=1)[:, :k]
+    for qi in range(len(q)):
+        cand = set(rws[qi][np.isfinite(vals[qi])].tolist())
+        missing = [r for r in oracle[qi] if r not in cand]
+        assert not missing, f"query {qi} lost oracle rows {missing}"
+    # fine scores are int8-precision: recompute for the top hit
+    qi8, qscale = quantize_queries(jnp.asarray(q))
+    for qi in range(len(q)):
+        top = rws[qi][0]
+        want = float(
+            np.asarray(qi8)[qi].astype(np.int32) @ q8[top].astype(np.int32)
+        ) * s8[top] * float(np.asarray(qscale)[qi, 0])
+        np.testing.assert_allclose(vals[qi][0], want, rtol=1e-5)

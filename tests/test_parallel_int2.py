@@ -9,6 +9,7 @@ for the escalation bound.  Previously the mesh capped at int4
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from perceive_tpu.index.matrix import INT2, INT4
 from perceive_tpu.index.searcher import Searcher
@@ -69,10 +70,14 @@ def test_sharded_int2_batch_routes_to_fine():
         assert [i for i, _ in g] == [i for i, _ in w]
 
 
-def test_sharded_audit_demotes_and_matches_int4():
+@pytest.mark.parametrize("fine", ["int4", "int8"])
+def test_sharded_audit_demotes_and_matches_fine_tier(fine, monkeypatch):
     """The corpus self-audit runs on the mesh too: a dense-tie corpus
     demotes the sharded coarse pass, and demoted queries return exactly
-    what a sharded int4 searcher returns on the same rows."""
+    what a sharded searcher of the SAME width as the fine companion
+    returns on the same rows (int4 companion == the int4 tier's bytes;
+    int8 companion == the row-major int8 tier's levels and scales)."""
+    monkeypatch.setenv("PERCEIVE_TPU_INT2_FINE", fine)
     rng = np.random.default_rng(2)
     d = 64
     rows = _clustered_rows(rng, n_cluster=20_000, n_bg=4_576, d=d, spread=0.2)
@@ -80,9 +85,11 @@ def test_sharded_audit_demotes_and_matches_int4():
     mesh = make_mesh(4)
     ss = ShardedSearcher(0, 0, d, mesh, dtype=INT2, engine="xla")
     ss.upsert_embeddings(ids, [0] * len(rows), rows)
+    assert ss.matrix.fine_bits == (8 if fine == "int8" else 4)
     assert ss.coarse_audit is not None and not ss.coarse_audit["trusted"]
     assert not ss.matrix.coarse_trusted
-    ref = ShardedSearcher(0, 0, d, mesh, dtype=INT4, engine="xla")
+    ref_dtype = INT4 if fine == "int4" else jnp.int8
+    ref = ShardedSearcher(0, 0, d, mesh, dtype=ref_dtype, engine="xla")
     ref.upsert_embeddings(ids, [0] * len(rows), rows)
     q = rows[37] + 0.01 * _unit(rng, 1, d)[0]
     q /= np.linalg.norm(q)
