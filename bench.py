@@ -33,6 +33,7 @@ Measurement notes:
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -169,10 +170,62 @@ def _marginal_int8_qps(n: int, d: int, allowed, *, iters=3):
         return None
 
 
+@functools.partial(jax.jit, donate_argnums=0)
+def _fill_rows(buf, vals, lo):
+    return jax.lax.dynamic_update_slice(buf, vals, (lo, jnp.zeros((), jnp.int32)))
+
+
+def _rand_i8t(key, d: int, n: int, chunk_rows: int = 48):
+    """(d, n) random int8, built in row chunks with a donated in-place
+    fill: a full-size random.bits call peaks at ~3x the matrix (uint32
+    counter intermediate + bitcast copies) — 11.5 GB for the 3.84 GB
+    companion, an OOM when the packed corpora are already resident
+    (15.75 GB HBM)."""
+    out = jnp.zeros((d, n), jnp.int8)
+    for lo in range(0, d, chunk_rows):
+        rows = min(chunk_rows, d - lo)
+        w = jax.random.bits(jax.random.fold_in(key, lo), (rows, n // 4), jnp.uint32)
+        vals = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(rows, n), jnp.int8
+        )
+        out = _fill_rows(out, vals, jnp.int32(lo))
+    return jax.block_until_ready(out)
+
+
+def _marginal_int8t_qps(n: int, d: int, allowed, *, iters=3):
+    """Batch-2048 throughput of the TRANSPOSED-int8 slabbed kernel at k=40
+    (the 4x rerank over-fetch at int8 precision) — the DEFAULT tier's batch
+    path: int2 batches of >= 2 queries sweep the tier's int8 fine companion
+    (searcher._INT2_MAX_Q = 1; int2_fine_bits picks int8 at this corpus
+    size).  Measured identical to the row-major int8 slab (probe_int8t:
+    19.19k vs 19.21k QPS).  Returns QPS or None."""
+    from perceive_tpu.ops.topk import pallas_topk_int8t_slabbed, quantize_queries
+
+    try:
+        m8t = _rand_i8t(jax.random.PRNGKey(17), d, n)
+        scales2d = jax.block_until_ready(jnp.full((1, n), 0.01, jnp.float32))
+        src2d = jax.block_until_ready(jnp.zeros((1, n), jnp.int32))
+
+        def body(q, m, sc2, s2):
+            qi8, qsc = quantize_queries(q)
+            v, rows = pallas_topk_int8t_slabbed(m, sc2, s2, qi8, qsc, allowed, 40, False)
+            return jnp.sum(v) + jnp.sum(rows.astype(jnp.float32))
+
+        marginal = _injit_marginal(
+            body, (m8t, scales2d, src2d), batch=QUERY_BATCH, d=d,
+            reps=(1, 3), seed_base=900, iters=iters,
+        )
+        return QUERY_BATCH / marginal
+    except Exception as e:  # noqa: BLE001
+        print(f"# int8t slabbed kernel unavailable ({e})", flush=True)
+        return None
+
+
 def _marginal_int4_qps(n: int, d: int, allowed, *, iters=3):
     """Batch-2048 throughput of the int4 SLABBED kernel at k=80 (the 8x
-    rerank over-fetch for k=10) — the default tier's batch throughput.
-    Returns QPS or None."""
+    rerank over-fetch for k=10) — the CAPACITY tier's batch throughput
+    (>24M-row corpora, and the int2 tier's batch path when its companion
+    is int4).  Returns QPS or None."""
     from perceive_tpu.ops.topk import pallas_topk_int4_slabbed, quantize_queries
 
     try:
@@ -203,8 +256,10 @@ def _marginal_single_query_tiers(n: int, d: int, allowed, *, rounds=10, r=8):
     """Single-query p50 of BOTH quantized tiers, measured INTERLEAVED:
 
       int2: the coarse-to-fine default tier (pallas 2-bit sweep -> exact
-            hierarchical top-4096 -> in-jit int4 rescore to the k=128
-            over-fetch, one compiled program, ops/topk.scan_int2_coarse_fine)
+            hierarchical top-4096 -> in-jit INT8-companion rescore to the
+            k=128 over-fetch, one compiled program,
+            ops/topk.scan_int2_coarse_fine with fine_bits=8 — the
+            production companion at this corpus size, int2_fine_bits)
       int4: the capacity tier's candidate pass (k=128 over-fetch)
 
     Sequential per-tier measurement carries ~0.6 ms of cross-process /
@@ -212,8 +267,7 @@ def _marginal_single_query_tiers(n: int, d: int, allowed, *, rounds=10, r=8):
     round-3 probe_tier_ab, which this mirrors): so both pipelines compile
     first, then A/B/A/B alternating rounds of the in-jit repeat marginal,
     median per tier.  The f32 rerank of 128 candidates is host-side
-    microseconds, so these marginals ARE the p50s.  The int4 fine matrix is
-    SHARED between the tiers (byte-identical layout).  Returns
+    microseconds, so these marginals ARE the p50s.  Returns
     (int2_seconds, int4_seconds), either None on kernel failure."""
     from perceive_tpu.ops.topk import (
         pallas_topk_int4_unsorted,
@@ -241,6 +295,13 @@ def _marginal_single_query_tiers(n: int, d: int, allowed, *, rounds=10, r=8):
     try:
         packed4 = gen_packed(jax.random.PRNGKey(13), d // 2)
         packed2 = gen_packed(jax.random.PRNGKey(11), d // 4)
+        # the int2 tier's PRODUCTION fine companion at this corpus size is
+        # int8 (int2_fine_bits: 10M x 384 x 1.25 B/dim = 4.8 GB fits the
+        # budget), so the coarse-to-fine pipeline is measured against an
+        # int8 (D, N) companion — chunk-built (_rand_i8t) because a
+        # full-size build's transients would OOM on top of the 2.9 GB
+        # packed corpora (15.75 GB HBM)
+        m8t = _rand_i8t(jax.random.PRNGKey(17), d, n)
         scales = jax.block_until_ready(jnp.full((n,), 0.01, jnp.float32))
         scales2d = jax.block_until_ready(scales.reshape(1, n))
         src = jax.block_until_ready(jnp.zeros((n,), jnp.int32))
@@ -249,8 +310,10 @@ def _marginal_single_query_tiers(n: int, d: int, allowed, *, rounds=10, r=8):
         print(f"# quantized single-query tiers unavailable ({e})", flush=True)
         return None, None
 
-    def body_int2(q, p2, sc, s1, p4):
-        v, rows, fl = scan_int2_coarse_fine(p2, sc, p4, sc, s1, q, allowed, 128)
+    def body_int2(q, p2, sc, s1, m8):
+        v, rows, fl = scan_int2_coarse_fine(
+            p2, sc, m8, sc, s1, q, allowed, 128, fine_bits=8
+        )
         return jnp.sum(v) + jnp.sum(rows.astype(jnp.float32)) + jnp.sum(fl)
 
     def body_int4(q, p4, sc2, s2):
@@ -259,7 +322,7 @@ def _marginal_single_query_tiers(n: int, d: int, allowed, *, rounds=10, r=8):
         return jnp.sum(v) + jnp.sum(rows.astype(jnp.float32))
 
     cases = {
-        "int2": (body_int2, (packed2, scales, src, packed4)),
+        "int2": (body_int2, (packed2, scales, src, m8t)),
         "int4": (body_int4, (packed4, scales2d, src2d)),
     }
     fns = {}
@@ -372,20 +435,21 @@ def main() -> None:
     p50_int2_s, p50_int4_s = (
         _marginal_single_query_tiers(n, d, allowed) if on_tpu else (None, None)
     )
+    qps_int8t = _marginal_int8t_qps(n, d, allowed) if on_tpu else None
     qps_int4 = _marginal_int4_qps(n, d, allowed) if on_tpu else None
     qps_int8 = _marginal_int8_qps(n, d, allowed) if on_tpu else None
     embed_dps = measure_embed_docs_per_sec()
 
     # The DEFAULT configuration at this corpus size is the int2 coarse-to-
-    # fine tier (index.matrix.auto_matrix_dtype: 4M-24M rows -> int2), so
-    # the headline is the default tier's single-query p50 against the 2 ms
-    # BASELINE.md target (VERDICT r2 #2: report what an out-of-the-box serve
-    # actually ships, not an opt-in env configuration).  vs_baseline is
-    # target_ms / measured_ms, >1 = beating the target.  Batch throughput of
-    # the default tier is the int4 slab number: int2 batches of >=2
-    # queries route to the int4 kernels on the tier's fine matrix
-    # (searcher._INT2_MAX_Q = 1, measured crossover probe_int2r),
-    # byte-identical layout.
+    # fine tier (index.matrix.auto_matrix_dtype: 4M-24M rows -> int2) with
+    # an INT8 fine companion (int2_fine_bits), so the headline is the
+    # default tier's single-query p50 against the 2 ms BASELINE.md target
+    # (VERDICT r2 #2: report what an out-of-the-box serve actually ships,
+    # not an opt-in env configuration).  vs_baseline is target_ms /
+    # measured_ms, >1 = beating the target.  Batch throughput of the
+    # default tier is the TRANSPOSED-int8 slab number: int2 batches of
+    # >=2 queries route to the int8t kernels on the tier's fine companion
+    # (searcher._INT2_MAX_Q = 1, measured crossover probe_int2r).
     headline_p50_ms = (p50_int2_s or p50_int4_s or p50_s) * 1e3
     print(
         json.dumps(
@@ -400,9 +464,12 @@ def main() -> None:
                     else "bf16 (off-TPU fallback)"
                 ),
                 "p50_int4_rerank_ms": p50_int4_s and round(p50_int4_s * 1e3, 3),
-                # default tier batch throughput (int4 slabbed kernel, k=80
-                # over-fetch; exact after the f32 rerank)
-                "qps_default_tier_batch2048": qps_int4 and round(qps_int4, 1),
+                # default tier batch throughput (transposed-int8 slabbed
+                # kernel on the int8 fine companion, k=40 over-fetch;
+                # exact after the f32 rerank)
+                "qps_default_tier_batch2048": qps_int8t and round(qps_int8t, 1),
+                # capacity tier (>24M rows) batch throughput
+                "qps_int4_batch2048": qps_int4 and round(qps_int4, 1),
                 "qps_bf16_batch2048": round(qps, 1),
                 "qps_bf16_vs_10k_target": round(qps / 10_000.0, 3),
                 "p50_bf16_ms": round(p50_ms, 3),

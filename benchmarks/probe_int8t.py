@@ -100,3 +100,16 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# RESULT (1x v5e-class chip via tunnel, 10M x 384, batch 2048, k=40,
+# 8 interleaved rounds, 2026-08-19):
+#   int8_rm   p50 106.618 ms  IQR [106.522, 107.017]  19,208.8 QPS
+#   int8_t    p50 106.701 ms  IQR [106.389, 106.863]  19,193.8 QPS
+# The transposed layout is statistically identical to row-major (paired
+# medians within 0.1%): the MXU consumes the (D, TILE) operand as well as
+# the (TILE, D) one, and the sweep is MXU-bound at this batch width.
+# Adopted: int2_fine_bits defaults the companion to int8 whenever
+# coarse+fine fit the HBM budget — the default tier's batch path goes
+# 10.6k -> 19.2k QPS with no latency or recall cost (int8-precision fine
+# rescoring needs only the factor-4 over-fetch).
