@@ -175,21 +175,28 @@ def _fill_rows(buf, vals, lo):
     return jax.lax.dynamic_update_slice(buf, vals, (lo, jnp.zeros((), jnp.int32)))
 
 
-def _rand_i8t(key, d: int, n: int, chunk_rows: int = 48):
-    """(d, n) random int8, built in row chunks with a donated in-place
-    fill: a full-size random.bits call peaks at ~3x the matrix (uint32
-    counter intermediate + bitcast copies) — 11.5 GB for the 3.84 GB
-    companion, an OOM when the packed corpora are already resident
-    (15.75 GB HBM)."""
-    out = jnp.zeros((d, n), jnp.int8)
-    for lo in range(0, d, chunk_rows):
-        rows = min(chunk_rows, d - lo)
-        w = jax.random.bits(jax.random.fold_in(key, lo), (rows, n // 4), jnp.uint32)
+def rand_i8_chunked(key, shape, chunk_rows: int):
+    """Random int8 array of ``shape``, built in leading-axis chunks with a
+    donated in-place fill: a full-size random.bits call peaks at ~3x the
+    matrix (uint32 counter intermediate + bitcast copies) — 11.5 GB for a
+    3.84 GB corpus, an OOM when other corpora are already resident
+    (15.75 GB HBM).  Shared by benchmarks/ probes (bench.py stays
+    self-contained, so the helper lives here and probes import it)."""
+    rows_total, cols = shape
+    out = jnp.zeros(shape, jnp.int8)
+    for lo in range(0, rows_total, chunk_rows):
+        rows = min(chunk_rows, rows_total - lo)
+        w = jax.random.bits(jax.random.fold_in(key, lo), (rows, cols // 4), jnp.uint32)
         vals = jax.lax.bitcast_convert_type(
-            jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(rows, n), jnp.int8
+            jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(rows, cols), jnp.int8
         )
         out = _fill_rows(out, vals, jnp.int32(lo))
     return jax.block_until_ready(out)
+
+
+def _rand_i8t(key, d: int, n: int, chunk_rows: int = 48):
+    """(d, n) random int8 via rand_i8_chunked (the transposed companion)."""
+    return rand_i8_chunked(key, (d, n), chunk_rows)
 
 
 def _marginal_int8t_qps(n: int, d: int, allowed, *, iters=3):

@@ -22,11 +22,10 @@ MEASURED: see the `# RESULT` comment at the bottom of this file after a
 run; the adoption decision is recorded in BENCH_NOTES.md round-3.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
+from bench import rand_i8_chunked
 from benchmarks.abmarginal import ab_interleaved_marginal, report
 from benchmarks.probe_int2n import D, N, allowed_np
 from perceive_tpu.ops.topk import (
@@ -50,32 +49,11 @@ def main():
     assert jax.default_backend() == "tpu"
     allowed = jnp.asarray(allowed_np)
     # random int8 matrix in both layouts (bit-identical content irrelevant
-    # to timing; build each independently to dodge a 3.8 GB transpose).
-    # Chunked in-place generation: a full-size random.bits call's uint32
-    # intermediate + bitcast copies peak ~3x the matrix (15.75 GB HBM,
-    # verify skill) — donation keeps the peak at matrix + ~0.5 GB.
-    @functools.partial(jax.jit, donate_argnums=0)
-    def _fill(buf, vals, lo):
-        return jax.lax.dynamic_update_slice(
-            buf, vals, (lo, jnp.zeros((), jnp.int32))
-        )
-
-    def rand_i8(key, shape, chunk=1 << 20):
-        out = jnp.zeros(shape, jnp.int8)
-        for lo in range(0, shape[0], chunk):
-            rows = min(chunk, shape[0] - lo)
-            w = jax.random.bits(
-                jax.random.fold_in(key, lo), (rows, shape[1] // 4), jnp.uint32
-            )
-            vals = jax.lax.bitcast_convert_type(
-                jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(rows, shape[1]),
-                jnp.int8,
-            )
-            out = _fill(out, vals, jnp.int32(lo))
-        return jax.block_until_ready(out)
-
-    m8 = rand_i8(jax.random.PRNGKey(21), (N, D))
-    m8t = rand_i8(jax.random.PRNGKey(22), (D, N), chunk=48)
+    # to timing; build each independently to dodge a 3.8 GB transpose),
+    # chunk-built via bench.rand_i8_chunked — a full-size random.bits
+    # call's transients peak ~3x the matrix and OOM the 15.75 GB chip
+    m8 = rand_i8_chunked(jax.random.PRNGKey(21), (N, D), 1 << 20)
+    m8t = rand_i8_chunked(jax.random.PRNGKey(22), (D, N), 48)
     scales2d = jax.block_until_ready(jnp.full((1, N), 0.01, jnp.float32))
     src2d = jax.block_until_ready(jnp.zeros((1, N), jnp.int32))
     print("arrays resident", flush=True)

@@ -152,19 +152,23 @@ def _int2_fine_int8_budget() -> int:
         return 10 * 2**30
 
 
-def int2_fine_bits(capacity: int, padded_dim: int) -> int:
+def int2_fine_bits(capacity: int, padded_dim: int, row_shards: int = 1) -> int:
     """Fine-companion width for an int2-tier matrix of this device shape:
     8 (int8 transposed — int8-class batch QPS and lower-noise fine
     rescoring) when coarse (0.25 B/dim) + fine (1 B/dim) fit the budget,
     else 4 (packed int4, the capacity companion).  PERCEIVE_TPU_INT2_FINE
     = int8 | int4 overrides.  Derived from CAPACITY, not live rows, so the
-    answer only changes on growth — which always forces a full restage."""
+    answer only changes on growth — which always forces a full restage.
+    ``row_shards`` is the number of devices the rows are sharded over
+    (EmbeddingMatrix.row_shards): the budget is PER-CHIP HBM, so a mesh
+    matrix compares its per-chip slice, not the global bytes."""
     env = os.environ.get("PERCEIVE_TPU_INT2_FINE", "auto").lower()
     if env in ("int8", "8"):
         return 8
     if env in ("int4", "4"):
         return 4
-    if capacity * padded_dim * 1.25 <= _int2_fine_int8_budget():
+    per_chip = -(-capacity // max(row_shards, 1))
+    if per_chip * padded_dim * 1.25 <= _int2_fine_int8_budget():
         return 8
     return 4
 
@@ -413,7 +417,7 @@ class EmbeddingMatrix:
         # corpora whose score ties are denser than the int2 grid can rank
         # (topical clusters), the coarse pass silently loses top-k rows and
         # no escalation margin can detect it (BENCH_NOTES round-3,
-        # clustered2) — False reroutes every query to the int4 fine sweep.
+        # clustered2) — False reroutes every query to the fine-companion sweep.
         # The coarse matrix stays resident so a later re-audit (corpus
         # drift) can re-enable it without restaging.
         self.coarse_trusted = True
@@ -439,7 +443,8 @@ class EmbeddingMatrix:
         self._device_vectors = None
         self._device_source_ids = None
         self._device_scales = None  # (capacity,) f32 per-row scales, int8 mode
-        # int2 tier only: the companion int4 fine matrix + its scales
+        # int2 tier only: the companion fine matrix (int8 or packed int4,
+        # int2_fine_bits) + its scales
         self._device_fine = None
         self._device_fine_scales = None
 
@@ -464,6 +469,20 @@ class EmbeddingMatrix:
         return 4 if self.packed4 else (8 if self.dtype == jnp.int8 else 0)
 
     @property
+    def row_shards(self) -> int:
+        """Devices the row axis is sharded over (1 for a single-chip
+        matrix) — the divisor that turns global capacity into the
+        per-chip bytes HBM budgets actually constrain."""
+        try:
+            from jax.sharding import NamedSharding
+
+            if isinstance(self.device, NamedSharding):
+                return self.device.mesh.size
+        except Exception:
+            pass
+        return 1
+
+    @property
     def fine_bits(self) -> int:
         """Int2 tier only: width of the fine companion (8 or 4); 0 for
         every other tier.  Reports the STORED companion when one exists —
@@ -475,7 +494,7 @@ class EmbeddingMatrix:
         df = self._device_fine
         if df is not None:
             return 8 if df.dtype == jnp.int8 else 4
-        return int2_fine_bits(self.capacity, self.padded_dim)
+        return int2_fine_bits(self.capacity, self.padded_dim, self.row_shards)
 
     def _quantize(self, rows_f32: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Per-row symmetric int8: scale = max|v|/127 (min-clamped so all-zero
@@ -631,7 +650,7 @@ class EmbeddingMatrix:
 
     def _stage_full_int2(self) -> None:
         """Full upload for the int2 tier: quantizes the mirror into BOTH the
-        coarse packed-2-bit matrix and the int4 fine companion, in row
+        coarse packed-2-bit matrix and the fine companion, in row
         chunks (same bounded-temporary discipline as _stage_full)."""
         cap = self.capacity
         chunk = self._SYNC_CHUNK_ROWS
@@ -645,8 +664,9 @@ class EmbeddingMatrix:
         # int8-tier QPS), else packed int4 (D/2, cap), byte-identical to
         # the int4 tier's matrix.  A full restage consults the POLICY (not
         # the fine_bits property, which reports whatever is currently
-        # stored): growth or an env change re-decides here.
-        fb = int2_fine_bits(cap, self.padded_dim)
+        # stored): growth or an env change re-decides here.  Per-chip
+        # bytes on a mesh (row_shards).
+        fb = int2_fine_bits(cap, self.padded_dim, self.row_shards)
         if fb == 8:
             fine = np.empty((self.padded_dim, cap), dtype=np.int8)
         else:

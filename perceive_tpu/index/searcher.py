@@ -249,7 +249,7 @@ def _build_fused_search(model, searcher, aux_model=None):
     dim, padded = m.dim, m.padded_dim
     bits = m.quant_bits
     # baked at build time; the fused cache key includes coarse_trusted so an
-    # audit demotion recompiles onto the int4 fine companion
+    # audit demotion recompiles onto the fine companion (int8t or int4)
     use_coarse = m.coarse_trusted
     encode_ids = model._encode_ids_fn
 
@@ -627,7 +627,7 @@ class Searcher:
 
     def audit_coarse(self, max_queries: int = 0, k: int = 10) -> Optional[float]:
         """Measure whether the int2 coarse pass is trustworthy ON THIS
-        corpus, and demote it to the int4 fine sweep when it is not.
+        corpus, and demote it to the fine-companion sweep when it is not.
 
         Why a measurement and not a margin: the coarse pass keeps the
         top-k_coarse rows by int2 score.  On corpora whose top-k score ties
@@ -648,7 +648,7 @@ class Searcher:
 
         Sets ``matrix.coarse_trusted``; False reroutes every query
         (including the fused text program, which recompiles onto the int4
-        fine companion) to the int4 fine sweep.  The coarse matrix stays
+        fine companion) to the fine sweep.  The coarse matrix stays
         resident so a later re-audit (corpus drift, _COARSE_AUDIT_GROWTH)
         can re-enable it without restaging.  Returns the mean top-k
         overlap, or None when not applicable / disabled
@@ -709,7 +709,7 @@ class Searcher:
                 q1, kb, allowed, self.engine, use_coarse=True
             )
             _, cr = self._rerank(vecs[i : i + 1], cvals, crows)
-            # escalation target: int4 fine sweep, one bucket deeper
+            # escalation target: the fine-companion sweep, one bucket deeper
             rvals, rrows, _ = self._device_scan(
                 q1, kb_ref, allowed, ref_engine, use_coarse=False
             )

@@ -687,26 +687,16 @@ def _scan_kernel_int8t(
     _merge_tile_topk(sc_ref, vals_ref, rows_ref, slice(None), t * tile_n, k, n_iota, k_iota)
 
 
-def _pick_tile_int8t(n: int, nq: int, d: int) -> int:
-    for t in _TILES:
-        if n % t:
-            continue
-        # double-buffered (d, tile) int8 tiles + the score block
-        if 2 * d * t + nq * t * 4 <= _VMEM_BUDGET:
-            return t
-    if n % _TILES[-1] == 0:
-        return _TILES[-1]
-    raise ValueError(f"matrix rows {n} not a multiple of {_TILES[-1]}")
-
-
 def pallas_topk_int8t_unsorted(m8t, scales2d, src2d, qi8, qscale, allowed, k: int, interpret: bool, n_sweep: int = 0):
     """Raw transposed-int8 kernel invocation (unsorted buffer).  m8t:
     (D, N) int8 transposed; scales2d (1, N) f32; qi8 (Q, D) int8; qscale
-    (Q, 1) f32."""
+    (Q, 1) f32.  The VMEM bill matches the row-major int8 kernel's
+    (2 t d bytes of double-buffered tiles + the score block), so the
+    shared _pick_tile fit applies."""
     d, n = m8t.shape
     n = _sweep_n(n, n_sweep)
     nq = qi8.shape[0]
-    tile_n = _pick_tile_int8t(n, nq, d)
+    tile_n = _pick_tile(n, nq, d, 1)
     kernel = functools.partial(_scan_kernel_int8t, k=k, tile_n=tile_n, n_filter=allowed.shape[0])
     return pl.pallas_call(
         kernel,

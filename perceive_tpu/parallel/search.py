@@ -259,7 +259,7 @@ def _build_fused_sharded(model, searcher, aux_model=None):
     quantized = m.quantized
     bits = m.quant_bits
     # baked at build time; the fused cache key includes coarse_trusted so an
-    # audit demotion recompiles onto the int4 fine companion (searcher
+    # audit demotion recompiles onto the fine companion (searcher
     # _fused_lookup — shared with the single-chip builder)
     use_coarse = m.coarse_trusted
     encode_ids = model._encode_ids_fn
