@@ -376,7 +376,7 @@ def measure_embed_docs_per_sec() -> float:
     head = HeadConfig(pooling="mean", normalize=True)
     params = init_params(jax.random.PRNGKey(0), arch, head)
 
-    impl = "pallas" if on_tpu else "xla"
+    impl = "tpu" if on_tpu else "xla"  # per-bucket routed production impl
 
     def batches(seed, r):
         # seed-keyed generation: distinct inputs per timed call is what

@@ -44,7 +44,7 @@ def main() -> None:
     params = init_params(jax.random.PRNGKey(0), arch, head)
     fn = make_encode_fn(
         arch, head, compute_dtype=jnp.bfloat16,
-        attention_impl="pallas" if on_tpu else "xla",
+        attention_impl="tpu" if on_tpu else "xla",  # per-bucket routed
     )
 
     rng = np.random.default_rng(0)

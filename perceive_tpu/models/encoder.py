@@ -172,6 +172,24 @@ def _xla_attention(
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
+# Sequence length at which the Pallas fused-attention kernel starts
+# beating XLA's einsum+softmax on TPU, measured per bucket on a v5e-class
+# chip (benchmarks/probe_embed.py / probe_embed2.py, interleaved in-jit
+# marginals, batch sized for ~32k token-rows per case):
+#
+#     seq 128:  XLA 20.3k docs/s   pallas 11.5k   (XLA 1.76x)
+#     seq 256:  XLA  7.7k          pallas  6.8k   (XLA 1.14x)
+#     seq 384:  XLA  4.5k          pallas  4.6k   (pallas 1.03x)
+#     seq 512:  XLA  2.7k          pallas  3.6k   (pallas 1.31x)
+#
+# Short sequences lose to the kernel's per-(batch, head) grid overhead and
+# the (B,S,NH,DH)->(B,NH,S,DH) transpose round-trips; long sequences win
+# because the (S, S) f32 score tensor (x B x NH) stays in VMEM instead of
+# round-tripping HBM.  Each sequence bucket compiles its own program, so
+# routing by the traced static length is free — impl "tpu" below.
+_PALLAS_MIN_SEQ = 384
+
+
 def _attention(
     q: jax.Array,
     k: jax.Array,
@@ -179,6 +197,9 @@ def _attention(
     mask: jax.Array,
     impl: str,
 ) -> jax.Array:
+    if impl == "tpu":
+        # per-bucket routing by the measured crossover above
+        impl = "pallas" if q.shape[1] >= _PALLAS_MIN_SEQ else "xla"
     if impl in ("pallas", "pallas_interpret"):
         from ..ops.attention import fused_attention
 

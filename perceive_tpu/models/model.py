@@ -65,12 +65,16 @@ class Model:
         if attention_impl == "auto":
             # keyed on where the params live, not the process default backend
             # (a CPU-mesh model in a TPU-attached container must not pick the
-            # compiled Pallas kernel; see utils.platform)
+            # compiled Pallas kernel; see utils.platform).  "tpu" routes per
+            # sequence bucket: XLA attention below _PALLAS_MIN_SEQ, the
+            # Pallas kernel at/above it (measured crossover,
+            # encoder._attention) — a blanket "pallas" cost the ingest
+            # bucket (seq 128) 1.76x of its throughput.
             from ..utils.platform import platform_of
 
             leaves = jax.tree.leaves(params)
             plat = platform_of(leaves[0] if leaves else None)
-            attention_impl = "pallas" if plat == "tpu" else "xla"
+            attention_impl = "tpu" if plat == "tpu" else "xla"
         self.attention_impl = attention_impl
         self.compute_dtype = compute_dtype
         # multi-chip state (shard_over): mesh, data-axis size, batch sharding
@@ -144,7 +148,9 @@ class Model:
         self._data_parallel = mesh.shape[DATA_AXIS]
         self._batch_sharding = batch_sharding(mesh)
         if mesh.shape[MODEL_AXIS] > 1:
-            if self.attention_impl == "pallas":
+            if self.attention_impl in ("pallas", "tpu"):
+                # GSPMD can't propagate through pallas_call; the routed
+                # "tpu" impl could still pick the kernel at long buckets
                 self._build_jits("xla")
             self.params = shard_params(self.params, mesh)
             self._encode_ids_dp = None

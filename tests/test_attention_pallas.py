@@ -43,3 +43,36 @@ def test_encoder_pallas_impl_end_to_end():
     out_x = encode_tokens(params, arch, head, ids, mask, types, compute_dtype=jnp.float32, attention_impl="xla")
     out_p = encode_tokens(params, arch, head, ids, mask, types, compute_dtype=jnp.float32, attention_impl="pallas")
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), rtol=1e-4, atol=1e-5)
+
+
+def test_tpu_impl_routes_by_sequence_bucket(monkeypatch):
+    """attention_impl='tpu' picks XLA attention below _PALLAS_MIN_SEQ and
+    the Pallas kernel at/above it (measured crossover, probe_embed2):
+    a blanket 'pallas' cost the seq-128 ingest bucket 1.76x."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from perceive_tpu.models.encoder import _PALLAS_MIN_SEQ, _attention
+    from perceive_tpu.ops import attention as attn_mod
+
+    calls = []
+    real = attn_mod.fused_attention
+
+    def spy(q, k, v, mask, *, interpret=None):
+        calls.append(q.shape[1])
+        return real(q, k, v, mask, interpret=True)
+
+    monkeypatch.setattr(attn_mod, "fused_attention", spy)
+    rng = np.random.default_rng(0)
+
+    def run(s):
+        q = jnp.asarray(rng.standard_normal((2, s, 2, 8)).astype(np.float32))
+        mask = jnp.ones((2, s), jnp.int32)
+        return _attention(q, q, q, mask, "tpu")
+
+    short = max(s for s in (16, 64, 128, 256) if s < _PALLAS_MIN_SEQ)
+    run(short)
+    assert calls == []  # short bucket: XLA path, kernel never invoked
+    run(_PALLAS_MIN_SEQ)
+    assert calls == [_PALLAS_MIN_SEQ]  # long bucket: the Pallas kernel
