@@ -381,3 +381,57 @@ def test_int2_coarse_fine_int8_companion_candidates():
             np.asarray(qi8)[qi].astype(np.int32) @ q8[top].astype(np.int32)
         ) * s8[top] * float(np.asarray(qscale)[qi, 0])
         np.testing.assert_allclose(vals[qi][0], want, rtol=1e-5)
+
+
+@pytest.mark.parametrize("fine", ["int8", "int4"])
+def test_int2_prefix_sweep_exact_past_sweep_min(fine, monkeypatch):
+    """The ladder prefix sweep stays exact through the COARSE-TO-FINE
+    pipeline (and its batch fine-sweep route) with either companion: rows
+    at the top of the high-water mark must be found."""
+    from perceive_tpu.index.matrix import _SWEEP_MIN
+
+    monkeypatch.setenv("PERCEIVE_TPU_INT2_FINE", fine)
+    rng = np.random.default_rng(30)
+    d, n = 16, 120_000  # capacity doubles to 131072 > _SWEEP_MIN
+    vecs = _unit_rows(rng, n, d)
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    s.upsert_embeddings(list(range(1, n + 1)), [0] * n, vecs)
+    m = s.matrix
+    assert m.capacity > _SWEEP_MIN
+    assert n <= m.sweep_rows < m.capacity
+    q = vecs[n - 3] + 0.005 * rng.standard_normal(d).astype(np.float32)
+    want = (np.argsort(-(vecs @ q), kind="stable")[:5] + 1).tolist()
+    assert [i for i, _ in s.search_vector(q, 5)] == want  # coarse route
+    got = s.search_vectors_batch(np.stack([q, vecs[7]]), 5)  # fine batch route
+    assert [i for i, _ in got[0]] == want
+
+
+def test_int2_snapshot_reload_restages_companion_policy(tmp_path, monkeypatch):
+    """Snapshots store the mirror, not the packed arrays — a load restages
+    and re-consults the fine-companion policy, so an env flip between
+    sessions (int4 -> int8) takes effect on reload and search stays
+    exact."""
+    import jax.numpy as jnp
+
+    from perceive_tpu.index.matrix import EmbeddingMatrix
+
+    monkeypatch.setenv("PERCEIVE_TPU_INT2_FINE", "int4")
+    rng = np.random.default_rng(31)
+    n, d = 2048, 64
+    rows = _unit_rows(rng, n, d)
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    s.upsert_embeddings(list(range(1, n + 1)), [0] * n, rows)
+    s.matrix.sync()
+    assert s.matrix.fine_bits == 4
+    path = tmp_path / "snap.npz"
+    s.matrix.save_snapshot(str(path))
+
+    monkeypatch.setenv("PERCEIVE_TPU_INT2_FINE", "int8")
+    m2 = EmbeddingMatrix.load_snapshot(str(path), dtype=INT2)
+    s2 = Searcher(0, 0, d, dtype=INT2, engine="xla", matrix=m2)
+    assert s2.matrix.fine_bits == 8  # policy re-consulted at restage
+    q = rows[37]
+    want = (np.argsort(-(rows @ q))[:5] + 1).tolist()
+    assert [i for i, _ in s2.search_vector(q, 5)] == want
+    vectors, _, _ = s2.matrix.device_view()
+    assert vectors[1].dtype == jnp.int8
