@@ -140,16 +140,27 @@ def auto_matrix_dtype(n_rows: int):
 
 def _int2_fine_int8_budget() -> int:
     """Device bytes the int2 tier's coarse+fine pair may occupy before the
-    fine companion drops from int8 to packed int4
-    (PERCEIVE_TPU_INT2_FINE_INT8_GB, default 10 — conservative for a 16 GB
-    v5e-class chip once scales/ids/score-buffer/encoder params are
-    budgeted)."""
+    fine companion drops from int8 to packed int4.
+
+    PERCEIVE_TPU_INT2_FINE_INT8_GB overrides; otherwise ~64% of the
+    device's reported HBM (the fraction a 10 GB budget is of the bench
+    chip's 15.75 GB — leaves room for scales/ids/score-buffer/encoder
+    params and restage transients), falling back to 10 GB flat when the
+    runtime exposes no memory stats (the tunnel backend doesn't)."""
+    env = os.environ.get("PERCEIVE_TPU_INT2_FINE_INT8_GB")
+    if env is not None:
+        try:
+            return int(float(env) * 2**30)
+        except ValueError:
+            pass
     try:
-        return int(
-            float(os.environ.get("PERCEIVE_TPU_INT2_FINE_INT8_GB", "10")) * 2**30
-        )
-    except ValueError:
-        return 10 * 2**30
+        stats = jax.devices()[0].memory_stats()
+        limit = (stats or {}).get("bytes_limit")
+        if limit:
+            return int(0.64 * limit)
+    except Exception:
+        pass
+    return 10 * 2**30
 
 
 def int2_fine_bits(capacity: int, padded_dim: int, row_shards: int = 1) -> int:
