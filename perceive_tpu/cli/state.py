@@ -162,7 +162,11 @@ class AppState:
                     " AND model_version=?",
                     (self.model.model_id, self.model.model_version),
                 ).fetchone()[0]
-                dtype = auto_matrix_dtype(n_rows)
+                # bytes/row drives the tier: pass the model's (lane-padded)
+                # width so a 768-d model crosses each threshold at half the
+                # rows a 384-d one does
+                padded = -(-self.model.dim // 128) * 128
+                dtype = auto_matrix_dtype(n_rows, padded)
             else:
                 dtype = {
                     "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
@@ -184,7 +188,7 @@ class AppState:
                 if auto:
                     # per-chip tier keying — the ONE rule shared with
                     # mid-session retiers (ShardedSearcher.auto_tier)
-                    dtype = ShardedSearcher.auto_tier(n_rows, mesh)
+                    dtype = ShardedSearcher.auto_tier(n_rows, mesh, padded)
                 self.searcher = ShardedSearcher.build(
                     self.db, self.model.model_id, self.model.model_version,
                     self.model.dim, mesh, engine=engine, dtype=dtype,

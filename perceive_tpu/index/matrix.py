@@ -99,15 +99,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def auto_matrix_dtype(n_rows: int):
-    """Storage dtype for a corpus of ``n_rows`` vectors — the default tier
-    selection (VERDICT r2 #2: the latency tier must be the default, not an
-    opt-in env var).
+def auto_matrix_dtype(n_rows: int, padded_dim: int = 384):
+    """Storage dtype for a corpus of ``n_rows`` vectors of ``padded_dim``
+    dims — the default tier selection (VERDICT r2 #2: the latency tier
+    must be the default, not an opt-in env var).
 
-    The exact scan is HBM-bandwidth-bound, so bytes/row IS the p50: at
-    ~735 GB/s a bf16 384-d sweep costs ~1 ms per million rows.  The rule
-    picks the *least* quantization that keeps a full sweep under the ~2 ms
-    latency target (BASELINE.md):
+    The exact scan is HBM-bandwidth-bound, so BYTES per row IS the p50:
+    at ~735 GB/s a bf16 384-d sweep costs ~1 ms per million rows.  Every
+    threshold below is a bytes crossover measured at 384-d; a wider
+    model (the default MsMarcoBertBaseDotV5 embeds at 768-d) reaches the
+    same bytes at proportionally fewer rows, so the row count scales by
+    padded_dim/384 before the comparison.  The rule picks the *least*
+    quantization that keeps a full sweep under the ~2 ms latency target
+    (BASELINE.md):
 
       <= 1.5M rows   bfloat16   (sweep <= ~1.6 ms; no quantization noise)
       <= 4M rows     int8       (1 byte/dim; sweep <= ~2.1 ms; exact after
@@ -129,11 +133,12 @@ def auto_matrix_dtype(n_rows: int):
     rerank them in f32 against the host mirror, and escalate the fetch when
     the floor can't prove exactness (index/searcher._scan).
     """
-    if n_rows <= 1_500_000:
+    eff = n_rows * max(padded_dim, 1) / 384.0
+    if eff <= 1_500_000:
         return jnp.bfloat16
-    if n_rows <= 4_000_000:
+    if eff <= 4_000_000:
         return jnp.int8
-    if n_rows <= 24_000_000:
+    if eff <= 24_000_000:
         return INT2
     return INT4
 

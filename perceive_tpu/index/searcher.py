@@ -589,7 +589,9 @@ class Searcher:
         from .matrix import auto_matrix_dtype
 
         before = self.matrix.dtype
-        self.matrix.retier(auto_matrix_dtype(len(self.matrix)))
+        self.matrix.retier(
+            auto_matrix_dtype(len(self.matrix), self.matrix.padded_dim)
+        )
         if self.matrix.dtype is not before:
             self._coarse_audit_rows = -1  # fresh tier: re-audit immediately
 

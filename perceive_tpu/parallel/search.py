@@ -389,7 +389,7 @@ class ShardedSearcher(Searcher):
         self._aux_repl = None  # (aux weakref, mesh-replicated params)
 
     @staticmethod
-    def auto_tier(n_rows: int, mesh):
+    def auto_tier(n_rows: int, mesh, padded_dim: int = 384):
         """Auto tier keyed on PER-CHIP rows, not the global count: every
         threshold in auto_matrix_dtype is a per-chip concern — the
         bf16/int8/int2 crossovers are absolute per-chip sweep latencies
@@ -403,13 +403,15 @@ class ShardedSearcher(Searcher):
         restage a multi-GB corpus right after every boot)."""
         from ..index.matrix import auto_matrix_dtype
 
-        return auto_matrix_dtype(-(-max(n_rows, 0) // mesh.size))
+        return auto_matrix_dtype(-(-max(n_rows, 0) // mesh.size), padded_dim)
 
     def _maybe_retier(self) -> None:  # type: ignore[override]
         if not self.auto_retier:
             return
         before = self.matrix.dtype
-        self.matrix.retier(self.auto_tier(len(self.matrix), self.mesh))
+        self.matrix.retier(
+            self.auto_tier(len(self.matrix), self.mesh, self.matrix.padded_dim)
+        )
         if self.matrix.dtype is not before:
             self._coarse_audit_rows = -1  # fresh tier: re-audit immediately
 

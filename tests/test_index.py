@@ -50,7 +50,7 @@ def test_auto_retier_on_mid_session_growth(monkeypatch):
 
     monkeypatch.setattr(
         matmod, "auto_matrix_dtype",
-        lambda n: jnp.int8 if n > 50 else jnp.bfloat16,
+        lambda n, padded_dim=384: jnp.int8 if n > 50 else jnp.bfloat16,
     )
     rng = np.random.default_rng(3)
     d = 16
@@ -341,3 +341,18 @@ def test_recall_at_10_parity():
         hits += len(got & truth)
         total += k
     assert hits / total >= 0.95, hits / total
+
+
+def test_auto_matrix_dtype_scales_with_dim():
+    """Tier thresholds are BYTES crossovers measured at 384-d: a 768-d
+    model must cross each one at half the rows (the default flagship
+    MsMarcoBertBaseDotV5 embeds at 768-d)."""
+    import jax.numpy as jnp
+
+    from perceive_tpu.index.matrix import INT2, INT4, auto_matrix_dtype
+
+    assert auto_matrix_dtype(1_000_000, 768) == jnp.int8  # 2M eff rows
+    assert auto_matrix_dtype(1_000_000, 384) == jnp.bfloat16
+    assert auto_matrix_dtype(3_000_000, 768) == INT2  # 6M eff
+    assert auto_matrix_dtype(13_000_000, 768) == INT4  # 26M eff
+    assert auto_matrix_dtype(13_000_000, 384) == INT2

@@ -165,7 +165,7 @@ def test_mesh_retier_keys_on_per_chip_rows(monkeypatch):
     tier flip must force a fresh audit."""
     seen = []
 
-    def fake_auto(n):
+    def fake_auto(n, padded_dim=384):
         seen.append(n)
         return INT2 if n >= 300 else jnp.int8
 
