@@ -35,7 +35,14 @@ from perceive_tpu.ops.topk import (
     scan_int2_coarse_fine,
 )
 
-N, D, K, FETCH = 10_002_432, 384, 10, 128
+import os
+
+# shape overrides: PERCEIVE_TPU_RECALL_N / _D (round-3: validate the
+# 768-d regime the default flagship model embeds in — N must stay a
+# multiple of 8 and of the 12288 sweep tile)
+N = int(os.environ.get("PERCEIVE_TPU_RECALL_N", 10_002_432))
+D = int(os.environ.get("PERCEIVE_TPU_RECALL_D", 384))
+K, FETCH = 10, 128
 N_QUERIES = 1024
 # coarse depth under test: argv[1], 0 = production default (int2_coarse_depth)
 KC = int(sys.argv[1]) if len(sys.argv) > 1 else 0
@@ -57,7 +64,7 @@ KC = int(sys.argv[1]) if len(sys.argv) > 1 else 0
 MODE = sys.argv[2] if len(sys.argv) > 2 else "gaussian"
 N_CLUSTERS = 2048
 LAM = 0.62
-CHUNK = 1_250_304  # N / 8
+CHUNK = N // 8
 D4, D2 = D // 4, D // 2
 
 

@@ -156,7 +156,7 @@ def test_leaving_int2_clears_stale_verdict(monkeypatch):
     d = 64
     tiers = {"n": INT2}
     monkeypatch.setattr(
-        "perceive_tpu.index.matrix.auto_matrix_dtype", lambda n: tiers["n"]
+        "perceive_tpu.index.matrix.auto_matrix_dtype", lambda n, padded_dim=384: tiers["n"]
     )
     s = Searcher(0, 0, d, dtype=INT2, engine="xla")
     s.auto_retier = True
@@ -212,7 +212,7 @@ def test_retier_into_int2_forces_fresh_audit(monkeypatch):
     d = 64
     monkeypatch.setattr(
         "perceive_tpu.index.matrix.auto_matrix_dtype",
-        lambda n: INT2 if n > 1000 else jnp.int8,
+        lambda n, padded_dim=384: INT2 if n > 1000 else jnp.int8,
     )
     s = Searcher(0, 0, d, dtype=jnp.int8, engine="xla")
     s.auto_retier = True

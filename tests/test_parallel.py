@@ -386,7 +386,7 @@ def test_sharded_auto_retier_mid_session(monkeypatch):
     # chips = 10 stays bf16, 100 rows / 4 chips = 25 crosses the threshold
     monkeypatch.setattr(
         matmod, "auto_matrix_dtype",
-        lambda n: INT4 if n > 12 else jnp.bfloat16,
+        lambda n, padded_dim=384: INT4 if n > 12 else jnp.bfloat16,
     )
     rng = np.random.default_rng(5)
     d = 16
