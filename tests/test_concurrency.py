@@ -235,3 +235,94 @@ def test_search_under_row_churn_stress():
     stop.set()
     t1.join(timeout=30)
     assert not errors, errors
+
+
+def test_full_component_storm(tmp_path):
+    """Cross-component soak: concurrent ingest churn, searches, snapshot
+    autosaves, and auto-retier flips (int8 <-> int2, which restages the
+    matrix and re-runs the coarse audit) for a few seconds — nothing may
+    raise, every search result must be well-formed, and after quiescing
+    the index must answer exactly (anchors still present, oracle top-1).
+
+    This interleaves the lock-order-sensitive paths that the per-feature
+    tests exercise separately: device_view capture/donate, snapshot's
+    chunked writes, retier's full restage, and the audit's sampled
+    sweeps."""
+    import threading
+    import time as _t
+
+    import jax.numpy as jnp
+
+    from perceive_tpu.index.matrix import INT2
+    from perceive_tpu.index.searcher import Searcher
+
+    rng = np.random.default_rng(77)
+    d = 64
+    n_anchor = 512
+    anchors = rng.standard_normal((n_anchor, d)).astype(np.float32)
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+
+    s = Searcher(0, 0, d, dtype=jnp.int8, engine="xla")
+    s.upsert_embeddings(list(range(1, n_anchor + 1)), [0] * n_anchor, anchors)
+
+    stop = _t.time() + 6.0
+    errors: list = []
+    churn_base = 10_000
+
+    def guard(fn):
+        def run():
+            try:
+                while _t.time() < stop:
+                    fn()
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+        return run
+
+    cr = np.random.default_rng(1)
+
+    def churn():
+        ids = (churn_base + cr.integers(0, 4000, 64)).tolist()
+        vecs = cr.standard_normal((64, d)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        s.upsert_embeddings(ids, [1] * 64, vecs)
+        s.remove_items((churn_base + cr.integers(0, 4000, 32)).tolist())
+
+    qr = np.random.default_rng(2)
+
+    def search():
+        q = anchors[qr.integers(0, n_anchor)]
+        hits = s.search_vector(q, 5)
+        assert 1 <= len(hits) <= 5
+        for iid, score in hits:
+            assert isinstance(iid, int) and np.isfinite(score)
+
+    def snapshot():
+        s.matrix.save_snapshot(str(tmp_path / "storm.npz"))
+        _t.sleep(0.2)
+
+    tier = {"flip": 0}
+
+    def retier():
+        tier["flip"] += 1
+        s.matrix.retier(INT2 if tier["flip"] % 2 else jnp.int8)
+        s.audit_coarse()
+        _t.sleep(0.3)
+
+    threads = [
+        threading.Thread(target=guard(fn))
+        for fn in (churn, search, search, snapshot, retier)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:3]
+
+    # quiesce and verify exactness: anchors were never removed, so every
+    # anchor must be its own top-1 with its exact self-score
+    for i in (0, 137, n_anchor - 1):
+        hits = s.search_vector(anchors[i], 1)
+        assert hits[0][0] == i + 1
+        np.testing.assert_allclose(
+            hits[0][1], float(anchors[i] @ anchors[i]), rtol=1e-5
+        )
