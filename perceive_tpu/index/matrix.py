@@ -1156,17 +1156,15 @@ class EmbeddingMatrix:
             has_delta_tracking = self._delta_rows is not None
         token = self._snapshot_token(path)
         if incremental and has_delta_tracking and token is not None:
-            self._write_delta(delta_path, token)
-            return "delta"
+            # _write_delta re-checks tracking under its own lock: an
+            # overflow racing the check above demotes to a full save
+            # instead of crashing on sorted(None) (review r3).
+            if self._write_delta(delta_path, token):
+                return "delta"
         new_token = os.urandom(16).hex()
         for attempt in range(3):
-            gen = self.reuse_gen
-            self._write_full_snapshot(path, locked=attempt == 2, token=new_token)
-            if self.reuse_gen == gen:
+            if self._write_full_snapshot(path, locked=attempt == 2, token=new_token):
                 break
-        with self._lock:
-            self._delta_rows = set()  # fresh base: delta tracking restarts
-            self._delta_removed = set()
         # any leftover delta belongs to the previous base (token mismatch —
         # ignored on load even if this unlink never happens)
         if os.path.exists(delta_path):
@@ -1195,7 +1193,19 @@ class EmbeddingMatrix:
             if os.path.exists(tmp):
                 os.unlink(tmp)
 
-    def _write_full_snapshot(self, path: str, *, locked: bool, token: str) -> None:
+    def _write_full_snapshot(self, path: str, *, locked: bool, token: str) -> bool:
+        """Stream a full base snapshot.  Returns True when the file was
+        atomically published, False when tombstone reuse raced the stream
+        (the caller retries; nothing was replaced on disk — publishing an
+        attempt BEFORE the reuse_gen check would leave a known-inconsistent
+        base live until the retry lands, review r3).
+
+        Delta tracking is reset at the instant the row state is captured
+        (same lock acquisition), not after the write: a remove() landing
+        during the multi-GB stream must survive into the NEXT delta — the
+        just-captured base still holds its key live.  If the attempt does
+        not publish, the pre-capture sets are merged back so the old base's
+        delta stays cumulative."""
         import contextlib
         import zipfile
 
@@ -1204,42 +1214,80 @@ class EmbeddingMatrix:
         outer = self._lock if locked else contextlib.nullcontext()
         with outer:
             with self._lock:
+                gen = self.reuse_gen
                 rows = self.rows
                 item_ids = self.item_ids[:rows].copy()
                 source_ids = self.source_ids[:rows].copy()
+                old_delta_rows = self._delta_rows
+                old_delta_removed = self._delta_removed
+                self._delta_rows = set()  # fresh base: tracking restarts
+                self._delta_removed = set()
 
-            def write(tmp: str) -> None:
-                with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED, allowZip64=True) as zf:
-                    for name, arr in (
-                        ("dim", np.int64(self.dim)),
-                        ("base_token", np.str_(token)),
-                        ("item_ids", item_ids),
-                        ("source_ids", source_ids),
-                    ):
-                        with zf.open(name + ".npy", "w", force_zip64=True) as f:
-                            npf.write_array(f, np.asarray(arr), allow_pickle=False)
-                    # vectors stream chunk by chunk: header for the full
-                    # shape, then per-chunk bytes copied under a short lock
-                    with zf.open("vectors.npy", "w", force_zip64=True) as f:
-                        npf.write_array_header_1_0(
-                            f,
-                            {"descr": "<f4", "fortran_order": False,
-                             "shape": (rows, self.dim)},
-                        )
-                        for lo in range(0, rows, self._SYNC_CHUNK_ROWS):
-                            hi = min(lo + self._SYNC_CHUNK_ROWS, rows)
-                            with self._lock:
-                                chunk = self._mirror.read_f32(slice(lo, hi), self.dim)
-                            f.write(np.ascontiguousarray(chunk).tobytes())
+            published = False
+            try:
 
-            self._replace_into(path, write)
+                def write(tmp: str) -> None:
+                    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED, allowZip64=True) as zf:
+                        for name, arr in (
+                            ("dim", np.int64(self.dim)),
+                            ("base_token", np.str_(token)),
+                            ("item_ids", item_ids),
+                            ("source_ids", source_ids),
+                        ):
+                            with zf.open(name + ".npy", "w", force_zip64=True) as f:
+                                npf.write_array(f, np.asarray(arr), allow_pickle=False)
+                        # vectors stream chunk by chunk: header for the full
+                        # shape, then per-chunk bytes copied under a short lock
+                        with zf.open("vectors.npy", "w", force_zip64=True) as f:
+                            npf.write_array_header_1_0(
+                                f,
+                                {"descr": "<f4", "fortran_order": False,
+                                 "shape": (rows, self.dim)},
+                            )
+                            for lo in range(0, rows, self._SYNC_CHUNK_ROWS):
+                                hi = min(lo + self._SYNC_CHUNK_ROWS, rows)
+                                with self._lock:
+                                    chunk = self._mirror.read_f32(slice(lo, hi), self.dim)
+                                f.write(np.ascontiguousarray(chunk).tobytes())
 
-    def _write_delta(self, delta_path: str, token: str) -> None:
+                tmp = f"{path}.tmp.{os.getpid()}"
+                try:
+                    write(tmp)
+                    # publish under the lock: reuse_gen bumps hold the lock,
+                    # so an unchanged gen here proves no tombstone reuse
+                    # happened before the replace
+                    with self._lock:
+                        if self.reuse_gen == gen:
+                            os.replace(tmp, path)
+                            published = True
+                finally:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
+            finally:
+                if not published:
+                    with self._lock:
+                        if old_delta_rows is None:
+                            # tracking was already overflowed pre-capture:
+                            # the lost records can't be resurrected; stay
+                            # in forced-full-save mode
+                            self._delta_rows = None
+                            self._delta_removed = set()
+                        elif self._delta_rows is not None:
+                            self._delta_rows |= old_delta_rows
+                            self._delta_removed |= old_delta_removed
+                            self._delta_overflow_check()
+            return published
+
+    def _write_delta(self, delta_path: str, token: str) -> bool:
         """Cumulative delta since the last full base: (chunk keys, source
         ids, f32 vectors) of every row changed since the base plus the keys
         removed since it — applied by remove-then-upsert on load, so row
         numbers need not match the base's and re-added keys win.  Carries
         the base's token (only applied to that exact base).
+
+        Returns False (nothing written; caller does a full save) when delta
+        tracking overflowed to None between the caller's check and this
+        lock — sorted(None) would otherwise crash the save (review r3).
 
         The changed-row set, the removed-key set, and the row CONTENTS are
         captured under ONE lock acquisition: capturing the sets in an
@@ -1247,6 +1295,8 @@ class EmbeddingMatrix:
         slip out of removed_keys while the base still holds the key live —
         resurrecting the item on a crash-reload (review r3)."""
         with self._lock:  # one bounded copy (delta capped at _note_delta)
+            if self._delta_rows is None:
+                return False
             idx = np.asarray(sorted(self._delta_rows), dtype=np.int64)
             removed = sorted(self._delta_removed)
             item_ids = self.item_ids[idx].copy()
@@ -1271,6 +1321,7 @@ class EmbeddingMatrix:
                         npf.write_array(f, np.asarray(arr), allow_pickle=False)
 
         self._replace_into(delta_path, write_zip)
+        return True
 
     # Rows per chunk when streaming snapshot vectors back in at load time.
     # 1M × 384-d f32 ≈ 1.5 GB peak transient — bounded regardless of corpus

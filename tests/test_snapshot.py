@@ -313,3 +313,105 @@ def test_snapshot_delta_remove_racing_token_read(tmp_path, monkeypatch):
     assert 5 not in m2.row_of, "racing remove resurrected by the delta"
     assert 31 in m2.row_of
     assert len(m2) == 30
+
+def test_snapshot_delta_overflow_racing_save_demotes_to_full(tmp_path, monkeypatch):
+    """Delta tracking overflowing to None between save_snapshot's check and
+    the delta write must demote the save to a full base, not crash on
+    sorted(None) (review r3)."""
+    from perceive_tpu.index.matrix import EmbeddingMatrix
+
+    rng = np.random.default_rng(13)
+    m = EmbeddingMatrix(16, dtype=np.float32)
+    m.upsert(list(range(1, 21)), [0] * 20, rng.standard_normal((20, 16)).astype(np.float32))
+    snap = str(tmp_path / "ovf.npz")
+    assert m.save_snapshot(snap) == "full"
+    m.upsert([21], [0], rng.standard_normal((1, 16)).astype(np.float32))
+
+    orig_token = EmbeddingMatrix._snapshot_token
+
+    def overflowing_token(path):
+        tok = orig_token(path)
+        m._delta_rows = None  # concurrent churn overflowed tracking
+        m._delta_removed = set()
+        return tok
+
+    monkeypatch.setattr(EmbeddingMatrix, "_snapshot_token", staticmethod(overflowing_token))
+    assert m.save_snapshot(snap) == "full"  # demoted, no TypeError
+    monkeypatch.setattr(EmbeddingMatrix, "_snapshot_token", staticmethod(orig_token))
+    m2 = EmbeddingMatrix.load_snapshot(snap, dtype=np.float32)
+    assert len(m2) == 21 and 21 in m2.row_of
+
+
+def test_snapshot_remove_racing_full_write_survives_into_delta(tmp_path, monkeypatch):
+    """A remove() landing during the streamed full write must survive into
+    the NEXT delta: the just-captured base still holds the key live, so
+    clearing the delta sets after the write would let the raw loader
+    resurrect the item (review r3 — sets now swap at capture time)."""
+    import perceive_tpu.index.matrix as matmod
+    from perceive_tpu.index.matrix import EmbeddingMatrix
+
+    rng = np.random.default_rng(17)
+    m = EmbeddingMatrix(16, dtype=np.float32)
+    m.upsert(list(range(1, 31)), [0] * 30, rng.standard_normal((30, 16)).astype(np.float32))
+
+    orig = np.ascontiguousarray
+    fired = {"n": 0}
+
+    def racing_copy(a, *args, **kw):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            m.remove([5])  # lands mid-stream, after the capture
+        return orig(a, *args, **kw)
+
+    monkeypatch.setattr(matmod.np, "ascontiguousarray", racing_copy)
+    snap = str(tmp_path / "midrm.npz")
+    assert m.save_snapshot(snap) == "full"
+    monkeypatch.setattr(matmod.np, "ascontiguousarray", orig)
+    assert fired["n"] == 1
+    # base (captured pre-remove) holds key 5 live; the delta must carry it
+    m.upsert([31], [0], rng.standard_normal((1, 16)).astype(np.float32))
+    assert m.save_snapshot(snap) == "delta"
+    m2 = EmbeddingMatrix.load_snapshot(snap, dtype=np.float32)
+    assert 5 not in m2.row_of, "mid-save remove lost: raw load resurrected it"
+    assert 31 in m2.row_of and len(m2) == 30
+
+
+def test_snapshot_failed_attempt_never_published(tmp_path, monkeypatch):
+    """An attempt that observes tombstone reuse mid-stream must NOT replace
+    the previous good base (review r3: publish used to precede the
+    reuse_gen check) and must restore the delta sets it swapped out."""
+    import perceive_tpu.index.matrix as matmod
+    from perceive_tpu.index.matrix import EmbeddingMatrix
+
+    rng = np.random.default_rng(19)
+    m = EmbeddingMatrix(16, dtype=np.float32)
+    m.upsert(list(range(1, 21)), [0] * 20, rng.standard_normal((20, 16)).astype(np.float32))
+    snap = str(tmp_path / "pub.npz")
+    assert m.save_snapshot(snap) == "full"
+    good_token = EmbeddingMatrix._snapshot_token(snap)
+
+    m.upsert([21], [0], rng.standard_normal((1, 16)).astype(np.float32))
+    with m._lock:
+        pre_delta = set(m._delta_rows)
+    assert pre_delta  # the new row is tracked against the good base
+
+    orig = np.ascontiguousarray
+
+    def reuse_copy(a, *args, **kw):
+        with m._lock:
+            m.reuse_gen += 1  # simulated tombstone reuse mid-stream
+        return orig(a, *args, **kw)
+
+    monkeypatch.setattr(matmod.np, "ascontiguousarray", reuse_copy)
+    assert m._write_full_snapshot(snap, locked=False, token="bad") is False
+    monkeypatch.setattr(matmod.np, "ascontiguousarray", orig)
+
+    assert EmbeddingMatrix._snapshot_token(snap) == good_token, (
+        "inconsistent attempt was published over the good base"
+    )
+    with m._lock:
+        assert pre_delta <= m._delta_rows, "delta sets not restored on failure"
+    # and the good base + its (still-valid) delta reload exactly
+    assert m.save_snapshot(snap) == "delta"
+    m2 = EmbeddingMatrix.load_snapshot(snap, dtype=np.float32)
+    assert len(m2) == 21 and 21 in m2.row_of
