@@ -105,8 +105,9 @@ def _run_scan(
         ticker = threading.Thread(target=_progress_ticker, args=(stats, stop), daemon=True)
         ticker.start()
     start = time.time()
-    on_emb = state.searcher.upsert_embeddings if state.searcher else None
-    on_rm = state.searcher.remove_items if state.searcher else None
+    on_emb, on_rm = (
+        state.searcher.pipeline_hooks() if state.searcher else (None, None)
+    )
     ok = False
     try:
         stats, ok = scan_source(
@@ -323,8 +324,9 @@ def source_reprocess(state, args) -> None:
     src = state.source_by_name(args.name)
     if src is None:
         raise SystemExit(f"No source named {args.name}")
-    on_emb = state.searcher.upsert_embeddings if state.searcher else None
-    on_rm = state.searcher.remove_items if state.searcher else None
+    on_emb, on_rm = (
+        state.searcher.pipeline_hooks() if state.searcher else (None, None)
+    )
     stats, ok = reprocess_source(
         state.db, state.model, src, on_embeddings=on_emb, on_removed=on_rm
     )

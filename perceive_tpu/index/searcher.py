@@ -385,6 +385,9 @@ class Searcher:
         self.coarse_audit: Optional[dict] = None
         self._coarse_audit_rows = -1
         self._audit_seq = 0  # fresh sampling seed per audit
+        # retier/audit deferred by maintenance=False hook calls (pipeline
+        # write stage: never inside its open SQLite write txn — review r3)
+        self._maintenance_due = False
 
     # -- build ---------------------------------------------------------------
 
@@ -560,13 +563,25 @@ class Searcher:
     # -- incremental updates (pipeline hooks; HNSW couldn't do these) --------
 
     def upsert_embeddings(
-        self, item_ids: Sequence, source_ids: Sequence[int], vectors: np.ndarray
+        self,
+        item_ids: Sequence,
+        source_ids: Sequence[int],
+        vectors: np.ndarray,
+        *,
+        maintenance: bool = True,
     ) -> None:
         """Stream vectors into the device matrix.
 
         ``item_ids`` entries are plain item ids (chunk 0) or
         (item_id, chunk_idx) pairs for chunk-embedded documents.  Chunk keys
         no longer present for an item (document shrank) are tombstoned.
+
+        ``maintenance=False`` defers the retier/coarse-audit pass to a later
+        :meth:`run_deferred_maintenance` — the ingest write stage calls this
+        hook inside its open SQLite write transaction (the matrix mutation
+        must commit-or-not with the rows), and a mid-ingest retier restages
+        the whole matrix + runs ~2(n+1) audit dispatches, which must never
+        happen while the DB write lock is held (review r3).
         """
         keys: list[int] = []
         per_item: dict[int, set[int]] = {}
@@ -580,8 +595,38 @@ class Searcher:
         if stale:
             self.matrix.remove(stale)
         self.matrix.upsert(keys, source_ids, vectors)
-        self._maybe_retier()
-        self._audit_coarse_if_stale()
+        if maintenance:
+            self._maybe_retier()
+            self._audit_coarse_if_stale()
+        else:
+            self._maintenance_due = True
+
+    def run_deferred_maintenance(self) -> None:
+        """Run the retier/audit pass deferred by ``maintenance=False`` hook
+        calls.  Idempotent; called by the ingest write stage after each
+        batch's transaction commits."""
+        if self._maintenance_due:
+            self._maintenance_due = False
+            self._maybe_retier()
+            self._audit_coarse_if_stale()
+
+    def pipeline_hooks(self):
+        """(on_embeddings, on_removed) for the ingest write stage: identical
+        to upsert_embeddings/remove_items but with retier/audit deferred to
+        an ``after_commit`` attribute the write stage invokes once the
+        batch's SQLite transaction has committed (review r3: a mid-ingest
+        retier/audit used to hold the DB write lock across a full device
+        restage plus ~26 search dispatches)."""
+
+        def on_embeddings(item_ids, source_ids, vectors):
+            self.upsert_embeddings(item_ids, source_ids, vectors, maintenance=False)
+
+        def on_removed(item_ids):
+            self.remove_items(item_ids, maintenance=False)
+
+        on_embeddings.after_commit = self.run_deferred_maintenance
+        on_removed.after_commit = self.run_deferred_maintenance
+        return on_embeddings, on_removed
 
     def _maybe_retier(self) -> None:
         if not self.auto_retier:
@@ -759,14 +804,18 @@ class Searcher:
             )
         return overlap
 
-    def remove_items(self, item_ids: Sequence[int]) -> int:
-        """Tombstone every chunk of each item."""
+    def remove_items(self, item_ids: Sequence[int], *, maintenance: bool = True) -> int:
+        """Tombstone every chunk of each item.  ``maintenance=False`` defers
+        the audit as in :meth:`upsert_embeddings`."""
         keys = [k for iid in item_ids for k in self.matrix.keys_of_group(int(iid))]
         n = self.matrix.remove(keys)
         if n:
             # shrinks move the tie structure too (round-3 review: a removal
             # wave can strip the easy background out from under the audit)
-            self._audit_coarse_if_stale()
+            if maintenance:
+                self._audit_coarse_if_stale()
+            else:
+                self._maintenance_due = True
         return n
 
     # -- query ---------------------------------------------------------------

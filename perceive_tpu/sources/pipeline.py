@@ -460,7 +460,19 @@ def _write_stage(
     """Single writer, one transaction per batch (reference update_db.rs:8-139).
     ``on_embeddings`` receives (keys, source_ids, vectors) after each commit
     — keys are (item_id, chunk_idx) pairs — the incremental device-matrix
-    update hook the HNSW never had."""
+    update hook the HNSW never had.
+
+    Hooks carrying an ``after_commit`` attribute (Searcher.pipeline_hooks)
+    get it invoked once per batch AFTER the transaction closes: expensive
+    index maintenance (retier restage, coarse audit) must never run while
+    the DB write lock is held (review r3)."""
+    after_commit = [
+        ac
+        for ac in {
+            getattr(h, "after_commit", None) for h in (on_embeddings, on_removed)
+        }
+        if ac is not None
+    ]
     for batch in _drain_queue(in_q):
         with stats.write_time.track(), db.write() as conn:
             new = changed = unchanged = 0
@@ -615,6 +627,8 @@ def _write_stage(
                 on_embeddings(dev_ids, dev_srcs, np.stack(dev_vecs))
             if on_removed is not None and removed_ids:
                 on_removed(removed_ids)
+        for ac in after_commit:  # txn closed: run deferred maintenance
+            ac()
         stats.added.add(new)
         stats.changed.add(changed)
         stats.unchanged.add(unchanged)

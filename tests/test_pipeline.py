@@ -476,3 +476,45 @@ def test_hidden_item_stays_out_of_matrix_on_rescan(tmp_db, tmp_path, model):
     keys = [(hid, ci) for ci, _ in chunks]
     searcher.upsert_embeddings(keys, [src.id] * len(keys), np.stack([v for _, v in chunks]))
     assert hid in {key_item(k) for k in searcher.matrix.row_of}
+
+
+def test_maintenance_never_runs_inside_write_txn(tmp_db, tmp_path, model, monkeypatch):
+    """Index maintenance (retier restage, coarse audit) must run AFTER each
+    write batch's SQLite transaction commits, never while the write lock is
+    held — a mid-ingest retier/audit can take seconds-to-minutes at int2
+    scale and would starve every other writer (review r3).  The pipeline
+    hooks defer it; _write_stage invokes after_commit outside the txn."""
+    from perceive_tpu.index.searcher import Searcher as S
+
+    root = _make_tree(tmp_path / "docs")
+    src = _add_fs_source(tmp_db, root)
+    searcher = Searcher(0, 0, model.dim, engine="xla")
+    searcher.auto_retier = True
+
+    in_txn_calls = []
+    maintenance_calls = []
+    orig_retier = S._maybe_retier
+    orig_audit = S._audit_coarse_if_stale
+
+    def spy(name, orig):
+        def wrapper(self):
+            maintenance_calls.append(name)
+            if tmp_db._write_conn.in_transaction:
+                in_txn_calls.append(name)
+            return orig(self)
+
+        return wrapper
+
+    monkeypatch.setattr(S, "_maybe_retier", spy("retier", orig_retier))
+    monkeypatch.setattr(S, "_audit_coarse_if_stale", spy("audit", orig_audit))
+
+    on_emb, on_rm = searcher.pipeline_hooks()
+    stats, ok = scan_source(
+        tmp_db, model, src, on_embeddings=on_emb, on_removed=on_rm, embed_batch_size=2
+    )
+    assert ok and stats.encoded.value == 3
+    assert len(searcher.matrix) == 3  # hook data path still ran in-txn
+    assert maintenance_calls, "deferred maintenance never ran"
+    assert not in_txn_calls, (
+        f"maintenance ran inside the open write transaction: {in_txn_calls}"
+    )
