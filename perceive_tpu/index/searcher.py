@@ -222,7 +222,7 @@ def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engi
     return (*_scan_topk_xla_impl(vectors, source_ids, qp, allowed, k, n_sweep), None)
 
 
-def _build_fused_search(model, searcher, aux_model=None):
+def _build_fused_search(model, searcher, aux_model=None, *, use_coarse=True):
     """ONE compiled program for a text query: token ids -> encoder -> query
     pad -> scan kernel -> sorted top-k (VERDICT r2 #1; the in-process call
     stack of reference search.rs:157-193 as a single XLA executable).
@@ -248,9 +248,9 @@ def _build_fused_search(model, searcher, aux_model=None):
     interpret = platform_of(m.device) != "tpu"
     dim, padded = m.dim, m.padded_dim
     bits = m.quant_bits
-    # baked at build time; the fused cache key includes coarse_trusted so an
-    # audit demotion recompiles onto the fine companion (int8t or int4)
-    use_coarse = m.coarse_trusted
+    # ``use_coarse`` is baked at build time and part of the fused cache key
+    # (_fused_lookup): an audit demotion or the depth rule (_coarse_pays)
+    # selects the program compiled onto the fine companion (int8t or int4)
     encode_ids = model._encode_ids_fn
 
     if aux_model is not None:
@@ -932,6 +932,13 @@ class Searcher:
             want = 2 * want  # chunk dedupe needs extra candidates
         return want
 
+    @staticmethod
+    def _coarse_pays(kb: int) -> bool:
+        """THE int2 depth rule, single home (used by _scan and search_fused —
+        review r3: two diverging copies): fetching half the coarse set means
+        the coarse pass stops paying; sweep the fine companion directly."""
+        return 2 * kb <= INT2_COARSE_FETCH
+
     def _pad_queries(self, q: np.ndarray) -> np.ndarray:
         """Zero-pad queries to the matrix's lane-aligned width — the ONE
         place the padding rule lives (shared by _scan and audit_coarse)."""
@@ -951,8 +958,7 @@ class Searcher:
         use_coarse = m.coarse_trusted
         while True:
             kb = _k_bucket(want, m.rows)
-            if m.packed2 and 2 * kb > INT2_COARSE_FETCH:
-                # fetching half the coarse set: the coarse pass stops paying
+            if m.packed2 and not self._coarse_pays(kb):
                 use_coarse = False
             coarse_now = m.packed2 and use_coarse and q.shape[0] <= _INT2_MAX_Q
             engine = self.engine
@@ -1219,21 +1225,27 @@ class Searcher:
     # subclass instead replicates the aux params once — _fused_aux_params)
     _supports_fused_aux = True
 
-    def _fused_callable(self, model, aux_model=None):
-        return self._fused_lookup(model, _build_fused_search, aux_model)
+    def _fused_callable(self, model, aux_model=None, *, use_coarse=None):
+        return self._fused_lookup(
+            model, _build_fused_search, aux_model, use_coarse=use_coarse
+        )
 
-    def _fused_lookup(self, model, builder, aux_model=None):
-        """Per-(engine, tier) cache of the fused program, validated against
-        the model(s) by WEAK reference — id()-keying could serve a stale
-        program built for a garbage-collected model whose address was
+    def _fused_lookup(self, model, builder, aux_model=None, *, use_coarse=None):
+        """Per-(engine, tier, route) cache of the fused program, validated
+        against the model(s) by WEAK reference — id()-keying could serve a
+        stale program built for a garbage-collected model whose address was
         reused (after `model set`), and strong refs would pin multi-GB
-        params per swap."""
+        params per swap.  ``use_coarse`` selects the int2 pipeline variant
+        (False = compiled onto the fine companion: audit demotion or the
+        depth rule); None resolves to the matrix's live audit verdict."""
         import weakref
 
+        if use_coarse is None:
+            use_coarse = self.matrix.coarse_trusted
         key = (
             self.engine,
             self.matrix.quant_bits,
-            self.matrix.coarse_trusted,  # audit demotion -> int4-path program
+            use_coarse,
             aux_model is not None,
         )
         entry = self._fused_cache.get(key)
@@ -1244,10 +1256,10 @@ class Searcher:
         ):
             return entry[1]
         if aux_model is not None:
-            fn = builder(model, self, aux_model)
+            fn = builder(model, self, aux_model, use_coarse=use_coarse)
             self._fused_cache[key] = (weakref.ref(model), fn, weakref.ref(aux_model))
         else:
-            fn = builder(model, self)
+            fn = builder(model, self, use_coarse=use_coarse)
             self._fused_cache[key] = (weakref.ref(model), fn, None)
         return fn
 
@@ -1303,7 +1315,12 @@ class Searcher:
             return hits, (aux_model.encode_query(query) if hits else None)
         fuse_aux = aux_model is not None and self._supports_fused_aux
         allowed = self._allowed_arrays(source_ids)[0]
-        fn = self._fused_callable(model, aux_model if fuse_aux else None)
+        # same routing rule as _scan (single home: _coarse_pays) — a deep
+        # first fetch compiles/uses the fine-companion program variant
+        use_coarse = m.coarse_trusted and (not m.packed2 or self._coarse_pays(kb))
+        fn = self._fused_callable(
+            model, aux_model if fuse_aux else None, use_coarse=use_coarse
+        )
         ids = model.tokenizer.encode_batch_ids([query], pad_batch_to=1)
         if fuse_aux:
             aux_ids = aux_model.tokenizer.encode_batch_ids([query], pad_batch_to=1)

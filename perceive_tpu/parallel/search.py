@@ -241,7 +241,7 @@ def sharded_scan_topk(mesh, matrix, source_ids, q, allowed, k: int, engine: str 
     )
 
 
-def _build_fused_sharded(model, searcher, aux_model=None):
+def _build_fused_sharded(model, searcher, aux_model=None, *, use_coarse=True):
     """ONE compiled program for a text query on the MESH: token ids ->
     encoder (replicated params, or GSPMD-partitioned under TP) -> the
     shard_map per-chip scan + all_gather merge (_sharded_scan) -> top-k.
@@ -258,10 +258,9 @@ def _build_fused_sharded(model, searcher, aux_model=None):
     dim, padded = m.dim, m.padded_dim
     quantized = m.quantized
     bits = m.quant_bits
-    # baked at build time; the fused cache key includes coarse_trusted so an
-    # audit demotion recompiles onto the fine companion (searcher
-    # _fused_lookup — shared with the single-chip builder)
-    use_coarse = m.coarse_trusted
+    # ``use_coarse`` is baked at build time and part of the fused cache key
+    # (searcher._fused_lookup, shared with the single-chip builder): audit
+    # demotion or the depth rule selects the fine-companion program
     encode_ids = model._encode_ids_fn
 
     def scan(vectors, source_ids, scales, qp, allowed, k):
@@ -332,8 +331,10 @@ class ShardedSearcher(Searcher):
 
     _fused_takes_sweep = False  # see Searcher: mesh sweep ignores n_sweep
 
-    def _fused_callable(self, model, aux_model=None):  # type: ignore[override]
-        return self._fused_lookup(model, _build_fused_sharded, aux_model)
+    def _fused_callable(self, model, aux_model=None, *, use_coarse=None):  # type: ignore[override]
+        return self._fused_lookup(
+            model, _build_fused_sharded, aux_model, use_coarse=use_coarse
+        )
 
     def _fused_aux_params(self, aux_model):  # type: ignore[override]
         """Replicate the aux (highlights) model's params onto the mesh ONCE

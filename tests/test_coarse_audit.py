@@ -264,3 +264,32 @@ def test_demotion_recompiles_fused_program():
     texts_hits = s.search_fused(model, "alpha beta", 2)
     want = s.search(model, "alpha beta", 2)
     assert [i for i, _ in texts_hits] == [i for i, _ in want]
+
+
+def test_fused_deep_fetch_routes_to_fine_companion(monkeypatch):
+    """search_fused must apply the SAME int2 depth rule as _scan (single
+    home: Searcher._coarse_pays, review r3): a deep first fetch
+    (2*kb > coarse set) uses the fine-companion fused variant, never the
+    coarse pipeline at a depth where its hierarchical select stops paying."""
+    from tests.test_parallel import _tiny_model
+
+    monkeypatch.setenv("PERCEIVE_TPU_COARSE_AUDIT", "0")  # isolate routing
+    model, words = _tiny_model()
+    rng = np.random.default_rng(21)
+    n = 4608
+    s = Searcher(0, 0, model.dim, dtype=INT2, engine="xla")
+    s.upsert_embeddings(list(range(1, n + 1)), [0] * n, _unit(rng, n, model.dim))
+    assert s.matrix.coarse_trusted
+    k = 1024
+    kb = searcher_mod._k_bucket(s._first_fetch(k), s.matrix.rows)
+    assert not s._coarse_pays(kb), "test premise: this fetch must be deep"
+    hits = s.search_fused(model, "alpha beta", k)
+    routes = {key[:3] for key in s._fused_cache}
+    assert (s.engine, 2, False) in routes, "deep fused fetch kept the coarse route"
+    assert (s.engine, 2, True) not in routes
+    want = s.search(model, "alpha beta", k)
+    assert [i for i, _ in hits] == [i for i, _ in want]
+    # a shallow query still takes (and caches) the coarse route
+    shallow = s.search_fused(model, "alpha beta", 2)
+    assert (s.engine, 2, True) in {key[:3] for key in s._fused_cache}
+    assert [i for i, _ in shallow] == [i for i, _ in s.search(model, "alpha beta", 2)]
