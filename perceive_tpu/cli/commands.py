@@ -393,9 +393,7 @@ def stats_cmd(state, args) -> None:
         else:  # storage dtype width (bf16 = 2, float32 = 4)
             dtype_bytes = np.dtype(m.dtype).itemsize
         hbm = m.capacity * m.padded_dim * dtype_bytes / 1e6
-        tier = str(m.dtype.__name__ if hasattr(m.dtype, "__name__") else m.dtype)
-        if m.packed2:
-            tier += f"+int{m.fine_bits}fine"
+        tier = m.tier_name
         print(
             f"device matrix: {len(m)} vectors, capacity {m.capacity} x {m.padded_dim} "
             f"({tier}, ~{hbm:.1f} MB HBM), "

@@ -1014,6 +1014,16 @@ class EmbeddingMatrix:
             self._delta_rows = None
             self._delta_removed = set()
 
+    @property
+    def tier_name(self) -> str:
+        """Display label of the storage tier, e.g. ``bfloat16``, ``int4``,
+        ``int2+int8fine`` — the ONE home of the string `stats` and serve's
+        ``/status`` both report (review r3: two hand-rolled copies)."""
+        name = str(getattr(self.dtype, "__name__", self.dtype))
+        if self.packed2:
+            name += f"+int{self.fine_bits}fine"
+        return name
+
     def retier(self, dtype) -> None:
         """Switch the storage dtype in place; the next sync restages the
         whole matrix from the host mirror in the new tier.  Lets the

@@ -337,6 +337,10 @@ def highlight_batch(
                 )
                 if cache is not None:
                     cache.put(key, (ranges, dembs))
+                # resolve the shared slot in place: other requests in this
+                # coalesced batch referencing the same document take the hit
+                # branch instead of re-slicing + re-put()ing it (review r3)
+                state[:] = ("hit", ranges, dembs)
             if qemb is None:  # no chunks anywhere in this request
                 snippets.append(None)
             else:

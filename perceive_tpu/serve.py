@@ -449,11 +449,7 @@ def make_handler(holder: ServeState):
             }
             s = holder.app.searcher if holder.app else None
             if s is not None:
-                m = s.matrix
-                tier = str(getattr(m.dtype, "__name__", m.dtype))
-                if m.packed2:
-                    tier += f"+int{m.fine_bits}fine"
-                out["tier"] = tier
+                out["tier"] = s.matrix.tier_name
             if s and s.coarse_audit and s.matrix.packed2:
                 # 'trusted' reflects the LIVE routing flag (round-3 review)
                 out["coarse_audit"] = {

@@ -350,3 +350,29 @@ def test_executor_aux_failure_degrades_not_fails(model, corpus, monkeypatch):
         assert ex.query_errors_total == 0
     finally:
         ex.close()
+
+
+def test_batch_resolves_shared_slot_to_single_put(model, monkeypatch):
+    """A dup-miss document shared by N coalesced requests is cache.put()
+    exactly ONCE per batch — the first request resolves the shared slot to
+    a hit in place; the rest reuse the tuple (review r3: each referencing
+    request used to re-slice and re-put identical contents under the cache
+    lock)."""
+    import importlib
+
+    hl = importlib.import_module("perceive_tpu.models.highlight")
+    rng = np.random.default_rng(37)
+    doc = " ".join(rng.choice(WORDS, size=40))
+    qemb = model.encode_query("alpha")
+    cache = hl._cache_for(model)
+    puts = []
+    orig_put = cache.put
+    monkeypatch.setattr(
+        cache, "put", lambda key, val: (puts.append(key), orig_put(key, val))[1]
+    )
+    out = hl.highlight_batch(
+        model, [("alpha", [doc]), ("alpha", [doc]), ("alpha", [doc, doc])],
+        [qemb, qemb, qemb],
+    )
+    assert len(puts) == 1, f"shared miss slot re-put {len(puts)} times"
+    assert out[0] == out[1] == [out[2][0]] and out[2][0] == out[2][1]
