@@ -407,6 +407,8 @@ class EmbeddingMatrix:
         self.device = device
         self.ids_device = ids_device if ids_device is not None else device
         self._lock = threading.RLock()
+        # serializes save_snapshot as a whole (never held by queries)
+        self._snapshot_io_lock = threading.Lock()
 
         self.rows = 0  # high-water mark of allocated rows
         # tombstoned rows available for reuse — without this, rebuild/churn
@@ -1161,6 +1163,13 @@ class EmbeddingMatrix:
           max_seq (the old base + old delta stay valid until the new base
           has atomically landed).
         """
+        # serialize whole saves: two concurrent saves (serve-refresh autosave
+        # racing an explicit `snapshot`) would share the same .tmp.{pid}
+        # temp file and interleave writes into it (review r3)
+        with self._snapshot_io_lock:
+            return self._save_snapshot_locked(path, incremental=incremental)
+
+    def _save_snapshot_locked(self, path: str, *, incremental: bool) -> str:
         delta_path = path + ".delta"
         with self._lock:
             has_delta_tracking = self._delta_rows is not None
