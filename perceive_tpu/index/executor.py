@@ -276,7 +276,12 @@ class BatchingSearchExecutor:
             self.sweep_seconds_total += time.monotonic() - t0
             for (r, f), hits in zip(reqs, results):
                 result = (hits, r.aux_vec) if r.want_aux else hits
-                if r.text is not None:
+                degraded_aux = r.want_aux and r.aux_vec is None and bool(hits)
+                if r.text is not None and not degraded_aux:
+                    # a failed aux encode (aux_vec None with real hits) is a
+                    # transient degradation — caching it would pin every
+                    # repeat of this query to the slower highlight path
+                    # until the corpus next changes
                     self._rcache_put(
                         (r.text, r.k, r.source_key, r.want_aux), gen, result
                     )
