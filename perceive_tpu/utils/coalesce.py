@@ -44,6 +44,7 @@ class CoalescingBatcher:
         self.idle_after = idle_factor * self.window
         self.resolving = resolving
         self._last_drain = 0.0
+        self._solo_streak = 0  # consecutive single-request drains (sequential-client detection)
         self._queue: list[tuple[object, Future]] = []
         self._lock = threading.Lock()
         self._wake = threading.Condition(self._lock)
@@ -78,7 +79,18 @@ class CoalescingBatcher:
                 if self._closed and not self._queue:
                     return
                 now = time.monotonic()
-                if not (len(self._queue) == 1 and now - self._last_drain > self.idle_after):
+                # dispatch a lone request immediately when (a) nothing
+                # dispatched recently (idle), or (b) the last TWO drains
+                # were also single requests — a SEQUENTIAL client (request,
+                # response, request...) never exhibits concurrency, so
+                # holding its lone request for the window buys nothing and
+                # costs the window on every call.  Two-in-a-row (not one)
+                # keeps the documented burst contract: a burst arriving
+                # right after one idle query still coalesces.
+                solo = len(self._queue) == 1 and (
+                    now - self._last_drain > self.idle_after or self._solo_streak >= 2
+                )
+                if not solo:
                     deadline = now + self.window
                     while len(self._queue) < self.max_batch and not self._closed:
                         remaining = deadline - time.monotonic()
@@ -87,6 +99,7 @@ class CoalescingBatcher:
                         self._wake.wait(remaining)
                 batch, self._queue = self._queue[: self.max_batch], self._queue[self.max_batch :]
                 self._last_drain = time.monotonic()
+                self._solo_streak = self._solo_streak + 1 if len(batch) == 1 else 0
             live = [(it, f) for it, f in batch if f.set_running_or_notify_cancel()]
             if not live:
                 continue

@@ -155,3 +155,26 @@ def test_cancelled_future_does_not_kill_dispatcher(searcher):
         assert f1.cancelled()
     finally:
         ex.close()
+
+
+def test_sequential_client_stops_paying_window(searcher):
+    """A strictly sequential client (request, response, request...) must
+    not pay the coalescing window on every call: after two consecutive
+    single-request drains the batcher dispatches lone requests
+    immediately.  With a 500 ms window, 5 sequential queries complete in
+    well under 2 windows' time."""
+    import time as _t
+
+    s, vecs = searcher
+    ex = BatchingSearchExecutor(s, window_ms=500)
+    try:
+        ex.search(vecs[0], 5, timeout=10)  # idle short-circuit (streak 1)
+        ex.search(vecs[1], 5, timeout=10)  # pays one window (streak 2)
+        t0 = _t.monotonic()
+        for i in range(2, 7):
+            got = ex.search(vecs[i % len(vecs)], 5, timeout=10)
+            assert got
+        dt = _t.monotonic() - t0
+        assert dt < 1.0, f"5 sequential queries took {dt:.2f}s (window leaked in)"
+    finally:
+        ex.close()
