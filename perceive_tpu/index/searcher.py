@@ -992,8 +992,10 @@ class Searcher:
             # The int2 tier has TWO floors: the fine buffer's last int4
             # score bounds rows inside the coarse candidate set but outside
             # the fine fetch, and ``floor`` (the coarse k_coarse-th int2
-            # score) bounds rows outside the coarse set entirely.  A deeper
-            # re-fetch lowers both (int2_coarse_depth scales with kb).
+            # score) bounds rows outside the coarse set entirely.  An
+            # escalation abandons the coarse pass (use_coarse=False below),
+            # so the re-fetch sweeps the FULL fine matrix — both bounds are
+            # restored by depth, never by a deeper coarse pass.
             if kb >= min(m.rows, _OVERFETCH_BUCKETS[-1]):
                 return evals, erows  # fetched everything fetchable
             buffer_full = np.isfinite(vals[:, -1])  # else: all matches fetched

@@ -55,8 +55,15 @@ _VMEM_LIMIT = 14 * 1024 * 1024
 
 def _fits_vmem(t: int, nq: int, d: int, itemsize: int) -> bool:
     """Double-buffered matrix tiles + the (nq, TILE) f32 score scratch
-    (mutated in place; never carried/copied through the merge loop) —
-    the ONE fit formula for every tile-choice site."""
+    (mutated in place; never carried/copied through the merge loop).
+
+    Fit formula for the FLAT kernels only, where nq < 2*QUERY_SLAB by
+    construction (_slab_pad routes every larger batch to the slab kernels
+    — measured: flat Q=2040 fails Mosaic compilation, the Q-scaled scratch
+    + dot temporaries blow scoped VMEM).  The slab and sub-byte kernels
+    have bespoke pickers (_pick_tile_slabbed, _pick_tile_int4*,
+    _pick_tile_int8t_slabbed, _pick_tile_int2) that bill their extra dot
+    temporaries explicitly."""
     return 2 * t * d * itemsize + nq * t * 4 <= _VMEM_BUDGET
 
 
@@ -227,11 +234,7 @@ def pallas_topk_int8_slabbed(matrix, scales2d, src2d, qi8, qscale, allowed, k: i
     n, d = matrix.shape
     n = _sweep_n(n, n_sweep)
     nq = qi8.shape[0]
-    tile_n = (
-        4096
-        if n % 4096 == 0 and _fits_vmem(4096, QUERY_SLAB, d, 1)
-        else _pick_tile(n, QUERY_SLAB, d, 1)
-    )
+    tile_n = _pick_tile_slabbed(n, d, 1)
     kernel = functools.partial(
         _scan_kernel_int8_slabbed, k=k, tile_n=tile_n, n_filter=allowed.shape[0],
         n_slabs=nq // QUERY_SLAB,
@@ -258,7 +261,7 @@ def pallas_topk_int8_slabbed(matrix, scales2d, src2d, qi8, qscale, allowed, k: i
         scratch_shapes=[pltpu.VMEM((QUERY_SLAB, tile_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * nq * n * d,
-            bytes_accessed=n * d + n * 4 + nq * d,
+            bytes_accessed=n * d + n * 8 + nq * d,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
@@ -299,12 +302,31 @@ def pallas_topk_int8_unsorted(matrix, scales2d, src2d, qi8, qscale, allowed, k: 
         scratch_shapes=[pltpu.VMEM((nq, tile_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * nq * n * d,
-            bytes_accessed=n * d + n * 4 + nq * d,
+            bytes_accessed=n * d + n * 8 + nq * d,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(allowed, qi8, qscale, matrix, src2d, scales2d)
+
+
+def _pick_tile_slabbed(n: int, d: int, itemsize: int) -> int:
+    """Row tile for the ROW-MAJOR slab kernels (bf16/f32 and int8): bills
+    double-buffered (TILE, d) matrix tiles + one (SLAB, TILE) dot output +
+    the (SLAB, TILE) f32 score scratch.  The generic _fits_vmem misses the
+    dot output — the same undercount class that OOMed the int4 slab on its
+    first hardware run (review r3); _pick_tile_int8t_slabbed already bills
+    it for the transposed twin.  Prefers the measured-fastest 4096 when it
+    fits (BENCH_NOTES: bf16/int8 saturate at 4096)."""
+    per_row = 2 * d * itemsize + 2 * QUERY_SLAB * 4
+    if n % 4096 == 0 and per_row * 4096 <= _VMEM_BUDGET:
+        return 4096
+    for t in _TILES:
+        if n % t == 0 and per_row * t <= _VMEM_BUDGET:
+            return t
+    if n % _TILES[-1] == 0:
+        return _TILES[-1]
+    raise ValueError(f"matrix rows {n} not a multiple of {_TILES[-1]}")
 
 
 def quantize_queries(q):
@@ -347,9 +369,26 @@ def xla_scores_int4(packed, scales, qi8, qscale):
     return iscores.astype(jnp.float32) * scales[None, :] * qscale
 
 
+def _slab_pad(nq: int) -> int:
+    """Zero-queries of padding that make a large batch QUERY_SLAB-aligned so
+    it takes the SLABBED kernel.  Large batches must never reach the flat
+    kernels: their (Q, TILE) f32 scratch + dot temporary scale with Q and
+    blow scoped VMEM (measured: Q=2040 fails to compile at d=384 and 768),
+    and the slab kernels are faster at that width anyway.  Padded queries
+    are all-zero (quantize_queries floors their scale) and their output
+    rows are sliced off by the dispatcher."""
+    if nq >= 2 * QUERY_SLAB and nq % QUERY_SLAB:
+        return QUERY_SLAB - nq % QUERY_SLAB
+    return 0
+
+
 @functools.partial(jax.jit, static_argnames=("k", "interpret", "n_sweep"))
 def _scan_topk_int8(matrix, scales, source_ids, q, allowed, k: int, interpret: bool, n_sweep: int = 0):
     n = matrix.shape[0]
+    nq = q.shape[0]
+    pad = _slab_pad(nq)
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0)))
     qi8, qscale = quantize_queries(q)
     if q.shape[0] >= 2 * QUERY_SLAB and q.shape[0] % QUERY_SLAB == 0:
         vals, rows = pallas_topk_int8_slabbed(
@@ -360,7 +399,7 @@ def _scan_topk_int8(matrix, scales, source_ids, q, allowed, k: int, interpret: b
             matrix, scales.reshape(1, n), source_ids.reshape(1, n), qi8, qscale, allowed, k, interpret, n_sweep
         )
     svals, perm = jax.lax.top_k(vals, k)
-    return svals, jnp.take_along_axis(rows, perm, axis=1)
+    return svals[:nq], jnp.take_along_axis(rows, perm, axis=1)[:nq]
 
 
 def scan_topk_pallas_int8(matrix, scales, source_ids, q, allowed, k: int, n_sweep: int = 0):
@@ -416,7 +455,7 @@ def scan_topk_pallas_int8(matrix, scales, source_ids, q, allowed, k: int, n_swee
 
 def _scan_kernel_int4(
     allowed_ref, qlo_ref, qhi_ref, qcorr_ref, qscale_ref, m_ref, src_ref, scales_ref,
-    vals_ref, rows_ref, sc_ref, *, k, tile_n, n_filter, d2,
+    vals_ref, rows_ref, sc_ref, *, k, tile_n, n_filter,
 ):
     t = pl.program_id(0)
 
@@ -469,7 +508,7 @@ def pallas_topk_int4_unsorted(packed, scales2d, src2d, qi8, qscale, allowed, k: 
     qlo, qhi = qi8[:, :d2], qi8[:, d2:]
     qcorr = (-8.0 * jnp.sum(qlo.astype(jnp.int32), axis=1, keepdims=True)).astype(jnp.float32)
     kernel = functools.partial(
-        _scan_kernel_int4, k=k, tile_n=tile_n, n_filter=allowed.shape[0], d2=d2
+        _scan_kernel_int4, k=k, tile_n=tile_n, n_filter=allowed.shape[0]
     )
     return pl.pallas_call(
         kernel,
@@ -505,7 +544,7 @@ def pallas_topk_int4_unsorted(packed, scales2d, src2d, qi8, qscale, allowed, k: 
 
 def _scan_kernel_int4_slabbed(
     allowed_ref, qlo_ref, qhi_ref, qcorr_ref, qscale_ref, m_ref, src_ref, scales_ref,
-    vals_ref, rows_ref, sc_ref, *, k, tile_n, n_filter, d2, n_slabs,
+    vals_ref, rows_ref, sc_ref, *, k, tile_n, n_filter, n_slabs,
 ):
     """Int4 large-batch variant: the algebraic nibble unpack (lo / x8, see
     section comment) runs ONCE per resident row tile and every 128-query
@@ -565,7 +604,7 @@ def pallas_topk_int4_slabbed(packed, scales2d, src2d, qi8, qscale, allowed, k: i
     qcorr = (-8.0 * jnp.sum(qlo.astype(jnp.int32), axis=1, keepdims=True)).astype(jnp.float32)
     kernel = functools.partial(
         _scan_kernel_int4_slabbed, k=k, tile_n=tile_n, n_filter=allowed.shape[0],
-        d2=d2, n_slabs=nq // QUERY_SLAB,
+        n_slabs=nq // QUERY_SLAB,
     )
     return pl.pallas_call(
         kernel,
@@ -602,6 +641,10 @@ def pallas_topk_int4_slabbed(packed, scales2d, src2d, qi8, qscale, allowed, k: i
 @functools.partial(jax.jit, static_argnames=("k", "interpret", "n_sweep"))
 def _scan_topk_int4(packed, scales, source_ids, q, allowed, k: int, interpret: bool, n_sweep: int = 0):
     n = packed.shape[1]
+    nq = q.shape[0]
+    pad = _slab_pad(nq)
+    if pad:  # large unaligned batches slab (never the flat kernel, _slab_pad)
+        q = jnp.pad(q, ((0, pad), (0, 0)))
     qi8, qscale = quantize_queries(q)
     if q.shape[0] >= 2 * QUERY_SLAB and q.shape[0] % QUERY_SLAB == 0:
         vals, rows = pallas_topk_int4_slabbed(
@@ -612,7 +655,7 @@ def _scan_topk_int4(packed, scales, source_ids, q, allowed, k: int, interpret: b
             packed, scales.reshape(1, n), source_ids.reshape(1, n), qi8, qscale, allowed, k, interpret, n_sweep
         )
     svals, perm = jax.lax.top_k(vals, k)
-    return svals, jnp.take_along_axis(rows, perm, axis=1)
+    return svals[:nq], jnp.take_along_axis(rows, perm, axis=1)[:nq]
 
 
 def scan_topk_pallas_int4(packed, scales, source_ids, q, allowed, k: int, n_sweep: int = 0):
@@ -813,6 +856,10 @@ def pallas_topk_int8t_slabbed(m8t, scales2d, src2d, qi8, qscale, allowed, k: int
 @functools.partial(jax.jit, static_argnames=("k", "interpret", "n_sweep"))
 def _scan_topk_int8t(m8t, scales, source_ids, q, allowed, k: int, interpret: bool, n_sweep: int = 0):
     n = m8t.shape[1]
+    nq = q.shape[0]
+    pad = _slab_pad(nq)
+    if pad:  # large unaligned batches slab (never the flat kernel, _slab_pad)
+        q = jnp.pad(q, ((0, pad), (0, 0)))
     qi8, qscale = quantize_queries(q)
     if q.shape[0] >= 2 * QUERY_SLAB and q.shape[0] % QUERY_SLAB == 0:
         vals, rows = pallas_topk_int8t_slabbed(
@@ -823,7 +870,7 @@ def _scan_topk_int8t(m8t, scales, source_ids, q, allowed, k: int, interpret: boo
             m8t, scales.reshape(1, n), source_ids.reshape(1, n), qi8, qscale, allowed, k, interpret, n_sweep
         )
     svals, perm = jax.lax.top_k(vals, k)
-    return svals, jnp.take_along_axis(rows, perm, axis=1)
+    return svals[:nq], jnp.take_along_axis(rows, perm, axis=1)[:nq]
 
 
 def scan_topk_pallas_int8t(m8t, scales, source_ids, q, allowed, k: int, n_sweep: int = 0):
@@ -885,15 +932,7 @@ def pallas_topk_slabbed(matrix, src2d, qc, allowed, k: int, interpret: bool, n_s
     n, d = matrix.shape
     n = _sweep_n(n, n_sweep)
     nq = qc.shape[0]
-    # prefer the measured-fastest 4096 tile, but only when it actually fits
-    # the VMEM budget — f32 storage or wide padded dims need smaller tiles
-    # (the scratch is slab-height, hence nq=QUERY_SLAB in the fit check)
-    itemsize = matrix.dtype.itemsize
-    tile_n = (
-        4096
-        if n % 4096 == 0 and _fits_vmem(4096, QUERY_SLAB, d, itemsize)
-        else _pick_tile(n, QUERY_SLAB, d, itemsize)
-    )
+    tile_n = _pick_tile_slabbed(n, d, matrix.dtype.itemsize)
     n_filter = allowed.shape[0]
     kernel = functools.partial(
         _scan_kernel_slabbed, k=k, tile_n=tile_n, n_filter=n_filter,
@@ -919,7 +958,7 @@ def pallas_topk_slabbed(matrix, src2d, qc, allowed, k: int, interpret: bool, n_s
         scratch_shapes=[pltpu.VMEM((QUERY_SLAB, tile_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * nq * n * d,
-            bytes_accessed=n * d * matrix.dtype.itemsize + nq * d * 4,
+            bytes_accessed=n * d * matrix.dtype.itemsize + n * 4 + nq * d * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
@@ -960,7 +999,7 @@ def pallas_topk_unsorted(matrix, src2d, qc, allowed, k: int, interpret: bool, n_
         scratch_shapes=[pltpu.VMEM((nq, tile_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * nq * n * d,
-            bytes_accessed=n * d * matrix.dtype.itemsize + nq * d * 4,
+            bytes_accessed=n * d * matrix.dtype.itemsize + n * 4 + nq * d * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
@@ -971,6 +1010,10 @@ def pallas_topk_unsorted(matrix, src2d, qc, allowed, k: int, interpret: bool, n_
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret", "n_sweep"))
 def _scan_topk(matrix, source_ids, q, allowed, k: int, interpret: bool, n_sweep: int = 0):
+    nq = q.shape[0]
+    pad = _slab_pad(nq)
+    if pad:  # large unaligned batches slab (never the flat kernel, _slab_pad)
+        q = jnp.pad(q, ((0, pad), (0, 0)))
     qc = q.astype(matrix.dtype)
     src2d = source_ids.reshape(1, matrix.shape[0])
     if q.shape[0] >= 2 * QUERY_SLAB and q.shape[0] % QUERY_SLAB == 0:
@@ -980,7 +1023,7 @@ def _scan_topk(matrix, source_ids, q, allowed, k: int, interpret: bool, n_sweep:
     # Buffer is an unordered k-set; order it best-first (tiny (Q,K) op).
     svals, perm = jax.lax.top_k(vals, k)
     srows = jnp.take_along_axis(rows, perm, axis=1)
-    return svals, srows
+    return svals[:nq], srows[:nq]
 
 
 # Beyond this many queries per sweep VMEM runs out even for the slabbed
@@ -994,7 +1037,7 @@ def scan_topk_pallas(matrix, source_ids, q, allowed, k: int, n_sweep: int = 0):
     matrix: (N, D) storage dtype (bf16/f32), N a multiple of 512.
     source_ids: (N,) int32, -1 = invalid row.
     q: (Q, D) float32 queries (cast to the matrix dtype for the MXU); any Q
-    (slabbed at 512 per sweep).
+    (split into consecutive sweeps of MAX_QUERY_SLAB past that width).
     allowed: (F,) int32 source filter; allowed[0] == ALLOW_ALL disables.
     Returns ((Q, k) f32 scores best-first, (Q, k) int32 row indices);
     slots past the number of matching rows carry -inf / -1.
@@ -1327,9 +1370,11 @@ def _scan_topk_int2(
 
 def scan_topk_int2(packed2, scales2, packed4, scales4, source_ids, q, allowed, k: int, engine: str, n_sweep: int = 0, fine_bits: int = 4):
     """Int2 coarse-to-fine candidates (approximate fine-companion scores;
-    the Searcher reranks the fine candidates in f32 and escalates by
-    re-fetching deeper — int2_coarse_depth scales the coarse floor down
-    with the fetch)."""
+    the Searcher reranks the fine candidates in f32.  An escalation never
+    re-runs the coarse pass: the searcher demotes to a FULL fine-companion
+    sweep (use_coarse=False), which restores that tier's floor semantics —
+    the coarse depth itself is effectively constant, since the depth rule
+    (Searcher._coarse_pays) only routes k <= INT2_COARSE_FETCH/2 here)."""
     from ..utils.platform import platform_of
 
     interpret = engine == "pallas" and platform_of(packed2) != "tpu"

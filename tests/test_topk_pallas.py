@@ -242,3 +242,25 @@ def test_prefix_sweep_pallas_kernels_match_oracle():
         p4, sc2d, src2d, qi8, qsc, jnp.asarray(allowed), k, True, ns
     )
     assert (np.asarray(rows)[np.asarray(rows) >= 0] < ns).all()
+
+
+def test_large_unaligned_batch_pads_to_slab():
+    """Batches >= 2*QUERY_SLAB that are not slab-aligned are zero-padded up
+    to the next slab multiple and routed through the SLABBED kernel — the
+    flat kernel's (Q, TILE) scratch blows scoped VMEM past ~Q=2k (measured
+    on hardware: Q=2040 failed Mosaic compilation before the _slab_pad
+    route, review r3).  Results must still match the oracle exactly and
+    carry the caller's Q."""
+    n, d, nq, k = 2048, 128, 260, 16  # 260 = 2*128 + 4: unaligned, large
+    matrix, source_ids = _make(n, d, 4, seed=77)
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    allowed = _allowed()
+    vals, rows = scan_topk_pallas(
+        jnp.asarray(matrix), jnp.asarray(source_ids), jnp.asarray(q),
+        jnp.asarray(allowed), k,
+    )
+    assert vals.shape == (nq, k) and rows.shape == (nq, k)
+    ovals, orows = _oracle(matrix, source_ids, q, allowed, k)
+    np.testing.assert_array_equal(np.asarray(rows), orows)
+    np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-6)
