@@ -369,6 +369,27 @@ def xla_scores_int4(packed, scales, qi8, qscale):
     return iscores.astype(jnp.float32) * scales[None, :] * qscale
 
 
+def _in_query_chunks(jit_fn, place_key, pre_args, q, allowed, k: int, n_sweep: int):
+    """THE public-wrapper body shared by all four storage tiers (review r3:
+    four drifting copies): key interpret-vs-compile on where the MATRIX
+    lives (``place_key``), run one jitted sweep up to MAX_QUERY_SLAB
+    queries, and split bigger batches into consecutive sweeps (beyond that
+    width even the slab kernels run out of VMEM)."""
+    from ..utils.platform import platform_of
+
+    interpret = platform_of(place_key) != "tpu"
+    if q.shape[0] <= MAX_QUERY_SLAB:
+        return jit_fn(*pre_args, q, allowed, k, interpret, n_sweep)
+    outs = [
+        jit_fn(*pre_args, q[s : s + MAX_QUERY_SLAB], allowed, k, interpret, n_sweep)
+        for s in range(0, q.shape[0], MAX_QUERY_SLAB)
+    ]
+    return (
+        jnp.concatenate([v for v, _ in outs], axis=0),
+        jnp.concatenate([r for _, r in outs], axis=0),
+    )
+
+
 def _slab_pad(nq: int) -> int:
     """Zero-queries of padding that make a large batch QUERY_SLAB-aligned so
     it takes the SLABBED kernel.  Large batches must never reach the flat
@@ -405,20 +426,8 @@ def _scan_topk_int8(matrix, scales, source_ids, q, allowed, k: int, interpret: b
 def scan_topk_pallas_int8(matrix, scales, source_ids, q, allowed, k: int, n_sweep: int = 0):
     """Int8 exact-scan top-k (approximate scores; combine with f32 rerank of
     the candidate set for exact results — index.Searcher does this)."""
-    from ..utils.platform import platform_of
-
-    interpret = platform_of(matrix) != "tpu"  # keyed on where the matrix lives
-    if q.shape[0] <= MAX_QUERY_SLAB:
-        return _scan_topk_int8(matrix, scales, source_ids, q, allowed, k, interpret, n_sweep)
-    outs = [
-        _scan_topk_int8(
-            matrix, scales, source_ids, q[s : s + MAX_QUERY_SLAB], allowed, k, interpret, n_sweep
-        )
-        for s in range(0, q.shape[0], MAX_QUERY_SLAB)
-    ]
-    return (
-        jnp.concatenate([v for v, _ in outs], axis=0),
-        jnp.concatenate([r for _, r in outs], axis=0),
+    return _in_query_chunks(
+        _scan_topk_int8, matrix, (matrix, scales, source_ids), q, allowed, k, n_sweep
     )
 
 
@@ -661,20 +670,8 @@ def _scan_topk_int4(packed, scales, source_ids, q, allowed, k: int, interpret: b
 def scan_topk_pallas_int4(packed, scales, source_ids, q, allowed, k: int, n_sweep: int = 0):
     """Int4 packed exact-scan top-k candidates (approximate scores; the
     Searcher reranks in f32 and escalates the over-fetch)."""
-    from ..utils.platform import platform_of
-
-    interpret = platform_of(packed) != "tpu"
-    if q.shape[0] <= MAX_QUERY_SLAB:
-        return _scan_topk_int4(packed, scales, source_ids, q, allowed, k, interpret, n_sweep)
-    outs = [
-        _scan_topk_int4(
-            packed, scales, source_ids, q[s : s + MAX_QUERY_SLAB], allowed, k, interpret, n_sweep
-        )
-        for s in range(0, q.shape[0], MAX_QUERY_SLAB)
-    ]
-    return (
-        jnp.concatenate([v for v, _ in outs], axis=0),
-        jnp.concatenate([r for _, r in outs], axis=0),
+    return _in_query_chunks(
+        _scan_topk_int4, packed, (packed, scales, source_ids), q, allowed, k, n_sweep
     )
 
 
@@ -876,20 +873,8 @@ def _scan_topk_int8t(m8t, scales, source_ids, q, allowed, k: int, interpret: boo
 def scan_topk_pallas_int8t(m8t, scales, source_ids, q, allowed, k: int, n_sweep: int = 0):
     """Transposed-int8 exact-scan top-k candidates (approximate scores; the
     Searcher reranks in f32 exactly as for the row-major int8 tier)."""
-    from ..utils.platform import platform_of
-
-    interpret = platform_of(m8t) != "tpu"
-    if q.shape[0] <= MAX_QUERY_SLAB:
-        return _scan_topk_int8t(m8t, scales, source_ids, q, allowed, k, interpret, n_sweep)
-    outs = [
-        _scan_topk_int8t(
-            m8t, scales, source_ids, q[s : s + MAX_QUERY_SLAB], allowed, k, interpret, n_sweep
-        )
-        for s in range(0, q.shape[0], MAX_QUERY_SLAB)
-    ]
-    return (
-        jnp.concatenate([v for v, _ in outs], axis=0),
-        jnp.concatenate([r for _, r in outs], axis=0),
+    return _in_query_chunks(
+        _scan_topk_int8t, m8t, (m8t, scales, source_ids), q, allowed, k, n_sweep
     )
 
 
@@ -1042,18 +1027,8 @@ def scan_topk_pallas(matrix, source_ids, q, allowed, k: int, n_sweep: int = 0):
     Returns ((Q, k) f32 scores best-first, (Q, k) int32 row indices);
     slots past the number of matching rows carry -inf / -1.
     """
-    from ..utils.platform import platform_of
-
-    interpret = platform_of(matrix) != "tpu"  # keyed on where the matrix lives
-    if q.shape[0] <= MAX_QUERY_SLAB:
-        return _scan_topk(matrix, source_ids, q, allowed, k, interpret, n_sweep)
-    outs = [
-        _scan_topk(matrix, source_ids, q[s : s + MAX_QUERY_SLAB], allowed, k, interpret, n_sweep)
-        for s in range(0, q.shape[0], MAX_QUERY_SLAB)
-    ]
-    return (
-        jnp.concatenate([v for v, _ in outs], axis=0),
-        jnp.concatenate([r for _, r in outs], axis=0),
+    return _in_query_chunks(
+        _scan_topk, matrix, (matrix, source_ids), q, allowed, k, n_sweep
     )
 
 
