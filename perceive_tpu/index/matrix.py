@@ -193,9 +193,11 @@ def _scatter_rows_impl(matrix, rows, vals):
     return matrix.at[rows].set(vals)
 
 
-# donation lets XLA update the (potentially GBs) matrix in place
+# donation lets XLA update the (potentially GBs) matrix in place; ONE jitted
+# callable serves every shape/dtype (jit caches per signature) — the 2-D
+# vector scatter and the 1-D scales/source-ids scatters share it
 _scatter_rows = jax.jit(_scatter_rows_impl, donate_argnums=(0,))
-_scatter_vals = jax.jit(_scatter_rows_impl, donate_argnums=(0,))
+_scatter_vals = _scatter_rows
 
 
 def _scatter_cols_impl(matrix, cols, vals):
@@ -335,9 +337,16 @@ class HostMirror:
         )
 
     def read_f32(self, rows, ncols: Optional[int] = None) -> np.ndarray:
-        """Rows (fancy index or slice) as f32, first ``ncols`` columns."""
+        """Rows (fancy index or slice) as f32, first ``ncols`` columns.
+
+        Always a COPY, never a view: slice reads of an f32 mirror would
+        otherwise alias the live buffer, and callers (snapshot streaming,
+        retier stats) serialize the result OUTSIDE the matrix lock — a
+        concurrent upsert overwriting a row mid-serialization would publish
+        a torn half-old/half-new vector (review r3; overwrites don't bump
+        reuse_gen, so the snapshot publish check cannot catch it)."""
         sel = self.arr[rows] if ncols is None else self.arr[rows, :ncols]
-        return np.asarray(sel, dtype=np.float32)
+        return np.array(sel, dtype=np.float32, copy=True)
 
     def write(self, rows, vals_f32: np.ndarray, dim: int) -> None:
         """Store f32 vectors (first ``dim`` columns; the pad tail stays 0)."""
@@ -606,8 +615,15 @@ class EmbeddingMatrix:
                         self._stage_full(), self._vectors_device()
                     )
                 self._device_source_ids = jax.device_put(
-                    jnp.asarray(self.source_ids), self.ids_device
+                    self.source_ids, self.ids_device
                 )
+                if self._mirror.path is not None:
+                    # a full restage touched every mirror page; for a
+                    # file-backed (spilled) mirror, drop that residency now
+                    # so RSS returns to ~0 and later reads (rerank
+                    # candidates) fault in only what they touch (review r3:
+                    # remap existed but nothing production called it)
+                    self._mirror.remap()
             else:
                 rows = np.fromiter(self._dirty_rows, dtype=np.int32)
                 vals = self._mirror.read_f32(rows)
@@ -701,9 +717,9 @@ class EmbeddingMatrix:
             fscales[lo:hi] = sf
         dev = self._vectors_device()
         self._device_vectors = jax.device_put(coarse, dev)
-        self._device_scales = jax.device_put(jnp.asarray(cscales), self.ids_device)
+        self._device_scales = jax.device_put(cscales, self.ids_device)
         self._device_fine = jax.device_put(fine, dev)
-        self._device_fine_scales = jax.device_put(jnp.asarray(fscales), self.ids_device)
+        self._device_fine_scales = jax.device_put(fscales, self.ids_device)
 
     def _stage_full(self) -> np.ndarray:
         """Host staging array in the storage dtype for a full device upload,
@@ -722,7 +738,7 @@ class EmbeddingMatrix:
                 p, s = self._quantize4(self._mirror.read_f32(slice(lo, hi)))
                 staged[:, lo:hi] = p.T
                 scales[lo:hi] = s
-            self._device_scales = jax.device_put(jnp.asarray(scales), self.ids_device)
+            self._device_scales = jax.device_put(scales, self.ids_device)
             return staged
         if self.quantized:
             staged = np.empty((cap, self.padded_dim), dtype=np.int8)
@@ -732,7 +748,7 @@ class EmbeddingMatrix:
                 q, s = self._quantize(self._mirror.read_f32(slice(lo, hi)))
                 staged[lo:hi] = q
                 scales[lo:hi] = s
-            self._device_scales = jax.device_put(jnp.asarray(scales), self.ids_device)
+            self._device_scales = jax.device_put(scales, self.ids_device)
             return staged
         canon = np.dtype(jax.dtypes.canonicalize_dtype(self.dtype))
         if self._mirror.dtype == canon:
@@ -963,6 +979,14 @@ class EmbeddingMatrix:
                 srcs = live + np.nonzero(self.item_ids[live : self.rows] >= 0)[0]
                 dsts = np.nonzero(self.item_ids[:live] < 0)[0][: len(srcs)]
                 if len(srcs):
+                    # bump BEFORE mutating (same ordering as upsert): a
+                    # lock-free decode (searcher._search_consistent reads
+                    # item_ids without the lock) that observes mid-move
+                    # state must also observe the bumped gen, or its
+                    # reuse_gen recheck would pass against torn mappings
+                    # (review r3)
+                    self.reuse_gen += 1
+                    self.mutation_gen += 1
                     arr = self._mirror.arr
                     arr[dsts] = arr[srcs]
                     keys = self.item_ids[srcs]
@@ -983,9 +1007,6 @@ class EmbeddingMatrix:
             self._free = [
                 int(r) for r in np.nonzero(self.item_ids[: self.rows] < 0)[0]
             ]
-            if moved:
-                self.reuse_gen += 1
-                self.mutation_gen += 1
             return moved
 
     def _note_delta(self, rows) -> None:
@@ -1090,8 +1111,16 @@ class EmbeddingMatrix:
             self.source_ids[:] = -1
             self._dirty = True  # next sync re-uploads the (empty) state
             self._dirty_rows.clear()
-            self._delta_rows = set()
+            # None, NOT fresh sets: the post-clear rebuild's mutations are
+            # not cumulative against any existing base — a delta written
+            # against the old base would omit removals that were recorded
+            # only in the discarded state and resurrect them on load
+            # (review r3).  The next save is forced to a full base.
+            self._delta_rows = None
             self._delta_removed = set()
+            # every row index is re-exposed for reallocation: an in-flight
+            # search must retry, exactly as for tombstone reuse (review r3)
+            self.reuse_gen += 1
             self.mutation_gen += 1
 
     def keys_of_group(self, item_id: int) -> list[int]:
@@ -1105,11 +1134,23 @@ class EmbeddingMatrix:
         return [k0] if k0 in self.row_of else []
 
     def remove_source(self, source_id: int) -> int:
-        """Drop every row of a source (prelude to rebuild_source)."""
+        """Drop every row of a source (prelude to rebuild_source).
+
+        Bulk array ops + one pass of dict bookkeeping: this holds the same
+        lock queries dispatch under, so a multi-M-row source removal must
+        not loop per-row over numpy scalar indexing and per-row set calls
+        (review r3; compact() was vectorized for the same reason)."""
         with self._lock:
             rows = np.nonzero(self.source_ids[: self.rows] == source_id)[0]
-            for row in rows:
-                key = int(self.item_ids[row])
+            if len(rows) == 0:
+                return 0
+            keys = self.item_ids[rows].tolist()
+            self.source_ids[rows] = -1
+            self.item_ids[rows] = -1
+            if not self._dirty:
+                self._dirty_rows.update(rows.tolist())
+            self._note_delta(rows)
+            for key in keys:
                 self.row_of.pop(key, None)
                 g = self.groups.get(key // CHUNK_STRIDE)
                 if g is not None:
@@ -1119,16 +1160,10 @@ class EmbeddingMatrix:
                         self.multi_chunk_groups -= 1
                     if not g:
                         del self.groups[key // CHUNK_STRIDE]
-                self.source_ids[row] = -1
-                self.item_ids[row] = -1
-                if not self._dirty:
-                    self._dirty_rows.add(int(row))
-                self._note_delta((int(row),))
                 self._note_removed(key)
-                self._free.append(int(row))
-            if len(rows):
-                self.mutation_gen += 1
-                self._maybe_compact()
+            self._free.extend(int(r) for r in rows)
+            self.mutation_gen += 1
+            self._maybe_compact()
             return len(rows)
 
     def __len__(self) -> int:

@@ -415,3 +415,32 @@ def test_snapshot_failed_attempt_never_published(tmp_path, monkeypatch):
     assert m.save_snapshot(snap) == "delta"
     m2 = EmbeddingMatrix.load_snapshot(snap, dtype=np.float32)
     assert len(m2) == 21 and 21 in m2.row_of
+
+
+def test_clear_forces_full_snapshot_and_bumps_reuse_gen(tmp_path):
+    """clear() must (a) drop delta tracking to None so the next save is a
+    FULL base — a post-clear rebuild's delta against the old base would
+    omit removals recorded only in the discarded state and resurrect them —
+    and (b) bump reuse_gen, since every row index is re-exposed for
+    reallocation (review r3)."""
+    from perceive_tpu.index.matrix import EmbeddingMatrix
+
+    rng = np.random.default_rng(23)
+    m = EmbeddingMatrix(16, dtype=np.float32)
+    m.upsert(list(range(1, 21)), [0] * 20, rng.standard_normal((20, 16)).astype(np.float32))
+    snap = str(tmp_path / "clr.npz")
+    assert m.save_snapshot(snap) == "full"
+    m.remove([5])  # recorded only in the (about-to-be-discarded) delta sets
+
+    gen = m.reuse_gen
+    m.clear()
+    assert m.reuse_gen > gen, "clear() re-exposes rows without a reuse bump"
+
+    # rebuild WITHOUT key 5 (the DB no longer has it)
+    keys = [k for k in range(1, 21) if k != 5]
+    m.upsert(keys, [0] * len(keys), rng.standard_normal((len(keys), 16)).astype(np.float32))
+    assert m.save_snapshot(snap) == "full", (
+        "post-clear save wrote a delta against the stale base"
+    )
+    m2 = EmbeddingMatrix.load_snapshot(snap, dtype=np.float32)
+    assert 5 not in m2.row_of and len(m2) == 19
