@@ -1068,17 +1068,30 @@ class Searcher:
                 np.full((q.shape[0], 0), -np.inf, np.float32),
                 np.full((q.shape[0], 0), -1, np.int64),
                 np.zeros(q.shape[0], dtype=bool),
+                0,
             )
         groups = self._allowed_arrays(source_ids)
         if len(groups) == 1:
             vals, rows = self._scan(q, k, groups[0], first_sweep=first_sweep)
-            return vals, rows, np.isfinite(vals[:, -1]) if vals.shape[1] else np.zeros(q.shape[0], bool)
+            full = np.isfinite(vals[:, -1]) if vals.shape[1] else np.zeros(q.shape[0], bool)
+            return vals, rows, full, vals.shape[1]
         parts = [self._scan(q, k, g) for g in groups]
         full = np.any([np.isfinite(p[0][:, -1]) for p in parts], axis=0)
         vals = np.concatenate([p[0] for p in parts], axis=1)
         rows = np.concatenate([p[1] for p in parts], axis=1)
         order = np.argsort(-vals, axis=1, kind="stable")
-        return np.take_along_axis(vals, order, 1), np.take_along_axis(rows, order, 1), full
+        # depth = the WIDEST single group's fetch: exhaustion must be judged
+        # per group, not on the merged width — 2 groups x kb=64 columns is
+        # 128 merged columns but each group has only fetched 64 deep
+        # (review r3 CONFIRMED: a 17-source filter returned 6 of 32
+        # available hits because the merged width tripped the cap early)
+        depth = max(p[0].shape[1] for p in parts)
+        return (
+            np.take_along_axis(vals, order, 1),
+            np.take_along_axis(rows, order, 1),
+            full,
+            depth,
+        )
 
     @staticmethod
     def _underfilled(full: np.ndarray, outs: list, k: int) -> bool:
@@ -1109,7 +1122,7 @@ class Searcher:
         fetch = k
         for _ in range(8):
             gen = m.reuse_gen if first is None else first[0]
-            vals, rows, full = self._scan_filtered(
+            vals, rows, full, depth = self._scan_filtered(
                 q, fetch, source_ids,
                 first_sweep=None if first is None else first[1:],
             )
@@ -1119,9 +1132,11 @@ class Searcher:
                 continue  # concurrent row reuse: rescan
             if not self._underfilled(full, outs, k):
                 return outs
-            if vals.shape[1] >= min(m.rows, _OVERFETCH_BUCKETS[-1]):
+            # exhaustion is judged on the PER-GROUP fetch depth, never the
+            # merged candidate width (review r3 CONFIRMED bug)
+            if depth >= min(m.rows, _OVERFETCH_BUCKETS[-1]):
                 return outs  # everything fetchable was fetched
-            fetch = min(4 * max(fetch, vals.shape[1]), _OVERFETCH_BUCKETS[-1])
+            fetch = min(4 * max(fetch, depth), _OVERFETCH_BUCKETS[-1])
         with m._lock:
             # the lock excludes concurrent row reuse, so only the underfill/
             # deepen condition needs re-checking here — without it, sustained
@@ -1129,13 +1144,13 @@ class Searcher:
             # fewer than k distinct items even though deeper candidates exist
             # (ADVICE r2: searcher.py:516)
             while True:
-                vals, rows, full = self._scan_filtered(q, fetch, source_ids)
+                vals, rows, full, depth = self._scan_filtered(q, fetch, source_ids)
                 outs = decode(vals, rows)
                 if not self._underfilled(full, outs, k):
                     return outs
-                if vals.shape[1] >= min(m.rows, _OVERFETCH_BUCKETS[-1]):
+                if depth >= min(m.rows, _OVERFETCH_BUCKETS[-1]):
                     return outs
-                fetch = min(4 * max(fetch, vals.shape[1]), _OVERFETCH_BUCKETS[-1])
+                fetch = min(4 * max(fetch, depth), _OVERFETCH_BUCKETS[-1])
 
     def search_vector(
         self,

@@ -59,7 +59,7 @@ def test_search_retries_when_tombstoned_row_is_reused():
     raced = {"n": 0}
 
     def racing_scan(q, k, source_ids, **kw):
-        vals, rows, full = orig_scan(q, k, source_ids, **kw)
+        vals, rows, full, depth = orig_scan(q, k, source_ids, **kw)
         if raced["n"] == 0:
             raced["n"] += 1
             # concurrent churn AFTER the sweep: item 1's row is freed and
@@ -69,7 +69,7 @@ def test_search_retries_when_tombstoned_row_is_reused():
             s.remove_items([1])
             s.upsert_embeddings([3], [0], c.reshape(1, -1))
             assert s.matrix.row_of[chunk_key(3, 0)] in set(rows.ravel().tolist())
-        return vals, rows, full
+        return vals, rows, full, depth
 
     s._scan_filtered = racing_scan
     hits = dict(s.search_vector(a, 2))
@@ -81,3 +81,37 @@ def test_search_retries_when_tombstoned_row_is_reused():
     if 3 in hits:
         assert abs(hits[3] - float(c @ a)) < 1e-5
     assert hits.get(1) is None  # removed item must not appear
+
+
+def test_multigroup_filter_deepens_until_k_distinct():
+    """Filtered searches spanning >1 scan group (> MAX_SOURCE_FILTER
+    sources) must judge fetch exhaustion on the PER-GROUP depth, not the
+    merged candidate width (review r3 CONFIRMED: a 17-source filter
+    returned 6 of 32 available items — 2 groups x kb columns tripped the
+    cap after the first sweep while each group had fetched only kb deep)."""
+    from perceive_tpu.index.searcher import MAX_SOURCE_FILTER
+
+    rng = np.random.default_rng(41)
+    s = Searcher(0, 0, DIM, dtype=np.float32, engine="xla")
+    q = rng.standard_normal(DIM).astype(np.float32)
+    q /= np.linalg.norm(q)
+    # one doc in source 1 with 60 near-query chunks (crowds the buffer)...
+    chunks = q[None, :] + 0.05 * rng.standard_normal((60, DIM)).astype(np.float32)
+    s.upsert_embeddings([(1, ci) for ci in range(60)], [1] * 60, chunks)
+    # ...plus 40 distinct lower-scoring items in source 1
+    others = 0.3 * q[None, :] + 0.1 * rng.standard_normal((40, DIM)).astype(np.float32)
+    s.upsert_embeddings(list(range(2, 42)), [1] * 40, others)
+    # and one item in each of sources 2..17 so the filter needs 2 groups
+    extra = rng.standard_normal((16, DIM)).astype(np.float32)
+    s.upsert_embeddings(list(range(100, 116)), list(range(2, 18)), extra)
+
+    filt = list(range(1, 18))
+    assert len(filt) > MAX_SOURCE_FILTER  # 2 scan groups
+    k = 32
+    unfiltered = s.search_vector(q, k)
+    filtered = s.search_vector(q, k, source_ids=filt)
+    assert len(unfiltered) == k
+    assert len(filtered) == k, (
+        f"filtered multi-group search returned {len(filtered)} < k={k}"
+    )
+    assert {i for i, _ in filtered} == {i for i, _ in unfiltered}
