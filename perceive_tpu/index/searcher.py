@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..db import ITEM_COLUMNS, Database, deserialize_item_row, json_ids
-from ..ops.topk import ALLOW_ALL, INT2_COARSE_FETCH
+from ..ops.topk import ALLOW_ALL, INT2_COARSE_FETCH, mask_scores
 from ..types import Item
 from .matrix import (
     CHUNK_STRIDE,
@@ -82,11 +82,7 @@ def _scan_topk_xla_impl(matrix, source_ids, q, allowed, k: int, n_sweep: int = 0
         matrix, source_ids = matrix[:n_sweep], source_ids[:n_sweep]
     qm = q.astype(matrix.dtype)
     scores = jnp.einsum("qd,nd->qn", qm, matrix, preferred_element_type=jnp.float32)
-    valid = source_ids >= 0
-    allow_all = allowed[0] == ALLOW_ALL
-    src_ok = jnp.isin(source_ids, allowed) | allow_all
-    scores = jnp.where((valid & src_ok)[None, :], scores, -jnp.inf)
-    return jax.lax.top_k(scores, k)
+    return jax.lax.top_k(mask_scores(scores, source_ids, allowed), k)
 
 
 _scan_topk_xla = jax.jit(_scan_topk_xla_impl, static_argnames=("k", "n_sweep"))
@@ -99,11 +95,7 @@ def _scan_topk_xla_int8_impl(matrix, scales, source_ids, q, allowed, k: int, n_s
         matrix, scales, source_ids = matrix[:n_sweep], scales[:n_sweep], source_ids[:n_sweep]
     qi8, qscale = quantize_queries(q)
     scores = xla_scores_int8(matrix, scales, qi8, qscale)
-    valid = source_ids >= 0
-    allow_all = allowed[0] == ALLOW_ALL
-    src_ok = jnp.isin(source_ids, allowed) | allow_all
-    scores = jnp.where((valid & src_ok)[None, :], scores, -jnp.inf)
-    return jax.lax.top_k(scores, k)
+    return jax.lax.top_k(mask_scores(scores, source_ids, allowed), k)
 
 
 _scan_topk_xla_int8 = jax.jit(_scan_topk_xla_int8_impl, static_argnames=("k", "n_sweep"))
@@ -118,11 +110,7 @@ def _scan_topk_xla_int8t_impl(m8t, scales, source_ids, q, allowed, k: int, n_swe
         m8t, scales, source_ids = m8t[:, :n_sweep], scales[:n_sweep], source_ids[:n_sweep]
     qi8, qscale = quantize_queries(q)
     scores = xla_scores_int8t(m8t, scales, qi8, qscale)
-    valid = source_ids >= 0
-    allow_all = allowed[0] == ALLOW_ALL
-    src_ok = jnp.isin(source_ids, allowed) | allow_all
-    scores = jnp.where((valid & src_ok)[None, :], scores, -jnp.inf)
-    return jax.lax.top_k(scores, k)
+    return jax.lax.top_k(mask_scores(scores, source_ids, allowed), k)
 
 
 _scan_topk_xla_int8t = jax.jit(_scan_topk_xla_int8t_impl, static_argnames=("k", "n_sweep"))
@@ -137,11 +125,7 @@ def _scan_topk_xla_int4_impl(packed, scales, source_ids, q, allowed, k: int, n_s
         packed, scales, source_ids = packed[:, :n_sweep], scales[:n_sweep], source_ids[:n_sweep]
     qi8, qscale = quantize_queries(q)
     scores = xla_scores_int4(packed, scales, qi8, qscale)
-    valid = source_ids >= 0
-    allow_all = allowed[0] == ALLOW_ALL
-    src_ok = jnp.isin(source_ids, allowed) | allow_all
-    scores = jnp.where((valid & src_ok)[None, :], scores, -jnp.inf)
-    return jax.lax.top_k(scores, k)
+    return jax.lax.top_k(mask_scores(scores, source_ids, allowed), k)
 
 
 _scan_topk_xla_int4 = jax.jit(_scan_topk_xla_int4_impl, static_argnames=("k", "n_sweep"))
@@ -534,18 +518,31 @@ class Searcher:
             self.matrix.remove(dead)
         return True
 
+    # Rows per chunk when streaming embeddings out of SQLite on a cold
+    # build or seq replay.  256k x 384-d f32 ≈ 400 MB of BLOB + array
+    # transient per chunk — bounded regardless of corpus size (fetchall()
+    # of a 40M-row corpus held ~2x 61 GB before the mirror ever saw it,
+    # defeating the HostMirror spill budget the snapshot path honors —
+    # review r3).
+    _LOAD_DB_CHUNK_ROWS = 262_144
+
     def _load(self, db: Database, extra_sql: str, params: tuple) -> int:
-        rows = db.read().execute(
+        cur = db.read().execute(
             self._BUILD_SQL + extra_sql, (self.model_id, self.model_version, *params)
-        ).fetchall()
-        if not rows:
-            return 0
-        keys = [chunk_key(r[0], r[3]) for r in rows]
-        source_ids = [r[1] for r in rows]
-        vecs = np.stack([deserialize_embedding(r[2]) for r in rows])
-        self.matrix.upsert(keys, source_ids, vecs)
-        self._maybe_retier()
-        return len(rows)
+        )
+        total = 0
+        while True:
+            rows = cur.fetchmany(self._LOAD_DB_CHUNK_ROWS)
+            if not rows:
+                break
+            keys = [chunk_key(r[0], r[3]) for r in rows]
+            source_ids = [r[1] for r in rows]
+            vecs = np.stack([deserialize_embedding(r[2]) for r in rows])
+            self.matrix.upsert(keys, source_ids, vecs)
+            total += len(rows)
+        if total:
+            self._maybe_retier()
+        return total
 
     def rebuild_source(self, db: Database, source_id: int) -> int:
         """Drop + reload one source's rows (reference search.rs:58-79)."""
@@ -743,9 +740,10 @@ class Searcher:
         allowed = self._allowed_arrays(None)[0]
         kb = _k_bucket(self._first_fetch(k), m.rows)
         kb_ref = _k_bucket(4 * kb, m.rows)
+        # single-query buffers can't blow the kernel VMEM budget: kb is
+        # capped at _OVERFETCH_BUCKETS[-1]=8192, so Q=1 carries at most
+        # 64 KB of (Q, K) state — the _scan guard only matters batched
         ref_engine = self.engine
-        if ref_engine == "pallas" and kb_ref * 8 > _KERNEL_TOPK_BYTES:
-            ref_engine = "xla"
         overlap = 0.0
         min_overlap = 1.0
         for i in range(len(qp)):
@@ -1321,10 +1319,11 @@ class Searcher:
         if len(m) == 0 or (source_ids is not None and len(source_ids) == 0):
             return [] if aux_model is None else ([], None)
         kb = _k_bucket(self._first_fetch(k), m.rows)
+        # NB: no kernel-VMEM guard here — a single query's (Q, K) buffer is
+        # at most 64 KB (kb caps at 8192); the _scan guard only bites batched
         if (
             not self._supports_fused
             or (source_ids is not None and len(set(source_ids)) > MAX_SOURCE_FILTER)
-            or (self.engine == "pallas" and kb * 8 > _KERNEL_TOPK_BYTES)
         ):
             hits = self.search(model, query, k, source_ids)
             if aux_model is None:
@@ -1332,17 +1331,22 @@ class Searcher:
             return hits, (aux_model.encode_query(query) if hits else None)
         fuse_aux = aux_model is not None and self._supports_fused_aux
         allowed = self._allowed_arrays(source_ids)[0]
-        # same routing rule as _scan (single home: _coarse_pays) — a deep
-        # first fetch compiles/uses the fine-companion program variant
-        use_coarse = m.coarse_trusted and (not m.packed2 or self._coarse_pays(kb))
-        fn = self._fused_callable(
-            model, aux_model if fuse_aux else None, use_coarse=use_coarse
-        )
         ids = model.tokenizer.encode_batch_ids([query], pad_batch_to=1)
         if fuse_aux:
             aux_ids = aux_model.tokenizer.encode_batch_ids([query], pad_batch_to=1)
-        gen = m.reuse_gen
         with m._lock:  # capture-through-dispatch (see _device_scan)
+            # program selection under the SAME lock as device_view: retier()
+            # takes this lock, so a concurrent auto-retier can't restage the
+            # arrays to a new tier after a program baked for the old tier
+            # was chosen (review r3: a bf16-baked program consuming freshly
+            # int8-restaged arrays would cast the f32 query to all-zero int8
+            # and serve an arbitrary candidate set).  The routing rule is
+            # the same _coarse_pays home _scan uses.
+            gen = m.reuse_gen
+            use_coarse = m.coarse_trusted and (not m.packed2 or self._coarse_pays(kb))
+            fn = self._fused_callable(
+                model, aux_model if fuse_aux else None, use_coarse=use_coarse
+            )
             vectors, src_dev, scales = m.device_view()
             # static prefix: skip dead rows past the hwm (0 on the mesh
             # path, where the value is ignored — avoid recompiles)

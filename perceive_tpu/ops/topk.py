@@ -329,6 +329,17 @@ def _pick_tile_slabbed(n: int, d: int, itemsize: int) -> int:
     raise ValueError(f"matrix rows {n} not a multiple of {_TILES[-1]}")
 
 
+def mask_scores(scores, source_ids, allowed):
+    """(Q, N) scores with invalid rows (source_id -1) and filtered-out
+    sources forced to -inf — the ONE home of the XLA-engine filter
+    semantics (review r3: five drifting copies across the XLA scan impls
+    and the int2 coarse pass).  ``allowed[0] == ALLOW_ALL`` disables the
+    source filter; row validity always applies."""
+    valid = source_ids >= 0
+    src_ok = jnp.isin(source_ids, allowed) | (allowed[0] == ALLOW_ALL)
+    return jnp.where((valid & src_ok)[None, :], scores, -jnp.inf)
+
+
 def quantize_queries(q):
     """(Q, D) f32 -> ((Q, D) int8, (Q, 1) f32 scales), symmetric per query."""
     scale = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True), 1e-12) / 127.0
@@ -1273,10 +1284,10 @@ def scan_int2_coarse_fine(
             qi8, qscale, allowed, interpret, n,
         )
     else:
-        coarse = xla_scores_int2(packed2[:, :n], scales2[:n], qi8, qscale)
-        valid = source_ids[:n] >= 0
-        src_ok = jnp.isin(source_ids[:n], allowed) | (allowed[0] == ALLOW_ALL)
-        coarse = jnp.where((valid & src_ok)[None, :], coarse, -jnp.inf)
+        coarse = mask_scores(
+            xla_scores_int2(packed2[:, :n], scales2[:n], qi8, qscale),
+            source_ids[:n], allowed,
+        )
     kc = min(k_coarse, n)
     nq = q.shape[0]
     if n % _INT2_WINDOW == 0 and n // _INT2_WINDOW >= kc:
