@@ -809,8 +809,15 @@ class EmbeddingMatrix:
 
     def host_vectors_for(self, rows) -> np.ndarray:
         """f32 host mirror rows (exact rerank of quantized candidates).
-        Reads through HostMirror: RAM or mmap, f32 or bf16-upcast."""
-        return self._mirror.read_f32(rows, self.dim)
+        Reads through HostMirror: RAM or mmap, f32 or bf16-upcast.
+
+        Copied UNDER the lock: upsert overwrites a live key's row in place
+        without bumping reuse_gen (nothing moved), so a lock-free read
+        racing the write could score a torn half-old/half-new vector and
+        the consistency retry would never fire (review r3).  The copy is
+        candidate-sized (k·overfetch rows), so the lock hold is tiny."""
+        with self._lock:
+            return self._mirror.read_f32(rows, self.dim)
 
     @property
     def _host_vectors(self) -> np.ndarray:

@@ -738,8 +738,8 @@ class Searcher:
         ).astype(np.float32)
         qp = self._pad_queries(vecs)
         allowed = self._allowed_arrays(None)[0]
-        kb = _k_bucket(self._first_fetch(k), m.rows)
-        kb_ref = _k_bucket(4 * kb, m.rows)
+        kb = _k_bucket(self._first_fetch(k), m.sweep_rows)
+        kb_ref = _k_bucket(4 * kb, m.sweep_rows)
         # single-query buffers can't blow the kernel VMEM budget: kb is
         # capped at _OVERFETCH_BUCKETS[-1]=8192, so Q=1 carries at most
         # 64 KB of (Q, K) state — the _scan guard only matters batched
@@ -955,7 +955,11 @@ class Searcher:
         # coarse pass for EVERY query, not just escalations
         use_coarse = m.coarse_trusted
         while True:
-            kb = _k_bucket(want, m.rows)
+            # clamp to the SWEEP ladder, not the raw row count: while the
+            # corpus grows within a bucket, kb (a static jit arg) would
+            # otherwise change on every ingest batch and recompile the scan
+            # — including the fused encode+sweep program (review r3)
+            kb = _k_bucket(want, m.sweep_rows)
             if m.packed2 and not self._coarse_pays(kb):
                 use_coarse = False
             coarse_now = m.packed2 and use_coarse and q.shape[0] <= _INT2_MAX_Q
@@ -1318,7 +1322,7 @@ class Searcher:
         m = self.matrix
         if len(m) == 0 or (source_ids is not None and len(source_ids) == 0):
             return [] if aux_model is None else ([], None)
-        kb = _k_bucket(self._first_fetch(k), m.rows)
+        kb = _k_bucket(self._first_fetch(k), m.sweep_rows)
         # NB: no kernel-VMEM guard here — a single query's (Q, K) buffer is
         # at most 64 KB (kb caps at 8192); the _scan guard only bites batched
         if (

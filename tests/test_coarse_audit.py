@@ -281,7 +281,7 @@ def test_fused_deep_fetch_routes_to_fine_companion(monkeypatch):
     s.upsert_embeddings(list(range(1, n + 1)), [0] * n, _unit(rng, n, model.dim))
     assert s.matrix.coarse_trusted
     k = 1024
-    kb = searcher_mod._k_bucket(s._first_fetch(k), s.matrix.rows)
+    kb = searcher_mod._k_bucket(s._first_fetch(k), s.matrix.sweep_rows)
     assert not s._coarse_pays(kb), "test premise: this fetch must be deep"
     hits = s.search_fused(model, "alpha beta", k)
     routes = {key[:3] for key in s._fused_cache}

@@ -115,3 +115,23 @@ def test_multigroup_filter_deepens_until_k_distinct():
         f"filtered multi-group search returned {len(filtered)} < k={k}"
     )
     assert {i for i, _ in filtered} == {i for i, _ in unfiltered}
+
+
+def test_fetch_depth_stable_while_corpus_grows_within_bucket():
+    """kb (a STATIC jit argument) must not track the raw live-row count —
+    every ingest batch would otherwise recompile the scan programs,
+    including the fused encode+sweep program (review r3).  It clamps to the
+    sweep ladder, which moves in >= 12.5% steps."""
+    from perceive_tpu.index.searcher import _k_bucket
+
+    rng = np.random.default_rng(43)
+    s = Searcher(0, 0, DIM, dtype=np.float32, engine="xla")
+    s.upsert_embeddings(list(range(1, 1501)), [0] * 1500, _vecs(rng, 1500))
+    want = s._first_fetch(1024)
+    kb0 = _k_bucket(want, s.matrix.sweep_rows)
+    seen = {kb0}
+    for step in range(10):  # ten ingest batches of 20 rows
+        base = 2000 + step * 20
+        s.upsert_embeddings(list(range(base, base + 20)), [0] * 20, _vecs(rng, 20))
+        seen.add(_k_bucket(want, s.matrix.sweep_rows))
+    assert len(seen) <= 2, f"kb changed {len(seen)} times across 10 batches: {seen}"
