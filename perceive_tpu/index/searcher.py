@@ -625,15 +625,21 @@ class Searcher:
         on_removed.after_commit = self.run_deferred_maintenance
         return on_embeddings, on_removed
 
+    def _tier_for(self, n_rows: int):
+        """The auto-tier rule for this searcher's topology — the ONE hook a
+        subclass overrides (ShardedSearcher keys it on per-chip rows);
+        everything else about retiering lives in _maybe_retier (review r3:
+        the mesh subclass used to copy the whole method to swap this
+        line)."""
+        from .matrix import auto_matrix_dtype
+
+        return auto_matrix_dtype(n_rows, self.matrix.padded_dim)
+
     def _maybe_retier(self) -> None:
         if not self.auto_retier:
             return
-        from .matrix import auto_matrix_dtype
-
         before = self.matrix.dtype
-        self.matrix.retier(
-            auto_matrix_dtype(len(self.matrix), self.matrix.padded_dim)
-        )
+        self.matrix.retier(self._tier_for(len(self.matrix)))
         if self.matrix.dtype is not before:
             self._coarse_audit_rows = -1  # fresh tier: re-audit immediately
 

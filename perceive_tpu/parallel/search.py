@@ -35,6 +35,9 @@ from ..ops.topk import (
     pallas_topk_int8t_unsorted,
     pallas_topk_slabbed,
     pallas_topk_unsorted,
+    _slab_pad,
+    MAX_QUERY_SLAB,
+    mask_scores,
     quantize_queries,
     scan_int2_coarse_fine,
     xla_scores_int4,
@@ -43,12 +46,14 @@ from ..ops.topk import (
 )
 
 
+from .mesh import ROWS_AXES, rows_1d_sharding, rows_sharding
+
+
 def _slabbable(q) -> bool:
     """Large batches route through the query-slabbed kernels inside the
     shard_map local body too (VERDICT r2 #5: round 2 forfeited the measured
     slab win multi-chip by always calling the flat kernels)."""
     return q.shape[0] >= 2 * QUERY_SLAB and q.shape[0] % QUERY_SLAB == 0
-from .mesh import ROWS_AXES, rows_1d_sharding, rows_sharding
 
 
 def _local_topk_xla(scores, k: int):
@@ -77,16 +82,12 @@ def _merge_local_candidates(vals, rows, *, k, ndev, n_local):
     return mv, out
 
 
-def _mask_scores(scores, src_shard, allowed):
-    valid = src_shard >= 0
-    ok = jnp.isin(src_shard, allowed) | (allowed[0] == ALLOW_ALL)
-    return jnp.where((valid & ok)[None, :], scores, -jnp.inf)
+# filter semantics live in ONE home (ops.topk.mask_scores, review r3); the
+# sharded XLA branches must never drift from the single-chip engines
+_mask_scores = mask_scores
 
 
-@functools.partial(
-    jax.jit, static_argnames=("mesh", "k", "engine", "interpret", "int8t")
-)
-def _sharded_scan(matrix, scales, source_ids, q, allowed, *, mesh, k, engine, interpret, int8t=False):
+def _sharded_scan_body(matrix, scales, source_ids, q, allowed, *, mesh, k, engine, interpret, int8t=False):
     ndev = mesh.size
     # ``int8t`` must be a STATIC caller flag: the int2 tier's transposed
     # (D, N) int8 fine companion has the same dtype as the row-major int8
@@ -103,6 +104,15 @@ def _sharded_scan(matrix, scales, source_ids, q, allowed, *, mesh, k, engine, in
         # width ndev * kl still covers k because the caller caps k at the
         # GLOBAL row count (ndev * n_local).
         kl = min(k, n_local)
+        # large unaligned batches slab here too: the flat kernels' (Q, TILE)
+        # VMEM scratch scales with Q and fails Mosaic compilation near
+        # Q~2k (ops/topk._slab_pad measured it single-chip; the shard_map
+        # local body bypasses those wrappers, review r3).  Padded zero
+        # queries are sliced back off before the all-gather merge.
+        nq0 = q_.shape[0]
+        pad = _slab_pad(nq0)
+        if pad:
+            q_ = jnp.pad(q_, ((0, pad), (0, 0)))
         if int4:
             qi8, qscale = quantize_queries(q_)
             if engine == "pallas":
@@ -148,6 +158,8 @@ def _sharded_scan(matrix, scales, source_ids, q, allowed, *, mesh, k, engine, in
                     qc, m_shard, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
                 )
                 vals, rows = _local_topk_xla(_mask_scores(scores, src_shard, allowed_), kl)
+        if pad:
+            vals, rows = vals[:nq0], rows[:nq0]
         # merge across chips: one small all-gather riding the ICI
         return _merge_local_candidates(vals, rows, k=k, ndev=ndev, n_local=n_local)
 
@@ -161,6 +173,24 @@ def _sharded_scan(matrix, scales, source_ids, q, allowed, *, mesh, k, engine, in
         # chip) but the checker can't infer that through top_k
         check_vma=False,
     )(matrix, scales, source_ids, q, allowed)
+
+
+_sharded_scan = functools.partial(
+    jax.jit, static_argnames=("mesh", "k", "engine", "interpret", "int8t")
+)(_sharded_scan_body)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "engine", "interpret"))
+def _sharded_scan_unquantized(matrix, source_ids, q, allowed, *, mesh, k, engine, interpret):
+    """bf16/f32 tier entry that builds the placeholder scales INSIDE the
+    program (XLA materializes per-shard zeros for free) instead of
+    allocating + host->device-transferring an O(N) zeros array per call
+    (review r3; the fused builder already did it this way)."""
+    scales = jnp.zeros((matrix.shape[0],), jnp.float32)
+    return _sharded_scan_body(
+        matrix, scales, source_ids, q, allowed,
+        mesh=mesh, k=k, engine=engine, interpret=interpret,
+    )
 
 
 @functools.partial(
@@ -230,10 +260,27 @@ def sharded_scan_topk(mesh, matrix, source_ids, q, allowed, k: int, engine: str 
     """
     from ..utils.platform import platform_of
 
+    if q.shape[0] > MAX_QUERY_SLAB:  # split oversized batches (see ops.topk)
+        outs = [
+            sharded_scan_topk(
+                mesh, matrix, source_ids, q[s : s + MAX_QUERY_SLAB], allowed, k,
+                engine=engine, scales=scales,
+            )
+            for s in range(0, q.shape[0], MAX_QUERY_SLAB)
+        ]
+        return (
+            jnp.concatenate([v for v, _ in outs], axis=0),
+            jnp.concatenate([r for _, r in outs], axis=0),
+        )
     interpret = platform_of(mesh) != "tpu"  # keyed on the mesh's devices
     if scales is None:
-        scales = jax.device_put(
-            jnp.zeros((matrix.shape[0],), jnp.float32), rows_1d_sharding(mesh)
+        if matrix.dtype in (jnp.int8, jnp.uint8):
+            # all-zero placeholder scales would multiply every quantized dot
+            # by 0 and silently return the first-kb rows (review r3)
+            raise ValueError("scales are required for quantized matrices")
+        return _sharded_scan_unquantized(
+            matrix, source_ids, q, allowed, mesh=mesh, k=k, engine=engine,
+            interpret=interpret,
         )
     return _sharded_scan(
         matrix, scales, source_ids, q, allowed, mesh=mesh, k=k, engine=engine,
@@ -347,6 +394,11 @@ class ShardedSearcher(Searcher):
         entry = self._aux_repl
         if entry is not None and entry[0]() is aux_model:
             return entry[1]
+        if entry is not None and entry[0]() is None:
+            # the old aux model was garbage-collected: release its
+            # mesh-replicated params NOW rather than holding multi-hundred-MB
+            # device copies until the replacement lands (review r3)
+            self._aux_repl = None
         from .mesh import replicated
 
         params = jax.device_put(aux_model.params, replicated(self.mesh))
@@ -406,15 +458,8 @@ class ShardedSearcher(Searcher):
 
         return auto_matrix_dtype(-(-max(n_rows, 0) // mesh.size), padded_dim)
 
-    def _maybe_retier(self) -> None:  # type: ignore[override]
-        if not self.auto_retier:
-            return
-        before = self.matrix.dtype
-        self.matrix.retier(
-            self.auto_tier(len(self.matrix), self.mesh, self.matrix.padded_dim)
-        )
-        if self.matrix.dtype is not before:
-            self._coarse_audit_rows = -1  # fresh tier: re-audit immediately
+    def _tier_for(self, n_rows: int):  # type: ignore[override]
+        return self.auto_tier(n_rows, self.mesh, self.matrix.padded_dim)
 
     @classmethod
     def build(cls, db, model_id, model_version, dim, mesh, *, use_snapshot=True, **kw):  # type: ignore[override]
@@ -446,6 +491,29 @@ class ShardedSearcher(Searcher):
         from ..utils.platform import platform_of
         from .mesh import replicated
 
+        if qp.shape[0] > MAX_QUERY_SLAB:
+            # beyond the slab cap even the slabbed kernels run out of VMEM;
+            # split into consecutive sweeps exactly like the single-chip
+            # wrappers (review r3: the mesh path bypassed them)
+            outs = [
+                self._device_scan(
+                    qp[s : s + MAX_QUERY_SLAB], kb, allowed, engine, use_coarse
+                )
+                for s in range(0, qp.shape[0], MAX_QUERY_SLAB)
+            ]
+            floors = [o[2] for o in outs]
+            return (
+                np.concatenate([o[0] for o in outs], axis=0),
+                np.concatenate([o[1] for o in outs], axis=0),
+                None
+                if all(f is None for f in floors)
+                else np.concatenate(
+                    [
+                        np.full(o[0].shape[0], -np.inf, np.float32) if f is None else f
+                        for o, f in zip(outs, floors)
+                    ]
+                ),
+            )
         m = self.matrix
         rep = replicated(self.mesh)
         floor = None

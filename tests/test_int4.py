@@ -217,3 +217,54 @@ def test_int4_snapshot_roundtrip(tmp_db, tmp_path):
     s2 = Searcher.build(tmp_db, 0, 0, 32, dtype=INT4, engine="xla", use_snapshot=True)
     assert len(s2.matrix) == 50
     assert s2.search_vector(vecs[7], 1)[0][0] == s.search_vector(vecs[7], 1)[0][0]
+
+
+def test_sharded_unaligned_large_batch_pads_to_slab():
+    """Unaligned large batches (>= 2*QUERY_SLAB, not a slab multiple) through
+    the SHARDED pallas path must zero-pad up to the slab width instead of
+    reaching the flat kernels, whose Q-scaled VMEM scratch fails Mosaic
+    compilation near Q~2k on hardware (review r3: the shard_map local body
+    bypassed the single-chip _slab_pad wrappers).  Results match the f32
+    oracle searcher after the inherited rerank."""
+    from perceive_tpu.index.searcher import Searcher
+    from perceive_tpu.parallel import ShardedSearcher, make_mesh
+
+    mesh = make_mesh(4)
+    rng = np.random.default_rng(13)
+    n, d, nq, k = 2048, 32, 260, 5  # 260 = 2*128 + 4
+    vecs = _unit_rows(rng, n, d)
+    s1 = Searcher(0, 0, d, dtype=jnp.float32, engine="xla")
+    s1.upsert_embeddings(list(range(1, n + 1)), [0] * n, vecs)
+    q = vecs[:nq] + 0.05 * rng.standard_normal((nq, d)).astype(np.float32)
+    want = s1.search_vectors_batch(q, k)
+    for dtype in (jnp.int8, INT4):
+        ss = ShardedSearcher(0, 0, d, mesh, dtype=dtype, engine="pallas")
+        ss.upsert_embeddings(list(range(1, n + 1)), [0] * n, vecs)
+        got = ss.search_vectors_batch(q, k)
+        for g, w in zip(got, want):
+            assert [i for i, _ in g] == [i for i, _ in w]
+
+
+def test_sharded_scan_topk_requires_scales_for_quantized():
+    """Passing a quantized matrix without scales must raise, not silently
+    score everything as 0 through placeholder scales (review r3)."""
+    import pytest as _pytest
+
+    from perceive_tpu.parallel import make_mesh
+    from perceive_tpu.parallel.search import sharded_scan_topk
+    from perceive_tpu.parallel.mesh import rows_sharding, rows_1d_sharding
+    import jax
+
+    mesh = make_mesh(4)
+    rng = np.random.default_rng(5)
+    m8 = jax.device_put(
+        rng.integers(-127, 127, (512, 32)).astype(np.int8), rows_sharding(mesh)
+    )
+    src = jax.device_put(np.zeros(512, np.int32), rows_1d_sharding(mesh))
+    q = jnp.asarray(rng.standard_normal((1, 32)), jnp.float32)
+    allowed = jnp.full((16,), -(2**31) + 1, jnp.int32)
+    from perceive_tpu.ops.topk import ALLOW_ALL
+
+    allowed = jnp.full((16,), ALLOW_ALL, jnp.int32)
+    with _pytest.raises(ValueError, match="scales"):
+        sharded_scan_topk(mesh, m8, src, q, allowed, 5)
