@@ -129,6 +129,15 @@ class AppState:
 
             return run
 
+        # when the configured MAIN model IS the highlight default, share the
+        # one loaded instance instead of reading/converting the checkpoint
+        # twice and pinning two full param copies (review r3)
+        share_main = (
+            highlights_model is None
+            and model is None
+            and model_type == DEFAULT_HIGHLIGHT_MODEL
+        )
+
         def load_highlight():
             if highlights_model is not None:
                 return highlights_model
@@ -136,37 +145,60 @@ class AppState:
                 return model
             return load_model(DEFAULT_HIGHLIGHT_MODEL)
 
-        t1 = threading.Thread(target=capture("model", lambda: model or load_model(model_type)))
-        t2 = threading.Thread(target=capture("highlights", load_highlight))
-        t1.start(), t2.start(), t1.join(), t2.join()
+        threads = [
+            threading.Thread(target=capture("model", lambda: model or load_model(model_type)))
+        ]
+        if not share_main:
+            threads.append(threading.Thread(target=capture("highlights", load_highlight)))
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
         if load_errors:
             raise load_errors[0]
         self.model: Model = results["model"]
-        self.highlights_model: Model = results["highlights"]
+        self.highlights_model: Model = results["model" if share_main else "highlights"]
 
         self.searcher: Optional[Searcher] = None
         if build_searcher:
             import jax
             import jax.numpy as jnp
 
-            from ..index.matrix import INT2, INT4, auto_matrix_dtype
+            from ..index.matrix import (
+                CHUNK_STRIDE,
+                INT2,
+                INT4,
+                LANE_ALIGN,
+                _round_up,
+                auto_matrix_dtype,
+            )
 
             choice = os.environ.get("PERCEIVE_TPU_MATRIX_DTYPE", "auto").lower()
-            if choice == "auto":
+            auto = choice == "auto"
+            dtype = None
+            if auto:
                 # default: pick the latency tier for the corpus actually in
                 # the store (bf16 small, int8 then int2 coarse-to-fine at
                 # scale, int4 at capacity — see
-                # index.matrix.auto_matrix_dtype; VERDICT r2 #2)
+                # index.matrix.auto_matrix_dtype; VERDICT r2 #2).  Count
+                # with the SAME filters the searcher build uses (live,
+                # non-hidden, in-stride rows): a raw COUNT(*) over
+                # item_embeddings diverges from len(matrix), and the first
+                # mid-session _maybe_retier would restage the whole matrix
+                # right after boot (review r3)
                 n_rows = self.db.read().execute(
-                    "SELECT COUNT(*) FROM item_embeddings WHERE model_id=?"
-                    " AND model_version=?",
+                    f"""SELECT COUNT(*) FROM item_embeddings ie
+                        JOIN items ON items.id = ie.item_id
+                        WHERE ie.model_id=? AND ie.model_version=?
+                          AND ie.chunk_idx < {CHUNK_STRIDE}
+                          AND items.skipped IS NULL
+                          AND items.hidden_at IS NULL""",
                     (self.model.model_id, self.model.model_version),
                 ).fetchone()[0]
                 # bytes/row drives the tier: pass the model's (lane-padded)
                 # width so a 768-d model crosses each threshold at half the
                 # rows a 384-d one does
-                padded = -(-self.model.dim // 128) * 128
-                dtype = auto_matrix_dtype(n_rows, padded)
+                padded = _round_up(self.model.dim, LANE_ALIGN)
             else:
                 dtype = {
                     "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
@@ -176,7 +208,6 @@ class AppState:
                     "float32": jnp.float32, "f32": jnp.float32,
                 }[choice]
             start = time.time()
-            auto = choice == "auto"
             if len(jax.devices()) > 1:
                 # multi-chip: row-shard the corpus over the whole mesh with
                 # per-chip top-k + all-gather merge, and scale ingest encode
@@ -195,6 +226,8 @@ class AppState:
                 )
                 self.model.shard_over(mesh)
             else:
+                if auto:
+                    dtype = auto_matrix_dtype(n_rows, padded)
                 self.searcher = Searcher.build(
                     self.db, self.model.model_id, self.model.model_version,
                     self.model.dim, engine=engine, dtype=dtype,

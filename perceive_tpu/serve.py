@@ -98,15 +98,19 @@ q.addEventListener('input', () => {
 });
 fsrc.addEventListener('change', search);
 ftype.addEventListener('change', search);
+let seq = 0;  // stale responses (slower earlier queries) must not
+              // overwrite a newer query's results
 async function search() {
   const query = q.value.trim();
   if (!query) { out.innerHTML = ''; return; }
+  const my = ++seq;
   let url = '/search?q=' + encodeURIComponent(query) + '&k=10';
   if (fsrc.value) url += '&source=' + encodeURIComponent(fsrc.value);
   else if (ftype.value) url += '&type=' + encodeURIComponent(ftype.value);
   const res = await fetch(url);
-  if (!res.ok) return;
+  if (!res.ok || my !== seq) return;
   const hits = await res.json();
+  if (my !== seq) return;
   out.innerHTML = hits.map(h => `
     <div class="r">
       <div class="t">${esc(h.title)}</div>
@@ -344,6 +348,10 @@ def make_handler(holder: ServeState):
             if not 1 <= k <= self.MAX_K:
                 return self._json(400, {"error": f"k must be in [1, {self.MAX_K}]"})
             app = holder.app
+            if app.searcher is None:  # AppState(build_searcher=False)
+                return self._json(
+                    503, {"error": "no search index in this server's state"}
+                )
             from .cli.commands import UnknownSource, resolve_source_filter
 
             try:  # the same resolver as the CLI (semantics can't drift)
@@ -487,7 +495,15 @@ def make_handler(holder: ServeState):
                 pass  # subscriber went away
 
         def _gate(self) -> bool:
-            if not holder.ready.is_set() or holder.app is None:
+            # holder.error also gates: a failure AFTER the app was assigned
+            # (executor/highlighter construction, warmup) must not serve
+            # traffic that /status and /metrics simultaneously report as
+            # down (review r3: two conflicting definitions of "up")
+            if (
+                not holder.ready.is_set()
+                or holder.app is None
+                or holder.error is not None
+            ):
                 self._json(503, {"status": "loading", "error": holder.error})
                 return False
             return True
