@@ -150,6 +150,23 @@ def init_params(rng: jax.Array, arch: EncoderArch, head: HeadConfig) -> Params:
 # ---------------------------------------------------------------------------
 
 
+def _activation(hidden_act: str):
+    """FFN activation by HF config name — validate-or-raise, never a silent
+    gelu fallback (review r3: a relu/silu checkpoint would load fine and
+    produce silently wrong embeddings)."""
+    try:
+        return {
+            "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+            "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+            "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+            "relu": jax.nn.relu,
+            "silu": jax.nn.silu,
+            "swish": jax.nn.silu,
+        }[hidden_act]
+    except KeyError:
+        raise ValueError(f"unsupported hidden_act {hidden_act!r}") from None
+
+
 def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
     """LayerNorm with f32 statistics regardless of compute dtype."""
     dt = x.dtype
@@ -206,6 +223,11 @@ def _attention(
         return fused_attention(
             q, k, v, mask, interpret=True if impl == "pallas_interpret" else None
         )
+    if impl != "xla":
+        # an unknown impl must not silently run the XLA path — a caller who
+        # asked for the kernel (or typoed) would get wrong measurements
+        # with no signal (review r3; "auto"/"tpu" resolve on Model)
+        raise ValueError(f"unknown attention_impl {impl!r}")
     mask_bias = (1.0 - mask[:, None, None, :].astype(jnp.float32)) * -1e9
     return _xla_attention(q, k, v, mask_bias)
 
@@ -238,9 +260,7 @@ def _encoder_layer(
         x + (attn @ w("o_w") + w("o_b")), lp["ln1_scale"], lp["ln1_bias"], arch.layer_norm_eps
     )
 
-    ffn = jax.nn.gelu(
-        x @ w("ffn_in_w") + w("ffn_in_b"), approximate=(arch.hidden_act == "gelu_new")
-    )
+    ffn = _activation(arch.hidden_act)(x @ w("ffn_in_w") + w("ffn_in_b"))
     ffn = ffn @ w("ffn_out_w") + w("ffn_out_b")
     return _layer_norm(x + ffn, lp["ln2_scale"], lp["ln2_bias"], arch.layer_norm_eps)
 

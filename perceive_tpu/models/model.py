@@ -75,7 +75,7 @@ class Model:
             leaves = jax.tree.leaves(params)
             plat = platform_of(leaves[0] if leaves else None)
             attention_impl = "tpu" if plat == "tpu" else "xla"
-        self.attention_impl = attention_impl
+        # self.attention_impl is set by _build_jits below (its one home)
         self.compute_dtype = compute_dtype
         # multi-chip state (shard_over): mesh, data-axis size, batch sharding
         self._mesh = None
@@ -144,9 +144,19 @@ class Model:
             shard_params,
         )
 
+        from ..utils.platform import platform_of
+
         self._mesh = mesh
         self._data_parallel = mesh.shape[DATA_AXIS]
         self._batch_sharding = batch_sharding(mesh)
+        if self.attention_impl in ("pallas", "tpu") and platform_of(mesh) != "tpu":
+            # re-key on where the MESH lives: params resolved "tpu" at
+            # construction, but sharding onto a CPU mesh (the multichip
+            # dryrun topology) would launch compiled Mosaic kernel code on
+            # CPU devices at seq >= the routing threshold — the exact
+            # failure utils/platform.py documents (review r3; the MP branch
+            # below handled it, the DP branch didn't)
+            self._build_jits("xla")
         if mesh.shape[MODEL_AXIS] > 1:
             if self.attention_impl in ("pallas", "tpu"):
                 # GSPMD can't propagate through pallas_call; the routed
@@ -167,13 +177,18 @@ class Model:
         return self
 
     def _dispatch_ids(self, ids):
-        """Launch the ids-only encode with mesh-aware placement."""
-        a = jnp.asarray(ids)
-        if self._mesh is not None and a.shape[0] % self._data_parallel == 0:
-            a = jax.device_put(a, self._batch_sharding)
+        """Launch the ids-only encode with mesh-aware placement.  The mesh
+        path device_puts the HOST array straight to the batch sharding (one
+        per-shard transfer); staging through jnp.asarray first would copy
+        the full batch to the default device and THEN reshard — a redundant
+        whole-batch transfer per ingest dispatch (review r3)."""
+        n = ids.shape[0] if hasattr(ids, "shape") else len(ids)
+        if self._mesh is not None and n % self._data_parallel == 0:
+            a = jax.device_put(np.asarray(ids), self._batch_sharding)
             if self._encode_ids_dp is not None:
                 return self._encode_ids_dp(self.params, a)
-        return self._encode_ids_jit(self.params, a)
+            return self._encode_ids_jit(self.params, a)
+        return self._encode_ids_jit(self.params, jnp.asarray(ids))
 
     # -- constructors --------------------------------------------------------
 
@@ -268,6 +283,10 @@ class Model:
         """Texts -> (N, dim) f32 embeddings, chunked into bucketed batches."""
         if not texts:
             return np.zeros((0, self.dim), dtype=np.float32)
+        # clamp to the bucket ladder: a larger max_batch would make
+        # batch_bucket under-pad the chunk and die with a raw tokenizer
+        # error from the wrong layer (review r3)
+        max_batch = min(max_batch, BATCH_BUCKETS[-1])
         outs = []
         for start in range(0, len(texts), max_batch):
             chunk = list(texts[start : start + max_batch])
@@ -286,26 +305,29 @@ class Model:
         worker-thread channel hop, model.rs:161-190).
         """
         chunk = list(texts)
-        if len(chunk) > BATCH_BUCKETS[-1]:
-            raise ModelError(
-                f"batch of {len(chunk)} exceeds the {BATCH_BUCKETS[-1]} dispatch limit"
-            )
-        ids = self.tokenizer.encode_batch_ids(chunk, pad_batch_to=batch_bucket(len(chunk)))
-        return self._dispatch_ids(ids), len(chunk)
+        return self._dispatch_chunk(
+            chunk, lambda n: self.tokenizer.encode_batch_ids(chunk, pad_batch_to=n)
+        )
 
     def encode_dispatch_token_windows(self, windows):
         """Like ``encode_dispatch`` but for pre-sliced token-id windows (the
         chunk-embedding path): windows are wrapped with the model's special
         tokens and padded host-side, never re-tokenized."""
         windows = list(windows)
-        if len(windows) > BATCH_BUCKETS[-1]:
-            raise ModelError(
-                f"batch of {len(windows)} exceeds the {BATCH_BUCKETS[-1]} dispatch limit"
-            )
-        ids = self.tokenizer.pack_token_windows(
-            windows, pad_batch_to=batch_bucket(len(windows))
+        return self._dispatch_chunk(
+            windows, lambda n: self.tokenizer.pack_token_windows(windows, pad_batch_to=n)
         )
-        return self._dispatch_ids(ids), len(windows)
+
+    def _dispatch_chunk(self, items: list, ids_for):
+        """Shared dispatch contract of the two encode_dispatch flavors
+        (limit check, bucket padding, launch — review r3: two verbatim
+        copies).  ``ids_for(bucket)`` produces the padded id array."""
+        if len(items) > BATCH_BUCKETS[-1]:
+            raise ModelError(
+                f"batch of {len(items)} exceeds the {BATCH_BUCKETS[-1]} dispatch limit"
+            )
+        ids = ids_for(batch_bucket(len(items)))
+        return self._dispatch_ids(ids), len(items)
 
     @staticmethod
     def materialize(dispatched) -> np.ndarray:
