@@ -298,7 +298,10 @@ def highlight_batch(
         pending_q.append(req)
     if pending_q:  # ONE tokenizer call for all pending queries, like the docs
         for req, qenc in zip(
-            pending_q, model.tokenizer.encode_untruncated([r[0] for r in pending_q])
+            pending_q,
+            model.tokenizer.encode_untruncated(
+                [r[0] for r in pending_q], fast=True  # ids + special mask only
+            ),
         ):
             req[4] = len(to_encode)
             to_encode.append(

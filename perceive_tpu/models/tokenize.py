@@ -141,6 +141,8 @@ class TextTokenizer:
         if pad_batch_to is not None and len(encs) > pad_batch_to:
             raise ValueError(f"{len(encs)} texts exceed pad_batch_to={pad_batch_to}")
         longest = max((len(e.ids) for e in encs), default=1)
+        if pad_to is not None and pad_to < longest:
+            raise ValueError(f"pad_to={pad_to} is shorter than the longest row ({longest})")
         target = pad_to or bucket_length(longest, self.max_seq_length)
 
         n = len(encs) if pad_batch_to is None else pad_batch_to
@@ -179,15 +181,27 @@ class TextTokenizer:
 
     def _special_wrap(self) -> tuple[list[int], list[int]]:
         """(prefix, suffix) special-token ids around a single sequence,
-        derived from encoding the empty string (template-agnostic: works for
-        [CLS]/[SEP], <s>/</s>, ...)."""
+        TEMPLATE-agnostic: encode a probe text with and without specials and
+        split the wrap around where the content ids actually land (an
+        empty-string half-split would misplace the wrap for suffix-only
+        templates like XLNet's '$A [SEP] [CLS]' — review r3)."""
         if not hasattr(self, "_wrap_ids"):
             with self._lock:
                 self.tokenizer.no_truncation()
                 self.tokenizer.no_padding()
-                ids = list(self.tokenizer.encode("").ids)
-            half = (len(ids) + 1) // 2
-            self._wrap_ids = (ids[:half], ids[half:])
+                wrapped = list(self.tokenizer.encode("a").ids)
+                bare = list(self.tokenizer.encode("a", add_special_tokens=False).ids)
+            pre = suf = None
+            if bare:
+                for at in range(len(wrapped) - len(bare) + 1):
+                    if wrapped[at : at + len(bare)] == bare:
+                        pre, suf = wrapped[:at], wrapped[at + len(bare):]
+                        break
+            if pre is None:  # probe didn't resolve: fall back to half-split
+                ids = [t for t in wrapped if t not in bare]
+                half = (len(ids) + 1) // 2
+                pre, suf = ids[:half], ids[half:]
+            self._wrap_ids = (pre, suf)
         return self._wrap_ids
 
     @property
@@ -208,7 +222,7 @@ class TextTokenizer:
         untruncated encoding, never re-tokenized text (half the tokenizer CPU
         of the round-1 text-span chunking, and boundary-exact)."""
         pre, suf = self._special_wrap()
-        budget = max(self.max_seq_length - len(pre) - len(suf), 1)
+        budget = self.wrap_budget  # the ONE budget formula (review r3)
         n = len(windows) if pad_batch_to is None else pad_batch_to
         if pad_batch_to is not None and len(windows) > pad_batch_to:
             raise ValueError(f"{len(windows)} windows exceed pad_batch_to={pad_batch_to}")
@@ -220,13 +234,21 @@ class TextTokenizer:
             ids[r, : len(seq)] = seq
         return ids
 
-    def encode_untruncated(self, texts: Sequence[str]):
+    def encode_untruncated(self, texts: Sequence[str], *, fast: bool = False):
         """Full-length encodings with offsets + special-token masks, for the
         highlight engine's chunking (reference model/highlight.rs:32-38 used
-        a 1e6 'no truncation' limit)."""
+        a 1e6 'no truncation' limit).  ``fast=True`` skips offset/word
+        alignment tracking (~15% of tokenizer CPU) for callers that read
+        only ids + special_tokens_mask — the ingest chunking path, whose
+        single-core host is the throughput ceiling (review r3)."""
         with self._lock:
             self.tokenizer.no_truncation()
             self.tokenizer.no_padding()
+            if fast:
+                enc = getattr(
+                    self.tokenizer, "encode_batch_fast", self.tokenizer.encode_batch
+                )
+                return enc(list(texts))
             return self.tokenizer.encode_batch(list(texts))
 
     def encode_token_chunks(self, chunks: Sequence[Sequence[int]]) -> TokenBatch:
@@ -239,7 +261,7 @@ class TextTokenizer:
         be an arbitrary content token, not a [CLS] sentence embedding — and
         bare runs are out-of-distribution vs the wrapped query embedding."""
         pre, suf = self._special_wrap()
-        budget = max(self.max_seq_length - len(pre) - len(suf), 1)
+        budget = self.wrap_budget  # the ONE budget formula (review r3)
         longest = max((min(len(c), budget) for c in chunks), default=1) + len(pre) + len(suf)
         target = bucket_length(longest, self.max_seq_length)
         # pad batch size to a bucket too: highlight chunk counts vary per

@@ -50,9 +50,17 @@ SCAN_BATCH_SIZE = 64  # items per scanner batch (reference fs.rs:116)
 # fed and amortize per-dispatch overhead (each dispatch costs a host round
 # trip — ~50 ms through a serving tunnel); env-tunable for ops, clamped to
 # the model dispatch limit so a typo can't poison every batch.
-EMBED_BATCH_SIZE = min(
-    max(1, int(os.environ.get("PERCEIVE_TPU_EMBED_BATCH", "1024"))), 1024
-)
+def _env_int(name: str, default: int) -> int:
+    """Int env var; a non-numeric typo falls back to the default instead of
+    crashing module import / a mid-scan stage (review r3)."""
+    try:
+        return int(os.environ.get(name, str(default)))
+    except ValueError:
+        print(f"{name} is not an integer; using {default}", file=sys.stderr)
+        return default
+
+
+EMBED_BATCH_SIZE = min(max(1, _env_int("PERCEIVE_TPU_EMBED_BATCH", 1024)), 1024)
 READ_PARALLELISM = 8  # reference import.rs:60
 MATCH_QUEUE = 256
 EMBED_QUEUE_BATCHES = 8
@@ -67,6 +75,11 @@ def _drain_queue(q: queue.Queue):
     while True:
         v = q.get()
         if v is _SENTINEL:
+            # mark on the queue itself: a stage that fails AFTER its main
+            # loop consumed the sentinel (e.g. the embed stage's final
+            # flush) must NOT re-drain — the error-path drain would block
+            # forever on a queue nobody will ever put to again (review r3)
+            q.sentinel_seen = True
             return
         yield v
 
@@ -89,7 +102,9 @@ class _Stage(threading.Thread):
             print(f"stage {self.name} failed: {e}", file=sys.stderr)
             traceback.print_exc()
             self._errors.append((self.name, e))
-            if self._in_q is not None:
+            if self._in_q is not None and not getattr(
+                self._in_q, "sentinel_seen", False
+            ):
                 for _ in _drain_queue(self._in_q):
                     pass
 
@@ -195,6 +210,12 @@ def _read_stage(
                     # bumped — dropping it here would make prune_missing_items
                     # delete a live item after a transient read error
                     si.state = ScanItemState.UNCHANGED
+                    if si.existing is not None and si.existing.last_accessed is not None:
+                        # keep the STORED access time: stamping the fresh
+                        # visit time would make the web connectors'
+                        # freshness gate treat the FAILED fetch as done and
+                        # never retry it until the next user visit (review r3)
+                        si.item.metadata.atime = si.existing.last_accessed
                     out_q.put(si)
                 continue
             finally:
@@ -269,7 +290,8 @@ def chunk_token_windows_batch(
     overlap = min(overlap, chunk_tokens // 2)
     step = max(chunk_tokens - overlap, 1)
     out: list[list[list[int]]] = []
-    for enc in tokenizer.encode_untruncated(list(texts)):
+    # fast=True: this path reads only ids + special mask (no offsets)
+    for enc in tokenizer.encode_untruncated(list(texts), fast=True):
         ids = [i for i, m in zip(enc.ids, enc.special_tokens_mask) if not m]
         if len(ids) <= chunk_tokens:
             out.append([ids])
@@ -329,7 +351,7 @@ def _embed_stage(
     # the tunneled bench device (overlapping dispatches contend), so 1 is the
     # default; raise via env on directly-attached hardware if profitable.
     pending: list = []
-    PIPELINE_DEPTH = max(1, int(os.environ.get("PERCEIVE_TPU_PIPELINE_DEPTH", "1")))
+    PIPELINE_DEPTH = max(1, _env_int("PERCEIVE_TPU_PIPELINE_DEPTH", 1))
     # passthrough items batch up so the write stage isn't fed one-item
     # transactions during mostly-unchanged rescans
     passthrough: list = []
@@ -776,8 +798,6 @@ def prune_missing_items(db: Database, source: Source) -> list[int]:
     ).fetchall()
     ids = [r[0] for r in rows]
     if ids:
-        from ..db import json_ids
-
         with db.write() as conn:
             conn.execute(
                 "DELETE FROM items WHERE id IN (SELECT value FROM json_each(?))",

@@ -518,3 +518,45 @@ def test_maintenance_never_runs_inside_write_txn(tmp_db, tmp_path, model, monkey
     assert not in_txn_calls, (
         f"maintenance ran inside the open write transaction: {in_txn_calls}"
     )
+
+
+def test_stage_failure_after_sentinel_does_not_hang():
+    """A stage that fails AFTER its main loop consumed the input sentinel
+    (e.g. the embed stage's final flush) must not re-drain the queue — the
+    sentinel is gone and nobody will put again, so the old error-path drain
+    blocked forever and hung scan_source at join() (review r3)."""
+    import queue as _q
+
+    from perceive_tpu.sources import pipeline as pl
+
+    q = _q.Queue()
+    q.put(1)
+    q.put(pl._SENTINEL)
+
+    def fn():
+        for _ in pl._drain_queue(q):
+            pass
+        raise RuntimeError("post-sentinel failure")
+
+    errors: list = []
+    t = pl._Stage("t", fn, q, errors)
+    t.start()
+    t.join(timeout=10)
+    assert not t.is_alive(), "stage hung draining a finished queue"
+    assert errors and errors[0][0] == "t"
+
+    # pre-sentinel failures still drain (upstream must never block)
+    q2 = _q.Queue()
+    for v in (1, 2, 3, pl._SENTINEL):
+        q2.put(v)
+
+    def fn2():
+        next(iter(pl._drain_queue(q2)))  # consume ONE item, then die
+        raise RuntimeError("mid-stream failure")
+
+    errors2: list = []
+    t2 = pl._Stage("t2", fn2, q2, errors2)
+    t2.start()
+    t2.join(timeout=10)
+    assert not t2.is_alive()
+    assert q2.empty(), "error path did not drain the remaining items"
