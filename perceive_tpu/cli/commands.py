@@ -218,7 +218,9 @@ def import_db(state, args) -> None:
 
     if not os.path.exists(args.path):
         raise SystemExit(f"no such file: {args.path}")
-    hook = state.searcher.upsert_embeddings if state.searcher else None
+    # deferred-maintenance hook: import streams vectors inside its write
+    # transaction; retier/audit run after commit (pipeline_hooks contract)
+    hook = state.searcher.pipeline_hooks()[0] if state.searcher else None
     hook_model = (
         (state.model.model_id, state.model.model_version) if state.model else None
     )

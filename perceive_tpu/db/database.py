@@ -103,6 +103,11 @@ class Database:
             conn.execute("PRAGMA busy_timeout = 30000")
             self._local.conn = conn
             with self._conns_lock:
+                if getattr(self, "_closed", False):
+                    # close() already swapped the registry: registering here
+                    # would leak this fd forever (review r3)
+                    conn.close()
+                    raise sqlite3.ProgrammingError("database is closed")
                 # prune connections whose owner thread died — each scan's
                 # short-lived pipeline threads would otherwise leak one open
                 # sqlite fd apiece until close() (long-running serve
@@ -155,8 +160,12 @@ class Database:
         return Database._WriteTxn(self)
 
     def close(self) -> None:
-        self._write_conn.close()
+        # take the write lock: closing under a writer mid-transaction would
+        # kill its COMMIT with ProgrammingError (review r3)
+        with self._write_lock:
+            self._write_conn.close()
         with self._conns_lock:
+            self._closed = True  # read() stops registering new connections
             conns, self._read_conns = self._read_conns, []
         for _, conn in conns:  # read conns from EVERY thread, not just ours
             try:

@@ -93,9 +93,14 @@ def import_reference_db(
         source_map: dict[int, int] = {}
         item_map: dict[int, int] = {}
         item_source: dict[int, int] = {}
-        # hook batches accumulate here and flush AFTER the transaction
-        # commits — streaming mid-transaction would leave ghost vectors in
-        # the live matrix if a later row rolls the whole import back
+        # hook batches accumulate here and flush at the END of the
+        # transaction, INSIDE it — the same invariant as the scan write
+        # stage (pipeline.py): anything committed is already in the matrix,
+        # so a snapshot recording MAX(seq) can never reference rows the
+        # matrix is missing (review r3: post-commit streaming left a window
+        # where a snapshot permanently hid the imported rows).  A failure
+        # mid-stream rolls the import back; any partially-streamed vectors
+        # are healed by the searcher's live-key reconcile on next build.
         hook_batches: list[tuple[list, list, np.ndarray]] = []
 
         with db.write() as conn:
@@ -230,22 +235,16 @@ def import_reference_db(
                         (new_item, new_tag),
                     )
                     stats["item_tags"] += 1
-        # transaction committed: now stream the vectors into the live matrix
-        # (a failure here leaves the DB import intact — warn, don't unwind;
-        # a restart rebuilds the matrix from the committed rows)
-        import sys
-
-        for keys, srcs, vecs in hook_batches:
-            try:
+            # stream vectors into the live matrix INSIDE the transaction
+            # (see hook_batches comment): commit implies matrix-present
+            for keys, srcs, vecs in hook_batches:
                 on_embeddings(keys, srcs, vecs)
                 stats["streamed"] += len(keys)
-            except Exception as e:  # noqa: BLE001
-                print(
-                    f"import: streaming {len(keys)} vectors to the index failed "
-                    f"({e}); rows are committed — restart to rebuild",
-                    file=sys.stderr,
-                )
-                break
+        # txn closed: run any deferred index maintenance (retier/audit must
+        # never hold the DB write lock — Searcher.pipeline_hooks contract)
+        after_commit = getattr(on_embeddings, "after_commit", None)
+        if after_commit is not None:
+            after_commit()
         return stats
     finally:
         src.close()

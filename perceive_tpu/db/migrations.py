@@ -228,8 +228,18 @@ def migrate(conn: sqlite3.Connection) -> None:
     database is untouched."""
     (current,) = conn.execute("PRAGMA user_version").fetchone()
     for i, sql in enumerate(MIGRATIONS[current:], start=current + 1):
-        conn.execute("BEGIN")
+        # BEGIN IMMEDIATE + an in-transaction re-check: two processes
+        # opening the same database concurrently (serve + a CLI scan) both
+        # read the pre-migration version; a deferred BEGIN would let both
+        # apply the same migration and crash the loser with 'table already
+        # exists' (review r3).  IMMEDIATE serializes them, and the re-check
+        # makes the loser skip what the winner already applied.
+        conn.execute("BEGIN IMMEDIATE")
         try:
+            (now,) = conn.execute("PRAGMA user_version").fetchone()
+            if now >= i:
+                conn.execute("COMMIT")
+                continue
             for stmt in _statements(sql):
                 conn.execute(stmt)
             conn.execute(f"PRAGMA user_version = {i}")

@@ -36,13 +36,21 @@ def list_sources(db: Database) -> list[Source]:
 
 
 def get_source(db: Database, name_or_id: str | int) -> Optional[Source]:
-    if isinstance(name_or_id, int) or (isinstance(name_or_id, str) and name_or_id.isdigit()):
-        row = db.read().execute(
-            f"SELECT {_SOURCE_COLUMNS} FROM sources WHERE id = ?", (int(name_or_id),)
-        ).fetchone()
-    else:
+    # NAME takes precedence for strings: a source literally named "2024"
+    # must stay reachable (review r3: the isdigit branch hid it behind
+    # whatever row happened to have id 2024); all-digit strings fall back
+    # to an id lookup only when no such name exists.
+    if isinstance(name_or_id, str):
         row = db.read().execute(
             f"SELECT {_SOURCE_COLUMNS} FROM sources WHERE name = ?", (name_or_id,)
+        ).fetchone()
+        if row is None and name_or_id.isdigit():
+            row = db.read().execute(
+                f"SELECT {_SOURCE_COLUMNS} FROM sources WHERE id = ?", (int(name_or_id),)
+            ).fetchone()
+    else:
+        row = db.read().execute(
+            f"SELECT {_SOURCE_COLUMNS} FROM sources WHERE id = ?", (int(name_or_id),)
         ).fetchone()
     return _row_to_source(row) if row else None
 

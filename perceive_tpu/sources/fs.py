@@ -279,10 +279,29 @@ def parse_front_matter(content: str, metadata: ItemMetadata) -> Optional[str]:
         return None
     if not isinstance(data, dict):
         return None
-    metadata.name = data.get("title") or data.get("name") or metadata.name
-    metadata.description = data.get("description") or data.get("summary") or metadata.description
-    author = data.get("author")
-    metadata.author = str(author) if author is not None else metadata.author
+    def as_str(value):
+        """YAML values can be dates/lists/dicts; only strings (or simple
+        scalars coerced) may reach metadata — a datetime title would crash
+        the embed stage's str handling and abort the scan (review r3; the
+        reference's typed gray_matter struct got this for free)."""
+        if value is None:
+            return None
+        if isinstance(value, str):
+            return value
+        if isinstance(value, (int, float, bool)):
+            return str(value)
+        import datetime
+
+        if isinstance(value, (datetime.date, datetime.datetime)):
+            return value.isoformat()
+        return None  # lists/dicts: treat as absent
+
+    metadata.name = as_str(data.get("title")) or as_str(data.get("name")) or metadata.name
+    metadata.description = (
+        as_str(data.get("description")) or as_str(data.get("summary")) or metadata.description
+    )
+    author = as_str(data.get("author"))
+    metadata.author = author if author is not None else metadata.author
     return content[m.end() :]
 
 

@@ -41,6 +41,15 @@ USER_AGENT = "perceive-tpu-search"
 FETCH_TIMEOUT = 30
 
 
+class TransientFetchError(Exception):
+    """A fetch failure that should be RETRIED, never persisted as a skip:
+    connection errors, timeouts, 429, and 5xx.  Propagates to the read
+    stage, which forwards existing items UNCHANGED (content/vectors kept,
+    access-time retry window preserved) and drops new items until the next
+    scan.  Permanent skips (404, 403, redirects) stay SkipReason rows, per
+    the reference's permanence table (lib.rs:38-46)."""
+
+
 def should_skip(skip: list[str], url: str) -> bool:
     """Domain-suffix-match the host against skip + ALWAYS_SKIP
     (reference parse_html.rs:22-28).  The suffix must sit on a label
@@ -110,15 +119,22 @@ def fetch_html(
         resp = session.get(
             item.external_id, headers=headers, timeout=FETCH_TIMEOUT, allow_redirects=False
         )
-    except Exception as e:  # noqa: BLE001 — degrade to skip, never abort scan
-        print(f"{item.external_id}: fetch error {e}", file=sys.stderr)
-        item.skipped = SkipReason.FETCH_ERROR
-        return ReadResult.FOUND
+    except Exception as e:  # noqa: BLE001
+        # TRANSIENT, not a permanent skip: the read stage forwards existing
+        # items UNCHANGED (content and vectors kept, retry window
+        # preserved); a permanent FETCH_ERROR here would overwrite an
+        # indexed page's content with '' and delete its vectors over one
+        # network blip (review r3)
+        raise TransientFetchError(f"fetch error: {e}") from e
 
     status = resp.status_code
     if status == 304:
         return ReadResult.UNCHANGED
 
+    if status == 429 or status >= 500:
+        # the server said "temporarily unavailable" — same transient
+        # handling as a connection error, never a data-destroying skip
+        raise TransientFetchError(f"HTTP {status}")
     if status in (401, 403):
         item.skipped = SkipReason.UNAUTHORIZED
     elif status == 404:
@@ -130,7 +146,15 @@ def fetch_html(
     if item.skipped is not None:
         return ReadResult.FOUND
 
-    content_type = (resp.headers.get("Content-Type") or "text/plain").split(";")[0].strip()
+    ct_header = resp.headers.get("Content-Type") or "text/plain"
+    if "charset" not in ct_header.lower():
+        # requests decodes charset-less text/* as ISO-8859-1 (RFC 2616
+        # pedantry); the web is UTF-8 — without this a page declaring its
+        # charset only in <meta> is stored as permanent mojibake, raw
+        # bytes included, so reprocess can't heal it (review r3; reqwest's
+        # .text() defaults UTF-8 the same way)
+        resp.encoding = "utf-8"
+    content_type = ct_header.split(";")[0].strip()
     item.hash = resp.headers.get("ETag")
     lm = resp.headers.get("Last-Modified")
     if lm:
@@ -151,8 +175,9 @@ def fetch_html(
         return ReadResult.FOUND
 
     if content_type.startswith("text/html"):
-        item.raw_content = compress_raw(raw_text.encode("utf-8"))
-        title, text = extract_html_article(item.external_id, raw_text.encode("utf-8"))
+        raw_bytes = raw_text.encode("utf-8")  # encode ONCE, share both uses
+        item.raw_content = compress_raw(raw_bytes)
+        title, text = extract_html_article(item.external_id, raw_bytes)
         item.metadata.name = title or item.metadata.name
         item.content = text
     else:

@@ -95,7 +95,7 @@ def test_fetch_html_ok_and_conditional():
 @pytest.mark.parametrize(
     "status,reason",
     [(404, SkipReason.NOT_FOUND), (403, SkipReason.UNAUTHORIZED), (401, SkipReason.UNAUTHORIZED),
-     (301, SkipReason.REDIRECTED), (500, SkipReason.FETCH_ERROR)],
+     (301, SkipReason.REDIRECTED), (410, SkipReason.FETCH_ERROR)],
 )
 def test_fetch_html_status_skips(status, reason):
     url = "https://x.test/s"
@@ -103,6 +103,22 @@ def test_fetch_html_status_skips(status, reason):
     item = Item(external_id=url)
     assert fetch_html(sess, None, item) is ReadResult.FOUND
     assert item.skipped is reason
+
+
+@pytest.mark.parametrize("status", [429, 500, 503])
+def test_fetch_html_transient_statuses_raise(status):
+    """429/5xx are TRANSIENT: they must raise (the read stage keeps the
+    item's stored content and retry window) instead of persisting a
+    permanent FETCH_ERROR that wipes an indexed page's content and vectors
+    over one rate-limit blip (review r3)."""
+    from perceive_tpu.sources.parse_html import TransientFetchError
+
+    url = "https://x.test/s"
+    sess = FakeSession({url: FakeResponse(status)})
+    item = Item(external_id=url)
+    with pytest.raises(TransientFetchError):
+        fetch_html(sess, None, item)
+    assert item.skipped is None
 
 
 def test_fetch_html_non_text_and_empty():
@@ -121,8 +137,11 @@ def test_fetch_html_non_text_and_empty():
     url3 = "https://x.test/err"
     sess = FakeSession({url3: ConnectionError("boom")})
     item3 = Item(external_id=url3)
-    fetch_html(sess, None, item3)
-    assert item3.skipped is SkipReason.FETCH_ERROR
+    from perceive_tpu.sources.parse_html import TransientFetchError
+
+    with pytest.raises(TransientFetchError):  # transient, retried next scan
+        fetch_html(sess, None, item3)
+    assert item3.skipped is None
 
 
 def test_reprocess_html_article():
