@@ -13,7 +13,7 @@ import threading
 import time
 from typing import Optional
 
-from ..db import add_source, update_source
+from ..db import add_source, update_source, update_source_status
 from ..index.searcher import MAX_K, SearchResult
 from ..models import ModelType
 from ..sources import ScanStats, prune_missing_items, scan_source
@@ -47,6 +47,11 @@ def source_add(state, args) -> None:
         # every name-based path (scan/search --source/remove) resolves to ONE
         # row; a second source under the same name would be unreachable
         raise ValueError(f"source named {args.name!r} already exists")
+    if args.name.isdigit():
+        # all-digit names collide with the id fallback in name resolution
+        # (source_by_name/get_source) — `source remove 2` must never be
+        # ambiguous between a NAME and an id (review r3)
+        raise ValueError("source names may not be all digits (ambiguous with ids)")
     src = Source(
         name=args.name,
         config=config,
@@ -96,7 +101,11 @@ def _run_scan(
     ticker and summary prints (serve's background refresh)."""
     src.index_version += 1
     src.status = SourceStatus.indexing(int(time.time()))
-    update_source(state.db, src)
+    # status/version-only write: updating the FULL row here would revert a
+    # concurrent `source edit` from another process with this session's
+    # stale copy (review r3; the error and success paths already re-read
+    # before writing for exactly this reason)
+    update_source_status(state.db, src.id, src.status, index_version=src.index_version)
 
     stats = ScanStats()
     stop = threading.Event()
@@ -425,6 +434,14 @@ def source_edit(state, args) -> None:
         print(f"No source named {args.name}", file=sys.stderr)
         return
     if args.new_name:
+        if args.new_name != src.name and any(
+            s.name == args.new_name for s in state.sources
+        ):
+            # same uniqueness invariant as source_add (review r3: a rename
+            # could silently shadow an existing source forever)
+            raise SystemExit(f"source named {args.new_name!r} already exists")
+        if args.new_name.isdigit():
+            raise SystemExit("source names may not be all digits (ambiguous with ids)")
         src.name = args.new_name
     if getattr(args, "interval", None) is not None:
         src.index_interval = args.interval if args.interval > 0 else None

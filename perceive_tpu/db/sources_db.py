@@ -98,8 +98,24 @@ def update_source(db: Database, source: Source) -> None:
         )
 
 
-def update_source_status(db: Database, source_id: int, status: SourceStatus) -> None:
+def update_source_status(
+    db: Database,
+    source_id: int,
+    status: SourceStatus,
+    index_version: Optional[int] = None,
+) -> None:
+    """Scan-owned-fields-only write (status, optionally index_version):
+    scan start/end must never write a session's full stale Source row —
+    that would revert a concurrent `source edit` from another process
+    (review r3)."""
     with db.write() as conn:
-        conn.execute(
-            "UPDATE sources SET status = ? WHERE id = ?", (status.to_json(), source_id)
-        )
+        if index_version is None:
+            conn.execute(
+                "UPDATE sources SET status = ? WHERE id = ?",
+                (status.to_json(), source_id),
+            )
+        else:
+            conn.execute(
+                "UPDATE sources SET status = ?, index_version = ? WHERE id = ?",
+                (status.to_json(), index_version, source_id),
+            )

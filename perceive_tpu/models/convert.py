@@ -228,11 +228,24 @@ def load_sentence_transformer(model_dir: str | Path):
     arch = arch_from_hf_config(cfg)
     params = convert_state_dict(_load_state_dict(model_dir), arch, model_type)
 
-    # module chain: pooling flags
+    # module chain: pooling flags — validate-or-raise, never a silent mean
+    # fallback (review r3: a pooling_mode_mean_sqrt_len_tokens checkpoint
+    # would load fine and embed everything wrongly)
     pooling = "mean"
     pool_cfg_path = model_dir / "1_Pooling" / "config.json"
     if pool_cfg_path.exists():
         pc = json.loads(pool_cfg_path.read_text())
+        unsupported = [
+            k for k, v in pc.items()
+            if v and k.startswith("pooling_mode_")
+            and k not in (
+                "pooling_mode_cls_token",
+                "pooling_mode_max_tokens",
+                "pooling_mode_mean_tokens",
+            )
+        ]
+        if unsupported:
+            raise ValueError(f"unsupported pooling modes in {pool_cfg_path}: {unsupported}")
         if pc.get("pooling_mode_cls_token"):
             pooling = "cls"
         elif pc.get("pooling_mode_max_tokens"):
@@ -240,21 +253,35 @@ def load_sentence_transformer(model_dir: str | Path):
         else:
             pooling = "mean"
 
+    normalize = False
+    dense_dirs: list[Path] = []
+    modules_path = model_dir / "modules.json"
+    if modules_path.exists():
+        modules = json.loads(modules_path.read_text())
+        normalize = any("Normalize" in m.get("type", "") for m in modules)
+        # Dense modules resolve by their DECLARED paths — hardcoding 2_Dense
+        # silently dropped a Dense at another index (review r3)
+        dense_dirs = [
+            model_dir / m["path"]
+            for m in modules
+            if "Dense" in m.get("type", "") and m.get("path")
+        ]
+    elif (model_dir / "2_Dense").exists():
+        dense_dirs = [model_dir / "2_Dense"]
+    if len(dense_dirs) > 1:
+        raise ValueError(
+            f"{model_dir} chains {len(dense_dirs)} Dense modules; only one is supported"
+        )
+
     dense_dim = 0
     dense_activation = "identity"
-    dense_dir = model_dir / "2_Dense"
-    if dense_dir.exists():
+    if dense_dirs:
+        dense_dir = dense_dirs[0]
         dc = json.loads((dense_dir / "config.json").read_text())
         dense_dim = dc["out_features"]
         dense_activation = "tanh" if "Tanh" in dc.get("activation_function", "") else "identity"
         dsd = _load_state_dict(dense_dir)
         dsd = {k.removeprefix("linear."): v for k, v in dsd.items()}
-
-    normalize = False
-    modules_path = model_dir / "modules.json"
-    if modules_path.exists():
-        modules = json.loads(modules_path.read_text())
-        normalize = any("Normalize" in m.get("type", "") for m in modules)
 
     head = HeadConfig(
         pooling=pooling,

@@ -37,8 +37,19 @@ _NEGATIVE_RE = re.compile(
     r"breadcrumb|popup",
     re.I,
 )
-# unlikely candidates are dropped outright unless they also look article-ish
-_UNLIKELY_RE = _NEGATIVE_RE
+# unlikely candidates are dropped OUTRIGHT (whole subtree) unless they also
+# look article-ish — this list must stay far narrower than _NEGATIVE_RE,
+# which only subtracts 25 points at scoring time: hard-dropping on the broad
+# list removed real content wrapped in ubiquitous class names like
+# Bootstrap's "media" object or "meta"/"tags"/"teaser" blocks (review r3,
+# reproduced; arc90's unlikelyCandidates vs negative lists differ the same
+# way)
+_UNLIKELY_RE = re.compile(
+    r"-ad-|\bad\b|banner|combx|comment|com-|disqus|foot|gdpr|masthead|outbrain|"
+    r"promo|related|scroll|shoutbox|sidebar|skyscraper|sponsor|shopping|widget|"
+    r"cookie|subscribe|newsletter|breadcrumb|popup|menu|nav",
+    re.I,
+)
 _MAYBE_RE = re.compile(r"and|article|body|column|content|main|shadow", re.I)
 
 _STRIP_TAGS = {
@@ -104,9 +115,20 @@ def extract_title(doc) -> str:
         if h1 is not None:
             title = _text_of(h1).strip()
     # strip trailing site-name decoration ("Headline | Site", "Headline - Site")
-    m = re.match(r"^(.{10,})\s+[|\-–—·»]\s+\S[^|]{0,40}$", title)
+    # — only when the tail actually LOOKS like a site name (<= 3 words, no
+    # sentence punctuation): a blanket strip truncated legitimate dash
+    # clauses like "Understanding attention - and beyond" (review r3,
+    # reproduced)
+    m = re.match(r"^(.{10,})\s+[|\-–—·»]\s+(\S[^|]{0,40})$", title)
     if m:
-        title = m.group(1).strip()
+        tail = m.group(2).strip()
+        if (
+            len(tail.split()) <= 3
+            and not re.search(r"[.!?,:;]", tail)
+            and tail[:1].isupper()  # site names are capitalized; a
+            # lowercase tail is a sentence clause ("... - and beyond")
+        ):
+            title = m.group(1).strip()
     return title
 
 
@@ -188,9 +210,12 @@ def extract_article(raw: bytes | str) -> tuple[str, str]:
                         root_nodes.append(sib)
             root_nodes.sort(key=lambda e: list(parent).index(e) if e in list(parent) else 0)
 
-    # 6. emit leaf block text
+    # 6. emit leaf block text.  NO text-based dedup here: root_nodes are
+    # disjoint siblings and the recursion visits each node once, so any
+    # repeated text is genuinely repeated CONTENT (interview answers, table
+    # cells, chorus lines) — a global seen-set dropped the repeats from the
+    # stored article (review r3, reproduced)
     parts: list[str] = []
-    seen: set[str] = set()
     leaf_tags = tuple(_BLOCK_TAGS)
 
     def emit(el) -> None:
@@ -199,8 +224,7 @@ def extract_article(raw: bytes | str) -> tuple[str, str]:
                 if _link_density(el) > 0.75 and el.tag not in ("h1", "h2", "h3"):
                     return  # link farms inside the article body
                 txt = re.sub(r"\s+", " ", _text_of(el)).strip()
-                if txt and txt not in seen:
-                    seen.add(txt)
+                if txt:
                     parts.append(txt)
                 return
         # container with block descendants: recurse into block children, but
@@ -214,8 +238,7 @@ def extract_article(raw: bytes | str) -> tuple[str, str]:
             nonlocal link_chars
             txt = re.sub(r"\s+", " ", " ".join(run)).strip()
             del run[:]
-            if txt and txt not in seen and link_chars / max(len(txt), 1) <= 0.75:
-                seen.add(txt)
+            if txt and link_chars / max(len(txt), 1) <= 0.75:
                 parts.append(txt)
             link_chars = 0
 
@@ -244,8 +267,7 @@ def extract_article(raw: bytes | str) -> tuple[str, str]:
     for rn in root_nodes:
         if isinstance(rn.tag, str) and rn.tag in _BLOCK_TAGS and rn.tag != "td":
             txt = re.sub(r"\s+", " ", _text_of(rn)).strip()
-            if txt and txt not in seen:
-                seen.add(txt)
+            if txt:
                 parts.append(txt)
         else:
             emit(rn)

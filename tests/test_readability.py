@@ -85,3 +85,52 @@ def test_garbage_and_fragments():
     extract_article(b"\x00\xff\xfe binary")  # must not crash (lxml is lenient)
     t, x = extract_article(b"<p>Just one paragraph, nothing else, but long enough to matter here.</p>")
     assert "Just one paragraph" in x
+
+
+def _page(body: str, title: str = "T") -> bytes:
+    return f"<html><head><title>{title}</title></head><body>{body}</body></html>".encode()
+
+
+def test_media_class_content_not_hard_dropped():
+    """Bootstrap's ubiquitous media-object markup (class='media') is CONTENT
+    wrapping, not chrome: the hard-drop list must stay narrower than the
+    -25-scoring list (review r3, reproduced — whole sections vanished)."""
+    para = "The committee heard testimony from twelve residents, who described the flooding in detail."
+    body = (
+        "<div class='content'>"
+        "<p>Opening paragraph with enough text to score well, including commas, clauses, and length.</p>"
+        f"<div class='media'><p>{para}</p></div>"
+        "<p>Closing paragraph that also carries a reasonable amount of article text for scoring.</p>"
+        "</div>"
+    )
+    _, text = extract_article(_page(body))
+    assert para in text, "content inside a class='media' div was dropped"
+
+
+def test_repeated_content_not_deduplicated():
+    """Genuinely repeated text (interview answers, chorus lines) must ALL
+    survive extraction (review r3, reproduced: a global seen-set kept only
+    the first occurrence)."""
+    body = (
+        "<div class='content'>"
+        "<p>Did you expect the result to replicate across all seven trials?</p>"
+        "<p>Yes.</p>"
+        "<p>And did the second cohort show the same effect size as the first?</p>"
+        "<p>Yes.</p>"
+        "</div>"
+    )
+    _, text = extract_article(_page(body))
+    assert text.count("Yes.") == 2, f"repeated answers deduplicated: {text!r}"
+
+
+def test_title_dash_clause_preserved_site_name_stripped():
+    """The trailing-site-name strip must not truncate legitimate dash
+    clauses (review r3, reproduced)."""
+    _, _ = extract_article(_page("<p>x</p>"))  # smoke
+    from perceive_tpu.sources.readability import extract_title
+    import lxml.html
+
+    doc = lxml.html.fromstring(_page("<p>x</p>", "Understanding attention - and beyond"))
+    assert extract_title(doc) == "Understanding attention - and beyond"
+    doc2 = lxml.html.fromstring(_page("<p>x</p>", "City approves transit plan - The Tribune"))
+    assert extract_title(doc2) == "City approves transit plan"
