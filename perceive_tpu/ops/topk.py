@@ -1093,6 +1093,12 @@ def scan_topk_pallas(matrix, source_ids, q, allowed, k: int, n_sweep: int = 0):
 # recall measured 0.999805 at 128).  Escalation covers the tail.
 INT2_COARSE_FETCH = 4096
 
+# Extra candidate slots past the coarse depth for the sort-free threshold
+# selection (select="threshold"): absorbs score-tie classes straddling the
+# threshold so the bisection can land count in [kc, kc + slack].  A tie
+# class wider than the slack overflows -> floor = +inf -> escalation.
+_INT2_CAP_SLACK = 1024
+
 
 def unpack_int2_xla(packed):
     """XLA decode of the transposed-packed (D/4, N) uint8 matrix into
@@ -1242,6 +1248,146 @@ def _select_topk_hier(scores_row, k: int):
     return v, jnp.take(gidx, p)
 
 
+def _select_window_fine(
+    coarse_row, packed4, scales4, qi8_row, qscale_row, kc: int, kf: int,
+    fine_bits: int,
+):
+    """Window-cut selection + fine rescore for ONE query (the round-3
+    alternative to exact-top-kc selection; see scan_int2_coarse_fine).
+
+    Takes the top ``kc`` 128-wide WINDOWS by window max and fine-rescores
+    every row in them (kc*128 rows) instead of exact-selecting the top kc
+    coarse rows and rescoring only those.  The candidate set is a STRICT
+    SUPERSET of the exact path's: the kc-th window max is the score of some
+    row, and distinct windows' maxes are distinct rows, so it is <= the
+    kc-th coarse row score — every row above it lives in a selected window.
+    Hence recall >= the exact path's at equal kc, and the returned floor
+    (the kc-th window max) remains a sound upper bound on every EXCLUDED
+    row: rows outside selected windows are <= their window max <= floor.
+    What this buys: the exact path's dominant cost is the final
+    lax.top_k over kc*128 gathered block scores (a big-k sort); here
+    selection is one top_k over N/128 window maxes, and the fine phase is a
+    streaming block gather + int8 matmul (bandwidth, not sort).
+
+    Returns ((kf,) fine scores best-first, (kf,) int32 global rows,
+    () f32 floor)."""
+    n = coarse_row.shape[0]
+    nw = n // _INT2_WINDOW
+    sc_w = coarse_row.reshape(nw, _INT2_WINDOW)
+    wmax = jnp.max(sc_w, axis=1)
+    wv, widx = jax.lax.top_k(wmax, kc)
+    floor = jnp.where(kc >= nw, -jnp.inf, wv[-1])
+    # ascending window addresses coalesce the block gathers (probe_int2g)
+    widx = jnp.sort(widx)
+    nw_full = packed4.shape[1] // _INT2_WINDOW  # capacity may exceed the sweep
+    cblk = jnp.take(sc_w, widx, axis=0).reshape(-1)  # (kc*128,) mask source
+    sblk = jnp.take(
+        scales4.reshape(nw_full, _INT2_WINDOW), widx, axis=0
+    ).reshape(-1)
+    d_rows = packed4.shape[0]
+    blk = jnp.take(
+        packed4.reshape(d_rows, nw_full, _INT2_WINDOW), widx, axis=1
+    ).reshape(d_rows, kc * _INT2_WINDOW)
+    lv = blk if fine_bits == 8 else unpack_int4_xla(blk)
+    isc = jax.lax.dot_general(
+        qi8_row[None, :], lv, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )[0]
+    fine = isc.astype(jnp.float32) * sblk * qscale_row
+    # invalid rows carry -inf coarse scores; garbage fine bytes must not
+    # resurface them
+    fine = jnp.where(jnp.isfinite(cblk), fine, -jnp.inf)
+    v, p = _select_topk_hier(fine, kf)
+    gidx = (
+        widx[:, None] * _INT2_WINDOW + jnp.arange(_INT2_WINDOW)[None, :]
+    ).reshape(-1)
+    return v, jnp.take(gidx, p), floor
+
+
+def _compact_ge(vals2d, theta, cap: int):
+    """Compact the entries of ``vals2d`` (B, W) with value >= theta into
+    ``cap`` output slots, ordered by (block asc, lane asc) — i.e. by
+    ascending address when blocks are address-ordered — WITHOUT any
+    global sort: per-block lane counts + cumsum offsets, a per-block
+    W-wide lane sort (masked lanes first), and a searchsorted over the
+    offsets to map output slots back to (block, lane).
+
+    Returns (vals (cap,), block (cap,), lane (cap,), valid (cap,) bool,
+    total_count).  Slots past the true count are invalid (clamped
+    addresses, caller masks).  If total_count > cap the tail is silently
+    dropped — the caller must raise its floor (overflow)."""
+    nb, w = vals2d.shape
+    mask = vals2d >= theta
+    c_b = jnp.sum(mask.astype(jnp.int32), axis=1)
+    off = jnp.cumsum(c_b)  # inclusive; block b owns slots [off[b]-c_b[b], off[b])
+    total = off[-1]
+    lanes = jnp.arange(w, dtype=jnp.int32)[None, :]
+    key = jnp.where(mask, lanes, w + lanes)
+    slane = jnp.sort(key, axis=1)  # masked lanes first, each side ascending
+    i = jnp.arange(cap, dtype=jnp.int32)
+    b_i = jnp.searchsorted(off, i, side="right").astype(jnp.int32)
+    b_c = jnp.minimum(b_i, nb - 1)
+    start = off[b_c] - c_b[b_c]
+    r_c = jnp.clip(i - start, 0, w - 1)
+    lane = slane[b_c, r_c]
+    valid = (i < total) & (lane < w)
+    lane_c = jnp.minimum(lane, w - 1)
+    return vals2d[b_c, lane_c], b_c, lane_c, valid, total
+
+
+def _select_threshold(coarse_row, kc: int, kcap: int):
+    """Selection for ONE query's coarse scores without the kc*128-element
+    big-k sort (probe_int2_sortcost bounded that sort at ~0.48 ms of the
+    2.55 ms pipeline; the window-cut gather alternative and a full
+    bisection rewrite both measured SLOWER — probe_int2_wincut).
+
+    The kc-th WINDOW max (free out of the existing exact window top_k) is
+    itself a valid threshold: theta0 = wv[kc-1] <= the kc-th coarse row
+    score s_kc (distinct windows' maxes are distinct rows), and every true
+    top-kc row lives in a selected window (a row with global rank R has at
+    most R-1 windows above its window max).  So candidates := gathered
+    block entries >= theta0 CONTAIN the exact top-kc whenever they fit the
+    kcap slots, and floor = theta0 soundly bounds every excluded row
+    (out-of-window rows <= theta0 by window-max ordering, in-window
+    leftovers < theta0 by construction).  count(>= theta0) is typically
+    kc + a few hundred (it equals the global rank of the kc-th window max);
+    a tie/cluster pileup past kcap falls back — via lax.cond, so the big
+    sort never runs on the common path — to the exact blocks top-k with
+    floor = the kcap-th block score (also sound: sort keeps the kcap
+    largest, so excluded entries are bounded by the last kept).
+
+    Returns ((kcap,) coarse vals, (kcap,) int32 rows ascending in the
+    compact path, floor).  Invalid slots carry -inf vals / row 0."""
+    n = coarse_row.shape[0]
+    nw = n // _INT2_WINDOW
+    sc_w = coarse_row.reshape(nw, _INT2_WINDOW)
+    wmax = jnp.max(sc_w, axis=1)
+    wv, widx = jax.lax.top_k(wmax, kc)
+    theta = wv[kc - 1]
+    widx = jnp.sort(widx)  # ascending window addresses coalesce the gather
+    blocks = jnp.take(sc_w, widx, axis=0)  # (kc, 128)
+    cnt = jnp.sum((blocks >= theta).astype(jnp.int32))
+    gidx = (
+        widx[:, None] * _INT2_WINDOW + jnp.arange(_INT2_WINDOW)[None, :]
+    ).reshape(-1)
+
+    def compact_path(_):
+        v, bb, lane, valid, _ = _compact_ge(blocks, theta, kcap)
+        cv = jnp.where(valid, v, -jnp.inf)
+        rows = jnp.where(valid, widx[bb] * _INT2_WINDOW + lane, 0)
+        return cv, rows, theta
+
+    def sort_path(_):
+        cv, p = jax.lax.top_k(blocks.reshape(-1), kcap)
+        rows = jnp.take(gidx, p)
+        fl = cv[kcap - 1]
+        order = jnp.argsort(rows)  # address-order the fine gather
+        return jnp.take(cv, order), jnp.take(rows, order), fl
+
+    cvals, rows, floor = jax.lax.cond(cnt <= kcap, compact_path, sort_path, None)
+    return cvals, rows, floor
+
+
 def int2_coarse_depth(k: int, n: int) -> int:
     """Coarse candidate depth for a fine fetch of ``k``.  Constant
     INT2_COARSE_FETCH (clamped to the corpus): escalations that need to
@@ -1256,7 +1402,7 @@ def int2_coarse_depth(k: int, n: int) -> int:
 def scan_int2_coarse_fine(
     packed2, scales2, packed4, scales4, source_ids, q, allowed, k: int,
     *, k_coarse: int = 0, engine: str = "pallas", interpret: bool = False,
-    n_sweep: int = 0, fine_bits: int = 4,
+    n_sweep: int = 0, fine_bits: int = 4, select: str = "auto",
 ):
     """Traceable coarse-to-fine int2 scan (see section comment).
 
@@ -1290,38 +1436,92 @@ def scan_int2_coarse_fine(
         )
     kc = min(k_coarse, n)
     nq = q.shape[0]
-    if n % _INT2_WINDOW == 0 and n // _INT2_WINDOW >= kc:
-        # UNROLLED per-query select, never vmapped: vmapping the window
-        # gather turns the clean 2D `jnp.take(blocks, widx, axis=0)` into
-        # a batched gather that costs ~+2.5 ms/query at 10M (probe_int2o:
-        # full pipeline 6.4 ms vmapped / 4.2 ms via take_along_axis /
-        # 2.1 ms unrolled).  The unroll is LINEAR in Q in both compile
-        # time and runtime: the searcher only routes single queries here
-        # (searcher._INT2_MAX_Q = 1, measured crossover probe_int2r) and
-        # direct callers (recall/probe harnesses) stay <= 8.
-        outs = [_select_topk_hier(coarse[i], kc) for i in range(nq)]
-        cvals = jnp.stack([v for v, _ in outs])
-        idx = jnp.stack([p for _, p in outs])
-    else:  # small corpus: plain top_k is cheap there
-        cvals, idx = jax.lax.top_k(coarse, kc)
-    floor = jnp.where(kc >= n, -jnp.inf, cvals[:, -1])
-    # fine pass: gather the candidates' int4 columns, rescore at int4
-    # precision, keep the best k.  The gather runs ADDRESS-ORDERED
-    # (argsort of (Q, kc) indices first): an isolated sorted-index column
-    # gather measured 0.14 ms vs 0.52 ms score-ordered (probe_int2g) —
-    # the gather coalesces ascending addresses.  Composed-pipeline effect
-    # is within measurement weather (probe_int2l: 7.0-7.4 ms both ways);
-    # kept because it is never slower and the argsort is noise.
-    # Invalid rows carry -inf coarse scores; re-mask after the gather so
-    # garbage int4 bytes can't resurface them.
-    order = jnp.argsort(idx, axis=1)
-    idx = jnp.take_along_axis(idx, order, axis=1)
-    cvals = jnp.take_along_axis(cvals, order, axis=1)
-    cols = jnp.take(packed4, idx.reshape(-1), axis=1)  # (depth, Q*kc)
-    if fine_bits == 8:
-        lv = cols.reshape(-1, nq, kc)  # already (D, Q, kc) int8 levels
+    kf = min(k, kc)
+    if select == "auto":
+        # "exact" wins on this chip: the big-k blocks sort costs ~0.48 ms
+        # (probe_int2_sortcost) but every sort-free extraction measured at
+        # least that — threshold +0.14 ms, bisection +0.64 ms, window-cut
+        # gather +13.9/+6.0 ms (probe_int2_wincut; BENCH_NOTES round-3).
+        # The variants stay selectable: on higher-bandwidth parts (v5p) the
+        # sweep shrinks ~3.8x while sorts shrink less, so the selection mix
+        # deserves re-measuring there (same reason the auto tier thresholds
+        # are one constant).
+        select = "exact"
+    if (
+        select == "window"
+        and n % _INT2_WINDOW == 0
+        and n // _INT2_WINDOW >= kc
+    ):
+        # window-cut: candidates = every row of the top-kc windows (strict
+        # recall superset of the exact path at equal kc — see
+        # _select_window_fine); floor = the kc-th window max.  Unrolled per
+        # query like the exact select below (Q <= 8 by routing).
+        outs = [
+            _select_window_fine(
+                coarse[i], packed4, scales4, qi8[i], qscale[i, 0], kc, kf,
+                fine_bits,
+            )
+            for i in range(nq)
+        ]
+        vals = jnp.stack([v for v, _, _ in outs])
+        rows = jnp.stack([r for _, r, _ in outs])
+        floor = jnp.stack([f for _, _, f in outs])
+        rows = jnp.where(jnp.isfinite(vals), rows, -1)
+        if kf < k:  # tiny corpus: pad to the requested k like the others
+            pad_v = jnp.full((nq, k - kf), -jnp.inf, vals.dtype)
+            pad_r = jnp.full((nq, k - kf), -1, rows.dtype)
+            vals = jnp.concatenate([vals, pad_v], axis=1)
+            rows = jnp.concatenate([rows, pad_r], axis=1)
+        return vals, rows, floor
+    if (
+        select == "threshold"
+        and n % _INT2_WINDOW == 0
+        and n // _INT2_WINDOW >= kc
+    ):
+        # sort-free selection: the kc-th window max as the threshold +
+        # per-block compaction (_select_threshold) — candidates come back
+        # address-ASCENDING, so the exact path's argsort is unnecessary.
+        # Depth is kcap (kc plus tie slack); invalid slots carry -inf cvals
+        # like the exact path.
+        kcap = min(kc + _INT2_CAP_SLACK, kc * _INT2_WINDOW)
+        outs = [_select_threshold(coarse[i], kc, kcap) for i in range(nq)]
+        cvals = jnp.stack([v for v, _, _ in outs])
+        idx = jnp.stack([r for _, r, _ in outs])
+        floor = jnp.stack([f for _, _, f in outs])
     else:
-        lv = unpack_int4_xla(cols).reshape(-1, nq, kc)  # (D, Q, kc) int8
+        if n % _INT2_WINDOW == 0 and n // _INT2_WINDOW >= kc:
+            # UNROLLED per-query select, never vmapped: vmapping the window
+            # gather turns the clean 2D `jnp.take(blocks, widx, axis=0)` into
+            # a batched gather that costs ~+2.5 ms/query at 10M (probe_int2o:
+            # full pipeline 6.4 ms vmapped / 4.2 ms via take_along_axis /
+            # 2.1 ms unrolled).  The unroll is LINEAR in Q in both compile
+            # time and runtime: the searcher only routes single queries here
+            # (searcher._INT2_MAX_Q = 1, measured crossover probe_int2r) and
+            # direct callers (recall/probe harnesses) stay <= 8.
+            outs = [_select_topk_hier(coarse[i], kc) for i in range(nq)]
+            cvals = jnp.stack([v for v, _ in outs])
+            idx = jnp.stack([p for _, p in outs])
+        else:  # small corpus: plain top_k is cheap there
+            cvals, idx = jax.lax.top_k(coarse, kc)
+        floor = jnp.where(kc >= n, -jnp.inf, cvals[:, -1])
+        # The gather below runs ADDRESS-ORDERED (argsort of (Q, kc) indices
+        # first): an isolated sorted-index column gather measured 0.14 ms vs
+        # 0.52 ms score-ordered (probe_int2g) — the gather coalesces
+        # ascending addresses.  Composed-pipeline effect is within
+        # measurement weather (probe_int2l: 7.0-7.4 ms both ways); kept
+        # because it is never slower and the argsort is noise.
+        order = jnp.argsort(idx, axis=1)
+        idx = jnp.take_along_axis(idx, order, axis=1)
+        cvals = jnp.take_along_axis(cvals, order, axis=1)
+    # fine pass: gather the candidates' int4/int8 columns, rescore, keep the
+    # best k.  Invalid slots carry -inf coarse scores; re-mask after the
+    # gather so garbage fine bytes can't resurface them.
+    depth = idx.shape[1]
+    cols = jnp.take(packed4, idx.reshape(-1), axis=1)  # (D', Q*depth)
+    if fine_bits == 8:
+        lv = cols.reshape(-1, nq, depth)  # already (D, Q, depth) int8 levels
+    else:
+        lv = unpack_int4_xla(cols).reshape(-1, nq, depth)  # (D, Q, depth) int8
     iscores = jnp.einsum(
         "qd,dqk->qk", qi8, lv, preferred_element_type=jnp.int32
     )
@@ -1331,7 +1531,7 @@ def scan_int2_coarse_fine(
         * qscale
     )
     fine = jnp.where(jnp.isfinite(cvals), fine, -jnp.inf)
-    kf = min(k, kc)
+    kf = min(k, depth)
     vals, perm = jax.lax.top_k(fine, kf)
     rows = jnp.take_along_axis(idx, perm, axis=1)
     rows = jnp.where(jnp.isfinite(vals), rows, -1)
@@ -1343,18 +1543,20 @@ def scan_int2_coarse_fine(
     return vals, rows, floor
 
 
-@functools.partial(jax.jit, static_argnames=("k", "engine", "interpret", "n_sweep", "fine_bits"))
+@functools.partial(jax.jit, static_argnames=("k", "engine", "interpret", "n_sweep", "fine_bits", "select"))
 def _scan_topk_int2(
     packed2, scales2, packed4, scales4, source_ids, q, allowed, k: int,
     engine: str, interpret: bool, n_sweep: int = 0, fine_bits: int = 4,
+    select: str = "auto",
 ):
     return scan_int2_coarse_fine(
         packed2, scales2, packed4, scales4, source_ids, q, allowed, k,
         engine=engine, interpret=interpret, n_sweep=n_sweep, fine_bits=fine_bits,
+        select=select,
     )
 
 
-def scan_topk_int2(packed2, scales2, packed4, scales4, source_ids, q, allowed, k: int, engine: str, n_sweep: int = 0, fine_bits: int = 4):
+def scan_topk_int2(packed2, scales2, packed4, scales4, source_ids, q, allowed, k: int, engine: str, n_sweep: int = 0, fine_bits: int = 4, select: str = "auto"):
     """Int2 coarse-to-fine candidates (approximate fine-companion scores;
     the Searcher reranks the fine candidates in f32.  An escalation never
     re-runs the coarse pass: the searcher demotes to a FULL fine-companion
@@ -1366,5 +1568,5 @@ def scan_topk_int2(packed2, scales2, packed4, scales4, source_ids, q, allowed, k
     interpret = engine == "pallas" and platform_of(packed2) != "tpu"
     return _scan_topk_int2(
         packed2, scales2, packed4, scales4, source_ids, q, allowed, k,
-        engine, interpret, n_sweep, fine_bits,
+        engine, interpret, n_sweep, fine_bits, select,
     )

@@ -242,6 +242,131 @@ def test_int2_incremental_sync_scatter(fine, monkeypatch):
 # tests/test_fused.py (INT2 added to its dtype parametrization).
 
 
+@pytest.mark.parametrize("fine_bits", [8, 4])
+def test_int2_window_select_superset_and_floor(fine_bits):
+    """The window-cut select (select="window") returns a candidate set that
+    is a strict superset of the exact path's at equal kc (the guarantee in
+    _select_window_fine's docstring), its floor lower-bounds the exact
+    path's floor while still upper-bounding every EXCLUDED row's coarse
+    score, and tombstoned rows never surface."""
+    from perceive_tpu.ops.topk import xla_scores_int2
+
+    rng = np.random.default_rng(11)
+    # nw=512 windows > kc; d lane-aligned: direct _quantize* calls skip padding
+    n, d, k, kc = 128 * 512, 128, 10, 256
+    mm = EmbeddingMatrix(d, dtype=INT2, capacity=n)
+    rows = _unit_rows(rng, n, d)
+    packed, s2 = mm._quantize2(rows)
+    if fine_bits == 8:
+        finem, s4 = mm._quantize(rows)
+    else:
+        finem, s4 = mm._quantize4(rows)
+    q = _unit_rows(rng, 3, d)
+    src = np.zeros(n, np.int32)
+    src[50:300] = -1  # tombstones spanning whole windows and partials
+    args = (
+        jnp.asarray(packed.T.copy()), jnp.asarray(s2),
+        jnp.asarray(finem.T.copy()), jnp.asarray(s4),
+        jnp.asarray(src), jnp.asarray(q), jnp.asarray(_allow_all()),
+    )
+
+    def run(select):
+        v, r, f = jax.jit(
+            lambda *a: scan_int2_coarse_fine(
+                *a, k, k_coarse=kc, engine="xla",
+                fine_bits=fine_bits, select=select,
+            )
+        )(*args)
+        return np.asarray(v), np.asarray(r), np.asarray(f)
+
+    ev, er, ef = run("exact")
+    wv, wr, wf = run("window")
+    qi8, qsc = quantize_queries(jnp.asarray(q))
+    coarse = np.asarray(
+        xla_scores_int2(jnp.asarray(packed.T.copy()), jnp.asarray(s2), qi8, qsc)
+    ).copy()
+    coarse[:, src < 0] = -np.inf
+    nw = n // 128
+    for qi in range(len(q)):
+        ret = wr[qi][np.isfinite(wv[qi])]
+        assert not set(ret.tolist()) & set(range(50, 300)), "tombstone surfaced"
+        # window floor <= exact floor (kc-th wmax is some row's score and
+        # distinct windows' maxes are distinct rows), and the top-k fine
+        # scores of the superset dominate the exact path's elementwise
+        assert wf[qi] <= ef[qi] + 1e-6
+        assert (wv[qi] >= ev[qi] - 1e-5).all()
+        # floor = the kc-th window max, so every row OUTSIDE the selected
+        # windows is bounded by it
+        wm = coarse[qi].reshape(nw, 128).max(axis=1)
+        floor_np = np.sort(wm)[::-1][kc - 1]
+        assert abs(wf[qi] - floor_np) <= 1e-6
+        # every returned row lives in a selected window
+        assert (wm[ret // 128] >= floor_np - 1e-6).all()
+
+
+@pytest.mark.parametrize("fine_bits", [8, 4])
+def test_int2_threshold_select_superset_and_floor(fine_bits):
+    """select="threshold" (the sort-free compaction variant; kept
+    selectable for higher-bandwidth parts, measured -0.14 ms SLOWER than
+    exact on the bench chip — BENCH_NOTES round-3): candidates contain the
+    exact path's, the floor equals the kc-th window max (numpy-checked) and
+    soundly bounds every row outside the candidate set, and tombstones
+    never surface."""
+    from perceive_tpu.ops.topk import _INT2_CAP_SLACK, xla_scores_int2
+
+    rng = np.random.default_rng(12)
+    # nw=512 windows > kc; d lane-aligned: direct _quantize* calls skip padding
+    n, d, k, kc = 128 * 512, 128, 10, 256
+    mm = EmbeddingMatrix(d, dtype=INT2, capacity=n)
+    rows = _unit_rows(rng, n, d)
+    packed, s2 = mm._quantize2(rows)
+    if fine_bits == 8:
+        finem, s4 = mm._quantize(rows)
+    else:
+        finem, s4 = mm._quantize4(rows)
+    q = _unit_rows(rng, 3, d)
+    src = np.zeros(n, np.int32)
+    src[50:300] = -1
+    args = (
+        jnp.asarray(packed.T.copy()), jnp.asarray(s2),
+        jnp.asarray(finem.T.copy()), jnp.asarray(s4),
+        jnp.asarray(src), jnp.asarray(q), jnp.asarray(_allow_all()),
+    )
+
+    def run(select):
+        v, r, f = jax.jit(
+            lambda *a: scan_int2_coarse_fine(
+                *a, k, k_coarse=kc, engine="xla",
+                fine_bits=fine_bits, select=select,
+            )
+        )(*args)
+        return np.asarray(v), np.asarray(r), np.asarray(f)
+
+    ev, er, ef = run("exact")
+    tv, tr, tf = run("threshold")
+    qi8, qsc = quantize_queries(jnp.asarray(q))
+    coarse = np.asarray(
+        xla_scores_int2(jnp.asarray(packed.T.copy()), jnp.asarray(s2), qi8, qsc)
+    ).copy()
+    coarse[:, src < 0] = -np.inf
+    nw = n // 128
+    for qi in range(len(q)):
+        ret = tr[qi][np.isfinite(tv[qi])]
+        assert not set(ret.tolist()) & set(range(50, 300)), "tombstone"
+        # superset dominance: the threshold path's top-k fine scores are
+        # elementwise >= the exact path's
+        assert (tv[qi] >= ev[qi] - 1e-5).all()
+        # floor = the kc-th window max (the compact path; count(>=theta)
+        # stays within slack on a gaussian corpus)
+        wm = coarse[qi].reshape(nw, 128).max(axis=1)
+        theta = np.sort(wm)[::-1][kc - 1]
+        assert abs(tf[qi] - theta) <= 1e-6
+        # soundness: rows strictly above the floor all fit the slots
+        assert (coarse[qi] > tf[qi] + 1e-6).sum() <= kc + _INT2_CAP_SLACK
+        # returned rows all clear the floor (they were selected >= theta)
+        assert (coarse[qi][ret] >= tf[qi] - 1e-6).all()
+
+
 def test_hier_selection_matches_topk():
     """_select_topk_hier is exact: identical values (and, off ties,
     identical rows) to lax.top_k on the full score row."""
