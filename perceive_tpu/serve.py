@@ -653,7 +653,25 @@ def serve(
                           file=sys.stderr)
 
         threading.Thread(target=_open, daemon=True).start()
+    # production kill signal: drain like Ctrl-C instead of dying mid-request
+    # (SQLite WAL + per-batch txns make an unclean death safe — DB replay
+    # rebuilds any unsaved snapshot delta — but a clean stop closes the
+    # coalescing executor and the refresh loop without half-written
+    # responses).  serve_forever must be shut down from another thread.
+    import signal
+
+    def _on_term(signum, frame):  # noqa: ARG001
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    try:
+        prev_term = signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:  # not the main thread (embedded use): skip the hook
+        prev_term = None
     try:
         server.serve_forever()
     except KeyboardInterrupt:
+        pass
+    finally:
         holder.stop()
+        if prev_term is not None:
+            signal.signal(signal.SIGTERM, prev_term)

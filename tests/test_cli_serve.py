@@ -594,6 +594,30 @@ def test_app_opens_browser_when_ready(state, monkeypatch):
     assert opened and opened[0].startswith("http://127.0.0.1:")
 
 
+def test_serve_sigterm_graceful_shutdown(state):
+    """SIGTERM (the production kill signal) drains the server like Ctrl-C:
+    serve() returns instead of the process dying mid-request, the state
+    holder is stopped, and the previous SIGTERM disposition is restored."""
+    import os
+    import signal
+    import threading
+    import time
+
+    from perceive_tpu import serve as serve_mod
+
+    before = signal.getsignal(signal.SIGTERM)
+
+    def _kill_soon():
+        time.sleep(0.5)
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    threading.Thread(target=_kill_soon, daemon=True).start()
+    t0 = time.time()
+    serve_mod.serve(state, port=0)  # returns only on shutdown
+    assert time.time() - t0 < 30, "SIGTERM did not drain the server"
+    assert signal.getsignal(signal.SIGTERM) == before
+
+
 def test_app_install_writes_desktop_entry(tmp_path, monkeypatch):
     """`app --install` writes an XDG launcher without loading any model
     (it returns before AppState is built)."""
