@@ -13,8 +13,6 @@ cheaper selection could save; if it is small, the selection alley is
 closed with a number.
 """
 
-import sys
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,8 +25,6 @@ from perceive_tpu.ops.topk import (
     INT2_COARSE_FETCH,
     pallas_int2_scores,
     quantize_queries,
-    scan_int2_coarse_fine,
-    unpack_int4_xla,
 )
 
 R = 8

@@ -66,10 +66,14 @@ def main():
     server = start_server(lambda: state, port=0, refresh_interval=10.0)
     port = server.server_address[1]
     base = f"http://127.0.0.1:{port}"
-    # wait for readiness (the 503 gate); /status says model_loaded
-    while not json.load(
-        urllib.request.urlopen(f"{base}/status")
-    ).get("model_loaded"):
+    # wait for readiness (the 503 gate); /status says model_loaded, and a
+    # failed build must abort the soak rather than spin forever
+    while True:
+        st = json.load(urllib.request.urlopen(f"{base}/status"))
+        if st.get("error"):
+            raise SystemExit(f"build failed: {st['error']}")
+        if st.get("model_loaded"):
+            break
         time.sleep(0.5)
     print("ready; soaking", SECONDS, "s with", CLIENTS, "clients", flush=True)
 

@@ -1095,8 +1095,9 @@ INT2_COARSE_FETCH = 4096
 
 # Extra candidate slots past the coarse depth for the sort-free threshold
 # selection (select="threshold"): absorbs score-tie classes straddling the
-# threshold so the bisection can land count in [kc, kc + slack].  A tie
-# class wider than the slack overflows -> floor = +inf -> escalation.
+# kc-th window max so the common path stays sort-free.  A tie class wider
+# than the slack lax.cond-falls back to the exact blocks top-k at kcap
+# depth (floor = the kcap-th block score) — see _select_threshold.
 _INT2_CAP_SLACK = 1024
 
 
@@ -1447,6 +1448,10 @@ def scan_int2_coarse_fine(
         # deserves re-measuring there (same reason the auto tier thresholds
         # are one constant).
         select = "exact"
+    if select not in ("exact", "window", "threshold"):
+        # silent fallback would let a typo'd variant A/B exact vs exact and
+        # record a bogus ~0 ms paired diff as a measurement
+        raise ValueError(f"unknown select {select!r}")
     if (
         select == "window"
         and n % _INT2_WINDOW == 0

@@ -673,5 +673,6 @@ def serve(
         pass
     finally:
         holder.stop()
+        server.server_close()  # release the listening socket (in-process reuse)
         if prev_term is not None:
             signal.signal(signal.SIGTERM, prev_term)

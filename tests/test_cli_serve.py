@@ -608,7 +608,12 @@ def test_serve_sigterm_graceful_shutdown(state):
     before = signal.getsignal(signal.SIGTERM)
 
     def _kill_soon():
-        time.sleep(0.5)
+        # wait until serve() has observably installed its handler — a fixed
+        # sleep races the registration, and a lost race would SIGTERM the
+        # whole pytest process under the default disposition
+        deadline = time.time() + 30
+        while time.time() < deadline and signal.getsignal(signal.SIGTERM) == before:
+            time.sleep(0.02)
         os.kill(os.getpid(), signal.SIGTERM)
 
     threading.Thread(target=_kill_soon, daemon=True).start()
