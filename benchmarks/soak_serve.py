@@ -49,8 +49,14 @@ def main():
     docs = pathlib.Path(tmp, "docs")
     docs.mkdir()
     rng = random.Random(7)
+    long_docs = os.environ.get("SOAK_LONG_DOCS") == "1"
     for i in range(400):
-        body = " ".join(rng.choices(WORDS, k=150))
+        # long-doc mode: every 5th document exceeds the encoder's
+        # max_seq_length so the default-on chunk embedding indexes multiple
+        # rows per item — the soak then churns the chunk keyspace (stale
+        # chunk deletion, dedupe, underfill re-fetch) under live queries
+        k = 2000 if long_docs and i % 5 == 0 else 150
+        body = " ".join(rng.choices(WORDS, k=k))
         pathlib.Path(docs, f"d{i:03d}.md").write_text(f"# doc {i}\n{body}\n")
 
     state = AppState(str(pathlib.Path(tmp, "db.sqlite3")))

@@ -367,6 +367,25 @@ def test_int2_threshold_select_superset_and_floor(fine_bits):
         assert (coarse[qi][ret] >= tf[qi] - 1e-6).all()
 
 
+def test_int2_unknown_select_raises():
+    """A typo'd select variant must raise, not silently run the exact path
+    (a silent fallback would let a probe A/B exact against exact and record
+    a bogus ~0 ms paired diff as a measurement)."""
+    rng = np.random.default_rng(13)
+    n, d = 1024, 128
+    mm = EmbeddingMatrix(d, dtype=INT2, capacity=n)
+    rows = _unit_rows(rng, n, d)
+    packed, s2 = mm._quantize2(rows)
+    fine, s4 = mm._quantize4(rows)
+    with pytest.raises(ValueError, match="unknown select"):
+        scan_int2_coarse_fine(
+            jnp.asarray(packed.T.copy()), jnp.asarray(s2),
+            jnp.asarray(fine.T.copy()), jnp.asarray(s4),
+            jnp.asarray(np.zeros(n, np.int32)), jnp.asarray(_unit_rows(rng, 1, d)),
+            jnp.asarray(_allow_all()), 10, engine="xla", select="bisection",
+        )
+
+
 def test_hier_selection_matches_topk():
     """_select_topk_hier is exact: identical values (and, off ties,
     identical rows) to lax.top_k on the full score row."""
