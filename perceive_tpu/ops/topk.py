@@ -1416,9 +1416,15 @@ def scan_int2_coarse_fine(
     per-query candidate gather of k_coarse columns measured ~0.07 ms
     (probe_int2c; a row-major layout's unaligned rows gathered ~200x
     slower).  Returns ((Q, k) f32 fine scores best-first, (Q, k)
-    int32 rows, (Q,) f32 coarse floor — the k_coarse-th int2 score, the
-    bound on any row OUTSIDE the candidate set; -inf when the whole
-    corpus was fetched).
+    int32 rows, (Q,) f32 coarse floor — an upper bound on every row
+    OUTSIDE the candidate set (select="exact": the k_coarse-th int2
+    score; "window": the k_coarse-th window max; "threshold": the
+    window-max threshold, or the kcap-th block score on tie overflow);
+    -inf when the whole corpus was fetched).
+
+    ``select`` picks the candidate-selection variant: "exact" (default —
+    fastest on the bench chip), "window", "threshold"; see the variant
+    docstrings and BENCH_NOTES round-3 "selection-sort alley".
     """
     n_full = packed2.shape[1]
     n = _sweep_n(n_full, n_sweep)
