@@ -37,8 +37,18 @@ def gen_packed_chunked(key, r, n):
         jax.lax.bitcast_convert_type(rand_i8_chunked(key, (r, n), 24), jnp.uint8)
     )
 
-N_FULL = 12288 * 1954  # 24,010,752 rows (tile-aligned, matches probe_int2_24m)
-SWEEPS = [12288 * k for k in (328, 656, 984, 1312, 1640, 1954)]
+# Two configurations: the 24M reach with the int4 companion (the HBM-budget
+# rule's choice there), or --int8 for the DEFAULT tier's exact shape (int8
+# companion, sizes up to 10M: 0.96+3.84 GB resident).
+import sys
+
+INT8_MODE = "--int8" in sys.argv
+if INT8_MODE:
+    N_FULL = 12288 * 814  # 10,002,432 rows (the bench corpus)
+    SWEEPS = [12288 * k for k in (136, 272, 407, 543, 678, 814)]
+else:
+    N_FULL = 12288 * 1954  # 24,010,752 rows (tile-aligned, probe_int2_24m)
+    SWEEPS = [12288 * k for k in (328, 656, 984, 1312, 1640, 1954)]
 R = 8
 ROUNDS = 9
 BYTES_PER_ROW = D // 4 + 4 + 4  # packed read + score write + select re-read
@@ -52,16 +62,21 @@ def main():
     # int4 fine companion: the HBM-budget rule's choice at 24M on this chip
     # (an int8 companion is 9.2 GB and OOMs next to the 2.3 GB coarse);
     # the companion only moves the N-independent intercept, not the slope
-    fine4 = gen_packed_chunked(jax.random.PRNGKey(8), D // 2, N_FULL)
+    if INT8_MODE:
+        from bench import _rand_i8t
+
+        fine4 = _rand_i8t(jax.random.PRNGKey(8), D, N_FULL)
+    else:
+        fine4 = gen_packed_chunked(jax.random.PRNGKey(8), D // 2, N_FULL)
     scales = jax.block_until_ready(jnp.full((N_FULL,), 0.01, jnp.float32))
     src = jax.block_until_ready(jnp.zeros((N_FULL,), jnp.int32))
-    print("arrays resident (24M int2 + int4 companion, 6.9 GB)", flush=True)
+    print(f"arrays resident ({N_FULL} rows, companion={8 if INT8_MODE else 4}-bit)", flush=True)
 
     def body(n_sweep):
         def f(q, p2, sc, s1, m8):
             v, rows, fl = scan_int2_coarse_fine(
                 p2, sc, m8, sc, s1, q, allowed, K,
-                fine_bits=4, n_sweep=n_sweep,
+                fine_bits=8 if INT8_MODE else 4, n_sweep=n_sweep,
             )
             return jnp.sum(v) + jnp.sum(rows.astype(jnp.float32)) + jnp.sum(fl)
         return f

@@ -153,6 +153,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pimp.add_argument("path", help="path to the source SQLite database")
 
+    # doctor: environment self-check (no model load / device matrix)
+    sub.add_parser(
+        "doctor",
+        help="check the environment: device, checkpoints, native deps, db",
+    )
+
     # snapshot / stats
     psnap = sub.add_parser("snapshot", help="save the device matrix for fast startup")
     psnap.add_argument("path", nargs="?", default=None)
@@ -227,6 +233,11 @@ def dispatch(state, args) -> None:
         commands.model_cmd(state, args)
     elif cmd == "import-db":
         commands.import_db(state, args)
+    elif cmd == "doctor":  # also reachable via the REPL re-dispatch
+        from .doctor import doctor
+
+        db = getattr(state, "db", None)
+        doctor(getattr(args, "db", None) or (db.path if db else None))
     elif cmd == "snapshot":
         commands.snapshot_cmd(state, args)
     elif cmd == "stats":
@@ -263,6 +274,13 @@ def main(argv: Optional[Sequence[str]] = None, state=None) -> int:
 
         print(install_desktop_entry())
         return 0
+
+    if args.command == "doctor":
+        # independent checks, no AppState: the doctor must work precisely
+        # when the app doesn't (missing checkpoints, broken device, bad db)
+        from .doctor import doctor
+
+        return doctor(args.db)
 
     if state is None:
         from .state import AppState

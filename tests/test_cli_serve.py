@@ -623,6 +623,38 @@ def test_serve_sigterm_graceful_shutdown(state):
     assert signal.getsignal(signal.SIGTERM) == before
 
 
+def test_doctor_healthy_and_broken_db(state, tmp_path, capsys):
+    """`doctor` checks the environment without building AppState: a healthy
+    populated db reports ok/warn only (exit 0); a corrupt db file fails the
+    database check (exit 1).  Also surfaces interrupted scans (live items
+    with no embedding row) as a warning."""
+    from perceive_tpu.cli.doctor import doctor
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "a.md").write_text("hello world alpha")
+    run(state, ["source", "add", "fs", str(docs), "--name", "d"])
+    run(state, ["source", "scan", "d"])
+    db_path = state.db.path
+    assert doctor(db_path) == 0
+    out = capsys.readouterr().out
+    assert "database" in out and "1 items" in out and "0 failed" in out
+
+    # interrupted-scan warning: a live item with its embedding row deleted
+    with state.db.write() as conn:
+        conn.execute("DELETE FROM item_embeddings")
+    assert doctor(db_path) == 0
+    assert "unembedded items" in capsys.readouterr().out
+
+    bad = tmp_path / "bad.sqlite3"
+    bad.write_bytes(b"definitely not a sqlite file" * 100)
+    assert doctor(str(bad)) == 1
+    assert "✗" in capsys.readouterr().out
+
+    missing = tmp_path / "nope.sqlite3"
+    assert doctor(str(missing)) == 0  # not-yet-created db is only a warning
+
+
 def test_app_install_writes_desktop_entry(tmp_path, monkeypatch):
     """`app --install` writes an XDG launcher without loading any model
     (it returns before AppState is built)."""
