@@ -410,6 +410,11 @@ def stats_cmd(state, args) -> None:
             f"({tier}, ~{hbm:.1f} MB HBM), "
             f"engine {state.searcher.engine}"
         )
+        if state.searcher.scan_calls:
+            print(
+                f"scans this session: {state.searcher.scan_calls} "
+                f"({state.searcher.escalations} floor escalations)"
+            )
         audit = state.searcher.coarse_audit
         if audit is not None and m.packed2:
             # verdict from the LIVE matrix flag, not the recorded dict —

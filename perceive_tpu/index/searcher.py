@@ -356,6 +356,14 @@ class Searcher:
 
             engine = "pallas" if platform_of(self.matrix.device) == "tpu" else "xla"
         self.engine = engine
+        # observability: how often the quantized tiers' floor check forced a
+        # deeper re-fetch (production signal for corpus/tier mismatch — a
+        # rising rate means the coarse depth or the margin needs retuning;
+        # measured 0.000 on gaussian/clustered 10M, recall_int2).  Plain
+        # int increments under the GIL; exposed via `stats`, /status and
+        # /metrics (perceive_search_escalations_total).
+        self.escalations = 0
+        self.scan_calls = 0
         # (engine, bits, has_aux) -> (model weakref, fn, aux weakref | None)
         self._fused_cache: dict = {}
         # when True (AppState sets it for the default "auto" configuration),
@@ -955,6 +963,7 @@ class Searcher:
 
     def _scan(self, q: np.ndarray, k: int, allowed: np.ndarray, first_sweep=None):
         m = self.matrix
+        self.scan_calls += 1
         want = self._first_fetch(k)
         qp = self._pad_queries(q)
         # the corpus self-audit (audit_coarse) demotes an untrustworthy
@@ -1024,6 +1033,7 @@ class Searcher:
                 trigger |= np.isfinite(floor) & (kth < floor + margin)
             if not trigger.any():
                 return evals, erows
+            self.escalations += 1
             # int2: any escalation abandons the coarse pass — the re-fetch
             # runs the int4 kernels on the fine matrix, restoring that
             # tier's floor semantics at bounded cost

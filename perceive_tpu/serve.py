@@ -439,6 +439,17 @@ def make_handler(holder: ServeState):
                     "# TYPE perceive_result_cache_misses_total counter",
                     f"perceive_result_cache_misses_total {ex.result_cache_misses}",
                 ]
+            s = holder.app.searcher if holder.app else None
+            if s is not None:
+                lines += [
+                    # floor-check re-fetches in the quantized tiers: a rising
+                    # rate means the coarse depth / noise margin needs
+                    # retuning for this corpus (index/searcher._scan)
+                    "# TYPE perceive_search_escalations_total counter",
+                    f"perceive_search_escalations_total {s.escalations}",
+                    "# TYPE perceive_search_scan_calls_total counter",
+                    f"perceive_search_scan_calls_total {s.scan_calls}",
+                ]
             body = ("\n".join(lines) + "\n").encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/plain; version=0.0.4")
@@ -458,6 +469,8 @@ def make_handler(holder: ServeState):
             s = holder.app.searcher if holder.app else None
             if s is not None:
                 out["tier"] = s.matrix.tier_name
+                out["escalations"] = s.escalations
+                out["scan_calls"] = s.scan_calls
             if s and s.coarse_audit and s.matrix.packed2:
                 # 'trusted' reflects the LIVE routing flag (round-3 review)
                 out["coarse_audit"] = {

@@ -217,6 +217,9 @@ def test_int2_coarse_floor_triggers_escalation(monkeypatch):
     want = (np.argsort(-exact)[:k] + 1).tolist()
     assert [iid for iid, _ in s.search_vector(q, k)] == want
     assert scans["n"] >= 2, "an unbeatable coarse floor must escalate"
+    # the observability counters saw it (stats / /status / /metrics source)
+    assert s.escalations >= 1
+    assert s.scan_calls >= 1
 
 
 @pytest.mark.parametrize("fine", ["int8", "int4"])
