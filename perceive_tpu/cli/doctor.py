@@ -142,6 +142,27 @@ def _check_db(rep: _Report, db_path: str | None) -> None:
             rep.add(OK, "database",
                     f"{path} ({mode}), {n_sources} sources, {n_items} items, "
                     f"{n_emb} embeddings")
+            for mid, mv, spath, srows in conn.execute(
+                "SELECT model_id, model_version, path, rows FROM vector_shards"
+            ):
+                if not Path(spath).exists():
+                    rep.add(WARN, "snapshot",
+                            f"model {mid} v{mv}: manifest points at missing "
+                            f"{spath} — startup falls back to a full (slower) "
+                            "rebuild from SQLite")
+                    continue
+                total = conn.execute(
+                    "SELECT COUNT(*) FROM item_embeddings WHERE model_id = ? "
+                    "AND model_version = ?", (mid, mv)
+                ).fetchone()[0]
+                backlog = max(0, total - srows)
+                detail = f"model {mid} v{mv}: {srows} rows in {spath}"
+                if backlog > max(1000, srows // 4):
+                    rep.add(WARN, "snapshot", detail + f", ~{backlog} newer "
+                            "rows replay from SQLite at startup — run "
+                            "`snapshot` to refresh")
+                else:
+                    rep.add(OK, "snapshot", detail)
             orphans = conn.execute(
                 """SELECT COUNT(*) FROM items
                    LEFT JOIN item_embeddings ie ON ie.item_id = items.id
