@@ -142,9 +142,20 @@ def _check_db(rep: _Report, db_path: str | None) -> None:
             rep.add(OK, "database",
                     f"{path} ({mode}), {n_sources} sources, {n_items} items, "
                     f"{n_emb} embeddings")
-            for mid, mv, spath, srows in conn.execute(
-                "SELECT model_id, model_version, path, rows FROM vector_shards"
-            ):
+            try:
+                shards = conn.execute(
+                    "SELECT model_id, model_version, path, rows "
+                    "FROM vector_shards"
+                ).fetchall()
+            except sqlite3.OperationalError:
+                # a reference-built perceive database has the same core
+                # tables but no vector_shards manifest — valid input for
+                # `import-db`, so don't FAIL the whole database check on it
+                rep.add(WARN, "snapshot",
+                        "no vector_shards table — a reference (pre-import) "
+                        "database; run `import-db` to bring it in")
+                shards = []
+            for mid, mv, spath, srows in shards:
                 if not Path(spath).exists():
                     rep.add(WARN, "snapshot",
                             f"model {mid} v{mv}: manifest points at missing "

@@ -1,6 +1,7 @@
 """CLI command tree + HTTP serve tests (reference cmd/* and Tauri analog)."""
 
 import json
+import sqlite3
 import urllib.request
 
 import numpy as np
@@ -653,6 +654,27 @@ def test_doctor_healthy_and_broken_db(state, tmp_path, capsys):
 
     missing = tmp_path / "nope.sqlite3"
     assert doctor(str(missing)) == 0  # not-yet-created db is only a warning
+
+    # a reference-built database (same core tables, no vector_shards
+    # manifest — valid `import-db` input) must degrade to a warning, not
+    # FAIL the database check (migrations/00001_init.sql:40-72 shape)
+    ref = tmp_path / "reference.sqlite3"
+    conn = sqlite3.connect(ref)
+    conn.executescript(
+        """
+        CREATE TABLE sources (id INTEGER PRIMARY KEY, name TEXT);
+        CREATE TABLE items (id INTEGER PRIMARY KEY, source_id INTEGER,
+                            skipped TEXT, hidden_at BIGINT);
+        CREATE TABLE item_embeddings (item_id INTEGER, model_id INTEGER,
+                                      model_version INTEGER, embedding BLOB);
+        INSERT INTO items (id, source_id) VALUES (1, 1);
+        INSERT INTO item_embeddings VALUES (1, 1, 1, x'00');
+        """
+    )
+    conn.close()
+    assert doctor(str(ref)) == 0
+    out = capsys.readouterr().out
+    assert "no vector_shards table" in out and "1 items" in out
 
 
 def test_app_install_writes_desktop_entry(tmp_path, monkeypatch):
