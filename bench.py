@@ -588,6 +588,13 @@ def main_ingest() -> None:
 if __name__ == "__main__":
     import sys
 
+    # persistent jit cache, same policy as the CLI/serve paths: through the
+    # tunnel compiler a cold run pays minutes of first-compiles (and can
+    # blow a driver timeout on a degraded chip); cached re-runs pay none
+    from perceive_tpu.cli.state import _enable_jit_cache
+
+    _enable_jit_cache()
+
     if "--ingest" in sys.argv:
         main_ingest()
     else:

@@ -194,17 +194,27 @@ def _read_stage(
     in_q: queue.Queue,
     out_q: queue.Queue,
 ) -> None:
-    """(reference read_items.rs:6-70)"""
+    """(reference read_items.rs:6-70)
+
+    The ``out_q.put`` calls sit OUTSIDE the read_time window: under embed
+    backpressure they block on queue space, and billing that wait to "read"
+    misattributes the scan wall (a bench run measured read_time 6.06 s of a
+    7.14 s wall while the actual read work cost ~0.6 s — the stage was
+    waiting on the device, not reading).  read_time now means time spent
+    fetching/parsing content, matching encode_time/write_time semantics.
+    """
     for si in _drain_queue(in_q):
+        if si.state is ScanItemState.UNCHANGED:
+            out_q.put(si)  # pure passthrough: no read work to bill
+            continue
+        forward = False
         with stats.read_time.track():
-            if si.state is ScanItemState.UNCHANGED:
-                out_q.put(si)
-                continue
             stats.reading.add()
             try:
                 result = scanner.read(si.existing, compare_strategy, si.item)
             except Exception as e:  # noqa: BLE001 — per-item isolation
                 print(f"{si.item.external_id}: {e}", file=sys.stderr)
+                result = None
                 if si.item.id >= 0:
                     # existing row: forward UNCHANGED so its version is
                     # bumped — dropping it here would make prune_missing_items
@@ -216,34 +226,34 @@ def _read_stage(
                         # freshness gate treat the FAILED fetch as done and
                         # never retry it until the next user visit (review r3)
                         si.item.metadata.atime = si.existing.last_accessed
-                    out_q.put(si)
-                continue
+                    forward = True
             finally:
                 stats.reading.sub()
                 stats.fetched.add()
 
-            if result is ReadResult.OMIT:
-                continue
-            state = ScanItemState.UNCHANGED if result is ReadResult.UNCHANGED else si.state
+            if result is not None and result is not ReadResult.OMIT:
+                state = ScanItemState.UNCHANGED if result is ReadResult.UNCHANGED else si.state
 
-            if state is ScanItemState.FOUND:
-                # settle changed-ness by content comparison
-                if si.existing is None:
-                    state = ScanItemState.NEW
-                elif si.item.skipped is not None:
-                    # a skip discovered at read time (404, non-text, ...)
-                    # must PERSIST: classifying UNCHANGED would drop the
-                    # skip on the floor and leave stale vectors searchable
-                    # (the write stage's skip branch needs != UNCHANGED)
-                    state = ScanItemState.CHANGED
-                elif (
-                    compare_strategy.should_compare_content
-                    and si.existing.content != (si.item.content or "")
-                ):
-                    state = ScanItemState.CHANGED
-                else:
-                    state = ScanItemState.UNCHANGED
-            si.state = state
+                if state is ScanItemState.FOUND:
+                    # settle changed-ness by content comparison
+                    if si.existing is None:
+                        state = ScanItemState.NEW
+                    elif si.item.skipped is not None:
+                        # a skip discovered at read time (404, non-text, ...)
+                        # must PERSIST: classifying UNCHANGED would drop the
+                        # skip on the floor and leave stale vectors searchable
+                        # (the write stage's skip branch needs != UNCHANGED)
+                        state = ScanItemState.CHANGED
+                    elif (
+                        compare_strategy.should_compare_content
+                        and si.existing.content != (si.item.content or "")
+                    ):
+                        state = ScanItemState.CHANGED
+                    else:
+                        state = ScanItemState.UNCHANGED
+                si.state = state
+                forward = True
+        if forward:
             out_q.put(si)
 
 
@@ -713,8 +723,26 @@ def scan_source(
     q_embedded: queue.Queue = queue.Queue(EMBED_QUEUE_BATCHES)
 
     def scan_fn():
+        class _UntrackedPutQueue:
+            """Queue facade whose put() pauses scan_time: blocking on
+            downstream queue space is backpressure wait, not scan work
+            (same attribution rule as _read_stage's out_q.put).  The lock
+            serializes the end/begin pair — today emit is single-threaded,
+            but BatchSender supports concurrent adds and an interleaved
+            pair would drive the tracker's active count negative."""
+
+            _plock = threading.Lock()
+
+            def put(self, batch):
+                with self._plock:
+                    stats.scan_time.end()
+                    try:
+                        q_items.put(batch)
+                    finally:
+                        stats.scan_time.begin()
+
         with stats.scan_time.track():
-            sender: BatchSender[Item] = BatchSender(q_items, SCAN_BATCH_SIZE)
+            sender: BatchSender[Item] = BatchSender(_UntrackedPutQueue(), SCAN_BATCH_SIZE)
 
             def emit(item: Item) -> None:
                 stats.scanned.add()

@@ -560,3 +560,61 @@ def test_stage_failure_after_sentinel_does_not_hang():
     t2.join(timeout=10)
     assert not t2.is_alive()
     assert q2.empty(), "error path did not drain the remaining items"
+
+
+def test_read_time_excludes_backpressure_wait():
+    """read_time must bill only read work, not out_q.put blocking on a slow
+    downstream stage — a bench run attributed 6.06 s of a 7.14 s wall to
+    "read" while the actual reads cost ~0.6 s (the readers were waiting on
+    the device).  Attribution semantics now match encode_time/write_time."""
+    import queue as _q
+    import threading
+
+    from perceive_tpu.sources import pipeline as pl
+    from perceive_tpu.sources.scanner import ReadResult, ScanStats, SourceScanner
+
+    class InstantScanner(SourceScanner):
+        def scan(self, emit):  # pragma: no cover - unused
+            pass
+
+        def read(self, existing, compare_strategy, item):
+            item.content = "x"
+            return ReadResult.FOUND
+
+        def latest_process_version(self):
+            return 0
+
+    n = 12
+    in_q: _q.Queue = _q.Queue()
+    out_q: _q.Queue = _q.Queue(maxsize=1)  # forces put() to block
+    for i in range(n):
+        in_q.put(pl.ScanItem(
+            state=ScanItemState.NEW,
+            item=Item(id=-1, source_id=1, external_id=f"doc{i}",
+                      metadata=ItemMetadata()),
+        ))
+    in_q.put(pl._SENTINEL)
+
+    stats = ScanStats()
+    consumed: list = []
+
+    def slow_consumer():
+        while len(consumed) < n:
+            consumed.append(out_q.get())
+            time.sleep(0.05)  # ~0.6 s of downstream stall in total
+
+    c = threading.Thread(target=slow_consumer, daemon=True)
+    c.start()
+    t0 = time.perf_counter()
+    pl._read_stage(stats, ItemCompareStrategy.MTIME_AND_CONTENT,
+                   InstantScanner(), in_q, out_q)
+    wall = time.perf_counter() - t0
+    c.join(timeout=10)
+    assert len(consumed) == n
+    # the stage wall is dominated by the consumer's sleeps; read_time must
+    # not absorb them (generous bound: a quarter of the stalled wall)
+    assert wall > 0.4, f"consumer stall did not materialize (wall={wall:.3f}s)"
+    assert stats.read_time.elapsed() < wall / 4, (
+        f"read_time {stats.read_time.elapsed():.3f}s absorbed backpressure "
+        f"wait (stage wall {wall:.3f}s)"
+    )
