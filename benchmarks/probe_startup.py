@@ -1,0 +1,125 @@
+"""Probe: startup cost at corpus scale — cold SQLite rebuild vs snapshot
+load + replay.
+
+The reference prints "Built search in N seconds" at every startup
+(perceive-cli/state.rs:33-41): its HNSW graphs are rebuilt from the
+embedding BLOBs each run.  This framework's analog is Searcher.build,
+which either streams every BLOB out of SQLite (cold) or loads the
+vector_shards .npz snapshot and replays only rows written after it
+(SURVEY §5.4 fast-reload).  Neither path had a measured number at corpus
+scale; this probe times both through the production code path, plus
+save_snapshot itself, then sanity-checks that both searchers rank
+identically.
+
+PERCEIVE_TPU_STARTUP_N overrides the row count (default 2,000,000 x 384
+f32 BLOBs = 3.1 GB of SQLite, auto tier = int8 at that size).  Rates are
+reported per-GB so the 10M story is arithmetic.  See `# RESULT` below
+after a hardware run.
+"""
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+import numpy as np
+
+N = int(os.environ.get("PERCEIVE_TPU_STARTUP_N", 2_000_000))
+D = 384
+CHUNK = 50_000
+
+
+def main():
+    from perceive_tpu.db import Database, add_source
+    from perceive_tpu.index.matrix import auto_matrix_dtype
+    from perceive_tpu.index.searcher import Searcher
+    from perceive_tpu.types import Source
+
+    base = tempfile.mkdtemp(prefix="startup_probe_")
+    try:
+        db = Database(f"{base}/probe.sqlite3")
+        src = add_source(db, Source(name="p", config={"type": "fs"}, location="/x"))
+        mid, mver = db.read().execute(
+            "SELECT model_id, version FROM model_versions ORDER BY model_id LIMIT 1"
+        ).fetchone()
+
+        rng = np.random.default_rng(0)
+        t0 = time.perf_counter()
+        next_id = 1
+        for start in range(0, N, CHUNK):
+            n = min(CHUNK, N - start)
+            vecs = rng.standard_normal((n, D), dtype=np.float32)
+            vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+            ids = range(next_id, next_id + n)
+            with db.write() as conn:
+                conn.executemany(
+                    "INSERT INTO items (id, source_id, external_id, hash, content)"
+                    " VALUES (?,?,?,'','')",
+                    [(i, src.id, f"doc{i}") for i in ids],
+                )
+                conn.executemany(
+                    "INSERT INTO item_embeddings (model_id, model_version, item_id,"
+                    " chunk_idx, item_index_version, embedding, seq)"
+                    " VALUES (?,?,?,0,0,?,?)",
+                    [(mid, mver, i, vecs[j].tobytes(), i) for j, i in enumerate(ids)],
+                )
+            next_id += n
+        t_insert = time.perf_counter() - t0
+        db_gb = os.path.getsize(f"{base}/probe.sqlite3") / 1e9
+        print(f"# inserted {N} rows ({db_gb:.2f} GB sqlite) in {t_insert:.1f}s", flush=True)
+
+        dtype = auto_matrix_dtype(N, D)
+        t0 = time.perf_counter()
+        s_cold = Searcher.build(db, mid, mver, D, dtype=dtype, use_snapshot=False)
+        t_cold = time.perf_counter() - t0
+
+        q = rng.standard_normal((D,), dtype=np.float32)
+        q /= np.linalg.norm(q)
+        cold_hits = s_cold.search_vector(q, 10)
+
+        t0 = time.perf_counter()
+        s_cold.save_snapshot(db, f"{base}/snap.npz")
+        t_save = time.perf_counter() - t0
+        snap_gb = sum(
+            os.path.getsize(f"{base}/{f}") for f in os.listdir(base) if f.startswith("snap")
+        ) / 1e9
+        del s_cold
+
+        t0 = time.perf_counter()
+        s_warm = Searcher.build(db, mid, mver, D, dtype=dtype, use_snapshot=True)
+        t_warm = time.perf_counter() - t0
+        warm_hits = s_warm.search_vector(q, 10)
+
+        assert [h[0] for h in cold_hits] == [h[0] for h in warm_hits], (
+            cold_hits, warm_hits)
+
+        print(json.dumps({
+            "metric": "startup",
+            "rows": N,
+            "tier": str(s_warm.matrix.tier_name) if hasattr(s_warm.matrix, "tier_name") else str(dtype),
+            "cold_build_s": round(t_cold, 2),
+            "cold_rows_per_s": round(N / t_cold),
+            "snapshot_save_s": round(t_save, 2),
+            "snapshot_gb": round(snap_gb, 2),
+            "snapshot_load_s": round(t_warm, 2),
+            "speedup": round(t_cold / t_warm, 1),
+        }), flush=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
+
+# RESULT (1x v5e-class chip via tunnel, 2026-08-20):
+#   2,000,000 x 384 f32 BLOBs (4.27 GB SQLite), auto tier = int8
+#   cold build (stream + quantize + stage):  149.1 s  (13.4k rows/s)
+#   snapshot save (int8 + scales + f32 mirror, 3.1 GB): 39.1 s
+#   snapshot load + replay:                   37.6 s  -> 4.0x speedup
+#   both searchers rank identically (sanity query).
+# The load wall is tunnel upload + 3.1 GB of disk I/O at ~83 MB/s on this
+# 1-core host; a local-attach deployment pays disk + PCIe only.  Scaled:
+# a 50k-row personal corpus cold-builds in ~4 s and snapshot-loads in ~1 s
+# (the reference rebuilt per-source HNSW graphs at ef_c=800 every startup);
+# a 10M corpus snapshot-loads in ~3 min here, dominated by bytes.
