@@ -498,6 +498,80 @@ def _resolve_source_filter(state, args) -> Optional[list[int]]:
         raise SystemExit(f"No source named {e.args[0]}") from e
 
 
+# seconds per relative-time unit accepted by parse_when; "mo" is the mean
+# Gregorian month and "y" the Julian year — close enough for search windows
+_WHEN_UNITS = {
+    "s": 1, "min": 60, "h": 3600, "d": 86400, "w": 604800,
+    "mo": 2629800, "y": 31557600,
+}
+
+
+def parse_when(text: str, *, now: Optional[float] = None) -> int:
+    """Parse a user-supplied point in time into unix seconds.
+
+    Accepted forms (beyond-parity `search --after/--before` filter; items
+    carry mtime/atime as unix seconds, types.py):
+
+    * relative: ``7d``, ``12h``, ``30min``, ``2w``, ``3mo``, ``1y`` — that
+      long before *now*;
+    * absolute: anything ``datetime.fromisoformat`` takes (``2026-01-15``,
+      ``2026-01-15T09:30``, with offset) — naive values are LOCAL time,
+      matching what `print` shows and users think in;
+    * a raw unix timestamp (9+ digits, so date-like digit strings never
+      collide with epochs).
+
+    Raises ValueError with the accepted forms on anything else.
+    """
+    import re
+    from datetime import datetime
+
+    s = text.strip()
+    if re.fullmatch(r"\d{9,}", s):
+        return int(s)
+    m = re.fullmatch(r"(\d+)\s*(s|min|h|d|w|mo|y)", s)
+    if m:
+        t = time.time() if now is None else now
+        return int(t - int(m.group(1)) * _WHEN_UNITS[m.group(2)])
+    try:
+        return int(datetime.fromisoformat(s).timestamp())
+    except ValueError:
+        raise ValueError(
+            f"can't parse time {text!r}: use a relative offset (7d, 12h, 30min, "
+            "2w, 3mo, 1y), an ISO date/datetime (2026-01-15[T09:30]), or a unix "
+            "timestamp"
+        ) from None
+
+
+def item_time(item) -> Optional[int]:
+    """The timestamp an item is filtered/sorted by: mtime (fs files, pages
+    with Last-Modified) falling back to atime (bookmark/history visit or
+    fetch time).  None when the connector recorded neither."""
+    m = item.metadata
+    return m.mtime if m.mtime is not None else m.atime
+
+
+def filter_results_by_time(
+    results: list, after: Optional[int], before: Optional[int]
+) -> list:
+    """Keep results whose item_time lies in [after, before).  Items with no
+    timestamp at all are dropped — a time filter asks for provably-in-range
+    items.  Shared by the CLI and serve so semantics can't drift (same
+    contract as resolve_source_filter)."""
+    if after is None and before is None:
+        return results
+    out = []
+    for r in results:
+        t = item_time(r.item)
+        if t is None:
+            continue
+        if after is not None and t < after:
+            continue
+        if before is not None and t >= before:
+            continue
+        out.append(r)
+    return out
+
+
 def format_result(r: SearchResult, highlight: Optional[str]) -> str:
     title = r.item.metadata.name or r.item.external_id
     lines = [f"{r.source_name} ({r.item.id}): {BOLD}{title}{RESET}  [{r.score:.4f}]"]
@@ -520,10 +594,16 @@ def search(state, args) -> list[SearchResult]:
         tag_items = items_with_tag(state.db, args.tag)
         if tag_items is None:
             raise SystemExit(f"no tag named {args.tag}")
-    # tag filtering is a host-side post-filter; over-fetch to keep k results
-    # stay under the searcher's user-facing cap: -n 300 --tag must not
-    # explode just because the post-filter over-fetch would exceed MAX_K
-    fetch_k = min(4 * k, MAX_K) if tag_items is not None else k
+    try:
+        after = parse_when(args.after) if getattr(args, "after", None) else None
+        before = parse_when(args.before) if getattr(args, "before", None) else None
+    except ValueError as e:
+        raise SystemExit(str(e)) from e
+    # tag/time filtering is a host-side post-filter; over-fetch to keep k
+    # results.  Stay under the searcher's user-facing cap: -n 300 --tag must
+    # not explode just because the post-filter over-fetch would exceed MAX_K
+    post_filter = tag_items is not None or after is not None or before is not None
+    fetch_k = min(4 * k, MAX_K) if post_filter else k
 
     hl_q = None  # highlight-model query embedding, fused into the sweep
     if getattr(args, "like", None):
@@ -545,7 +625,12 @@ def search(state, args) -> list[SearchResult]:
         results = state.searcher.retrieve(state.db, hits)
 
     if tag_items is not None:
-        results = [r for r in results if r.item.id in tag_items][:k]
+        results = [r for r in results if r.item.id in tag_items]
+    results = filter_results_by_time(results, after, before)[:k]
+    if getattr(args, "sort", None) == "time":
+        # top-k stays relevance-selected; --sort time only reorders the
+        # DISPLAY of those k by recency (newest first, untimed last)
+        results.sort(key=lambda r: item_time(r.item) or -1, reverse=True)
 
     docs = [r.item.content or "" for r in results]
     query_text = " ".join(args.query) if args.query else ""
@@ -569,6 +654,7 @@ def search(state, args) -> list[SearchResult]:
                         "url": r.item.external_id,
                         "source": r.source_name,
                         "snippet": r.highlight,
+                        "time": item_time(r.item),
                     }
                     for r in results
                 ]

@@ -117,6 +117,15 @@ def build_parser() -> argparse.ArgumentParser:
     pq.add_argument("--like", help="item id: find items similar to this one")
     pq.add_argument("--json", action="store_true", help="machine-readable output")
     pq.add_argument("--tag", help="restrict to items carrying this tag")
+    pq.add_argument(
+        "--after",
+        help="only items modified at/after this time (7d, 12h, 2026-01-15, unix epoch)",
+    )
+    pq.add_argument("--before", help="only items modified before this time (same forms)")
+    pq.add_argument(
+        "--sort", choices=["score", "time"], default="score",
+        help="order the top results by relevance (default) or recency",
+    )
 
     # print / hide
     pp = sub.add_parser("print", help="print an item")

@@ -53,12 +53,20 @@ _INDEX_HTML = """<!doctype html>
     <option value="web">web</option>
     <option value="bookmarks">bookmarks</option>
   </select>
+  <select id="fwhen">
+    <option value="">any time</option>
+    <option value="1d">past day</option>
+    <option value="1w">past week</option>
+    <option value="1mo">past month</option>
+    <option value="1y">past year</option>
+  </select>
 </div>
 <div id="out"></div>
 <script>
 const q = document.getElementById('q'), out = document.getElementById('out'),
       status = document.getElementById('status'),
-      fsrc = document.getElementById('fsrc'), ftype = document.getElementById('ftype');
+      fsrc = document.getElementById('fsrc'), ftype = document.getElementById('ftype'),
+      fwhen = document.getElementById('fwhen');
 let timer = null, sourcesLoaded = false;
 function applyStatus(s) {
   if (s.error) { status.textContent = 'failed to load: ' + s.error; return false; }
@@ -98,6 +106,7 @@ q.addEventListener('input', () => {
 });
 fsrc.addEventListener('change', search);
 ftype.addEventListener('change', search);
+fwhen.addEventListener('change', search);
 let seq = 0;  // stale responses (slower earlier queries) must not
               // overwrite a newer query's results
 async function search() {
@@ -107,6 +116,7 @@ async function search() {
   let url = '/search?q=' + encodeURIComponent(query) + '&k=10';
   if (fsrc.value) url += '&source=' + encodeURIComponent(fsrc.value);
   else if (ftype.value) url += '&type=' + encodeURIComponent(ftype.value);
+  if (fwhen.value) url += '&after=' + fwhen.value;
   const res = await fetch(url);
   if (!res.ok || my !== seq) return;
   const hits = await res.json();
@@ -322,6 +332,8 @@ def _result_json(r) -> dict:
         "url": r.item.external_id,
         "source": r.source_name,
         "snippet": r.highlight or (r.item.content or "")[:240],
+        "time": r.item.metadata.mtime if r.item.metadata.mtime is not None
+                else r.item.metadata.atime,
     }
 
 
@@ -340,7 +352,10 @@ def make_handler(holder: ServeState):
 
         MAX_K = 256
 
-        def _search(self, query: str, k, source: Optional[str], type_tag: Optional[str] = None):
+        def _search(
+            self, query: str, k, source: Optional[str], type_tag: Optional[str] = None,
+            after=None, before=None,
+        ):
             try:
                 k = int(k)
             except (TypeError, ValueError):
@@ -352,7 +367,12 @@ def make_handler(holder: ServeState):
                 return self._json(
                     503, {"error": "no search index in this server's state"}
                 )
-            from .cli.commands import UnknownSource, resolve_source_filter
+            from .cli.commands import (
+                UnknownSource,
+                filter_results_by_time,
+                parse_when,
+                resolve_source_filter,
+            )
 
             try:  # the same resolver as the CLI (semantics can't drift)
                 source_ids = resolve_source_filter(app, source, type_tag)
@@ -360,6 +380,14 @@ def make_handler(holder: ServeState):
                 return self._json(404, {"error": f"no source {source}"})
             except ValueError:
                 return self._json(400, {"error": f"bad type {type_tag}"})
+            try:  # same time-window grammar as the CLI's --after/--before
+                after = parse_when(str(after)) if after else None
+                before = parse_when(str(before)) if before else None
+            except ValueError as e:
+                return self._json(400, {"error": str(e)})
+            # time filtering happens host-side after retrieve: over-fetch so
+            # a narrow window still fills k (CLI search() does the same)
+            fetch_k = min(4 * k, self.MAX_K) if (after or before) else k
             hl_q = None
             if holder.executor is not None:
                 # text rides the executor: uncontended -> ONE fused
@@ -367,14 +395,15 @@ def make_handler(holder: ServeState):
                 # highlights model; concurrent -> batched encodes +
                 # coalesced sweeps (index/executor.py)
                 hits, hl_q = holder.executor.search_text(
-                    query, k, source_ids, want_aux=True
+                    query, fetch_k, source_ids, want_aux=True
                 )
             else:
                 hits, hl_q = app.searcher.search_fused(
-                    app.model, query, k, source_ids,
+                    app.model, query, fetch_k, source_ids,
                     aux_model=app.highlights_model,
                 )
             results = app.searcher.retrieve(app.db, hits)
+            results = filter_results_by_time(results, after, before)[:k]
             docs = [r.item.content or "" for r in results]
             if docs:
                 if holder.highlighter is not None:
@@ -574,6 +603,8 @@ def make_handler(holder: ServeState):
                     (q.get("k") or ["10"])[0],
                     (q.get("source") or [None])[0],
                     (q.get("type") or [None])[0],
+                    after=(q.get("after") or [None])[0],
+                    before=(q.get("before") or [None])[0],
                 )
             else:
                 self._json(404, {"error": "not found"})
@@ -603,7 +634,10 @@ def make_handler(holder: ServeState):
             query = payload.get("q") or payload.get("query")
             if not query or not isinstance(query, str):
                 return self._json(400, {"error": "missing q"})
-            self._search(query, payload.get("k", 10), payload.get("source"), payload.get("type"))
+            self._search(
+                query, payload.get("k", 10), payload.get("source"), payload.get("type"),
+                after=payload.get("after"), before=payload.get("before"),
+            )
 
     return Handler
 
