@@ -1178,8 +1178,15 @@ class EmbeddingMatrix:
 
     # -- snapshots (vector_shards manifest) -----------------------------------
 
-    def save_snapshot(self, path: str, *, incremental: bool = True) -> str:
+    def save_snapshot(self, path: str, *, incremental: bool = True, payload: bool = True) -> str:
         """Persist to .npz for fast startup.  Returns "full" or "delta".
+
+        ``payload=True`` (format v2, round 3) additionally streams the
+        QUANTIZED device payload (tier bytes + scales) into the base so a
+        tier-matching reload adopts the stored layout directly
+        (adopt_snapshot): no per-row upsert bookkeeping and no
+        re-quantization pass at startup.  ``payload=False`` writes the v1
+        f32-only base (and is what the bounded-churn delta form always is).
 
         Round 2 held the matrix lock across the whole multi-GB np.savez, so
         every autosave stalled all searches for the full write (VERDICT r2
@@ -1209,9 +1216,9 @@ class EmbeddingMatrix:
         # racing an explicit `snapshot`) would share the same .tmp.{pid}
         # temp file and interleave writes into it (review r3)
         with self._snapshot_io_lock:
-            return self._save_snapshot_locked(path, incremental=incremental)
+            return self._save_snapshot_locked(path, incremental=incremental, payload=payload)
 
-    def _save_snapshot_locked(self, path: str, *, incremental: bool) -> str:
+    def _save_snapshot_locked(self, path: str, *, incremental: bool, payload: bool = True) -> str:
         delta_path = path + ".delta"
         with self._lock:
             has_delta_tracking = self._delta_rows is not None
@@ -1224,7 +1231,9 @@ class EmbeddingMatrix:
                 return "delta"
         new_token = os.urandom(16).hex()
         for attempt in range(3):
-            if self._write_full_snapshot(path, locked=attempt == 2, token=new_token):
+            if self._write_full_snapshot(
+                path, locked=attempt == 2, token=new_token, payload=payload
+            ):
                 break
         # any leftover delta belongs to the previous base (token mismatch —
         # ignored on load even if this unlink never happens)
@@ -1254,7 +1263,16 @@ class EmbeddingMatrix:
             if os.path.exists(tmp):
                 os.unlink(tmp)
 
-    def _write_full_snapshot(self, path: str, *, locked: bool, token: str) -> bool:
+    @property
+    def dtype_name(self) -> str:
+        """Stable tier identifier: the "int4"/"int2" sentinels as-is, JAX
+        dtypes canonicalized ("bfloat16", "int8", "float32")."""
+        return self.dtype if isinstance(self.dtype, str) else str(
+            np.dtype(jax.dtypes.canonicalize_dtype(self.dtype))
+        )
+
+    def _write_full_snapshot(self, path: str, *, locked: bool, token: str,
+                             payload: bool = True) -> bool:
         """Stream a full base snapshot.  Returns True when the file was
         atomically published, False when tombstone reuse raced the stream
         (the caller retries; nothing was replaced on disk — publishing an
@@ -1279,6 +1297,7 @@ class EmbeddingMatrix:
                 rows = self.rows
                 item_ids = self.item_ids[:rows].copy()
                 source_ids = self.source_ids[:rows].copy()
+                scale_hw, norm_hw = self.scale_hw, self.norm_hw
                 old_delta_rows = self._delta_rows
                 old_delta_removed = self._delta_removed
                 self._delta_rows = set()  # fresh base: tracking restarts
@@ -1287,10 +1306,39 @@ class EmbeddingMatrix:
             published = False
             try:
 
+                def stream_quantized(zf, name: str, descr: str, width: int, quant_fn) -> np.ndarray:
+                    """Stream one quantized-payload member: quantize mirror
+                    row chunks (full padded width — the quantizers slice
+                    plane layouts out of padded_dim) under short locks,
+                    write the bytes, return the per-row scales.  A row
+                    mutated mid-stream diverges from the f32 member the
+                    same way the f32 chunks diverge from each other — its
+                    seq > the manifest's max_seq, so the load-time replay
+                    re-upserts it over both."""
+                    scales = np.empty((rows,), np.float32)
+                    with zf.open(name + ".npy", "w", force_zip64=True) as f:
+                        npf.write_array_header_1_0(
+                            f,
+                            {"descr": descr, "fortran_order": False,
+                             "shape": (rows, width)},
+                        )
+                        for lo in range(0, rows, self._SYNC_CHUNK_ROWS):
+                            hi = min(lo + self._SYNC_CHUNK_ROWS, rows)
+                            with self._lock:
+                                chunk = self._mirror.read_f32(slice(lo, hi))
+                            q, s = quant_fn(chunk)
+                            f.write(np.ascontiguousarray(q).tobytes())
+                            scales[lo:hi] = s
+                    return scales
+
                 def write(tmp: str) -> None:
                     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED, allowZip64=True) as zf:
                         for name, arr in (
                             ("dim", np.int64(self.dim)),
+                            ("fmt", np.int64(2)),
+                            ("tier", np.str_(self.dtype_name)),
+                            ("scale_hw", np.float32(scale_hw)),
+                            ("norm_hw", np.float32(norm_hw)),
                             ("base_token", np.str_(token)),
                             ("item_ids", item_ids),
                             ("source_ids", source_ids),
@@ -1310,6 +1358,29 @@ class EmbeddingMatrix:
                                 with self._lock:
                                     chunk = self._mirror.read_f32(slice(lo, hi), self.dim)
                                 f.write(np.ascontiguousarray(chunk).tobytes())
+                        if payload and self.quantized and rows:
+                            # quantized device payload (format v2): lets a
+                            # tier-matching reload adopt the rows without
+                            # re-quantizing the whole corpus (adopt_snapshot)
+                            pd = self.padded_dim
+                            if self.packed2:
+                                fb = int2_fine_bits(
+                                    self.capacity, pd, self.row_shards
+                                )
+                                fine_fn = self._quantize if fb == 8 else self._quantize4
+                                names = [
+                                    ("q_coarse", "|u1", pd // 4, self._quantize2),
+                                    ("q_fine", "|i1" if fb == 8 else "|u1",
+                                     pd if fb == 8 else pd // 2, fine_fn),
+                                ]
+                            elif self.packed4:
+                                names = [("q_vectors", "|u1", pd // 2, self._quantize4)]
+                            else:  # int8
+                                names = [("q_vectors", "|i1", pd, self._quantize)]
+                            for name, descr, width, fn in names:
+                                s = stream_quantized(zf, name, descr, width, fn)
+                                with zf.open(name + "_scales.npy", "w", force_zip64=True) as f:
+                                    npf.write_array(f, s, allow_pickle=False)
 
                 tmp = f"{path}.tmp.{os.getpid()}"
                 try:
@@ -1392,35 +1463,257 @@ class EmbeddingMatrix:
     _LOAD_CHUNK_ROWS = 1_048_576
 
     @staticmethod
-    def _iter_snapshot_vectors(path: str, chunk_rows: int):
-        """Yield (lo, hi, f32 ndarray) row chunks of the uncompressed
-        ``vectors.npy`` member without materializing the whole array (the
-        writer streams it ZIP_STORED, so sequential reads are raw copies)."""
+    def _member_mmap(path: str, name: str):
+        """Read-only memmap over a ZIP_STORED 2-D .npy member's data bytes,
+        or None when the member is absent/compressed/foreign-layout.
+
+        The zip layer costs real time at corpus scale: ZipExtFile reads in
+        small Python-level chunks and CRCs every byte (~2x the raw disk cost
+        measured at 1M x 384).  Members we wrote are ZIP_STORED, so the
+        array bytes sit contiguous in the file — map them and let numpy
+        copy file->destination directly.  CRC validation is skipped on this
+        path: the snapshot is a cache over SQLite (corruption at worst
+        degrades scores until the next rebuild), and structural checks
+        (token, dim, shapes) still apply."""
+        import struct
         import zipfile
 
         from numpy.lib import format as npf
 
-        with zipfile.ZipFile(path) as zf, zf.open("vectors.npy") as f:
+        try:
+            with zipfile.ZipFile(path) as zf:
+                info = zf.getinfo(name + ".npy")
+                if info.compress_type != zipfile.ZIP_STORED:
+                    return None
+            with open(path, "rb") as f:
+                f.seek(info.header_offset)
+                hdr = f.read(30)  # local file header (its name/extra lengths
+                # can differ from the central directory's copy)
+                if len(hdr) != 30 or hdr[:4] != b"PK\x03\x04":
+                    return None
+                nlen, elen = struct.unpack("<HH", hdr[26:30])
+                f.seek(info.header_offset + 30 + nlen + elen)
+                version = npf.read_magic(f)
+                if version == (1, 0):
+                    shape, fortran, descr = npf.read_array_header_1_0(f)
+                elif version == (2, 0):
+                    shape, fortran, descr = npf.read_array_header_2_0(f)
+                else:
+                    return None
+                if fortran or len(shape) != 2:
+                    return None
+                return np.memmap(
+                    path, dtype=np.dtype(descr), mode="r", offset=f.tell(),
+                    shape=shape,
+                )
+        except Exception:  # noqa: BLE001 — caller falls back to zipfile reads
+            return None
+
+    @classmethod
+    def _iter_snapshot_member(cls, path: str, name: str, want_dtype, chunk_rows: int):
+        """Yield (lo, hi, ndarray) row chunks of an uncompressed 2-D .npy
+        member without materializing the whole array (the writer streams
+        members ZIP_STORED, so sequential reads are raw copies).  Chunks
+        from the mapped fast path are read-only VIEWS — consumers copy into
+        their destination (mirror write / staging slice assignment), which
+        is exactly one file->dest copy."""
+        import zipfile
+
+        from numpy.lib import format as npf
+
+        want = np.dtype(want_dtype)
+        mapped = cls._member_mmap(path, name)
+        if mapped is not None and mapped.dtype == want:
+            rows = mapped.shape[0]
+            for lo in range(0, rows, chunk_rows):
+                hi = min(lo + chunk_rows, rows)
+                yield lo, hi, mapped[lo:hi]
+            return
+        with zipfile.ZipFile(path) as zf, zf.open(name + ".npy") as f:
             version = npf.read_magic(f)
             if version == (1, 0):
                 shape, fortran, descr = npf.read_array_header_1_0(f)
             elif version == (2, 0):
                 shape, fortran, descr = npf.read_array_header_2_0(f)
             else:  # unknown future format: let np.load handle it whole
-                data = np.load(path)["vectors"]
-                yield 0, data.shape[0], np.asarray(data, dtype=np.float32)
+                data = np.load(path)[name]
+                yield 0, data.shape[0], np.asarray(data, dtype=want)
                 return
             rows, dim = shape
-            if fortran or np.dtype(descr) != np.dtype("<f4"):
+            if fortran or np.dtype(descr) != want:
                 # legacy/foreign layout: fall back to one full read
                 data = np.frombuffer(f.read(), dtype=descr).reshape(shape)
-                yield 0, rows, data.astype(np.float32, copy=False)
+                yield 0, rows, data.astype(want, copy=False)
                 return
-            row_bytes = dim * 4
+            row_bytes = dim * want.itemsize
             for lo in range(0, rows, chunk_rows):
                 hi = min(lo + chunk_rows, rows)
                 buf = f.read((hi - lo) * row_bytes)
-                yield lo, hi, np.frombuffer(buf, dtype="<f4").reshape(hi - lo, dim)
+                yield lo, hi, np.frombuffer(buf, dtype=want).reshape(hi - lo, dim)
+
+    @classmethod
+    def _iter_snapshot_vectors(cls, path: str, chunk_rows: int):
+        """(lo, hi, f32 rows) chunks of the ``vectors`` member."""
+        return cls._iter_snapshot_member(path, "vectors", "<f4", chunk_rows)
+
+    @staticmethod
+    def _snapshot_member_shape(path: str, name: str):
+        """Shape of one .npy member from its header alone (no data read);
+        None when the member is absent or unreadable."""
+        import zipfile
+
+        from numpy.lib import format as npf
+
+        try:
+            with zipfile.ZipFile(path) as zf, zf.open(name + ".npy") as f:
+                version = npf.read_magic(f)
+                if version == (1, 0):
+                    return npf.read_array_header_1_0(f)[0]
+                if version == (2, 0):
+                    return npf.read_array_header_2_0(f)[0]
+        except Exception:  # noqa: BLE001
+            pass
+        return None
+
+    def adopt_snapshot(self, path: str) -> bool:
+        """Direct-layout restore of a format-v2 base into THIS (fresh,
+        empty) matrix — the fast startup path.
+
+        Instead of re-upserting every row (per-row dict/group bookkeeping)
+        and re-quantizing the whole corpus into the storage tier
+        (_stage_full), the stored row layout is copied verbatim —
+        tombstones, row numbers and the free list included — and the device
+        arrays come from the snapshot's quantized payload members.  Returns
+        False without mutating anything when the base is v1/foreign, the
+        tier or dim doesn't match this matrix, the int2 fine-companion
+        width disagrees with the current HBM policy, or the matrix already
+        holds rows — the caller then falls back to the v1 streaming-upsert
+        load, which handles all of those by construction.
+
+        Rows that mutated while the base was being written diverge from
+        the payload exactly as they diverge from the f32 member; both are
+        healed by the same seq replay / delta application that the v1 path
+        relies on (Searcher._load_snapshot)."""
+        z = np.load(path)
+        files = set(getattr(z, "files", []))
+        if "fmt" not in files or int(z["fmt"]) < 2:
+            return False
+        if int(z["dim"]) != self.dim or str(z["tier"]) != self.dtype_name:
+            return False
+        item_ids = np.asarray(z["item_ids"], np.int64)
+        source_ids = np.asarray(z["source_ids"], np.int32)
+        n = int(len(item_ids))
+        pd = self.padded_dim
+        cap = self.capacity  # capacity _grow will produce (same doubling)
+        while cap < max(n, 1):
+            cap *= 2
+        if self.quantized and n:
+            if self.packed2:
+                if not {"q_coarse", "q_coarse_scales", "q_fine",
+                        "q_fine_scales"} <= files:
+                    return False
+                fb = int2_fine_bits(cap, pd, self.row_shards)
+                if self._snapshot_member_shape(path, "q_fine") != (
+                    n, pd if fb == 8 else pd // 2
+                ):
+                    return False  # stored companion ≠ current HBM policy
+                if self._snapshot_member_shape(path, "q_coarse") != (n, pd // 4):
+                    return False
+            else:
+                if not {"q_vectors", "q_vectors_scales"} <= files:
+                    return False
+                want_w = pd // 2 if self.packed4 else pd
+                if self._snapshot_member_shape(path, "q_vectors") != (n, want_w):
+                    return False
+        with self._lock:
+            if self.rows or self.row_of:
+                return False
+            self._grow(max(n, 1))
+            self.item_ids[:n] = item_ids
+            self.source_ids[:n] = source_ids
+            self.rows = n
+            live_mask = source_ids >= 0
+            live_rows = np.flatnonzero(live_mask)
+            keys = item_ids[live_mask]
+            self.row_of = dict(zip(keys.tolist(), live_rows.tolist()))
+            # chunk-group index, same implicit-single-group rule as upsert
+            # (only items with an off-zero chunk key get a dict entry)
+            gm: dict[int, set] = {}
+            for k in keys[keys % CHUNK_STRIDE != 0].tolist():
+                gm.setdefault(k // CHUNK_STRIDE, set()).add(int(k))
+            for iid, g in gm.items():
+                k0 = iid * CHUNK_STRIDE
+                if k0 in self.row_of:
+                    g.add(k0)
+            self.groups = gm
+            self.multi_chunk_groups = sum(1 for g in gm.values() if len(g) > 1)
+            self._free = np.flatnonzero(~live_mask).tolist()
+            if "scale_hw" in files:
+                self.scale_hw = float(z["scale_hw"])
+                self.norm_hw = float(z["norm_hw"])
+            # mirror rows [0, n) straight from the f32 member (one pass,
+            # no quantization read-back)
+            for lo, hi, vecs in self._iter_snapshot_vectors(path, self._LOAD_CHUNK_ROWS):
+                self._mirror.write(slice(lo, hi), vecs, self.dim)
+            if self.quantized and n:
+                self._adopt_device(z, path, n)
+                self._device_source_ids = jax.device_put(
+                    self.source_ids, self.ids_device
+                )
+                self._dirty = False
+                self._dirty_rows.clear()
+            else:
+                # bf16/f32 tiers store no payload: first sync casts the
+                # mirror (no quantization pass to skip)
+                self._dirty = True
+            if self._mirror.path is not None:
+                self._mirror.remap()  # drop bulk-load page residency
+            self.mutation_gen += 1
+        return True
+
+    def _adopt_device(self, z, path: str, n: int) -> None:
+        """Device arrays from the snapshot's payload members, laid out
+        exactly as _stage_full/_stage_full_int2 would stage them (row-major
+        int8; transposed packed int4/int2 + fine companion).  Tail rows
+        beyond ``n`` stay zero — every kernel masks source_id < 0 rows, so
+        their content never scores."""
+        cap, pd = self.capacity, self.padded_dim
+        dev = self._vectors_device()
+        chunk = self._LOAD_CHUNK_ROWS
+
+        def fill_transposed(name, width, dtype):
+            staged = np.zeros((width, cap), dtype)
+            for lo, hi, q in self._iter_snapshot_member(path, name, dtype, chunk):
+                staged[:, lo:hi] = q.T
+            return staged
+
+        def scales_of(name):
+            s = np.zeros((cap,), np.float32)
+            s[:n] = z[name]
+            return jax.device_put(s, self.ids_device)
+
+        if self.packed2:
+            fine_w = self._snapshot_member_shape(path, "q_fine")[1]
+            fdt = np.int8 if fine_w == pd else np.uint8
+            self._device_vectors = jax.device_put(
+                fill_transposed("q_coarse", pd // 4, np.uint8), dev
+            )
+            self._device_scales = scales_of("q_coarse_scales")
+            self._device_fine = jax.device_put(
+                fill_transposed("q_fine", fine_w, fdt), dev
+            )
+            self._device_fine_scales = scales_of("q_fine_scales")
+        elif self.packed4:
+            self._device_vectors = jax.device_put(
+                fill_transposed("q_vectors", pd // 2, np.uint8), dev
+            )
+            self._device_scales = scales_of("q_vectors_scales")
+        else:  # int8, row-major (capacity, padded_dim)
+            staged = np.zeros((cap, pd), np.int8)
+            for lo, hi, q in self._iter_snapshot_member(path, "q_vectors", np.int8, chunk):
+                staged[lo:hi] = q
+            self._device_vectors = jax.device_put(staged, dev)
+            self._device_scales = scales_of("q_vectors_scales")
 
     @classmethod
     def load_snapshot(cls, path: str, *, dtype: jnp.dtype = jnp.bfloat16) -> "EmbeddingMatrix":
@@ -1430,6 +1723,13 @@ class EmbeddingMatrix:
         source_ids = z["source_ids"]
         rows = len(item_ids)
         m = cls(dim, dtype=dtype, capacity=max(rows, 1))
+        if m.adopt_snapshot(path):  # v2 fast path (tier must match)
+            if m.apply_snapshot_delta(path) < 0:
+                raise ValueError(
+                    f"snapshot delta {path}.delta is unusable (corrupt or "
+                    "unverifiable); delete it or rebuild from the database"
+                )
+            return m
         for lo, hi, vecs in cls._iter_snapshot_vectors(path, cls._LOAD_CHUNK_ROWS):
             live = source_ids[lo:hi] >= 0
             if not live.any():

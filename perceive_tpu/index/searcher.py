@@ -452,9 +452,7 @@ class Searcher:
                     row[0],  # max seq replayed from on incremental load
                     len(self.matrix),
                     self.matrix.dim,
-                    self.matrix.dtype
-                    if isinstance(self.matrix.dtype, str)  # "int4" sentinel
-                    else str(np.dtype(jax.dtypes.canonicalize_dtype(self.matrix.dtype))),
+                    self.matrix.dtype_name,  # "int4"/"int2" sentinels as-is
                     int(time.time()),
                 ),
             )
@@ -470,25 +468,29 @@ class Searcher:
             return False
         path, max_seq = manifest
         try:
-            z = np.load(path)
-            if int(z["dim"]) != self.matrix.dim:
-                return False
-            item_ids, source_ids = z["item_ids"], z["source_ids"]
-            # upsert into the existing matrix so device placement (incl.
-            # mesh shardings in ShardedSearcher) is preserved; the vectors
-            # member streams in bounded row chunks — at the 40M int4 scale
-            # it is a ~61 GB f32 array that must never fully materialize
-            for lo, hi, vecs in self.matrix._iter_snapshot_vectors(
-                path, self.matrix._LOAD_CHUNK_ROWS
-            ):
-                live = source_ids[lo:hi] >= 0
-                if not live.any():
-                    continue
-                self.matrix.upsert(
-                    item_ids[lo:hi][live].tolist(),
-                    source_ids[lo:hi][live].tolist(),
-                    vecs[live] if not live.all() else vecs,
-                )
+            # fast path: a format-v2 base whose tier matches this matrix is
+            # adopted verbatim (row layout + stored quantized payload — no
+            # per-row upsert, no re-quantization; matrix.adopt_snapshot)
+            if not self.matrix.adopt_snapshot(path):
+                z = np.load(path)
+                if int(z["dim"]) != self.matrix.dim:
+                    return False
+                item_ids, source_ids = z["item_ids"], z["source_ids"]
+                # upsert into the existing matrix so device placement (incl.
+                # mesh shardings in ShardedSearcher) is preserved; the vectors
+                # member streams in bounded row chunks — at the 40M int4 scale
+                # it is a ~61 GB f32 array that must never fully materialize
+                for lo, hi, vecs in self.matrix._iter_snapshot_vectors(
+                    path, self.matrix._LOAD_CHUNK_ROWS
+                ):
+                    live = source_ids[lo:hi] >= 0
+                    if not live.any():
+                        continue
+                    self.matrix.upsert(
+                        item_ids[lo:hi][live].tolist(),
+                        source_ids[lo:hi][live].tolist(),
+                        vecs[live] if not live.all() else vecs,
+                    )
             # the loaded state now equals what the on-disk base restores, so
             # delta-since-base tracking restarts here; the delta file and the
             # seq replay below re-mark their rows through the normal upsert
