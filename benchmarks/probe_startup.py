@@ -114,12 +114,18 @@ if __name__ == "__main__":
 
 # RESULT (1x v5e-class chip via tunnel, 2026-08-20):
 #   2,000,000 x 384 f32 BLOBs (4.27 GB SQLite), auto tier = int8
-#   cold build (stream + quantize + stage):  149.1 s  (13.4k rows/s)
-#   snapshot save (int8 + scales + f32 mirror, 3.1 GB): 39.1 s
-#   snapshot load + replay:                   37.6 s  -> 4.0x speedup
-#   both searchers rank identically (sanity query).
-# The load wall is tunnel upload + 3.1 GB of disk I/O at ~83 MB/s on this
-# 1-core host; a local-attach deployment pays disk + PCIe only.  Scaled:
-# a 50k-row personal corpus cold-builds in ~4 s and snapshot-loads in ~1 s
-# (the reference rebuilt per-source HNSW graphs at ef_c=800 every startup);
-# a 10M corpus snapshot-loads in ~3 min here, dominated by bytes.
+#
+#   v1 streaming load (per-row upsert + re-quantize), morning run:
+#     cold build 149.1 s (13.4k rows/s) | save 39.1 s (3.1 GB) |
+#     load + replay 37.6 s -> 4.0x the cold rebuild
+#   v2 adopt load (stored quantized payload + mmap member reads), same day:
+#     cold build 53.3 s (37.5k rows/s — faster chip weather this session) |
+#     save 35.0 s (3.87 GB, now incl. the int8 payload + scales) |
+#     load + replay 25.6 s (37.6 -> 25.6 on identical bytes+replay work,
+#     -32%) -> 2.1x today's 3x-faster cold build
+#   both searchers rank identically (sanity query), both runs.
+# The load wall is tunnel upload + disk I/O on this 1-core host; a
+# local-attach deployment pays disk + PCIe only.  Scaled: a 50k-row
+# personal corpus cold-builds in ~4 s and snapshot-loads in ~1 s (the
+# reference rebuilt per-source HNSW graphs at ef_c=800 every startup);
+# a 10M corpus snapshot-loads in ~2 min here, dominated by bytes.

@@ -1463,7 +1463,7 @@ class EmbeddingMatrix:
     _LOAD_CHUNK_ROWS = 1_048_576
 
     @staticmethod
-    def _member_mmap(path: str, name: str):
+    def _member_mmap(path: str, name: str, fh=None):
         """Read-only memmap over a ZIP_STORED 2-D .npy member's data bytes,
         or None when the member is absent/compressed/foreign-layout.
 
@@ -1474,69 +1474,85 @@ class EmbeddingMatrix:
         copy file->destination directly.  CRC validation is skipped on this
         path: the snapshot is a cache over SQLite (corruption at worst
         degrades scores until the next rebuild), and structural checks
-        (token, dim, shapes) still apply."""
+        (token, dim, shapes) still apply.
+
+        ``fh``: an already-open binary handle on the snapshot.  When given,
+        BOTH the zip directory and the mapping use it, so every byte comes
+        from the same inode even if ``path`` is concurrently os.replace'd
+        (the caller threads ONE handle through all member reads — the base
+        cannot be a mix of two saves)."""
         import struct
         import zipfile
 
         from numpy.lib import format as npf
 
+        f = None
         try:
-            with zipfile.ZipFile(path) as zf:
+            with zipfile.ZipFile(fh if fh is not None else path) as zf:
+                # ZipFile(file_object).close() leaves the object open
                 info = zf.getinfo(name + ".npy")
                 if info.compress_type != zipfile.ZIP_STORED:
                     return None
-            with open(path, "rb") as f:
-                f.seek(info.header_offset)
-                hdr = f.read(30)  # local file header (its name/extra lengths
-                # can differ from the central directory's copy)
-                if len(hdr) != 30 or hdr[:4] != b"PK\x03\x04":
-                    return None
-                nlen, elen = struct.unpack("<HH", hdr[26:30])
-                f.seek(info.header_offset + 30 + nlen + elen)
-                version = npf.read_magic(f)
-                if version == (1, 0):
-                    shape, fortran, descr = npf.read_array_header_1_0(f)
-                elif version == (2, 0):
-                    shape, fortran, descr = npf.read_array_header_2_0(f)
-                else:
-                    return None
-                if fortran or len(shape) != 2:
-                    return None
-                return np.memmap(
-                    path, dtype=np.dtype(descr), mode="r", offset=f.tell(),
-                    shape=shape,
-                )
+            f = fh if fh is not None else open(path, "rb")
+            f.seek(info.header_offset)
+            hdr = f.read(30)  # local file header (its name/extra lengths
+            # can differ from the central directory's copy)
+            if len(hdr) != 30 or hdr[:4] != b"PK\x03\x04":
+                return None
+            nlen, elen = struct.unpack("<HH", hdr[26:30])
+            f.seek(info.header_offset + 30 + nlen + elen)
+            version = npf.read_magic(f)
+            if version == (1, 0):
+                shape, fortran, descr = npf.read_array_header_1_0(f)
+            elif version == (2, 0):
+                shape, fortran, descr = npf.read_array_header_2_0(f)
+            else:
+                return None
+            if fortran or len(shape) != 2:
+                return None
+            return np.memmap(
+                f, dtype=np.dtype(descr), mode="r", offset=f.tell(),
+                shape=shape,
+            )
         except Exception:  # noqa: BLE001 — caller falls back to zipfile reads
             return None
+        finally:
+            if f is not None and fh is None:
+                f.close()
 
     @classmethod
-    def _iter_snapshot_member(cls, path: str, name: str, want_dtype, chunk_rows: int):
+    def _iter_snapshot_member(cls, path: str, name: str, want_dtype, chunk_rows: int,
+                              fh=None):
         """Yield (lo, hi, ndarray) row chunks of an uncompressed 2-D .npy
         member without materializing the whole array (the writer streams
         members ZIP_STORED, so sequential reads are raw copies).  Chunks
         from the mapped fast path are read-only VIEWS — consumers copy into
         their destination (mirror write / staging slice assignment), which
-        is exactly one file->dest copy."""
+        is exactly one file->dest copy.  ``fh`` pins all reads to one open
+        handle (see _member_mmap)."""
         import zipfile
 
         from numpy.lib import format as npf
 
         want = np.dtype(want_dtype)
-        mapped = cls._member_mmap(path, name)
+        mapped = cls._member_mmap(path, name, fh)
         if mapped is not None and mapped.dtype == want:
             rows = mapped.shape[0]
             for lo in range(0, rows, chunk_rows):
                 hi = min(lo + chunk_rows, rows)
                 yield lo, hi, mapped[lo:hi]
             return
-        with zipfile.ZipFile(path) as zf, zf.open(name + ".npy") as f:
+        with zipfile.ZipFile(fh if fh is not None else path) as zf, \
+                zf.open(name + ".npy") as f:
             version = npf.read_magic(f)
             if version == (1, 0):
                 shape, fortran, descr = npf.read_array_header_1_0(f)
             elif version == (2, 0):
                 shape, fortran, descr = npf.read_array_header_2_0(f)
             else:  # unknown future format: let np.load handle it whole
-                data = np.load(path)[name]
+                if fh is not None:
+                    fh.seek(0)
+                data = np.load(fh if fh is not None else path)[name]
                 yield 0, data.shape[0], np.asarray(data, dtype=want)
                 return
             rows, dim = shape
@@ -1552,12 +1568,12 @@ class EmbeddingMatrix:
                 yield lo, hi, np.frombuffer(buf, dtype=want).reshape(hi - lo, dim)
 
     @classmethod
-    def _iter_snapshot_vectors(cls, path: str, chunk_rows: int):
+    def _iter_snapshot_vectors(cls, path: str, chunk_rows: int, fh=None):
         """(lo, hi, f32 rows) chunks of the ``vectors`` member."""
-        return cls._iter_snapshot_member(path, "vectors", "<f4", chunk_rows)
+        return cls._iter_snapshot_member(path, "vectors", "<f4", chunk_rows, fh)
 
     @staticmethod
-    def _snapshot_member_shape(path: str, name: str):
+    def _snapshot_member_shape(path: str, name: str, fh=None):
         """Shape of one .npy member from its header alone (no data read);
         None when the member is absent or unreadable."""
         import zipfile
@@ -1565,7 +1581,8 @@ class EmbeddingMatrix:
         from numpy.lib import format as npf
 
         try:
-            with zipfile.ZipFile(path) as zf, zf.open(name + ".npy") as f:
+            with zipfile.ZipFile(fh if fh is not None else path) as zf, \
+                    zf.open(name + ".npy") as f:
                 version = npf.read_magic(f)
                 if version == (1, 0):
                     return npf.read_array_header_1_0(f)[0]
@@ -1593,10 +1610,27 @@ class EmbeddingMatrix:
         Rows that mutated while the base was being written diverge from
         the payload exactly as they diverge from the f32 member; both are
         healed by the same seq replay / delta application that the v1 path
-        relies on (Searcher._load_snapshot)."""
-        z = np.load(path)
+        relies on (Searcher._load_snapshot).
+
+        Every byte — metadata, f32 mirror, quantized payload — is read
+        through ONE open handle, so a concurrent os.replace of ``path``
+        (another process saving) can never mix members of two different
+        bases into the adopted state (review r3)."""
+        try:
+            fh = open(path, "rb")
+        except OSError:
+            return False
+        with fh:
+            return self._adopt_snapshot_fh(path, fh)
+
+    def _adopt_snapshot_fh(self, path: str, fh) -> bool:
+        fh.seek(0)  # np.load sniffs the zip magic from the current position
+        z = np.load(fh)
         files = set(getattr(z, "files", []))
-        if "fmt" not in files or int(z["fmt"]) < 2:
+        # exact-version gate: a future fmt=3 may re-encode the payload
+        # members under the same names — only the format this code wrote
+        # is safe to adopt (anything else streams through the v1 path)
+        if "fmt" not in files or int(z["fmt"]) != 2:
             return False
         if int(z["dim"]) != self.dim or str(z["tier"]) != self.dtype_name:
             return False
@@ -1604,31 +1638,32 @@ class EmbeddingMatrix:
         source_ids = np.asarray(z["source_ids"], np.int32)
         n = int(len(item_ids))
         pd = self.padded_dim
-        cap = self.capacity  # capacity _grow will produce (same doubling)
-        while cap < max(n, 1):
-            cap *= 2
-        if self.quantized and n:
-            if self.packed2:
-                if not {"q_coarse", "q_coarse_scales", "q_fine",
-                        "q_fine_scales"} <= files:
-                    return False
-                fb = int2_fine_bits(cap, pd, self.row_shards)
-                if self._snapshot_member_shape(path, "q_fine") != (
-                    n, pd if fb == 8 else pd // 2
-                ):
-                    return False  # stored companion ≠ current HBM policy
-                if self._snapshot_member_shape(path, "q_coarse") != (n, pd // 4):
-                    return False
-            else:
-                if not {"q_vectors", "q_vectors_scales"} <= files:
-                    return False
-                want_w = pd // 2 if self.packed4 else pd
-                if self._snapshot_member_shape(path, "q_vectors") != (n, want_w):
-                    return False
         with self._lock:
             if self.rows or self.row_of:
                 return False
+            # grow FIRST, then validate payload shapes against the ACTUAL
+            # capacity policy (no hand-duplicated doubling prediction that
+            # could drift from _grow); growing leaves an empty, still-valid
+            # matrix even when a check below rejects the base
             self._grow(max(n, 1))
+            if self.quantized and n:
+                if self.packed2:
+                    if not {"q_coarse", "q_coarse_scales", "q_fine",
+                            "q_fine_scales"} <= files:
+                        return False
+                    fb = int2_fine_bits(self.capacity, pd, self.row_shards)
+                    if self._snapshot_member_shape(path, "q_fine", fh) != (
+                        n, pd if fb == 8 else pd // 2
+                    ):
+                        return False  # stored companion ≠ current HBM policy
+                    if self._snapshot_member_shape(path, "q_coarse", fh) != (n, pd // 4):
+                        return False
+                else:
+                    if not {"q_vectors", "q_vectors_scales"} <= files:
+                        return False
+                    want_w = pd // 2 if self.packed4 else pd
+                    if self._snapshot_member_shape(path, "q_vectors", fh) != (n, want_w):
+                        return False
             self.item_ids[:n] = item_ids
             self.source_ids[:n] = source_ids
             self.rows = n
@@ -1653,10 +1688,12 @@ class EmbeddingMatrix:
                 self.norm_hw = float(z["norm_hw"])
             # mirror rows [0, n) straight from the f32 member (one pass,
             # no quantization read-back)
-            for lo, hi, vecs in self._iter_snapshot_vectors(path, self._LOAD_CHUNK_ROWS):
+            for lo, hi, vecs in self._iter_snapshot_vectors(
+                path, self._LOAD_CHUNK_ROWS, fh
+            ):
                 self._mirror.write(slice(lo, hi), vecs, self.dim)
             if self.quantized and n:
-                self._adopt_device(z, path, n)
+                self._adopt_device(z, path, n, fh)
                 self._device_source_ids = jax.device_put(
                     self.source_ids, self.ids_device
                 )
@@ -1671,7 +1708,7 @@ class EmbeddingMatrix:
             self.mutation_gen += 1
         return True
 
-    def _adopt_device(self, z, path: str, n: int) -> None:
+    def _adopt_device(self, z, path: str, n: int, fh=None) -> None:
         """Device arrays from the snapshot's payload members, laid out
         exactly as _stage_full/_stage_full_int2 would stage them (row-major
         int8; transposed packed int4/int2 + fine companion).  Tail rows
@@ -1683,7 +1720,7 @@ class EmbeddingMatrix:
 
         def fill_transposed(name, width, dtype):
             staged = np.zeros((width, cap), dtype)
-            for lo, hi, q in self._iter_snapshot_member(path, name, dtype, chunk):
+            for lo, hi, q in self._iter_snapshot_member(path, name, dtype, chunk, fh):
                 staged[:, lo:hi] = q.T
             return staged
 
@@ -1693,7 +1730,7 @@ class EmbeddingMatrix:
             return jax.device_put(s, self.ids_device)
 
         if self.packed2:
-            fine_w = self._snapshot_member_shape(path, "q_fine")[1]
+            fine_w = self._snapshot_member_shape(path, "q_fine", fh)[1]
             fdt = np.int8 if fine_w == pd else np.uint8
             self._device_vectors = jax.device_put(
                 fill_transposed("q_coarse", pd // 4, np.uint8), dev
@@ -1710,36 +1747,42 @@ class EmbeddingMatrix:
             self._device_scales = scales_of("q_vectors_scales")
         else:  # int8, row-major (capacity, padded_dim)
             staged = np.zeros((cap, pd), np.int8)
-            for lo, hi, q in self._iter_snapshot_member(path, "q_vectors", np.int8, chunk):
+            for lo, hi, q in self._iter_snapshot_member(
+                path, "q_vectors", np.int8, chunk, fh
+            ):
                 staged[lo:hi] = q
             self._device_vectors = jax.device_put(staged, dev)
             self._device_scales = scales_of("q_vectors_scales")
 
     @classmethod
     def load_snapshot(cls, path: str, *, dtype: jnp.dtype = jnp.bfloat16) -> "EmbeddingMatrix":
-        z = np.load(path)
-        dim = int(z["dim"])
-        item_ids = z["item_ids"]
-        source_ids = z["source_ids"]
-        rows = len(item_ids)
-        m = cls(dim, dtype=dtype, capacity=max(rows, 1))
-        if m.adopt_snapshot(path):  # v2 fast path (tier must match)
-            if m.apply_snapshot_delta(path) < 0:
-                raise ValueError(
-                    f"snapshot delta {path}.delta is unusable (corrupt or "
-                    "unverifiable); delete it or rebuild from the database"
-                )
-            return m
-        for lo, hi, vecs in cls._iter_snapshot_vectors(path, cls._LOAD_CHUNK_ROWS):
-            live = source_ids[lo:hi] >= 0
-            if not live.any():
-                continue
-            m.upsert(
-                item_ids[lo:hi][live].tolist(),
-                source_ids[lo:hi][live].tolist(),
-                vecs[live] if not live.all() else vecs,
+        with open(path, "rb") as fh:
+            z = np.load(fh)
+            dim = int(z["dim"])
+            token = (
+                str(z["base_token"])
+                if "base_token" in getattr(z, "files", [])
+                else None
             )
-        if m.apply_snapshot_delta(path) < 0:
+            # row count from the member HEADER — the ids themselves are only
+            # read on the streaming fallback (adopt re-reads nothing big)
+            shape = cls._snapshot_member_shape(path, "item_ids", fh)
+            rows = int(shape[0]) if shape else len(z["item_ids"])
+            m = cls(dim, dtype=dtype, capacity=max(rows, 1))
+            if not m._adopt_snapshot_fh(path, fh):  # v2 fast path (tier must match)
+                item_ids, source_ids = z["item_ids"], z["source_ids"]
+                for lo, hi, vecs in cls._iter_snapshot_vectors(
+                    path, cls._LOAD_CHUNK_ROWS, fh
+                ):
+                    live = source_ids[lo:hi] >= 0
+                    if not live.any():
+                        continue
+                    m.upsert(
+                        item_ids[lo:hi][live].tolist(),
+                        source_ids[lo:hi][live].tolist(),
+                        vecs[live] if not live.all() else vecs,
+                    )
+        if m.apply_snapshot_delta(path, token) < 0:
             # a delta EXISTS but can't be trusted (corrupt / legacy tokenless
             # base): silently returning the bare base could drop the rows the
             # delta carried and resurrect keys removed since the base.  The
@@ -1752,7 +1795,7 @@ class EmbeddingMatrix:
             )
         return m
 
-    def apply_snapshot_delta(self, base_path: str) -> int:
+    def apply_snapshot_delta(self, base_path: str, base_token: str = None) -> int:
         """Apply ``base_path + ".delta"`` (rows changed + keys removed since
         the base) if it exists AND its token matches the base's; returns how
         many live rows were applied, 0 when no delta exists **or the delta
@@ -1767,11 +1810,17 @@ class EmbeddingMatrix:
         the vector_shards manifest's max_seq was advanced by delta saves, so
         seq replay alone does NOT cover the rows the unusable delta carried
         — ignoring it would silently drop them.  Removals apply first so a
-        removed-then-re-added key ends live."""
+        removed-then-re-added key ends live.
+
+        ``base_token``: pass the token read from the SAME handle the base
+        was loaded through; re-reading it from ``base_path`` here could see
+        a concurrently-replaced newer base, and the newer base's delta must
+        not be applied over the older base's rows (review r3)."""
         delta_path = str(base_path) + ".delta"
         if not os.path.exists(delta_path):
             return 0
-        base_token = self._snapshot_token(base_path)
+        if base_token is None:
+            base_token = self._snapshot_token(base_path)
         try:
             z = np.load(delta_path)
             if int(z["dim"]) != self.dim:

@@ -468,29 +468,39 @@ class Searcher:
             return False
         path, max_seq = manifest
         try:
-            # fast path: a format-v2 base whose tier matches this matrix is
-            # adopted verbatim (row layout + stored quantized payload — no
-            # per-row upsert, no re-quantization; matrix.adopt_snapshot)
-            if not self.matrix.adopt_snapshot(path):
-                z = np.load(path)
-                if int(z["dim"]) != self.matrix.dim:
-                    return False
-                item_ids, source_ids = z["item_ids"], z["source_ids"]
-                # upsert into the existing matrix so device placement (incl.
-                # mesh shardings in ShardedSearcher) is preserved; the vectors
-                # member streams in bounded row chunks — at the 40M int4 scale
-                # it is a ~61 GB f32 array that must never fully materialize
-                for lo, hi, vecs in self.matrix._iter_snapshot_vectors(
-                    path, self.matrix._LOAD_CHUNK_ROWS
-                ):
-                    live = source_ids[lo:hi] >= 0
-                    if not live.any():
-                        continue
-                    self.matrix.upsert(
-                        item_ids[lo:hi][live].tolist(),
-                        source_ids[lo:hi][live].tolist(),
-                        vecs[live] if not live.all() else vecs,
-                    )
+            # ONE open handle for every member read: a base concurrently
+            # os.replace'd by another process's save can never contribute a
+            # mix of two saves' members (matrix._member_mmap; review r3)
+            with open(path, "rb") as fh:
+                z = np.load(fh)
+                token = (
+                    str(z["base_token"])
+                    if "base_token" in getattr(z, "files", [])
+                    else None
+                )
+                # fast path: a format-v2 base whose tier matches this matrix
+                # is adopted verbatim (row layout + stored quantized payload —
+                # no per-row upsert, no re-quantization; matrix.adopt_snapshot)
+                if not self.matrix._adopt_snapshot_fh(path, fh):
+                    if int(z["dim"]) != self.matrix.dim:
+                        return False
+                    item_ids, source_ids = z["item_ids"], z["source_ids"]
+                    # upsert into the existing matrix so device placement
+                    # (incl. mesh shardings in ShardedSearcher) is preserved;
+                    # the vectors member streams in bounded row chunks — at
+                    # the 40M int4 scale it is a ~61 GB f32 array that must
+                    # never fully materialize
+                    for lo, hi, vecs in self.matrix._iter_snapshot_vectors(
+                        path, self.matrix._LOAD_CHUNK_ROWS, fh
+                    ):
+                        live = source_ids[lo:hi] >= 0
+                        if not live.any():
+                            continue
+                        self.matrix.upsert(
+                            item_ids[lo:hi][live].tolist(),
+                            source_ids[lo:hi][live].tolist(),
+                            vecs[live] if not live.all() else vecs,
+                        )
             # the loaded state now equals what the on-disk base restores, so
             # delta-since-base tracking restarts here; the delta file and the
             # seq replay below re-mark their rows through the normal upsert
@@ -498,7 +508,7 @@ class Searcher:
             with self.matrix._lock:
                 self.matrix._delta_rows = set()
                 self.matrix._delta_removed = set()
-            if self.matrix.apply_snapshot_delta(path) < 0:
+            if self.matrix.apply_snapshot_delta(path, token) < 0:
                 # a delta EXISTS but is unusable: the manifest's max_seq was
                 # advanced past its contents, so replay can't recover them —
                 # full rebuild (the caller drops to the BLOB scan path; the

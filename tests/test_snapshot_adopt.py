@@ -188,7 +188,24 @@ def test_searcher_build_adopts_quantized_snapshot(tmp_db, tmp_path):
     with db.write() as conn:
         conn.execute("DELETE FROM items WHERE id = ?", (ids[1],))
 
-    s2 = Searcher.build(db, 0, 0, DIM, dtype=jnp.int8, engine="xla")
+    # the build must go through the adopt FAST path (a silent regression to
+    # the streaming fallback would keep every assertion below green while
+    # degrading startup to the re-quantizing load)
+    adopted = []
+    orig = EmbeddingMatrix._adopt_snapshot_fh
+
+    def spy(self, path, fh):
+        r = orig(self, path, fh)
+        adopted.append(r)
+        return r
+
+    monkeypatch = pytest.MonkeyPatch()
+    monkeypatch.setattr(EmbeddingMatrix, "_adopt_snapshot_fh", spy)
+    try:
+        s2 = Searcher.build(db, 0, 0, DIM, dtype=jnp.int8, engine="xla")
+    finally:
+        monkeypatch.undo()
+    assert adopted == [True]
     assert chunk_key(new_id) in s2.matrix.row_of
     assert chunk_key(ids[0]) not in s2.matrix.row_of
     assert chunk_key(ids[1]) not in s2.matrix.row_of
