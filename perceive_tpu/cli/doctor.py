@@ -168,6 +168,20 @@ def _check_db(rep: _Report, db_path: str | None) -> None:
                 ).fetchone()[0]
                 backlog = max(0, total - srows)
                 detail = f"model {mid} v{mv}: {srows} rows in {spath}"
+                # format probe from the zip directory alone (no data read):
+                # v1 bases (or payload-less v2) stream+re-quantize at load;
+                # a fresh `snapshot` upgrades them to the adopt fast path
+                try:
+                    import zipfile
+
+                    members = set(zipfile.ZipFile(spath).namelist())
+                    # (bf16/f32 v2 bases carry no q_ members by design —
+                    # only the missing fmt marker means a v1 base)
+                    old_fmt = "fmt.npy" not in members
+                except Exception:  # noqa: BLE001 — load-time checks own corruption
+                    old_fmt = False
+                if old_fmt:
+                    detail += " (v1 base — run `snapshot` once to upgrade to the fast-adopt format)"
                 if backlog > max(1000, srows // 4):
                     rep.add(WARN, "snapshot", detail + f", ~{backlog} newer "
                             "rows replay from SQLite at startup — run "
