@@ -17,6 +17,7 @@ import os
 import sqlite3
 import sys
 import time
+import zipfile
 from pathlib import Path
 
 OK, WARN, FAIL = "ok", "warn", "fail"
@@ -171,23 +172,51 @@ def _check_db(rep: _Report, db_path: str | None) -> None:
                 # format probe from the zip directory alone (no data read):
                 # v1 bases (or payload-less v2) stream+re-quantize at load;
                 # a fresh `snapshot` upgrades them to the adopt fast path
+                # (save_snapshot skips the delta shortcut on pre-v2 bases,
+                # so one re-save really does rewrite the base)
                 try:
-                    import zipfile
-
-                    members = set(zipfile.ZipFile(spath).namelist())
+                    with zipfile.ZipFile(spath) as zf:
+                        members = set(zf.namelist())
                     # (bf16/f32 v2 bases carry no q_ members by design —
                     # only the missing fmt marker means a v1 base)
                     old_fmt = "fmt.npy" not in members
-                except Exception:  # noqa: BLE001 — load-time checks own corruption
-                    old_fmt = False
-                if old_fmt:
-                    detail += " (v1 base — run `snapshot` once to upgrade to the fast-adopt format)"
+                except Exception:  # noqa: BLE001 — corrupt/truncated zip
+                    # startup will hit the same error and silently fall back
+                    # to a full rebuild — surface it here, same class as the
+                    # missing-file WARN above (review r3)
+                    rep.add(WARN, "snapshot", detail + " is unreadable "
+                            "(corrupt/truncated zip) — startup falls back to "
+                            "a full (slower) rebuild; run `snapshot` to "
+                            "rewrite it")
+                    continue
                 if backlog > max(1000, srows // 4):
                     rep.add(WARN, "snapshot", detail + f", ~{backlog} newer "
                             "rows replay from SQLite at startup — run "
                             "`snapshot` to refresh")
+                elif old_fmt:
+                    # WARN, not an OK-line suffix: the v1 base costs the
+                    # same slow-startup class as the replay backlog above,
+                    # and grep/CI consumers only see `!` rows (review r3)
+                    rep.add(WARN, "snapshot", detail + " is a v1 base — run "
+                            "`snapshot` once to upgrade to the fast-adopt "
+                            "format")
                 else:
                     rep.add(OK, "snapshot", detail)
+            # every blob of one (model_id, model_version) must be the same
+            # byte length (one vector dim): mixed lengths mean corruption
+            # or rows written by a different-dim encoder under the same
+            # identity — Searcher.build would crash on them at startup
+            for mid, mv, lo_len, hi_len in conn.execute(
+                """SELECT model_id, model_version,
+                          MIN(LENGTH(embedding)), MAX(LENGTH(embedding))
+                   FROM item_embeddings GROUP BY model_id, model_version"""
+            ).fetchall():
+                if lo_len != hi_len:
+                    rep.add(WARN, "embedding dims",
+                            f"model {mid} v{mv}: blob sizes vary "
+                            f"({lo_len}-{hi_len} bytes) — mixed-dimension "
+                            "rows under one model identity; delete the "
+                            "stray rows or re-scan")
             orphans = conn.execute(
                 """SELECT COUNT(*) FROM items
                    LEFT JOIN item_embeddings ie ON ie.item_id = items.id

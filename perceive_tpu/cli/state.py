@@ -37,6 +37,16 @@ from ..types import Source
 DEFAULT_MODEL = ModelType.MSMARCO_BERT_BASE_DOT_V5
 DEFAULT_HIGHLIGHT_MODEL = ModelType.ALL_MINILM_L6_V2
 
+# Reserved model_version for the random-weight fallback encoder.  The
+# fallback must NEVER write into the real checkpoint's (model_id, version=0)
+# keyspace: its 128-dim random vectors would crash Searcher.build with a dim
+# mismatch once the real checkpoint is installed, and same-dim rows would
+# read as has_embedding=True in the match stage — unchanged items would keep
+# serving random vectors under the real model forever (review r3).  A
+# distinct version gives it its own additive keyspace, exactly like a model
+# upgrade (migrations: item_embeddings keyed (model_id, model_version)).
+RANDOM_FALLBACK_VERSION = 1_000_000_000
+
 
 def _random_fallback(model_type: ModelType) -> Model:
     from ..models import EncoderArch, HeadConfig, TextTokenizer
@@ -56,6 +66,7 @@ def _random_fallback(model_type: ModelType) -> Model:
     )
     m = Model.random(arch, HeadConfig(pooling="mean", normalize=True), tok, seed=0)
     m.model_id = model_type.model_id
+    m.model_version = RANDOM_FALLBACK_VERSION
     m.name = f"random-fallback:{model_type.value}"
     return m
 

@@ -182,7 +182,10 @@ class BatchingSearchExecutor:
                 return self._copy_result(e[1], key[3])
             if e is not None:
                 del self._rcache[key]  # corpus changed since: drop
-        self.result_cache_misses += 1
+            # inside the lock: misses are bumped on CALLER threads (unlike
+            # the dispatcher-owned counters), so the unlocked += lost
+            # increments under concurrent submitters (review r3)
+            self.result_cache_misses += 1
         return None
 
     def _rcache_put(self, key, gen: int, result) -> None:

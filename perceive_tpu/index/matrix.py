@@ -751,12 +751,18 @@ class EmbeddingMatrix:
             self._device_scales = jax.device_put(scales, self.ids_device)
             return staged
         canon = np.dtype(jax.dtypes.canonicalize_dtype(self.dtype))
-        if self._mirror.dtype == canon:
-            return self._mirror.arr  # device_put reads RAM or mmap directly
+        # ALWAYS a private staging copy, even when the mirror dtype already
+        # matches the storage dtype: jax.device_put can zero-copy ALIAS a
+        # suitably-aligned numpy buffer on the CPU backend, and later
+        # in-place mirror writes (upsert overwriting a live row, compact's
+        # arr[dsts] = arr[srcs]) would then mutate the device operand of
+        # in-flight kernels — torn scores with no reuse_gen retry to catch
+        # them (review r3).  Equal-dtype full syncs only occur on small
+        # (non-quantized-tier) corpora, so the staging copy is cheap.
         staged = np.empty((cap, self.padded_dim), dtype=canon)
         for lo in range(0, cap, chunk):
             hi = min(lo + chunk, cap)
-            staged[lo:hi] = self._mirror.arr[lo:hi].astype(canon)
+            staged[lo:hi] = self._mirror.arr[lo:hi].astype(canon, copy=False)
         return staged
 
     @property
@@ -1070,6 +1076,15 @@ class EmbeddingMatrix:
         with self._lock:
             if tier_name(dtype) == tier_name(self.dtype):
                 return
+            # a tier switch invalidates every in-flight capture the same way
+            # row reuse does: a sweep dispatched on the OLD tier's arrays
+            # must not have its scores consumed under the NEW tier's scan
+            # semantics (e.g. int8-approximate values served un-reranked
+            # because the matrix now reads as non-quantized), and a full
+            # snapshot save streaming mid-retier must fail its publish
+            # check rather than pair old-tier payload members with the new
+            # tier label (review r3)
+            self.reuse_gen += 1
             self.dtype = dtype
             self._device_scales = None
             self._device_fine = None
@@ -1222,12 +1237,21 @@ class EmbeddingMatrix:
         delta_path = path + ".delta"
         with self._lock:
             has_delta_tracking = self._delta_rows is not None
-        token = self._snapshot_token(path)
+        token, fmt, tier = self._snapshot_base_info(path)
         if incremental and has_delta_tracking and token is not None:
+            if payload and (fmt < 2 or tier != self.dtype_name):
+                # pre-v2 base, or a base whose stored tier no longer matches
+                # the matrix (mid-session auto-retier): a delta would extend
+                # a base the adopt fast path rejects, leaving the slow
+                # streaming load in place forever — and making the doctor's
+                # "run `snapshot` once to upgrade" advice a no-op (review
+                # r3).  Fall through to a full save so one re-save really
+                # produces a fast-adopt base in the current tier.
+                pass
             # _write_delta re-checks tracking under its own lock: an
             # overflow racing the check above demotes to a full save
             # instead of crashing on sorted(None) (review r3).
-            if self._write_delta(delta_path, token):
+            elif self._write_delta(delta_path, token):
                 return "delta"
         new_token = os.urandom(16).hex()
         for attempt in range(3):
@@ -1242,15 +1266,33 @@ class EmbeddingMatrix:
         return "full"
 
     @staticmethod
-    def _snapshot_token(path: str):
-        """base_token of a snapshot file, or None (missing/legacy/corrupt)."""
+    def _snapshot_base_info(path: str):
+        """(base_token, fmt, tier) of a base snapshot from ONE zip-directory
+        parse, handle closed; (None, 0, None) for missing/legacy/corrupt
+        bases (anything the adopt fast path cannot use verbatim)."""
+        token, fmt, tier = None, 0, None
         try:
-            z = np.load(path)
-            if "base_token" in getattr(z, "files", []):
-                return str(z["base_token"])
+            with np.load(path) as z:
+                files = set(getattr(z, "files", []))
+                if "base_token" in files:
+                    token = str(z["base_token"])
+                if "fmt" in files:
+                    fmt = int(z["fmt"])
+                if "tier" in files:
+                    tier = str(z["tier"])
         except Exception:  # noqa: BLE001
             pass
-        return None
+        return token, fmt, tier
+
+    @classmethod
+    def _snapshot_token(cls, path: str):
+        """base_token of a snapshot file, or None (missing/legacy/corrupt)."""
+        return cls._snapshot_base_info(path)[0]
+
+    @classmethod
+    def _snapshot_fmt(cls, path: str) -> int:
+        """Format version of a base snapshot (0 for pre-v2)."""
+        return cls._snapshot_base_info(path)[1]
 
     @staticmethod
     def _replace_into(path: str, write_fn) -> None:

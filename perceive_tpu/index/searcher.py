@@ -536,6 +536,18 @@ class Searcher:
         dead = [key for key in list(self.matrix.row_of) if key not in live]
         if dead:
             self.matrix.remove(dead)
+        # ... and load live keys the replay missed: unhide clears hidden_at
+        # WITHOUT bumping item_embeddings.seq (db.set_item_hidden), so an
+        # item hidden before the base was saved and unhidden after it is
+        # invisible to the seq replay — without this pass it stayed lost
+        # from search on every snapshot startup until a full cold rebuild
+        # (review r3).
+        row_of = self.matrix.row_of
+        missing_items = sorted({key_item(key) for key in live if key not in row_of})
+        for lo in range(0, len(missing_items), 500):
+            batch = missing_items[lo : lo + 500]
+            ph = ",".join("?" * len(batch))
+            self._load(db, f" AND items.id IN ({ph})", tuple(batch))
         return True
 
     # Rows per chunk when streaming embeddings out of SQLite on a cold

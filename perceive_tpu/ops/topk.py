@@ -1458,6 +1458,17 @@ def scan_int2_coarse_fine(
         # silent fallback would let a typo'd variant A/B exact vs exact and
         # record a bogus ~0 ms paired diff as a measurement
         raise ValueError(f"unknown select {select!r}")
+    if select in ("window", "threshold") and not (
+        n % _INT2_WINDOW == 0 and n // _INT2_WINDOW >= kc
+    ):
+        # same trap as the typo case: an explicitly-requested variant that
+        # silently fell back to the exact path would A/B exact-vs-exact and
+        # return exact-path floor semantics under the variant's name
+        # (review r3).  Only "auto"/"exact" may take the generic path.
+        raise ValueError(
+            f"select {select!r} requires n % {_INT2_WINDOW} == 0 and "
+            f"n // {_INT2_WINDOW} >= k_coarse (n={n}, k_coarse={kc})"
+        )
     if (
         select == "window"
         and n % _INT2_WINDOW == 0

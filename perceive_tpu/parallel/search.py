@@ -25,7 +25,6 @@ from jax.sharding import PartitionSpec as P
 
 from ..index.searcher import Searcher
 from ..ops.topk import (
-    ALLOW_ALL,
     QUERY_SLAB,
     pallas_topk_int4_slabbed,
     pallas_topk_int4_unsorted,
@@ -108,9 +107,11 @@ def _sharded_scan_body(matrix, scales, source_ids, q, allowed, *, mesh, k, engin
         # VMEM scratch scales with Q and fails Mosaic compilation near
         # Q~2k (ops/topk._slab_pad measured it single-chip; the shard_map
         # local body bypasses those wrappers, review r3).  Padded zero
-        # queries are sliced back off before the all-gather merge.
+        # queries are sliced back off before the all-gather merge.  The
+        # pad is a Pallas VMEM constraint only — the XLA engine would just
+        # sweep/sort up to 127 dead queries per shard for nothing.
         nq0 = q_.shape[0]
-        pad = _slab_pad(nq0)
+        pad = _slab_pad(nq0) if engine == "pallas" else 0
         if pad:
             q_ = jnp.pad(q_, ((0, pad), (0, 0)))
         if int4:

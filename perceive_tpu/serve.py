@@ -351,6 +351,9 @@ def make_handler(holder: ServeState):
             pass
 
         MAX_K = 256
+        # POST body ceiling: a /search payload is a short query + filters;
+        # 1 MB is orders of magnitude of headroom (see _do_post clamp)
+        MAX_BODY_BYTES = 1 << 20
 
         def _search(
             self, query: str, k, source: Optional[str], type_tag: Optional[str] = None,
@@ -381,13 +384,18 @@ def make_handler(holder: ServeState):
             except ValueError:
                 return self._json(400, {"error": f"bad type {type_tag}"})
             try:  # same time-window grammar as the CLI's --after/--before
-                after = parse_when(str(after)) if after else None
-                before = parse_when(str(before)) if before else None
+                # `not in (None, "")`, NOT truthiness: epoch 0 is a valid
+                # "since 1970" timestamp a truthy check silently drops,
+                # diverging from the CLI's `is not None` (review r3); the
+                # empty string keeps meaning "absent" for blank GET params
+                after = parse_when(str(after)) if after not in (None, "") else None
+                before = parse_when(str(before)) if before not in (None, "") else None
             except ValueError as e:
                 return self._json(400, {"error": str(e)})
             # time filtering happens host-side after retrieve: over-fetch so
             # a narrow window still fills k (CLI search() does the same)
-            fetch_k = min(4 * k, self.MAX_K) if (after or before) else k
+            time_filtered = after is not None or before is not None
+            fetch_k = min(4 * k, self.MAX_K) if time_filtered else k
             hl_q = None
             if holder.executor is not None:
                 # text rides the executor: uncontended -> ONE fused
@@ -450,9 +458,15 @@ def make_handler(holder: ServeState):
                     f"perceive_highlight_cache_hits_total {cache.hits}",
                     "# TYPE perceive_highlight_cache_misses_total counter",
                     f"perceive_highlight_cache_misses_total {cache.misses}",
-                    "# TYPE perceive_highlight_warmed_total counter",
-                    f"perceive_highlight_warmed_total {holder.highlight_warmed_total}",
                 ]
+            # a ServeState counter, independent of the cache object: inside
+            # the isinstance block its availability flapped with the
+            # cache-disabling env var, showing "no data" instead of 0 on
+            # dashboards (review r3)
+            lines += [
+                "# TYPE perceive_highlight_warmed_total counter",
+                f"perceive_highlight_warmed_total {holder.highlight_warmed_total}",
+            ]
             if ex is not None:
                 lines += [
                     "# TYPE perceive_search_queries_total counter",
@@ -626,6 +640,15 @@ def make_handler(holder: ServeState):
                 return
             try:
                 n = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                return self._json(400, {"error": "bad content-length"})
+            # clamp BEFORE reading: a negative length would rfile.read(-1)
+            # until client EOF (a held socket pins this handler thread and
+            # its fd forever — no socket timeout is set), and an absurd
+            # positive one would buffer an unbounded body (review r3)
+            if not 0 <= n <= self.MAX_BODY_BYTES:
+                return self._json(413, {"error": "body too large"})
+            try:
                 payload = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError):
                 return self._json(400, {"error": "bad json"})

@@ -774,3 +774,132 @@ def test_cli_chunk_tokens_zero_stored(state, tmp_path, capsys):
     ct, _ = chunk_config(srcd, state.model.tokenizer)
     assert ct == state.model.tokenizer.wrap_budget
     capsys.readouterr()
+
+
+def test_doctor_flags_v1_and_corrupt_snapshots(tmp_path, capsys):
+    """Snapshot-manifest health: a v1 (pre-fast-adopt) base and an
+    unreadable/corrupt base are both WARN rows, not invisible OK suffixes
+    or silent passes (review r3)."""
+    import numpy as np
+
+    from perceive_tpu.cli.doctor import doctor
+
+    v1 = tmp_path / "v1.npz"
+    np.savez(v1, base_token="tok", vectors=np.zeros((1, 4), np.float32))
+    bad = tmp_path / "bad.npz"
+    bad.write_bytes(b"PK\x03\x04 definitely truncated")
+
+    db = tmp_path / "db.sqlite3"
+    conn = sqlite3.connect(db)
+    conn.executescript(
+        f"""
+        CREATE TABLE sources (id INTEGER PRIMARY KEY, name TEXT);
+        CREATE TABLE items (id INTEGER PRIMARY KEY, source_id INTEGER,
+                            skipped TEXT, hidden_at BIGINT);
+        CREATE TABLE item_embeddings (item_id INTEGER, model_id INTEGER,
+                                      model_version INTEGER, embedding BLOB);
+        CREATE TABLE vector_shards (model_id INTEGER, model_version INTEGER,
+                                    path TEXT, rows INTEGER);
+        INSERT INTO vector_shards VALUES (0, 0, '{v1}', 1);
+        INSERT INTO vector_shards VALUES (1, 0, '{bad}', 1);
+        """
+    )
+    conn.close()
+    assert doctor(str(db)) == 0  # warnings only, no hard failure
+    out = capsys.readouterr().out
+    assert "v1 base" in out
+    assert "unreadable" in out
+    # both surfaced as WARN (`!`) rows, countable by CI greps
+    warn_lines = [l for l in out.splitlines() if l.lstrip().startswith("!")]
+    assert any("v1 base" in l for l in warn_lines)
+    assert any("unreadable" in l for l in warn_lines)
+
+
+def test_serve_post_guards_and_epoch_zero_filter(state, tmp_path, capsys):
+    """POST /search hardening (review r3): a negative/absurd Content-Length
+    is rejected up front (never rfile.read(-1) until client EOF), and
+    `after: 0` is a real epoch timestamp, not "absent"."""
+    import http.client
+    import time as _t
+
+    from perceive_tpu.serve import start_server
+
+    docs = tmp_path / "docs-guards"
+    docs.mkdir()
+    (docs / "a.md").write_text("jax tpu pallas kernels\n")
+    run(state, ["source", "add", "fs", str(docs), "--name", "dg"])
+    run(state, ["source", "scan", "dg"])
+    capsys.readouterr()
+    server = start_server(lambda: state, port=0)
+    port = server.server_address[1]
+    try:
+        for _ in range(200):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}/status") as r:
+                if json.loads(r.read())["model_loaded"]:
+                    break
+            _t.sleep(0.2)
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.putrequest("POST", "/search")
+        conn.putheader("Content-Length", "-1")
+        conn.endheaders()
+        assert conn.getresponse().status == 413
+        conn.close()
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.putrequest("POST", "/search")
+        conn.putheader("Content-Length", str(100 << 20))  # 100 MB claim
+        conn.endheaders()
+        assert conn.getresponse().status == 413
+        conn.close()
+
+        # epoch-0 `after` parses as 1970 and filters; docs have mtime > 0
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search",
+            data=json.dumps({"q": "jax", "k": 2, "after": 0}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert json.loads(r.read())
+    finally:
+        server.shutdown()
+
+
+def test_doctor_flags_mixed_embedding_dims(tmp_path, capsys):
+    """Blobs of different byte lengths under one (model_id, model_version)
+    (corruption, or a different-dim encoder writing into the same identity)
+    are surfaced as a WARN instead of crashing Searcher.build at startup
+    with no explanation (review r3)."""
+    from perceive_tpu.cli.doctor import doctor
+
+    db = tmp_path / "dims.sqlite3"
+    conn = sqlite3.connect(db)
+    conn.executescript(
+        """
+        CREATE TABLE sources (id INTEGER PRIMARY KEY, name TEXT);
+        CREATE TABLE items (id INTEGER PRIMARY KEY, source_id INTEGER,
+                            skipped TEXT, hidden_at BIGINT);
+        CREATE TABLE item_embeddings (item_id INTEGER, model_id INTEGER,
+                                      model_version INTEGER, embedding BLOB);
+        CREATE TABLE vector_shards (model_id INTEGER, model_version INTEGER,
+                                    path TEXT, rows INTEGER);
+        INSERT INTO items (id, source_id) VALUES (1, 1), (2, 1);
+        INSERT INTO item_embeddings VALUES (1, 0, 0, x'00000000');
+        INSERT INTO item_embeddings VALUES (2, 0, 0, x'0000000000000000');
+        """
+    )
+    conn.close()
+    assert doctor(str(db)) == 0
+    assert "blob sizes vary" in capsys.readouterr().out
+
+
+def test_random_fallback_has_isolated_version():
+    """The random-weight fallback must never write into the real
+    checkpoint's (model_id, version=0) keyspace (review r3 CONFIRMED:
+    same-identity fallback rows crash or silently poison the real model)."""
+    from perceive_tpu.cli.state import RANDOM_FALLBACK_VERSION, _random_fallback
+    from perceive_tpu.models import ModelType
+
+    m = _random_fallback(ModelType.MSMARCO_BERT_BASE_DOT_V5)
+    assert m.model_version == RANDOM_FALLBACK_VERSION
+    assert m.model_id == ModelType.MSMARCO_BERT_BASE_DOT_V5.model_id

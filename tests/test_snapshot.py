@@ -295,17 +295,17 @@ def test_snapshot_delta_remove_racing_token_read(tmp_path, monkeypatch):
     assert m.save_snapshot(snap) == "full"
     m.upsert([31], [0], rng.standard_normal((1, 16)).astype(np.float32))
 
-    orig_token = EmbeddingMatrix._snapshot_token
+    orig_info = EmbeddingMatrix._snapshot_base_info
     fired = {"n": 0}
 
-    def racing_token(path):
-        tok = orig_token(path)
-        if fired["n"] == 0 and tok is not None:
+    def racing_info(path):
+        info = orig_info(path)
+        if fired["n"] == 0 and info[0] is not None:
             fired["n"] += 1
             m.remove([5])  # fires between the decision capture and the write
-        return tok
+        return info
 
-    monkeypatch.setattr(EmbeddingMatrix, "_snapshot_token", staticmethod(racing_token))
+    monkeypatch.setattr(EmbeddingMatrix, "_snapshot_base_info", staticmethod(racing_info))
     assert m.save_snapshot(snap) == "delta"
     assert fired["n"] == 1
 
@@ -327,17 +327,17 @@ def test_snapshot_delta_overflow_racing_save_demotes_to_full(tmp_path, monkeypat
     assert m.save_snapshot(snap) == "full"
     m.upsert([21], [0], rng.standard_normal((1, 16)).astype(np.float32))
 
-    orig_token = EmbeddingMatrix._snapshot_token
+    orig_info = EmbeddingMatrix._snapshot_base_info
 
-    def overflowing_token(path):
-        tok = orig_token(path)
+    def overflowing_info(path):
+        info = orig_info(path)
         m._delta_rows = None  # concurrent churn overflowed tracking
         m._delta_removed = set()
-        return tok
+        return info
 
-    monkeypatch.setattr(EmbeddingMatrix, "_snapshot_token", staticmethod(overflowing_token))
+    monkeypatch.setattr(EmbeddingMatrix, "_snapshot_base_info", staticmethod(overflowing_info))
     assert m.save_snapshot(snap) == "full"  # demoted, no TypeError
-    monkeypatch.setattr(EmbeddingMatrix, "_snapshot_token", staticmethod(orig_token))
+    monkeypatch.setattr(EmbeddingMatrix, "_snapshot_base_info", staticmethod(orig_info))
     m2 = EmbeddingMatrix.load_snapshot(snap, dtype=np.float32)
     assert len(m2) == 21 and 21 in m2.row_of
 
@@ -444,3 +444,25 @@ def test_clear_forces_full_snapshot_and_bumps_reuse_gen(tmp_path):
     )
     m2 = EmbeddingMatrix.load_snapshot(snap, dtype=np.float32)
     assert 5 not in m2.row_of and len(m2) == 19
+
+
+def test_unhide_after_snapshot_returns_at_startup(seeded, tmp_path):
+    """Hide -> snapshot -> unhide -> restart: unhide clears hidden_at
+    WITHOUT bumping item_embeddings.seq, so the seq replay alone can't see
+    the item — the load reconcile must re-load live keys missing from the
+    base, or the item stays lost from search on every snapshot startup
+    (review r3 CONFIRMED bug)."""
+    db, src, ids, rng = seeded
+    db.set_item_hidden(ids[0], True)
+    s1 = Searcher.build(db, 0, 0, 16, engine="xla")
+    assert chunk_key(ids[0]) not in s1.matrix.row_of
+    snap = str(tmp_path / "snap.npz")
+    s1.save_snapshot(db, snap)
+
+    db.set_item_hidden(ids[0], False)  # unhide AFTER the base was saved
+
+    s2 = Searcher.build(db, 0, 0, 16, engine="xla")
+    assert chunk_key(ids[0]) in s2.matrix.row_of
+    # identical key set to a from-scratch build
+    s3 = Searcher.build(db, 0, 0, 16, engine="xla", use_snapshot=False)
+    assert set(s2.matrix.row_of) == set(s3.matrix.row_of)

@@ -238,3 +238,62 @@ def test_sharded_adopt_int2(tmp_path):
     h1 = ss.search_vector(q, 8)
     h2 = ss2.search_vector(q, 8)
     assert [i for i, _ in h1] == [i for i, _ in h2]
+
+
+def _strip_fmt(path: str) -> None:
+    """Rewrite a base zip without its fmt member (simulates a base written
+    by the pre-v2 code)."""
+    import os
+    import zipfile
+
+    tmp = path + ".strip"
+    with zipfile.ZipFile(path) as zin, zipfile.ZipFile(
+        tmp, "w", zipfile.ZIP_STORED, allowZip64=True
+    ) as zout:
+        for info in zin.infolist():
+            if info.filename != "fmt.npy":
+                zout.writestr(info, zin.read(info.filename))
+    os.replace(tmp, path)
+
+
+def test_resave_upgrades_v1_base(tmp_path):
+    """A pre-v2 base with live delta tracking: save_snapshot must skip the
+    delta shortcut and rewrite a full v2 base, or the doctor's "run
+    `snapshot` once to upgrade" advice is a no-op forever (review r3)."""
+    m, rng = _filled_matrix(jnp.int8)
+    snap = str(tmp_path / "snap.npz")
+    assert m.save_snapshot(snap) == "full"
+    _strip_fmt(snap)
+    assert EmbeddingMatrix._snapshot_fmt(snap) == 0
+    # small mutation -> delta tracking is alive; against a v2 base this
+    # save would take the delta path
+    m.upsert([chunk_key(777)], [1], rng.standard_normal((1, DIM)).astype(np.float32))
+    assert m.save_snapshot(snap) == "full"
+    assert EmbeddingMatrix._snapshot_fmt(snap) == 2
+    m2 = EmbeddingMatrix(DIM, dtype=jnp.int8)
+    assert m2.adopt_snapshot(snap)
+    assert m2.row_of == m.row_of
+    # the upgrade is one-time: the next small save deltas again
+    m.upsert([chunk_key(778)], [1], rng.standard_normal((1, DIM)).astype(np.float32))
+    assert m.save_snapshot(snap) == "delta"
+
+
+def test_retier_forces_full_base_rewrite(tmp_path):
+    """After a mid-session retier the existing base's tier member is stale:
+    deltas would extend a base adopt_snapshot rejects forever, so the next
+    save must be a full rewrite in the new tier (review r3)."""
+    m, rng = _filled_matrix(jnp.int8)
+    snap = str(tmp_path / "snap.npz")
+    assert m.save_snapshot(snap) == "full"
+    gen = m.reuse_gen
+    m.retier(INT4)
+    # a tier switch invalidates in-flight captures exactly like row reuse
+    assert m.reuse_gen == gen + 1
+    m.upsert([chunk_key(900)], [1], rng.standard_normal((1, DIM)).astype(np.float32))
+    assert m.save_snapshot(snap) == "full"  # not "delta": base tier is stale
+    m2 = EmbeddingMatrix(DIM, dtype=INT4)
+    assert m2.adopt_snapshot(snap)
+    assert m2.row_of == m.row_of
+    # upgrade is one-time: the next small save deltas again
+    m.upsert([chunk_key(901)], [1], rng.standard_normal((1, DIM)).astype(np.float32))
+    assert m.save_snapshot(snap) == "delta"
