@@ -190,9 +190,12 @@ def _check_db(rep: _Report, db_path: str | None) -> None:
                             "rewrite it")
                     continue
                 if backlog > max(1000, srows // 4):
+                    extra = (" (also a v1 base — the same `snapshot` run "
+                             "upgrades it to the fast-adopt format)"
+                             if old_fmt else "")
                     rep.add(WARN, "snapshot", detail + f", ~{backlog} newer "
                             "rows replay from SQLite at startup — run "
-                            "`snapshot` to refresh")
+                            "`snapshot` to refresh" + extra)
                 elif old_fmt:
                     # WARN, not an OK-line suffix: the v1 base costs the
                     # same slow-startup class as the replay backlog above,

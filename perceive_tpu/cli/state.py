@@ -169,6 +169,7 @@ class AppState:
             raise load_errors[0]
         self.model: Model = results["model"]
         self.highlights_model: Model = results["model" if share_main else "highlights"]
+        self._quarantine_legacy_fallback_rows()
 
         self.searcher: Optional[Searcher] = None
         if build_searcher:
@@ -250,6 +251,37 @@ class AppState:
             if len(self.searcher.matrix):
                 print(f"Built search in {time.time() - start:.1f} seconds", file=sys.stderr)
         self.sources: list[Source] = list_sources(self.db)
+
+    def _quarantine_legacy_fallback_rows(self) -> None:
+        """One-time migration for DBs that pre-date RANDOM_FALLBACK_VERSION:
+        random-fallback runs used to write 128-dim vectors under the REAL
+        checkpoint's (model_id, version) keyspace.  Once the real checkpoint
+        is installed those rows (a) would crash/pollute Searcher.build and
+        (b) read as has_embedding=True in the match stage, so unchanged
+        items would keep serving random vectors forever.  Delete any row
+        whose BLOB length doesn't match the active model's dim: a wrong-dim
+        vector keyed to this model can never score against its queries
+        (it is random-era garbage by construction), and the next scan
+        re-embeds the items for real (ADVICE r3).  A move to the reserved
+        version would collide with the PK/FK when the fallback also wrote
+        the same item post-split, so deletion is the safe form."""
+        if self.model.model_version == RANDOM_FALLBACK_VERSION:
+            return  # still on the fallback: its own rows are the right dim
+        want_len = 4 * self.model.dim
+        with self.db.write() as conn:
+            n = conn.execute(
+                """DELETE FROM item_embeddings
+                   WHERE model_id = ? AND model_version = ?
+                     AND LENGTH(embedding) != ?""",
+                (self.model.model_id, self.model.model_version, want_len),
+            ).rowcount
+        if n:
+            print(
+                f"Deleted {n} legacy wrong-dim embeddings (random-fallback "
+                "era rows under the real checkpoint's keyspace); re-scan "
+                "sources to embed those items with the real checkpoint",
+                file=sys.stderr,
+            )
 
     def refresh_sources(self) -> None:
         self.sources = list_sources(self.db)

@@ -208,6 +208,25 @@ def _scatter_cols_impl(matrix, cols, vals):
 _scatter_cols = jax.jit(_scatter_cols_impl, donate_argnums=(0,))
 
 
+def _donated_row_update_impl(buf, chunk, lo):
+    return jax.lax.dynamic_update_slice(buf, chunk, (lo, jnp.int32(0)))
+
+
+# streams host chunks into the device matrix in place (chunked full upload,
+# _chunked_upload): donation keeps device peak at buffer+chunk, and `lo`
+# rides as a traced scalar so every interior chunk shares one compilation
+_donated_row_update = jax.jit(_donated_row_update_impl, donate_argnums=(0,))
+
+
+def _is_sharding(dev) -> bool:
+    try:
+        from jax.sharding import Sharding
+
+        return isinstance(dev, Sharding)
+    except Exception:
+        return False
+
+
 def serialize_embedding(vec: np.ndarray) -> bytes:
     """f32 little-endian BLOB, byte-compatible with the reference store
     (search.rs:281-287)."""
@@ -611,9 +630,11 @@ class EmbeddingMatrix:
                 if self.packed2:
                     self._stage_full_int2()
                 else:
-                    self._device_vectors = jax.device_put(
-                        self._stage_full(), self._vectors_device()
-                    )
+                    staged = self._stage_full()
+                    if staged is not None:  # None: _chunked_upload placed it
+                        self._device_vectors = jax.device_put(
+                            staged, self._vectors_device()
+                        )
                 self._device_source_ids = jax.device_put(
                     self.source_ids, self.ids_device
                 )
@@ -721,7 +742,7 @@ class EmbeddingMatrix:
         self._device_fine = jax.device_put(fine, dev)
         self._device_fine_scales = jax.device_put(fscales, self.ids_device)
 
-    def _stage_full(self) -> np.ndarray:
+    def _stage_full(self) -> Optional[np.ndarray]:
         """Host staging array in the storage dtype for a full device upload,
         built in row chunks so the upload never materializes a whole-corpus
         f32 temporary (61 GB at 40M x 384 — the mirror may be bf16 or
@@ -757,13 +778,42 @@ class EmbeddingMatrix:
         # in-place mirror writes (upsert overwriting a live row, compact's
         # arr[dsts] = arr[srcs]) would then mutate the device operand of
         # in-flight kernels — torn scores with no reuse_gen retry to catch
-        # them (review r3).  Equal-dtype full syncs only occur on small
-        # (non-quantized-tier) corpora, so the staging copy is cheap.
+        # them (review r3).  Equal-dtype full syncs normally only occur on
+        # small (non-quantized-tier) corpora under auto-retier; when the
+        # user PINS f32/bf16 on a large corpus, a whole-corpus staging copy
+        # would double peak host memory, so route big single-device uploads
+        # through the chunked donated-update path instead (review r4)
+        if (
+            cap * self.padded_dim * canon.itemsize > self._CHUNKED_UPLOAD_BYTES
+            and not _is_sharding(self._vectors_device())
+        ):
+            self._device_vectors = self._chunked_upload(canon)
+            return None
         staged = np.empty((cap, self.padded_dim), dtype=canon)
         for lo in range(0, cap, chunk):
             hi = min(lo + chunk, cap)
             staged[lo:hi] = self._mirror.arr[lo:hi].astype(canon, copy=False)
         return staged
+
+    # Above this, an unquantized full sync builds the device matrix by
+    # streaming ~100 MB host chunks into a donated dynamic_update_slice
+    # (in-place on TPU): host peak stays one chunk instead of a second
+    # whole-corpus copy.  Sharded targets keep the one-shot staged
+    # device_put — per-chunk puts can't address a NamedSharding slice.
+    _CHUNKED_UPLOAD_BYTES = 1 << 30
+
+    def _chunked_upload(self, canon: np.dtype) -> jax.Array:
+        dev = self._vectors_device()
+        cap = self.capacity
+        chunk = self._SYNC_CHUNK_ROWS
+        buf = jax.device_put(jnp.zeros((cap, self.padded_dim), dtype=canon), dev)
+        for lo in range(0, cap, chunk):
+            hi = min(lo + chunk, cap)
+            # copy=True: a fresh buffer per chunk so the (possibly async)
+            # transfer can never observe a later in-place mirror write
+            tmp = np.ascontiguousarray(self._mirror.arr[lo:hi].astype(canon))
+            buf = _donated_row_update(buf, jax.device_put(tmp, dev), np.int32(lo))
+        return buf
 
     @property
     def device_vectors(self) -> jax.Array:

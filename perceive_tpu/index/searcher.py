@@ -24,6 +24,7 @@ Engine selection: "xla" = einsum + lax.top_k (always available);
 from __future__ import annotations
 
 import dataclasses
+import sys
 import time
 from typing import Optional, Sequence
 
@@ -563,15 +564,36 @@ class Searcher:
             self._BUILD_SQL + extra_sql, (self.model_id, self.model_version, *params)
         )
         total = 0
+        skipped_dim = 0
+        # f32-LE BLOBs (reference search.rs:281-294)
+        want_len = 4 * self.matrix.dim
         while True:
             rows = cur.fetchmany(self._LOAD_DB_CHUNK_ROWS)
             if not rows:
                 break
-            keys = [chunk_key(r[0], r[3]) for r in rows]
-            source_ids = [r[1] for r in rows]
-            vecs = np.stack([deserialize_embedding(r[2]) for r in rows])
+            # Rows written by a different-dim encoder under the same
+            # (model_id, model_version) — e.g. 128-dim random-fallback rows
+            # from before the reserved-version split (cli/state.py
+            # RANDOM_FALLBACK_VERSION) — would crash np.stack.  Skip them:
+            # they can never score against this model's queries anyway, and
+            # doctor reports the mixed-length identity for cleanup.
+            good = [r for r in rows if len(r[2]) == want_len]
+            skipped_dim += len(rows) - len(good)
+            if not good:
+                continue
+            keys = [chunk_key(r[0], r[3]) for r in good]
+            source_ids = [r[1] for r in good]
+            vecs = np.stack([deserialize_embedding(r[2]) for r in good])
             self.matrix.upsert(keys, source_ids, vecs)
-            total += len(rows)
+            total += len(good)
+        if skipped_dim:
+            print(
+                f"WARNING: skipped {skipped_dim} stored embeddings whose byte "
+                f"length != {want_len} (written by a different-dim encoder "
+                f"under model_id={self.model_id} v{self.model_version}); run "
+                "`doctor` and re-scan affected sources to re-embed them",
+                file=sys.stderr,
+            )
         if total:
             self._maybe_retier()
         return total

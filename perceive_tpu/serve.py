@@ -383,13 +383,25 @@ def make_handler(holder: ServeState):
                 return self._json(404, {"error": f"no source {source}"})
             except ValueError:
                 return self._json(400, {"error": f"bad type {type_tag}"})
-            try:  # same time-window grammar as the CLI's --after/--before
+            def _parse_time(value):
                 # `not in (None, "")`, NOT truthiness: epoch 0 is a valid
                 # "since 1970" timestamp a truthy check silently drops,
                 # diverging from the CLI's `is not None` (review r3); the
-                # empty string keeps meaning "absent" for blank GET params
-                after = parse_when(str(after)) if after not in (None, "") else None
-                before = parse_when(str(before)) if before not in (None, "") else None
+                # empty string keeps meaning "absent" for blank GET params.
+                # Numeric JSON values are already epochs — don't round-trip
+                # them through parse_when's 9-digit string rule, which
+                # rejects 0 and anything before ~1973 (review r4)
+                if value in (None, ""):
+                    return None
+                if isinstance(value, bool):
+                    raise ValueError(f"can't parse time {value!r}")
+                if isinstance(value, (int, float)):
+                    return int(value)
+                return parse_when(str(value))
+
+            try:  # same time-window grammar as the CLI's --after/--before
+                after = _parse_time(after)
+                before = _parse_time(before)
             except ValueError as e:
                 return self._json(400, {"error": str(e)})
             # time filtering happens host-side after retrieve: over-fetch so

@@ -116,3 +116,70 @@ def test_overfetch_buckets_exceed_max_k():
 
     assert _k_bucket(4 * MAX_K, 10_000_000) == 4 * MAX_K
     assert _k_bucket(8 * MAX_K, 10_000_000) == 8 * MAX_K
+
+
+def test_load_skips_wrong_dim_blobs(tmp_db, capsys):
+    """Rows written by a different-dim encoder under the same
+    (model_id, model_version) must be skipped at build, not crash np.stack
+    (ADVICE r3: legacy 128-dim random-fallback rows under version 0)."""
+    from perceive_tpu.db import add_source
+    from perceive_tpu.index.matrix import serialize_embedding
+    from perceive_tpu.types import Source
+
+    src = add_source(tmp_db, Source(name="s", config={"type": "fs"}, location="/x"))
+    rng = np.random.default_rng(2)
+    with tmp_db.write() as conn:
+        for i, dim in enumerate([8, 8, 128, 8, 16]):
+            cur = conn.execute(
+                "INSERT INTO items (source_id, external_id, hash, content) VALUES (?,?,?,?)",
+                (src.id, f"doc{i}", "", "c"),
+            )
+            conn.execute(
+                """INSERT INTO item_embeddings (item_id, item_index_version,
+                     embedding, model_id, model_version, chunk_idx, seq)
+                   VALUES (?,?,?,0,0,0,?)""",
+                (cur.lastrowid, 1,
+                 serialize_embedding(rng.standard_normal(dim).astype(np.float32)),
+                 i + 1),
+            )
+    s = Searcher.build(tmp_db, 0, 0, 8, dtype=jnp.float32, engine="xla",
+                       use_snapshot=False)
+    assert len(s.matrix) == 3  # the three 8-dim rows; 128/16-dim skipped
+
+
+def test_quarantine_deletes_legacy_wrong_dim_rows(tmp_db):
+    """AppState's one-time migration removes wrong-dim rows from the active
+    model's keyspace so the match stage re-embeds those items (ADVICE r3:
+    doctor only WARNed; the dim-mismatch rows lived forever)."""
+    from types import SimpleNamespace
+
+    from perceive_tpu.cli.state import AppState
+    from perceive_tpu.db import add_source
+    from perceive_tpu.index.matrix import serialize_embedding
+    from perceive_tpu.types import Source
+
+    src = add_source(tmp_db, Source(name="s", config={"type": "fs"}, location="/x"))
+    rng = np.random.default_rng(3)
+    with tmp_db.write() as conn:
+        for i, dim in enumerate([8, 128]):
+            cur = conn.execute(
+                "INSERT INTO items (source_id, external_id, hash, content) VALUES (?,?,?,?)",
+                (src.id, f"doc{i}", "", "c"),
+            )
+            conn.execute(
+                """INSERT INTO item_embeddings (item_id, item_index_version,
+                     embedding, model_id, model_version, chunk_idx, seq)
+                   VALUES (?,?,?,0,0,0,?)""",
+                (cur.lastrowid, 1,
+                 serialize_embedding(rng.standard_normal(dim).astype(np.float32)),
+                 i + 1),
+            )
+    fake = SimpleNamespace(model_id=0, model_version=0, dim=8)
+    state = AppState.__new__(AppState)
+    state.db = tmp_db
+    state.model = fake
+    state._quarantine_legacy_fallback_rows()
+    rows = tmp_db.read().execute(
+        "SELECT LENGTH(embedding) FROM item_embeddings WHERE model_id=0 AND model_version=0"
+    ).fetchall()
+    assert [r[0] for r in rows] == [32]  # only the 8-dim row survives
