@@ -182,6 +182,28 @@ class Database:
         ).fetchone()
         return deserialize_item_row(row) if row else None
 
+    def ensure_model_version(self, model_id: int, version: int) -> None:
+        """Make sure (model_id, version) exists in models/model_versions so
+        item_embeddings FK inserts succeed.  Migration 1 only seeds version
+        0 for the 8 reference model types; non-zero versions — a model
+        upgrade, or the random-fallback encoder's reserved
+        RANDOM_FALLBACK_VERSION (cli/state.py) — must register before the
+        first scan writes an embedding, or every write txn dies on the FK
+        (found by an end-to-end drive of a fresh no-checkpoint install)."""
+        with self.write() as conn:
+            conn.execute(
+                "INSERT OR IGNORE INTO models (id, name, model_type, created_at)"
+                " VALUES (?, ?, ?, ?)",
+                (model_id, f"model-{model_id}", f"model-{model_id}",
+                 int(time.time())),
+            )
+            conn.execute(
+                "INSERT OR IGNORE INTO model_versions"
+                " (model_id, version, status, weights_filename, created_at)"
+                " VALUES (?, ?, 'ready', '', ?)",
+                (model_id, version, int(time.time())),
+            )
+
     def set_item_hidden(self, item_id: int, hidden: bool) -> None:
         """Hide/unhide an item.  The reference parsed an --unhide flag but
         always hid (cmd/hide.rs:16); here unhide actually clears hidden_at."""

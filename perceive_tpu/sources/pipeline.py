@@ -710,6 +710,10 @@ def scan_source(
     stats = stats or ScanStats()
     scanner = scanner or create_scanner(source)
     strategy = compare_strategy or source.compare_strategy
+    # non-zero model versions (upgrades, the random-fallback reserved
+    # version) must exist in model_versions before the write stage inserts
+    # embeddings, or the FK kills every transaction
+    db.ensure_model_version(model.model_id, model.model_version)
     from ..models.model import BATCH_BUCKETS
 
     # clamp to the device dispatch limit; an explicit argument deliberately

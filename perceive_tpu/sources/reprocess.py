@@ -46,6 +46,8 @@ def reprocess_source(
 ) -> tuple[ScanStats, bool]:
     stats = stats or ScanStats()
     scanner = scanner or create_scanner(source)
+    # same FK precondition as scan_source: register non-zero model versions
+    db.ensure_model_version(model.model_id, model.model_version)
     from ..models.model import BATCH_BUCKETS
 
     embed_batch_size = min(embed_batch_size, BATCH_BUCKETS[-1])  # dispatch limit

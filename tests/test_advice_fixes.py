@@ -183,3 +183,33 @@ def test_quarantine_deletes_legacy_wrong_dim_rows(tmp_db):
         "SELECT LENGTH(embedding) FROM item_embeddings WHERE model_id=0 AND model_version=0"
     ).fetchall()
     assert [r[0] for r in rows] == [32]  # only the 8-dim row survives
+
+
+def test_scan_with_nonzero_model_version_registers_fk(tmp_db, tmp_path):
+    """A scan with a model whose version has no model_versions row (the
+    random-fallback reserved version, or any model upgrade) must register
+    it instead of dying on the item_embeddings FK — a fresh no-checkpoint
+    install could not scan ANYTHING (found by an end-to-end CLI drive)."""
+    from perceive_tpu.cli.state import RANDOM_FALLBACK_VERSION, _random_fallback
+    from perceive_tpu.db import add_source
+    from perceive_tpu.models import ModelType
+    from perceive_tpu.sources.pipeline import scan_source
+    from perceive_tpu.types import Source
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "a.md").write_text("the semantic search and a note")
+    src = add_source(
+        tmp_db,
+        Source(name="docs", config={"type": "fs", "location": str(docs)},
+               location=str(docs)),
+    )
+    model = _random_fallback(ModelType.ALL_MINILM_L6_V2)
+    assert model.model_version == RANDOM_FALLBACK_VERSION
+    stats, ok = scan_source(tmp_db, model, src)
+    assert ok, "scan must succeed with an unregistered model version"
+    n = tmp_db.read().execute(
+        "SELECT COUNT(*) FROM item_embeddings WHERE model_version=?",
+        (RANDOM_FALLBACK_VERSION,),
+    ).fetchone()[0]
+    assert n >= 1
