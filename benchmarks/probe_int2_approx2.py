@@ -1,0 +1,50 @@
+"""Variants round 2: agg rt sweep + noagg buffers feeding the fine phase."""
+import jax, jax.numpy as jnp, numpy as np
+from benchmarks.abmarginal import ab_interleaved_marginal, report
+from benchmarks.probe_int2n import D, D4, K, N, allowed_np, gen_packed, queries
+from bench import _rand_i8t
+from benchmarks.probe_int2_approx import _coarse, _fine_phase, body_exact
+
+KC = 4096
+
+def make_agg(rt):
+    def body(q, p2, sc, s1, m8, allowed):
+        coarse, qi8, qscale = _coarse(q, p2, sc, s1, allowed)
+        row = coarse[0]
+        av, ai = jax.lax.approx_max_k(row, KC, recall_target=rt)
+        v, rows = _fine_phase(av, ai, m8, sc, qi8[0], qscale[0, 0])
+        return jnp.sum(v) + jnp.sum(rows.astype(jnp.float32))
+    return body
+
+def make_noagg(rt):
+    def body(q, p2, sc, s1, m8, allowed):
+        coarse, qi8, qscale = _coarse(q, p2, sc, s1, allowed)
+        row = coarse[0]
+        av, ai = jax.lax.approx_max_k(row, KC, recall_target=rt,
+                                      aggregate_to_topk=False)
+        v, rows = _fine_phase(av, ai, m8, sc, qi8[0], qscale[0, 0])
+        return jnp.sum(v) + jnp.sum(rows.astype(jnp.float32))
+    return body
+
+def main():
+    assert jax.default_backend() == "tpu"
+    allowed = jnp.asarray(allowed_np)
+    p2 = gen_packed(jax.random.PRNGKey(2), D4, N)
+    m8 = _rand_i8t(jax.random.PRNGKey(8), D, N)
+    sc = jax.block_until_ready(jnp.full((N,), 0.01, jnp.float32))
+    s1 = jax.block_until_ready(jnp.zeros((N,), jnp.int32))
+    print("arrays resident", flush=True)
+    marg = ab_interleaved_marginal(
+        {
+            "exact": (body_exact, (p2, sc, s1, m8, allowed)),
+            "agg90": (make_agg(0.90), (p2, sc, s1, m8, allowed)),
+            "agg95": (make_agg(0.95), (p2, sc, s1, m8, allowed)),
+            "agg99": (make_agg(0.99), (p2, sc, s1, m8, allowed)),
+            "noagg90": (make_noagg(0.90), (p2, sc, s1, m8, allowed)),
+            "noagg95": (make_noagg(0.95), (p2, sc, s1, m8, allowed)),
+        },
+        queries, r=8, rounds=15,
+    )
+    report(marg)
+
+main()

@@ -62,6 +62,9 @@ KC = int(sys.argv[1]) if len(sys.argv) > 1 else 0
 #     topical embedding corpora live in.
 #   "gaussian"   — fully random rows (the easy case).
 MODE = sys.argv[2] if len(sys.argv) > 2 else "gaussian"
+# selection variant under test: argv[3] ("auto"/"exact"/"approx"/...);
+# approx's recall_target rides PERCEIVE_TPU_INT2_APPROX_RT (topk.py)
+SELECT = sys.argv[3] if len(sys.argv) > 3 else "auto"
 N_CLUSTERS = 2048
 LAM = 0.62
 CHUNK = N // 8
@@ -155,7 +158,8 @@ def main():
         ov, orows = pallas_topk_unsorted(
             m, s1.reshape(1, N), q.astype(jnp.bfloat16), allowed, 16, False)
         vals, rows, floor = scan_int2_coarse_fine(
-            pp2, ss2, pp4, ss4, s1, q, allowed, FETCH, k_coarse=KC, engine="pallas")
+            pp2, ss2, pp4, ss4, s1, q, allowed, FETCH, k_coarse=KC, engine="pallas",
+            select=SELECT)
         # oracle-arithmetic rerank of the fine candidates (see recall_10m)
         cand = m[jnp.clip(rows, 0, N - 1)]
         exact = jnp.einsum(
@@ -248,7 +252,8 @@ def main():
         def f(qs, pp2, ss2, pp4, ss4, s1):
             def it(i, acc):
                 vals, rows, floor = scan_int2_coarse_fine(
-                    pp2, ss2, pp4, ss4, s1, qs[i], allowed, FETCH, k_coarse=KC, engine="pallas")
+                    pp2, ss2, pp4, ss4, s1, qs[i], allowed, FETCH, k_coarse=KC,
+                    engine="pallas", select=SELECT)
                 return acc + jnp.sum(vals) + jnp.sum(rows.astype(jnp.float32)) + jnp.sum(floor)
             return jax.lax.fori_loop(0, r, it, 0.0)
         return jax.jit(f)

@@ -467,6 +467,12 @@ class EmbeddingMatrix:
         # The coarse matrix stays resident so a later re-audit (corpus
         # drift) can re-enable it without restaging.
         self.coarse_trusted = True
+        # Coarse SELECTION variant ("approx" = TPU PartialReduce, the fast
+        # default; "exact" = hierarchical two-top_k).  The searcher's
+        # self-audit measures the corpus's coarse-rank displacement and
+        # falls back to "exact" where bin-collision misses would breach
+        # the recall bar (dense score ties; searcher.audit_coarse).
+        self.coarse_select = "approx"
         self.row_of: dict[int, int] = {}
         # key-group index: item id -> set of chunk keys currently stored
         self.groups: dict[int, set[int]] = {}
@@ -1142,6 +1148,7 @@ class EmbeddingMatrix:
             # fresh tier, unaudited: trust until the searcher's corpus
             # self-audit (which its retier hook re-runs) says otherwise
             self.coarse_trusted = True
+            self.coarse_select = "approx"
             self._dirty = True  # full restage in the new storage dtype
             self._dirty_rows.clear()
             self.mutation_gen += 1  # sweep scores change between tiers

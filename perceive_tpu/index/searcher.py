@@ -24,6 +24,7 @@ Engine selection: "xla" = einsum + lax.top_k (always available);
 from __future__ import annotations
 
 import dataclasses
+import functools
 import sys
 import time
 from typing import Optional, Sequence
@@ -136,7 +137,7 @@ _scan_topk_xla_int4 = jax.jit(_scan_topk_xla_int4_impl, static_argnames=("k", "n
 _NO_SCALES = np.zeros((1,), np.float32)
 
 
-def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engine, interpret, n_sweep=0, use_coarse=True):
+def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engine, interpret, n_sweep=0, use_coarse=True, select="auto"):
     """Traceable per-tier exact-scan dispatch -> sorted ((Q,k) vals, rows,
     floor), shared by every in-jit composition site (today: the fused text
     program) so kernel selection can never fork from the standalone
@@ -165,7 +166,7 @@ def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engi
         return scan_int2_coarse_fine(
             p2, s2, p4, s4, source_ids, qp, allowed, k,
             engine=engine, interpret=interpret, n_sweep=n_sweep,
-            fine_bits=8 if p4.dtype == jnp.int8 else 4,
+            fine_bits=8 if p4.dtype == jnp.int8 else 4, select=select,
         )
     if bits == "8t":
         if engine == "pallas":
@@ -207,7 +208,7 @@ def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engi
     return (*_scan_topk_xla_impl(vectors, source_ids, qp, allowed, k, n_sweep), None)
 
 
-def _build_fused_search(model, searcher, aux_model=None, *, use_coarse=True):
+def _build_fused_search(model, searcher, aux_model=None, *, use_coarse=True, select="auto"):
     """ONE compiled program for a text query: token ids -> encoder -> query
     pad -> scan kernel -> sorted top-k (VERDICT r2 #1; the in-process call
     stack of reference search.rs:157-193 as a single XLA executable).
@@ -249,7 +250,7 @@ def _build_fused_search(model, searcher, aux_model=None, *, use_coarse=True):
             vals, rows, floor = _tier_scan_in_jit(
                 vectors, scales, source_ids, qp, allowed, k,
                 bits=bits, engine=engine, interpret=interpret, n_sweep=n_sweep,
-                use_coarse=use_coarse,
+                use_coarse=use_coarse, select=select,
             )
             return q, aq, vals, rows, floor
 
@@ -261,7 +262,7 @@ def _build_fused_search(model, searcher, aux_model=None, *, use_coarse=True):
         vals, rows, floor = _tier_scan_in_jit(
             vectors, scales, source_ids, qp, allowed, k,
             bits=bits, engine=engine, interpret=interpret, n_sweep=n_sweep,
-            use_coarse=use_coarse,
+            use_coarse=use_coarse, select=select,
         )
         return q, vals, rows, floor
 
@@ -331,6 +332,58 @@ def _coarse_audit_min() -> float:
         return float(os.environ.get("PERCEIVE_TPU_COARSE_AUDIT_MIN", "0.95"))
     except ValueError:
         return 0.95
+
+
+def _approx_risk_max() -> float:
+    """Gate for the PartialReduce coarse selection (select="approx"): the
+    audit-estimated candidate-miss probability (mean coarse-rank of the
+    reference top-k divided by the reduction bin count) above which the
+    searcher falls back to the exact hierarchical select.  Calibration
+    (benchmarks/probe_approx_risk, BENCH_NOTES round-4): isotropic 10M
+    measures ~2e-4 (end recall 0.9992, holds the 0.999 bar), the dense-tie
+    regime ~1e-2 (end recall 0.991, breaches it) — the default sits
+    between, an order of magnitude from each."""
+    import os
+
+    try:
+        return float(os.environ.get("PERCEIVE_TPU_APPROX_RISK_MAX", "1.5e-3"))
+    except ValueError:
+        return 1.5e-3
+
+
+@functools.partial(
+    jax.jit, static_argnames=("engine", "interpret", "n_sweep")
+)
+def _coarse_rank_counts(
+    p2, s2, src, qp, allowed, rows, engine: str, interpret: bool, n_sweep: int
+):
+    """For ONE query: the 1-based coarse-score rank of each row in ``rows``
+    (count of corpus coarse scores >= that row's) — the displacement the
+    approx-select risk estimate needs (audit_coarse).  Invalid rows (<0)
+    count 0."""
+    from ..ops.topk import (
+        mask_scores,
+        pallas_int2_scores,
+        quantize_queries,
+        xla_scores_int2,
+    )
+
+    qi8, qscale = quantize_queries(qp)
+    n_full = p2.shape[1]
+    n = n_sweep or n_full
+    if engine == "pallas":
+        coarse = pallas_int2_scores(
+            p2, s2.reshape(1, n_full), src.reshape(1, n_full),
+            qi8, qscale, allowed, interpret, n,
+        )[0]
+    else:
+        coarse = mask_scores(
+            xla_scores_int2(p2[:, :n], s2[:n], qi8, qscale), src[:n], allowed
+        )[0]
+    thr = coarse[jnp.clip(rows, 0, n - 1)]
+    thr = jnp.where(rows >= 0, thr, jnp.inf)
+    counts = jnp.sum((coarse[None, :] >= thr[:, None]).astype(jnp.int32), axis=1)
+    return jnp.where(rows >= 0, counts, 0)
 
 
 class Searcher:
@@ -729,6 +782,51 @@ class Searcher:
         ):
             self.audit_coarse()
 
+    def _approx_bins(self) -> Optional[int]:
+        """Reduction-buffer (bin) count of the approx select at the
+        production (n_sweep, kc, recall_target) operating point — the
+        denominator of the audit's bin-collision risk estimate.  None when
+        the corpus is too small for the approx path to engage."""
+        from ..ops.topk import _INT2_APPROX_RT, INT2_COARSE_FETCH
+
+        n = self.matrix.sweep_rows
+        kc = min(INT2_COARSE_FETCH, n)
+        if kc >= n:
+            return None  # full fetch: scan never takes the approx branch
+        try:
+            buf, _ = jax.eval_shape(
+                lambda x: jax.lax.approx_max_k(
+                    x, kc, recall_target=_INT2_APPROX_RT,
+                    aggregate_to_topk=False,
+                ),
+                jax.ShapeDtypeStruct((n,), jnp.float32),
+            )
+            return int(buf.shape[0])
+        except Exception:  # noqa: BLE001 — no lowering info: fail safe
+            return 0
+
+    def _audit_rank_counts(self, q1: np.ndarray, rows: np.ndarray):
+        """Coarse-score ranks (1-based counts) of ``rows`` for one padded
+        query — single-chip implementation (the mesh subclass overrides
+        with a shard_map reduction).  None when unmeasurable."""
+        m = self.matrix
+        if not m.packed2:
+            return None
+        from ..utils.platform import platform_of
+
+        with m._lock:
+            vectors, source_ids, scales = m.device_view()
+            p2, _ = vectors
+            s2, _ = scales
+            ns = m.sweep_rows
+            allowed = self._allowed_arrays(None)[0]
+            interpret = self.engine == "pallas" and platform_of(p2) != "tpu"
+            counts = _coarse_rank_counts(
+                p2, s2, source_ids, jnp.asarray(q1), jnp.asarray(allowed),
+                jnp.asarray(rows), self.engine, interpret, ns,
+            )
+        return np.asarray(counts)
+
     def audit_coarse(self, max_queries: int = 0, k: int = 10) -> Optional[float]:
         """Measure whether the int2 coarse pass is trustworthy ON THIS
         corpus, and demote it to the fine-companion sweep when it is not.
@@ -804,6 +902,73 @@ class Searcher:
         # capped at _OVERFETCH_BUCKETS[-1]=8192, so Q=1 carries at most
         # 64 KB of (Q, K) state — the _scan guard only matters batched
         ref_engine = self.engine
+        # Collision rate of the PartialReduce select at this corpus size:
+        # a rank-R candidate is dropped with prob ~(R-1) * (1/bins - 1/n)
+        # (each higher-scored row shares its bin with prob ~(width-1)/n);
+        # zero when the reduction isn't compressing (bins ~ n, or the
+        # approx branch disengaged entirely) — then the rank measurement
+        # is skipped: approx is lossless there by construction.
+        bins = self._approx_bins()  # None = approx branch disengaged
+        if bins is None:
+            rate = 0.0
+        elif bins <= 0:  # estimate failed: treat as maximally risky
+            rate = float("inf")
+        else:
+            rate = max(1.0 / bins - 1.0 / max(m.sweep_rows, 1), 0.0)
+        # -- phase 1: reference top-k per sample (the escalation target:
+        # the fine-companion sweep, one bucket deeper) + the coarse-rank
+        # displacement of those reference rows (approx-select risk input)
+        refs: list[list[int]] = []
+        rank_means: list[float] = []
+        for i in range(len(qp)):
+            q1 = qp[i : i + 1]
+            rvals, rrows, _ = self._device_scan(
+                q1, kb_ref, allowed, ref_engine, use_coarse=False
+            )
+            _, rr = self._rerank(vecs[i : i + 1], rvals, rrows)
+            ref = [r for r in rr[0][:k].tolist() if r >= 0]
+            refs.append(ref)
+            if ref and rate > 0.0:
+                counts = self._audit_rank_counts(q1, np.asarray(ref, np.int32))
+                if counts is not None:
+                    rank_means.append(float(np.mean(counts)))
+        # -- phase 2: pick the coarse SELECT variant from the measured
+        # displacement: where the estimated miss breaches the budget
+        # (dense score ties inflate ranks by orders of magnitude), the
+        # exact hierarchical select takes over — slower, never lossier.
+        approx_risk = None
+        if rate <= 0.0:
+            want = "approx"  # no compression, no collisions possible
+        elif rank_means:
+            per_q = [max(mr - 1.0, 0.0) * rate for mr in rank_means]
+            approx_risk = float(np.mean(per_q))
+            want = "approx" if (
+                approx_risk <= _approx_risk_max()
+                and max(per_q) <= 10 * _approx_risk_max()
+            ) else "exact"
+        elif len(qp):
+            # risk unmeasurable (no live refs / rank helper unavailable):
+            # the exact select costs ~0.5 ms but cannot miss — fail safe
+            want = "exact"
+        else:
+            want = m.coarse_select
+        with m._lock:
+            select_changed = want != m.coarse_select
+            if select_changed:
+                m.coarse_select = want
+                m.mutation_gen += 1  # cached results/programs keyed on it
+        if select_changed:
+            print(
+                f"int2 coarse self-audit: {'enabling' if want == 'approx' else 'disabling'} "
+                f"the PartialReduce selection (estimated candidate-miss "
+                f"{approx_risk if approx_risk is not None else 'n/a'} vs "
+                f"budget {_approx_risk_max():g}; mean reference coarse rank "
+                f"{np.mean(rank_means) if rank_means else float('nan'):.0f} "
+                f"over {bins or 0} bins)",
+                file=sys.stderr,
+            )
+        # -- phase 3: end-overlap of the PRODUCTION coarse pipeline (with
+        # the select variant just decided) vs the reference
         overlap = 0.0
         min_overlap = 1.0
         for i in range(len(qp)):
@@ -814,12 +979,7 @@ class Searcher:
                 q1, kb, allowed, self.engine, use_coarse=True
             )
             _, cr = self._rerank(vecs[i : i + 1], cvals, crows)
-            # escalation target: the fine-companion sweep, one bucket deeper
-            rvals, rrows, _ = self._device_scan(
-                q1, kb_ref, allowed, ref_engine, use_coarse=False
-            )
-            _, rr = self._rerank(vecs[i : i + 1], rvals, rrows)
-            ref = [r for r in rr[0][:k].tolist() if r >= 0]
+            ref = refs[i]
             if not ref:
                 continue
             got = set(cr[0][: len(ref)].tolist())
@@ -846,11 +1006,13 @@ class Searcher:
             "k": int(k),
             "trusted": trusted,
             "rows": len(m),
+            "select": m.coarse_select,
+            "approx_risk": (
+                None if approx_risk is None else round(approx_risk, 8)
+            ),
         }
         self._coarse_audit_rows = len(m)
         if demoted:
-            import sys
-
             print(
                 f"int2 coarse self-audit: top-{k} overlap mean {overlap:.4f} "
                 f"/ min {min_overlap:.4f} (gates {_coarse_audit_min():.2f} / "
@@ -933,7 +1095,7 @@ class Searcher:
                     vals, rows, floor = scan_topk_int2(
                         p2, s2, p4, s4, source_ids,
                         jnp.asarray(qp), jnp.asarray(allowed), kb, engine, ns,
-                        fine_bits=8 if fine8 else 4,
+                        fine_bits=8 if fine8 else 4, select=m.coarse_select,
                     )
             elif m.packed4:
                 if engine == "pallas":
@@ -1318,15 +1480,19 @@ class Searcher:
         reused (after `model set`), and strong refs would pin multi-GB
         params per swap.  ``use_coarse`` selects the int2 pipeline variant
         (False = compiled onto the fine companion: audit demotion or the
-        depth rule); None resolves to the matrix's live audit verdict."""
+        depth rule); None resolves to the matrix's live audit verdict.  The
+        coarse SELECT variant (approx/exact, also an audit verdict) is part
+        of the key the same way."""
         import weakref
 
         if use_coarse is None:
             use_coarse = self.matrix.coarse_trusted
+        select = self.matrix.coarse_select
         key = (
             self.engine,
             self.matrix.quant_bits,
             use_coarse,
+            select,
             aux_model is not None,
         )
         entry = self._fused_cache.get(key)
@@ -1337,10 +1503,11 @@ class Searcher:
         ):
             return entry[1]
         if aux_model is not None:
-            fn = builder(model, self, aux_model, use_coarse=use_coarse)
+            fn = builder(model, self, aux_model, use_coarse=use_coarse,
+                         select=select)
             self._fused_cache[key] = (weakref.ref(model), fn, weakref.ref(aux_model))
         else:
-            fn = builder(model, self, use_coarse=use_coarse)
+            fn = builder(model, self, use_coarse=use_coarse, select=select)
             self._fused_cache[key] = (weakref.ref(model), fn, None)
         return fn
 

@@ -29,6 +29,7 @@ construction, see SURVEY.md §6).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1062,8 +1063,12 @@ def scan_topk_pallas(matrix, source_ids, q, allowed, k: int, n_sweep: int = 0):
 # There is no in-kernel top-k merge: writing all N scores costs ~4% of the
 # packed-matrix read, which is what permits a 4096-deep coarse fetch (the
 # in-kernel merge buffer is VMEM-bound at ~1k and measured 5x slower,
-# probe_int2d); approx_max_k was rejected for the selection because the
-# coarse floor's escalation bound needs the EXACT kc-th coarse score.
+# probe_int2d).  Round 3 rejected approx_max_k because the coarse floor's
+# escalation bound wants the EXACT kc-th coarse score; round 4 reversed
+# that: the int2 floor was already statistical (no hard noise bound), the
+# coarse self-audit measures END recall of the production pipeline on the
+# actual corpus, and the PartialReduce select is ~0.9 ms faster
+# (select="approx", probe_int2_approx).
 #
 # Layout ((D/4, N) uint8 transposed like int4, all Mosaic-legal ops —
 # uint8 `&` + same-width bitcasts only):
@@ -1092,6 +1097,16 @@ def scan_topk_pallas(matrix, source_ids, q, allowed, k: int, n_sweep: int = 0):
 # then reduces 4096 -> k at int4 noise (the tier whose 10M candidate
 # recall measured 0.999805 at 128).  Escalation covers the tail.
 INT2_COARSE_FETCH = 4096
+
+# recall_target of the PartialReduce selection (select="approx"): steers
+# the TPU ApproxTopK reduction-buffer size (~40k bins at 0.90, ~157k at
+# 0.95 for 10M inputs).  A true-top-10 row at coarse rank R is dropped
+# with probability ~(R-1)/bins (bin collision with a higher score), so
+# the buffer must dwarf the int2 noise-displacement tail of true-top-10
+# coarse ranks — 0.95 measured recall-clean at 10M (see BENCH_NOTES
+# round-4); 0.90's 40k bins measurably graze the tail.  Baked at import:
+# the jit cache keys on the select name only.
+_INT2_APPROX_RT = float(os.environ.get("PERCEIVE_TPU_INT2_APPROX_RT", "0.98"))
 
 # Extra candidate slots past the coarse depth for the sort-free threshold
 # selection (select="threshold"): absorbs score-tie classes straddling the
@@ -1419,12 +1434,15 @@ def scan_int2_coarse_fine(
     int32 rows, (Q,) f32 coarse floor — an upper bound on every row
     OUTSIDE the candidate set (select="exact": the k_coarse-th int2
     score; "window": the k_coarse-th window max; "threshold": the
-    window-max threshold, or the kcap-th block score on tie overflow);
-    -inf when the whole corpus was fetched).
+    window-max threshold, or the kcap-th block score on tie overflow;
+    "approx": the k_coarse-th RETURNED score — statistical only, bin-
+    collision misses can exceed it); -inf when the whole corpus was
+    fetched).
 
-    ``select`` picks the candidate-selection variant: "exact" (default —
-    fastest on the bench chip), "window", "threshold"; see the variant
-    docstrings and BENCH_NOTES round-3 "selection-sort alley".
+    ``select`` picks the candidate-selection variant: "approx" (default —
+    TPU PartialReduce, fastest measured), "exact", "window", "threshold";
+    see the variant docstrings, BENCH_NOTES round-3 "selection-sort
+    alley" and round-4 "PartialReduce selection".
     """
     n_full = packed2.shape[1]
     n = _sweep_n(n_full, n_sweep)
@@ -1445,16 +1463,18 @@ def scan_int2_coarse_fine(
     nq = q.shape[0]
     kf = min(k, kc)
     if select == "auto":
-        # "exact" wins on this chip: the big-k blocks sort costs ~0.48 ms
-        # (probe_int2_sortcost) but every sort-free extraction measured at
-        # least that — threshold +0.14 ms, bisection +0.64 ms, window-cut
-        # gather +13.9/+6.0 ms (probe_int2_wincut; BENCH_NOTES round-3).
-        # The variants stay selectable: on higher-bandwidth parts (v5p) the
-        # sweep shrinks ~3.8x while sorts shrink less, so the selection mix
-        # deserves re-measuring there (same reason the auto tier thresholds
-        # are one constant).
-        select = "exact"
-    if select not in ("exact", "window", "threshold"):
+        # round-4: "approx" (TPU PartialReduce) replaces "exact" as the
+        # default — full pipeline 1.96 vs 2.53-2.72 ms at 10M
+        # (probe_int2_approx/3), candidate-recall@10 holds the >=0.999
+        # tier bar at recall_target 0.98 (BENCH_NOTES round-4; rt 0.95
+        # measured 0.99922, the doubled 0.98 buffer costs nothing).  The
+        # round-3 sort-free extractions all lost because they re-derived
+        # an EXACT candidate set without the sort; PartialReduce drops
+        # exactness the tier never truly had (the int2 floor was already
+        # statistical) and keeps the one-pass structure.  "exact" remains
+        # selectable for harnesses and for parts without the custom call.
+        select = "approx"
+    if select not in ("exact", "approx", "window", "threshold"):
         # silent fallback would let a typo'd variant A/B exact vs exact and
         # record a bogus ~0 ms paired diff as a measurement
         raise ValueError(f"unknown select {select!r}")
@@ -1511,7 +1531,27 @@ def scan_int2_coarse_fine(
         idx = jnp.stack([r for _, r, _ in outs])
         floor = jnp.stack([f for _, _, f in outs])
     else:
-        if n % _INT2_WINDOW == 0 and n // _INT2_WINDOW >= kc:
+        if select == "approx" and kc < n:
+            # PartialReduce (TPU ApproxTopK custom call): ONE bandwidth-
+            # bound pass replaces the two-top_k hierarchical select —
+            # measured 1.6-2.0 ms full-pipeline vs 2.5-2.6 exact at 10M
+            # (probe_int2_approx, BENCH_NOTES round-4).  The candidate SET
+            # is approximate: a bin collision drops a row with probability
+            # ~rank/bins (see _INT2_APPROX_RT), so the floor below is
+            # statistical-only — unfetched rows CAN exceed it.  The tier
+            # already leans on statistical floors for int2 noise, the f32
+            # rerank fixes ordering, and the coarse self-audit measures
+            # the end recall of THIS pipeline on the actual corpus (the
+            # audit runs production scans, so approx selection is audited
+            # too).  Unrolled per query like the exact select (Q <= 8).
+            # On CPU (tests) approx_max_k lowers to an exact top-k.
+            outs = [
+                jax.lax.approx_max_k(coarse[i], kc, recall_target=_INT2_APPROX_RT)
+                for i in range(nq)
+            ]
+            cvals = jnp.stack([v for v, _ in outs])
+            idx = jnp.stack([p for _, p in outs])
+        elif n % _INT2_WINDOW == 0 and n // _INT2_WINDOW >= kc:
             # UNROLLED per-query select, never vmapped: vmapping the window
             # gather turns the clean 2D `jnp.take(blocks, widx, axis=0)` into
             # a batched gather that costs ~+2.5 ms/query at 10M (probe_int2o:

@@ -195,11 +195,12 @@ def _sharded_scan_unquantized(matrix, source_ids, q, allowed, *, mesh, k, engine
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "k", "engine", "interpret", "fine_bits")
+    jax.jit,
+    static_argnames=("mesh", "k", "engine", "interpret", "fine_bits", "select"),
 )
 def _sharded_scan_int2(
     packed2, cscales, packed4, fscales, source_ids, q, allowed,
-    *, mesh, k, engine, interpret, fine_bits=4,
+    *, mesh, k, engine, interpret, fine_bits=4, select="auto",
 ):
     """Sharded int2 coarse-to-fine: each chip runs the COMPLETE single-chip
     pipeline (2-bit sweep -> exact hierarchical select -> in-jit fine
@@ -228,6 +229,7 @@ def _sharded_scan_int2(
         vals, rows, floor = scan_int2_coarse_fine(
             p2, s2, p4, s4, src, q_, allowed_, kl,
             engine=engine, interpret=interpret, fine_bits=fine_bits,
+            select=select,
         )
         floor_all = jax.lax.all_gather(floor, ROWS_AXES)  # (ndev, Q)
         gfloor = jnp.max(floor_all, axis=0)
@@ -289,7 +291,7 @@ def sharded_scan_topk(mesh, matrix, source_ids, q, allowed, k: int, engine: str 
     )
 
 
-def _build_fused_sharded(model, searcher, aux_model=None, *, use_coarse=True):
+def _build_fused_sharded(model, searcher, aux_model=None, *, use_coarse=True, select="auto"):
     """ONE compiled program for a text query on the MESH: token ids ->
     encoder (replicated params, or GSPMD-partitioned under TP) -> the
     shard_map per-chip scan + all_gather merge (_sharded_scan) -> top-k.
@@ -320,7 +322,7 @@ def _build_fused_sharded(model, searcher, aux_model=None, *, use_coarse=True):
                 return _sharded_scan_int2(
                     p2, s2, p4, s4, source_ids, qp, allowed,
                     mesh=mesh, k=k, engine=engine, interpret=interpret,
-                    fine_bits=8 if fine8 else 4,
+                    fine_bits=8 if fine8 else 4, select=select,
                 )
             vals, rows = _sharded_scan(
                 p4, s4, source_ids, qp, allowed,
@@ -462,6 +464,91 @@ class ShardedSearcher(Searcher):
     def _tier_for(self, n_rows: int):  # type: ignore[override]
         return self.auto_tier(n_rows, self.mesh, self.matrix.padded_dim)
 
+    def _approx_bins(self):  # type: ignore[override]
+        """TOTAL PartialReduce bins across the mesh: each shard runs the
+        approx select at its own (n_local, kc) operating point, and the
+        audit's risk estimate divides a GLOBAL rank by these — valid when
+        reference rows spread ~uniformly over shards (block-sharded rows;
+        a dense cluster concentrated on one shard is covered by the
+        10x per-query max gate)."""
+        from ..ops.topk import _INT2_APPROX_RT, INT2_COARSE_FETCH
+
+        ndev = self.mesh.size
+        n_local = self.matrix.capacity // ndev
+        kc = min(INT2_COARSE_FETCH, n_local)
+        if kc >= n_local:
+            return None
+        try:
+            buf, _ = jax.eval_shape(
+                lambda x: jax.lax.approx_max_k(
+                    x, kc, recall_target=_INT2_APPROX_RT,
+                    aggregate_to_topk=False,
+                ),
+                jax.ShapeDtypeStruct((n_local,), jnp.float32),
+            )
+            return ndev * int(buf.shape[0])
+        except Exception:  # noqa: BLE001 — no lowering info: fail safe
+            return 0
+
+    def _audit_rank_counts(self, q1: np.ndarray, rows: np.ndarray):  # type: ignore[override]
+        """Global coarse-score ranks via a shard_map psum (each reference
+        row lives on exactly one block shard)."""
+        m = self.matrix
+        if not m.packed2:
+            return None
+        from ..utils.platform import platform_of
+
+        mesh = self.mesh
+        engine = self.engine
+        interpret = engine == "pallas" and platform_of(mesh) != "tpu"
+
+        def local(p2_, s2_, src_, q_, allowed_, rows_):
+            n_local = p2_.shape[1]
+            qi8, qscale = quantize_queries(q_)
+            if engine == "pallas":
+                from ..ops.topk import pallas_int2_scores
+
+                coarse = pallas_int2_scores(
+                    p2_, s2_.reshape(1, n_local), src_.reshape(1, n_local),
+                    qi8, qscale, allowed_, interpret, n_local,
+                )[0]
+            else:
+                from ..ops.topk import xla_scores_int2
+
+                coarse = mask_scores(
+                    xla_scores_int2(p2_, s2_, qi8, qscale), src_, allowed_
+                )[0]
+            off = jax.lax.axis_index(ROWS_AXES) * n_local
+            loc = rows_ - off
+            valid = (loc >= 0) & (loc < n_local) & (rows_ >= 0)
+            thr_loc = jnp.where(
+                valid, coarse[jnp.clip(loc, 0, n_local - 1)], 0.0
+            )
+            thr = jax.lax.psum(thr_loc, ROWS_AXES)  # one shard contributes
+            counts_loc = jnp.sum(
+                (coarse[None, :] >= thr[:, None]).astype(jnp.int32), axis=1
+            )
+            return jax.lax.psum(counts_loc, ROWS_AXES)
+
+        with m._lock:
+            vectors, source_ids, scales = m.device_view()
+            p2, _ = vectors
+            s2, _ = scales
+            q_dev = self._fused_put(np.asarray(q1, np.float32))
+            a_dev = self._fused_put(self._allowed_arrays(None)[0])
+            r_dev = self._fused_put(np.asarray(rows, np.int32))
+            counts = shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(
+                    P(None, ROWS_AXES), P(ROWS_AXES), P(ROWS_AXES),
+                    P(None, None), P(None), P(None),
+                ),
+                out_specs=P(None),
+                check_vma=False,
+            )(p2, s2, source_ids, q_dev, a_dev, r_dev)
+        return np.asarray(counts)
+
     @classmethod
     def build(cls, db, model_id, model_version, dim, mesh, *, use_snapshot=True, **kw):  # type: ignore[override]
         s = cls(model_id, model_version, dim, mesh, **kw)
@@ -543,7 +630,7 @@ class ShardedSearcher(Searcher):
                     vals, rows, fl = _sharded_scan_int2(
                         p2, s2, p4, s4, source_ids, q_dev, a_dev,
                         mesh=self.mesh, k=kb, engine=engine, interpret=interpret,
-                        fine_bits=8 if fine8 else 4,
+                        fine_bits=8 if fine8 else 4, select=m.coarse_select,
                     )
                     floor = fl
             else:

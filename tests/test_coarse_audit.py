@@ -293,3 +293,53 @@ def test_fused_deep_fetch_routes_to_fine_companion(monkeypatch):
     shallow = s.search_fused(model, "alpha beta", 2)
     assert (s.engine, 2, True) in {key[:3] for key in s._fused_cache}
     assert [i for i, _ in shallow] == [i for i, _ in s.search(model, "alpha beta", 2)]
+
+
+def test_audit_select_gate_flips_on_rank_displacement(monkeypatch):
+    """Round 4: the audit decides the coarse SELECT variant from measured
+    coarse-rank displacement — small ranks keep the PartialReduce select,
+    dense-tie-inflated ranks fall back to the exact hierarchical select
+    (and the flip bumps mutation_gen so cached results invalidate)."""
+    rng = np.random.default_rng(5)
+    n, d = 8192, 64
+    # bins < n so the collision rate (1/bins - 1/n) is real compression
+    bins = 2048
+
+    monkeypatch.setattr(Searcher, "_approx_bins", lambda self: bins)
+    ranks = {"value": 2.0}
+    monkeypatch.setattr(
+        Searcher,
+        "_audit_rank_counts",
+        lambda self, q1, rows: np.full(len(rows), ranks["value"]),
+    )
+
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    s.upsert_embeddings(list(range(1, n + 1)), [0] * n, _unit(rng, n, d))
+    assert s.coarse_audit["select"] == "approx"
+    assert s.matrix.coarse_select == "approx"
+    assert s.coarse_audit["approx_risk"] < 1e-3
+
+    # dense-tie regime: mean reference rank ~ thousands -> risk over budget
+    ranks["value"] = 3000.0  # risk ~ 1.1
+    gen0 = s.matrix.mutation_gen
+    s.audit_coarse()
+    assert s.coarse_audit["select"] == "exact"
+    assert s.matrix.coarse_select == "exact"
+    assert s.matrix.mutation_gen > gen0
+
+    # drift back to an easy corpus: re-audit re-enables approx
+    ranks["value"] = 2.0
+    s.audit_coarse()
+    assert s.matrix.coarse_select == "approx"
+
+
+def test_audit_select_fail_safe_without_risk_estimate(monkeypatch):
+    """Risk unmeasurable (bin estimate failed, returns 0) -> the exact
+    select takes over: slower, never lossier.  (None instead means the
+    approx branch is disengaged at this corpus size - harmless.)"""
+    rng = np.random.default_rng(6)
+    n, d = 8192, 64
+    monkeypatch.setattr(Searcher, "_approx_bins", lambda self: 0)
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    s.upsert_embeddings(list(range(1, n + 1)), [0] * n, _unit(rng, n, d))
+    assert s.matrix.coarse_select == "exact"
