@@ -2,6 +2,7 @@
 
 import json
 import sqlite3
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -903,3 +904,79 @@ def test_random_fallback_has_isolated_version():
     m = _random_fallback(ModelType.MSMARCO_BERT_BASE_DOT_V5)
     assert m.model_version == RANDOM_FALLBACK_VERSION
     assert m.model_id == ModelType.MSMARCO_BERT_BASE_DOT_V5.model_id
+
+
+def test_serve_ui_contract(state, tmp_path):
+    """e2e contract between serve_ui.html (now a package data file,
+    VERDICT r3 #7) and the endpoints its JS drives: every URL the page
+    builds — /status, /events (SSE load_status), /sources, and /search
+    with the exact param shapes (q+k, source=name, type=, after=<rel>) —
+    must answer with the fields the render code reads (title, source,
+    url, score, snippet)."""
+    import re
+    from pathlib import Path
+
+    from perceive_tpu.serve import start_server
+
+    html = (
+        Path(__file__).resolve().parents[1]
+        / "perceive_tpu" / "serve_ui.html"
+    ).read_text()
+    # the page JS's element lookups must resolve in the markup
+    for el in re.findall(r"getElementById\('([^']+)'\)", html):
+        assert f'id="{el}"' in html, f"JS references missing element #{el}"
+    # every relative fetch/EventSource URL in the page, sans params
+    called = set(re.findall(r"(?:fetch|EventSource)\('(/[a-z]+)", html))
+    assert {"/status", "/sources", "/events"} <= called
+    assert "/search?q=" in html
+
+    docs = tmp_path / "uidocs"
+    docs.mkdir()
+    (docs / "a.md").write_text("---\ntitle: Jax Notes\n---\njax tpu pallas kernels\n")
+    run(state, ["source", "add", "fs", str(docs), "--name", "uidocs"])
+    run(state, ["source", "scan", "uidocs"])
+
+    server = start_server(lambda: state, port=0)
+    server.perceive_state.ready.wait(60)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        status = json.loads(urllib.request.urlopen(f"{base}/status").read())
+        assert status["model_loaded"] and status["searcher_built"]
+        sources = json.loads(urllib.request.urlopen(f"{base}/sources").read())
+        assert any(s["name"] == "uidocs" for s in sources)
+        # the page's exact URL shapes
+        for url in (
+            "/search?q=jax%20tpu&k=10",
+            "/search?q=jax&k=10&source=uidocs",
+            "/search?q=jax&k=10&type=local",
+            "/search?q=jax&k=10&after=1w",
+            "/search?q=jax&k=10&source=uidocs&after=1y",
+        ):
+            hits = json.loads(urllib.request.urlopen(base + url).read())
+            assert hits, f"no hits for {url}"
+            h = hits[0]
+            for field in ("title", "source", "url", "score", "snippet"):
+                assert field in h, f"{url} missing {field}"
+        # unknown source -> 404 (the page only offers known names, but the
+        # contract must hold for a stale dropdown after source removal)
+        try:
+            urllib.request.urlopen(f"{base}/search?q=jax&source=zzz")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        # SSE: one load_status event arrives once ready (the page's primary
+        # transport; it closes the stream after the first ready event)
+        req = urllib.request.urlopen(f"{base}/events", timeout=10)
+        payload = b""
+        while b"load_status" not in payload or b"\n\n" not in payload:
+            chunk = req.read(1)
+            if not chunk:
+                break
+            payload += chunk
+        text = payload.decode()
+        assert "event: load_status" in text
+        data = json.loads(text.split("data: ", 1)[1].split("\n")[0])
+        assert data["model_loaded"] is True
+    finally:
+        server.shutdown()
