@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import time
 
 import jax
@@ -361,6 +362,101 @@ def _marginal_single_query_tiers(n: int, d: int, allowed, *, rounds=10, r=8):
     )
 
 
+def measure_serve_latency() -> dict | None:
+    """End-to-end HTTP serve walls (VERDICT r3 #6): the REAL stack — tiny
+    random-weight model, fs scan, ServeState warmup, coalescing executor,
+    HTTP server — measured with UNIQUE queries (the result cache never
+    hits) at 1 and 8 concurrent clients.  Self-contained by design (the
+    driver artifact must not depend on benchmarks/); the full client
+    sweep incl. 64 clients lives in benchmarks/serve_latency.py."""
+    import shutil
+    import tempfile
+    import threading
+    import time as _time
+    import urllib.request
+
+    base = tempfile.mkdtemp(prefix="bench_serve_")
+    server = None
+    st = None
+    try:
+        from perceive_tpu.cli.state import AppState
+        from perceive_tpu.db import add_source
+        from perceive_tpu.serve import start_server
+        from perceive_tpu.sources import scan_source
+        from perceive_tpu.types import Source
+
+        docs = f"{base}/docs"
+        os.makedirs(docs)
+        rng = np.random.default_rng(0)
+        words = ["alpha", "beta", "gamma", "delta", "search", "vector",
+                 "index", "engine", "document", "corpus", "query", "result"]
+        for i in range(60):
+            with open(f"{docs}/doc{i:03d}.md", "w") as f:
+                f.write(" ".join(rng.choice(words, size=30)) + "\n")
+
+        app = AppState(f"{base}/db.sqlite3")
+        src = add_source(
+            app.db, Source(name="docs", config={"type": "fs"}, location=docs)
+        )
+        scan_source(app.db, app.model, src,
+                    on_embeddings=app.searcher.upsert_embeddings)
+        app.refresh_sources()
+        server = start_server(lambda: app, port=0)
+        st = server.perceive_state
+        st.ready.wait(600)
+        port = server.server_address[1]
+
+        def query(q: str) -> float:
+            t0 = _time.monotonic()
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/search?q={q}&k=10", timeout=120
+            ) as r:
+                r.read()
+            return _time.monotonic() - t0
+
+        for w in ("alpha%20beta", "vector%20engine", "delta"):
+            query(w)  # absorb residual shape compiles
+
+        one = [query(f"alpha%20vector%20b{i}") for i in range(12)]
+
+        lats: list[float] = []
+        lk = threading.Lock()
+        bar = threading.Barrier(8)
+
+        def client(ci: int) -> None:
+            bar.wait()
+            for j in range(8):
+                w = query(f"corpus%20index%20c{ci}x{j}")
+                with lk:
+                    lats.append(w)
+
+        t0 = _time.monotonic()
+        ts = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        wall = _time.monotonic() - t0
+        return {
+            "serve_1c_p50_ms": round(float(np.median(one)) * 1e3, 1),
+            "serve_p50_ms": round(float(np.median(lats)) * 1e3, 1),
+            "serve_p99_ms": round(float(np.quantile(lats, 0.99)) * 1e3, 1),
+            "serve_qps_8c": round(64 / wall, 1),
+        }
+    except Exception as e:  # noqa: BLE001 — serve walls are additive info
+        print(f"# serve phase unavailable ({e})", flush=True)
+        return None
+    finally:
+        try:
+            if st is not None:
+                st.stop()
+            if server is not None:
+                server.shutdown()
+        except Exception:  # noqa: BLE001
+            pass
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def measure_embed_docs_per_sec() -> float:
     """Device-side encode throughput: MiniLM-class tower (384-d, 6 layers),
     bf16, batch 256 x seq 128, distinct token batches per timed call
@@ -446,6 +542,7 @@ def main() -> None:
     qps_int4 = _marginal_int4_qps(n, d, allowed) if on_tpu else None
     qps_int8 = _marginal_int8_qps(n, d, allowed) if on_tpu else None
     embed_dps = measure_embed_docs_per_sec()
+    serve_stats = measure_serve_latency() if on_tpu else None
 
     # The DEFAULT configuration at this corpus size is the int2 coarse-to-
     # fine tier (index.matrix.auto_matrix_dtype: 4M-24M rows -> int2) with
@@ -489,6 +586,17 @@ def main() -> None:
                 "effective_gbps": round(n * d * 2 / p50_s / 1e9, 1),
                 "embed_docs_per_sec": round(embed_dps, 1),
                 "embed_vs_baseline": round(embed_dps / 5_000.0, 3),
+                # end-to-end HTTP serve walls (VERDICT r3 #6): unique
+                # queries (the result cache never hits) against the real
+                # stack — encoder + fused sweep + retrieve + highlight
+                # behind the coalescing executor; p50/p99 at 8 concurrent
+                # clients plus the 1-client wall.  None when the serve
+                # phase failed (keys stay present so dashboards don't
+                # shift).
+                **(serve_stats or {
+                    "serve_p50_ms": None, "serve_p99_ms": None,
+                    "serve_qps_8c": None, "serve_1c_p50_ms": None,
+                }),
                 # from the measured p50(N) scaling fit (probe_p50_scaling:
                 # 0.1825 ns/row streaming + 0.767 ms fixed, residuals
                 # < 0.05 ms; fitted for THIS tier/shape on the v5e bench

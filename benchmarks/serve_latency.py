@@ -160,6 +160,38 @@ def main() -> None:
             t.join()
         conc_unique_wall = time.monotonic() - t0
 
+        # client-count sweep (VERDICT r3 #6): unique queries at 1/8/64
+        # concurrent clients, p50/p99 per level — the executor's coalescing
+        # win shows as sub-linear p50 growth with client count
+        def sweep_level(n_cl: int, tag: str) -> dict:
+            per = max(96 // n_cl, 2)
+            lats: list[float] = []
+            lk = threading.Lock()
+            bar = threading.Barrier(n_cl)
+
+            def cl(ci: int) -> None:
+                bar.wait()
+                for j in range(per):
+                    w = query(qs[(ci + j) % len(qs)] + f"%20{tag}{ci}x{j}")
+                    with lk:
+                        lats.append(w)
+
+            t0 = time.monotonic()
+            ts = [threading.Thread(target=cl, args=(i,)) for i in range(n_cl)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            wall = time.monotonic() - t0
+            return {
+                "clients": n_cl,
+                "qps": round(n_cl * per / wall, 1),
+                "p50_ms": round(float(np.median(lats)) * 1e3, 1),
+                "p99_ms": round(float(np.quantile(lats, 0.99)) * 1e3, 1),
+            }
+
+        levels = [sweep_level(n, f"s{n}q") for n in (1, 8, 64)]
+
         print(
             json.dumps(
                 {
@@ -183,6 +215,7 @@ def main() -> None:
                         n_clients * per_client / conc_unique_wall, 1
                     ),
                     "concurrent_unique_p50_ms": round(float(np.median(lat_u)) * 1e3, 1),
+                    "client_sweep_unique": levels,
                     "result_cache_hits": st.executor.result_cache_hits,
                     "scan_s": round(scan_s, 1),
                     "highlight_prewarmed_docs": warmed,

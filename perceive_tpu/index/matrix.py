@@ -18,7 +18,9 @@ count a multiple of 512 so kernel tiles never see ragged edges.
 from __future__ import annotations
 
 import os
+import sys
 import threading
+import time
 from typing import Optional, Sequence
 
 import jax
@@ -1787,10 +1789,12 @@ class EmbeddingMatrix:
                 self.norm_hw = float(z["norm_hw"])
             # mirror rows [0, n) straight from the f32 member (one pass,
             # no quantization read-back)
+            t_mirror = time.perf_counter()
             for lo, hi, vecs in self._iter_snapshot_vectors(
                 path, self._LOAD_CHUNK_ROWS, fh
             ):
                 self._mirror.write(slice(lo, hi), vecs, self.dim)
+            t_dev = time.perf_counter()
             if self.quantized and n:
                 self._adopt_device(z, path, n, fh)
                 self._device_source_ids = jax.device_put(
@@ -1798,6 +1802,13 @@ class EmbeddingMatrix:
                 )
                 self._dirty = False
                 self._dirty_rows.clear()
+            if os.environ.get("PERCEIVE_TPU_DEBUG_STARTUP"):
+                t_end = time.perf_counter()
+                print(
+                    f"adopt phases: mirror {t_dev - t_mirror:.2f}s  "
+                    f"device {t_end - t_dev:.2f}s  (n={n})",
+                    file=sys.stderr,
+                )
             else:
                 # bf16/f32 tiers store no payload: first sync casts the
                 # mirror (no quantization pass to skip)

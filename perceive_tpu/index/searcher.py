@@ -1169,10 +1169,38 @@ class Searcher:
             [q, np.zeros((q.shape[0], m.padded_dim - m.dim), q.dtype)], axis=1
         )
 
+    # Query-count buckets for batched scans.  Every DISTINCT Q is a fresh
+    # jit compile of the sweep program (tens of seconds through a remote
+    # compiler): under concurrent serving the coalescing executor drains
+    # batches of arbitrary width, and round-4's 64-client sweep measured a
+    # throughput COLLAPSE (4.4 QPS, p99 29 s — below one client) that was
+    # entirely first-shape compile storms.  Padding queries to a bucket
+    # caps the program count at len(_Q_BUCKETS) per (tier, kb); zero-pad
+    # queries score 0 everywhere, can never trigger escalation (their kth
+    # and floors are both 0 with zero margin), and are sliced off before
+    # return.  Same ladder as the encoder's BATCH_BUCKETS (models/model.py)
+    # so one warmed width covers both the encode and the sweep program —
+    # sweeps are ~Q-flat at small Q (probe_int2r), so padding 2 -> 8 costs
+    # noise while halving the program count.
+    _Q_BUCKETS = (1, 8, 16, 32, 64, 128, 256, 512)
+
+    @classmethod
+    def _q_bucket(cls, n: int) -> int:
+        for b in cls._Q_BUCKETS:
+            if n <= b:
+                return b
+        return n  # beyond the ladder: slabbed kernels take over anyway
+
     def _scan(self, q: np.ndarray, k: int, allowed: np.ndarray, first_sweep=None):
         m = self.matrix
         self.scan_calls += 1
         want = self._first_fetch(k)
+        q0 = q.shape[0]
+        qb = self._q_bucket(q0)
+        if qb > q0:
+            q = np.concatenate(
+                [q, np.zeros((qb - q0, q.shape[1]), q.dtype)], axis=0
+            )
         qp = self._pad_queries(q)
         # the corpus self-audit (audit_coarse) demotes an untrustworthy
         # coarse pass for EVERY query, not just escalations
@@ -1204,7 +1232,7 @@ class Searcher:
                     qp, kb, allowed, engine, use_coarse=use_coarse
                 )
             if not m.quantized:
-                return vals, rows
+                return vals[:q0], rows[:q0]
             evals, erows = self._rerank(q, vals, rows)
             # Over-fetch escalation (bounds the rerank guarantee instead of
             # asserting it): a row OUTSIDE the fetched candidate set scores
@@ -1222,7 +1250,7 @@ class Searcher:
             # so the re-fetch sweeps the FULL fine matrix — both bounds are
             # restored by depth, never by a deeper coarse pass.
             if kb >= min(m.rows, _OVERFETCH_BUCKETS[-1]):
-                return evals, erows  # fetched everything fetchable
+                return evals[:q0], erows[:q0]  # fetched everything fetchable
             buffer_full = np.isfinite(vals[:, -1])  # else: all matches fetched
             kth = evals[:, min(k, evals.shape[1]) - 1]
             margin = 0.0
@@ -1240,7 +1268,7 @@ class Searcher:
             if floor is not None:
                 trigger |= np.isfinite(floor) & (kth < floor + margin)
             if not trigger.any():
-                return evals, erows
+                return evals[:q0], erows[:q0]
             self.escalations += 1
             # int2: any escalation abandons the coarse pass — the re-fetch
             # runs the int4 kernels on the fine matrix, restoring that

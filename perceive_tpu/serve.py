@@ -21,6 +21,8 @@ import json
 import os
 import sys
 import threading
+
+import numpy as np
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Optional
@@ -102,6 +104,15 @@ class ServeState:
                 # highlight without a device dispatch; readiness is not
                 # gated on it
                 threading.Thread(target=self._warm_highlights, daemon=True).start()
+                # background: compile the coalesced-load program grid.
+                # Every (encode batch-bucket x seq-bucket, sweep Q-bucket)
+                # pair is a separate executable, and round 4's 64-client
+                # sweep measured a first-shape compile storm (p99 29 s,
+                # throughput BELOW one client).  Runs after readiness so
+                # boot isn't gated on ~10 compiles; until it finishes,
+                # concurrent load compiles on demand exactly as before,
+                # and the persistent jit cache makes later boots free.
+                threading.Thread(target=self._warm_batch_shapes, daemon=True).start()
             if self.app is not None and self.error is None and refresh_interval:
                 self._refresh_loop(refresh_interval, refresh_prune)
 
@@ -150,6 +161,41 @@ class ServeState:
             # ever pays the fused-program compile mid-session
             if due and pre_key is not None and (m.sweep_rows, m.quant_bits, m.coarse_trusted) != pre_key:
                 self._warm()
+
+    def _warm_batch_shapes(self) -> None:
+        """Compile the concurrent-serving program grid in the background:
+        batched query encodes at both short-query seq buckets, the matching
+        Q-bucketed sweeps, the aux (highlights) model's batch encodes, and
+        a couple of highlight chunk-batch widths.  Off with
+        PERCEIVE_TPU_WARM_BATCH_SHAPES=0."""
+        if os.environ.get("PERCEIVE_TPU_WARM_BATCH_SHAPES", "") == "0":
+            return
+        app = self.app
+        if app is None or app.searcher is None or not len(app.searcher.matrix):
+            return
+        try:
+            short = "warm {}"
+            longer = ("warm up the next query length bucket with a sentence "
+                      "of around twenty five tokens in total number {}")
+            for qn in (8, 64):
+                for text in (short, longer):
+                    if self._stop_refresh.is_set():
+                        return
+                    vecs = app.model.encode([text.format(i) for i in range(qn)])
+                    app.searcher.search_vectors_batch(
+                        np.asarray(vecs, np.float32), 10
+                    )
+                    if app.highlights_model is not app.model:
+                        app.highlights_model.encode(
+                            [text.format(i) for i in range(qn)]
+                        )
+            # concurrent highlight loads coalesce many docs' chunks into
+            # one encode: touch a larger chunk-count bucket too
+            app.highlights_model.highlight(
+                "warmup", ["warm the chunk ladder " * 12] * 24
+            )
+        except Exception as e:  # noqa: BLE001 — warming is best-effort
+            print(f"batch-shape warmup failed (continuing): {e}", file=sys.stderr)
 
     def _warm_highlights(self) -> None:
         """Pre-fill the highlight chunk cache from the corpus, most recently
