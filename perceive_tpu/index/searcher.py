@@ -309,15 +309,27 @@ def _margin_sigma() -> float:
         return 0.0
 
 
-def _coarse_audit_queries() -> int:
-    """Sample size of the int2 coarse self-audit (0 disables the audit and
-    trusts the coarse pass unconditionally)."""
+def _coarse_audit_queries(rows: int = 0, k: int = 10) -> int:
+    """Sample size of the int2 coarse self-audit.  PERCEIVE_TPU_COARSE_AUDIT
+    pins it absolutely (0 disables the audit and trusts the coarse pass
+    unconditionally); unset, it SCALES with the live corpus —
+    ``clamp(12, k * log2(rows), 384)`` (VERDICT r3: a constant sample count
+    under-samples exactly the corpora big enough to hide a dense-tie
+    cluster; log-scaling keeps the audit O(ms) while per-audit detection of
+    a fraction-p cluster is 1-(1-p)^n and COMPOUNDS across the fresh-seed
+    re-audits that growth/shrink/per-source churn trigger)."""
+    import math
     import os
 
-    try:
-        return int(os.environ.get("PERCEIVE_TPU_COARSE_AUDIT", "12"))
-    except ValueError:
+    env = os.environ.get("PERCEIVE_TPU_COARSE_AUDIT", "")
+    if env:
+        try:
+            return int(env)
+        except ValueError:
+            pass
+    if rows <= 0:
         return 12
+    return int(min(384, max(12, round(k * math.log2(rows + 1)))))
 
 
 def _coarse_audit_min() -> float:
@@ -357,10 +369,12 @@ def _approx_risk_max() -> float:
 def _coarse_rank_counts(
     p2, s2, src, qp, allowed, rows, engine: str, interpret: bool, n_sweep: int
 ):
-    """For ONE query: the 1-based coarse-score rank of each row in ``rows``
-    (count of corpus coarse scores >= that row's) — the displacement the
-    approx-select risk estimate needs (audit_coarse).  Invalid rows (<0)
-    count 0."""
+    """Batched: for each query b, the 1-based coarse-score rank of each row
+    in ``rows[b]`` (count of corpus coarse scores >= that row's) — the
+    displacement the approx-select risk estimate needs (audit_coarse).
+    ``qp`` is (B, D), ``rows`` (B, k); invalid rows (<0) count 0.  The
+    per-ref count loop is over the STATIC k (~10), never over the corpus —
+    memory stays at the (B, N) score buffer."""
     from ..ops.topk import (
         mask_scores,
         pallas_int2_scores,
@@ -375,14 +389,20 @@ def _coarse_rank_counts(
         coarse = pallas_int2_scores(
             p2, s2.reshape(1, n_full), src.reshape(1, n_full),
             qi8, qscale, allowed, interpret, n,
-        )[0]
+        )
     else:
         coarse = mask_scores(
             xla_scores_int2(p2[:, :n], s2[:n], qi8, qscale), src[:n], allowed
-        )[0]
-    thr = coarse[jnp.clip(rows, 0, n - 1)]
+        )
+    thr = jnp.take_along_axis(coarse, jnp.clip(rows, 0, n - 1), axis=1)
     thr = jnp.where(rows >= 0, thr, jnp.inf)
-    counts = jnp.sum((coarse[None, :] >= thr[:, None]).astype(jnp.int32), axis=1)
+    counts = jnp.stack(
+        [
+            jnp.sum((coarse >= thr[:, j : j + 1]).astype(jnp.int32), axis=1)
+            for j in range(rows.shape[1])
+        ],
+        axis=1,
+    )
     return jnp.where(rows >= 0, counts, 0)
 
 
@@ -431,6 +451,12 @@ class Searcher:
         self.coarse_audit: Optional[dict] = None
         self._coarse_audit_rows = -1
         self._audit_seq = 0  # fresh sampling seed per audit
+        # per-source composition tracking (VERDICT r3): live row count per
+        # source at the last audit, and absolute churn (adds + removals)
+        # per source since — a single source turning over can move the tie
+        # structure while the TOTAL stays inside the growth band
+        self._src_rows_at_audit: dict[int, int] = {}
+        self._src_churn: dict[int, int] = {}
         # retier/audit deferred by maintenance=False hook calls (pipeline
         # write stage: never inside its open SQLite write txn — review r3)
         self._maintenance_due = False
@@ -699,6 +725,7 @@ class Searcher:
         if stale:
             self.matrix.remove(stale)
         self.matrix.upsert(keys, source_ids, vectors)
+        self._note_src_churn(source_ids)
         if maintenance:
             self._maybe_retier()
             self._audit_coarse_if_stale()
@@ -754,14 +781,29 @@ class Searcher:
 
     # demote when ANY single sampled query's overlap falls below this, even
     # if the mean clears the gate: one mid-cluster sample is a direct
-    # observation of the failure regime and the mean must not dilute it
-    _COARSE_AUDIT_MIN_SINGLE = 0.5
+    # observation of the failure regime and the mean must not dilute it.
+    # Calibration (round 4): a query inside a cluster of c rows retains
+    # each true top-10 row w.p. ~kc/c, so its overlap ~ Binomial(10, kc/c)
+    # — at the marginal c = 2*kc that is Binomial(10, ~0.5), and a 0.5
+    # gate flips a coin exactly where detection matters most.  0.75
+    # catches the 2*kc cluster w.p. ~0.96 per sampled query, while the
+    # easy-regime floor measured on isotropic 1.7M corpora is 0.9 (a
+    # single PartialReduce bin-collision miss); two simultaneous misses
+    # in one query (~1e-5) is the false-demotion rate, and demotion only
+    # costs fine-sweep speed, never correctness.
+    _COARSE_AUDIT_MIN_SINGLE = 0.75
 
     # re-audit when the corpus grew OR shrank this much since the last audit
     # (content drift in either direction can change the tie structure the
     # audit gates on: removals can strip the isotropic background and leave
     # a pure dense-tie corpus — round-3 review)
     _COARSE_AUDIT_GROWTH = 1.25
+    # audit chunk widths: phase 1 sweeps the fine companion (k-wide (Q, K)
+    # buffers — wide chunks are free); phase 3 materializes the (Q, N) f32
+    # coarse score buffer, so its width stays small (8 x 10M x 4 B = 320 MB
+    # transient at the target corpus)
+    _AUDIT_REF_BATCH = 32
+    _AUDIT_COARSE_BATCH = 8
 
     def _audit_coarse_if_stale(self) -> None:
         if not self.matrix.packed2:
@@ -779,8 +821,43 @@ class Searcher:
             prev < 0
             or rows >= self._COARSE_AUDIT_GROWTH * max(prev, 1)
             or rows * self._COARSE_AUDIT_GROWTH <= prev
+            or self._src_composition_shifted()
         ):
             self.audit_coarse()
+
+    # Absolute churn floor for the per-source trigger: sources smaller than
+    # this can neither hide a coarse-breaking cluster themselves nor move a
+    # meaningful fraction of the tie structure, and without a floor every
+    # tiny source would re-audit on its first few rows.
+    _SRC_CHURN_MIN = 256
+
+    def _src_composition_shifted(self) -> bool:
+        """True when some SINGLE source's absolute churn (rows added +
+        removed since the last audit) exceeds both the growth band of that
+        source's size at the audit and the absolute floor — catches a
+        source turning over in place while the total row count stays flat
+        (VERDICT r3: per-source shifts at stable totals went unaudited)."""
+        if self._coarse_audit_rows < 0 or not self._src_churn:
+            return False
+        grow = self._COARSE_AUDIT_GROWTH - 1.0
+        for sid, churn in self._src_churn.items():
+            base = self._src_rows_at_audit.get(sid, 0)
+            if churn >= max(self._SRC_CHURN_MIN, grow * max(base, 1)):
+                return True
+        return False
+
+    def _note_src_churn(self, source_ids, counts=None) -> None:
+        """Tally per-source absolute churn (upserts and removals both count
+        toward the same shift budget)."""
+        if counts is None:
+            ids, counts = np.unique(
+                np.asarray(list(source_ids), dtype=np.int64), return_counts=True
+            )
+        else:
+            ids = source_ids
+        for sid, c in zip(ids, counts):
+            if sid >= 0:
+                self._src_churn[int(sid)] = self._src_churn.get(int(sid), 0) + int(c)
 
     def _approx_bins(self) -> Optional[int]:
         """Reduction-buffer (bin) count of the approx select at the
@@ -806,9 +883,11 @@ class Searcher:
             return 0
 
     def _audit_rank_counts(self, q1: np.ndarray, rows: np.ndarray):
-        """Coarse-score ranks (1-based counts) of ``rows`` for one padded
-        query — single-chip implementation (the mesh subclass overrides
-        with a shard_map reduction).  None when unmeasurable."""
+        """Coarse-score ranks (1-based counts), batched: ``q1`` (B, D)
+        padded queries, ``rows`` (B, k) reference rows (-1 = empty slot,
+        counts 0) -> (B, k) — single-chip implementation (the mesh
+        subclass overrides with a shard_map reduction).  None when
+        unmeasurable."""
         m = self.matrix
         if not m.packed2:
             return None
@@ -826,6 +905,42 @@ class Searcher:
                 jnp.asarray(rows), self.engine, interpret, ns,
             )
         return np.asarray(counts)
+
+    @staticmethod
+    def _stratified_sample(
+        rng, live, live_src, src_ids, src_counts, n_q: int, kc: int
+    ) -> np.ndarray:
+        """Stratified audit sample: proportional per-source allocation
+        (largest remainder) over live rows, with a floor of one sample for
+        every source holding at least kc/4 live rows — the smallest size
+        at which a single near-duplicate source can materially collapse
+        the coarse pass on its own (a cluster must exceed the kc fetch to
+        lose candidates; kc/4 leaves margin for growth between audits).
+        Floor samples may push the total a few rows past n_q — the audit
+        reports the actual count."""
+        if len(src_ids) <= 1:
+            return rng.choice(live, size=min(n_q, len(live)), replace=False)
+        total = int(src_counts.sum())
+        quota = src_counts * (n_q / total)
+        alloc = np.floor(quota).astype(np.int64)
+        rem = n_q - int(alloc.sum())
+        if rem > 0:
+            order = np.argsort(-(quota - alloc), kind="stable")
+            alloc[order[:rem]] += 1
+        floor_at = max(64, kc // 4)
+        alloc = np.where((src_counts >= floor_at) & (alloc == 0), 1, alloc)
+        alloc = np.minimum(alloc, src_counts)
+        # one stable sort groups live rows by source; np.unique's counts
+        # are in the same sorted-id order, so cumsum gives the segments
+        by_src = live[np.argsort(live_src[live], kind="stable")]
+        offs = np.concatenate([[0], np.cumsum(src_counts)])
+        picks = []
+        for i, take in enumerate(alloc):
+            if take <= 0:
+                continue
+            seg = by_src[offs[i] : offs[i + 1]]
+            picks.append(rng.choice(seg, size=int(take), replace=False))
+        return np.concatenate(picks) if picks else live[:0]
 
     def audit_coarse(self, max_queries: int = 0, k: int = 10) -> Optional[float]:
         """Measure whether the int2 coarse pass is trustworthy ON THIS
@@ -860,35 +975,60 @@ class Searcher:
         Sampling resolution, stated honestly: the gate demotes on the MEAN
         overlap (>= _coarse_audit_min) and on any SINGLE sampled query's
         overlap (< _COARSE_AUDIT_MIN_SINGLE — one mid-cluster sample is
-        enough to flunk, the mean can't dilute it).  Samples are uniform
-        over live rows with a fresh seed per audit, so a dense-tie cluster
-        holding fraction p of the corpus is caught with prob 1-(1-p)^n per
-        audit and coverage COMPOUNDS across re-audits (growth/shrink/
-        rebuild re-runs resample).  A cluster small enough to dodge that —
-        p << 1/n — also holds proportionally little of the corpus mass; its
-        residual risk is documented in BENCH_NOTES round-3 rather than
-        papered over with a margin the measurements show cannot work.
+        enough to flunk, the mean can't dilute it).  The sample count
+        SCALES with the corpus (k * log2(rows), _coarse_audit_queries) and
+        samples are STRATIFIED by source: allocation is proportional to
+        per-source live rows (largest remainder), and every source big
+        enough to hide a coarse-breaking cluster by itself (>= kc/4 live
+        rows) is guaranteed at least one sample — a near-duplicate source
+        (mirrored docs, crawler loops: the common dense-tie producer) is
+        therefore sampled EVERY audit regardless of its share of the
+        corpus.  Within a stratum the pick is uniform with a fresh seed per
+        audit, so a cluster hidden INSIDE a big source at fraction p is
+        caught with prob 1-(1-p)^n per audit, and coverage COMPOUNDS
+        across re-audits (growth, shrink, rebuild, AND per-source churn —
+        _src_composition_shifted — all resample).  A cluster small enough
+        to dodge that — p << 1/n with n ~ k log2(rows) — holds
+        proportionally little corpus mass; the residual is documented in
+        BENCH_NOTES rather than papered over with a margin the
+        measurements show cannot work.
         """
+        from ..ops.topk import INT2_COARSE_FETCH
+
         m = self.matrix
         if not m.packed2 or len(m) == 0:
             return None
-        n_q = max_queries or _coarse_audit_queries()
+        with m._lock:
+            live_src = m.source_ids[: m.rows]
+            live = np.flatnonzero(live_src >= 0)
+            src_ids, src_counts = (
+                np.unique(live_src[live], return_counts=True)
+                if len(live)
+                else (np.empty(0, np.int64), np.empty(0, np.int64))
+            )
+        n_q = max_queries or _coarse_audit_queries(len(live), k)
         if n_q <= 0:  # audit disabled: trust unconditionally
             m.coarse_trusted = True
             self._coarse_audit_rows = len(m)
+            self._src_rows_at_audit = dict(
+                zip(src_ids.tolist(), src_counts.tolist())
+            )
+            self._src_churn.clear()
+            return None
+        if len(live) == 0:
             return None
         self._audit_seq += 1
         with m._lock:
-            live = np.flatnonzero(m.source_ids[: m.rows] >= 0)
-            if len(live) == 0:
-                return None
             # fresh seed per audit: repeated audits explore DIFFERENT rows
             # (a deterministic evenly-spaced pick would re-miss the same
             # minority cluster forever — round-3 review); sorted for mirror
             # read locality
             rng = np.random.default_rng(0xC0A005E + self._audit_seq)
             sample = np.sort(
-                rng.choice(live, size=min(n_q, len(live)), replace=False)
+                self._stratified_sample(
+                    rng, live, live_src, src_ids, src_counts, n_q,
+                    min(INT2_COARSE_FETCH, max(m.sweep_rows, 1)),
+                )
             )
             vecs = m.host_vectors_for(sample)
         vecs = (
@@ -918,20 +1058,49 @@ class Searcher:
         # -- phase 1: reference top-k per sample (the escalation target:
         # the fine-companion sweep, one bucket deeper) + the coarse-rank
         # displacement of those reference rows (approx-select risk input)
+        # Audit phases run BATCHED (zero-padded to a fixed chunk width so
+        # each phase compiles ONE program): the scaled sample count
+        # (k * log2(rows)) costs tens of chunk dispatches instead of
+        # hundreds of serial Q=1 round-trips.  Zero-padded queries score 0
+        # everywhere and their slots are sliced off before use.
+        def _chunks(width: int):
+            for lo in range(0, len(qp), width):
+                hi = min(lo + width, len(qp))
+                cq = qp[lo:hi]
+                if hi - lo < width:
+                    cq = np.concatenate(
+                        [cq, np.zeros((width - (hi - lo), qp.shape[1]), qp.dtype)]
+                    )
+                yield lo, hi, cq
+
         refs: list[list[int]] = []
-        rank_means: list[float] = []
-        for i in range(len(qp)):
-            q1 = qp[i : i + 1]
+        for lo, hi, cq in _chunks(self._AUDIT_REF_BATCH):
             rvals, rrows, _ = self._device_scan(
-                q1, kb_ref, allowed, ref_engine, use_coarse=False
+                cq, kb_ref, allowed, ref_engine, use_coarse=False
             )
-            _, rr = self._rerank(vecs[i : i + 1], rvals, rrows)
-            ref = [r for r in rr[0][:k].tolist() if r >= 0]
-            refs.append(ref)
-            if ref and rate > 0.0:
-                counts = self._audit_rank_counts(q1, np.asarray(ref, np.int32))
-                if counts is not None:
-                    rank_means.append(float(np.mean(counts)))
+            _, rr = self._rerank(vecs[lo:hi], rvals[: hi - lo], rrows[: hi - lo])
+            for j in range(hi - lo):
+                refs.append([r for r in rr[j][:k].tolist() if r >= 0])
+        # displacement ranks, batched like phase 3 (the (B, N) score buffer
+        # bounds the width; 65 serial Q=1 passes measured 55 s of a 71 s
+        # CPU audit at 1.7M before batching)
+        rank_means: list[float] = []
+        if rate > 0.0:
+            idxs = [i for i, ref in enumerate(refs) if ref]
+            B = self._AUDIT_COARSE_BATCH
+            for lo in range(0, len(idxs), B):
+                batch = idxs[lo : lo + B]
+                qb = np.zeros((B, qp.shape[1]), qp.dtype)
+                qb[: len(batch)] = qp[batch]
+                rows_b = np.full((B, k), -1, np.int32)
+                for j, i in enumerate(batch):
+                    rows_b[j, : len(refs[i])] = refs[i]
+                counts = self._audit_rank_counts(qb, rows_b)
+                if counts is None:
+                    break
+                counts = np.asarray(counts)
+                for j, i in enumerate(batch):
+                    rank_means.append(float(np.mean(counts[j][: len(refs[i])])))
         # -- phase 2: pick the coarse SELECT variant from the measured
         # displacement: where the estimated miss breaches the budget
         # (dense score ties inflate ranks by orders of magnitude), the
@@ -971,21 +1140,23 @@ class Searcher:
         # the select variant just decided) vs the reference
         overlap = 0.0
         min_overlap = 1.0
-        for i in range(len(qp)):
-            q1 = qp[i : i + 1]
-            # production coarse pipeline at the production fetch depth
-            # (Q=1: the only shape routed to the coarse pass, _INT2_MAX_Q)
+        # the production pipeline serves Q=1 (_INT2_MAX_Q), but the coarse
+        # pass computes identical per-query scores/selection at any Q — the
+        # audit batches _AUDIT_COARSE_BATCH samples per dispatch (the (Q, N)
+        # coarse score buffer bounds the width)
+        for lo, hi, cq in _chunks(self._AUDIT_COARSE_BATCH):
             cvals, crows, _ = self._device_scan(
-                q1, kb, allowed, self.engine, use_coarse=True
+                cq, kb, allowed, self.engine, use_coarse=True, force_coarse=True
             )
-            _, cr = self._rerank(vecs[i : i + 1], cvals, crows)
-            ref = refs[i]
-            if not ref:
-                continue
-            got = set(cr[0][: len(ref)].tolist())
-            o = len(set(ref) & got) / len(ref)
-            overlap += o
-            min_overlap = min(min_overlap, o)
+            _, cr = self._rerank(vecs[lo:hi], cvals[: hi - lo], crows[: hi - lo])
+            for j in range(hi - lo):
+                ref = refs[lo + j]
+                if not ref:
+                    continue
+                got = set(cr[j][: len(ref)].tolist())
+                o = len(set(ref) & got) / len(ref)
+                overlap += o
+                min_overlap = min(min_overlap, o)
         overlap /= len(qp)
         trusted = (
             overlap >= _coarse_audit_min()
@@ -1010,8 +1181,11 @@ class Searcher:
             "approx_risk": (
                 None if approx_risk is None else round(approx_risk, 8)
             ),
+            "strata": int(len(src_ids)),
         }
         self._coarse_audit_rows = len(m)
+        self._src_rows_at_audit = dict(zip(src_ids.tolist(), src_counts.tolist()))
+        self._src_churn.clear()
         if demoted:
             print(
                 f"int2 coarse self-audit: top-{k} overlap mean {overlap:.4f} "
@@ -1028,6 +1202,17 @@ class Searcher:
         """Tombstone every chunk of each item.  ``maintenance=False`` defers
         the audit as in :meth:`upsert_embeddings`."""
         keys = [k for iid in item_ids for k in self.matrix.keys_of_group(int(iid))]
+        if keys:
+            # per-source churn must be read BEFORE the tombstone wipes the
+            # row's source id
+            m = self.matrix
+            with m._lock:
+                srcs = [
+                    int(m.source_ids[m.row_of[k]])
+                    for k in keys
+                    if k in m.row_of
+                ]
+            self._note_src_churn(srcs)
         n = self.matrix.remove(keys)
         if n:
             # shrinks move the tie structure too (round-3 review: a removal
@@ -1042,12 +1227,16 @@ class Searcher:
 
     def _device_scan(
         self, qp: np.ndarray, kb: int, allowed: np.ndarray, engine: str,
-        use_coarse: bool = True,
+        use_coarse: bool = True, force_coarse: bool = False,
     ):
         """One device sweep -> ((Q, kb) scores, (Q, kb) rows, floor) as host
         arrays (quantized matrices return approximate scores; _scan
         reranks).  ``use_coarse=False`` forces the int2 tier onto its
-        fine-matrix int4 sweep (escalation fallback).
+        fine-matrix int4 sweep (escalation fallback).  ``force_coarse``
+        keeps the coarse pass even past the production _INT2_MAX_Q width —
+        ONLY the self-audit uses it (batched verdict on the very pass
+        production routing would avoid at that Q); the (Q, N) coarse score
+        buffer is the caller's responsibility to bound.
 
         Dispatch happens under the matrix lock: a concurrent incremental
         sync() donates (invalidates) the device arrays another thread
@@ -1065,7 +1254,7 @@ class Searcher:
                 p2, p4 = vectors
                 s2, s4 = scales
                 fine8 = p4.dtype == jnp.int8
-                if qp.shape[0] > _INT2_MAX_Q or not use_coarse:
+                if (qp.shape[0] > _INT2_MAX_Q and not force_coarse) or not use_coarse:
                     # fine-sweep path: big batches (the coarse pass would
                     # materialize (Q, N) f32 scores) and escalations (the
                     # coarse floor was insufficient) sweep the TRANSPOSED

@@ -492,7 +492,8 @@ class ShardedSearcher(Searcher):
 
     def _audit_rank_counts(self, q1: np.ndarray, rows: np.ndarray):  # type: ignore[override]
         """Global coarse-score ranks via a shard_map psum (each reference
-        row lives on exactly one block shard)."""
+        row lives on exactly one block shard).  Batched like the base
+        class: ``q1`` (B, D), ``rows`` (B, k) -> (B, k)."""
         m = self.matrix
         if not m.packed2:
             return None
@@ -511,24 +512,36 @@ class ShardedSearcher(Searcher):
                 coarse = pallas_int2_scores(
                     p2_, s2_.reshape(1, n_local), src_.reshape(1, n_local),
                     qi8, qscale, allowed_, interpret, n_local,
-                )[0]
+                )
             else:
                 from ..ops.topk import xla_scores_int2
 
                 coarse = mask_scores(
                     xla_scores_int2(p2_, s2_, qi8, qscale), src_, allowed_
-                )[0]
+                )
             off = jax.lax.axis_index(ROWS_AXES) * n_local
-            loc = rows_ - off
+            loc = rows_ - off  # (B, k)
             valid = (loc >= 0) & (loc < n_local) & (rows_ >= 0)
             thr_loc = jnp.where(
-                valid, coarse[jnp.clip(loc, 0, n_local - 1)], 0.0
+                valid,
+                jnp.take_along_axis(
+                    coarse, jnp.clip(loc, 0, n_local - 1), axis=1
+                ),
+                0.0,
             )
             thr = jax.lax.psum(thr_loc, ROWS_AXES)  # one shard contributes
-            counts_loc = jnp.sum(
-                (coarse[None, :] >= thr[:, None]).astype(jnp.int32), axis=1
+            # static-k loop keeps memory at the (B, n_local) score buffer
+            counts_loc = jnp.stack(
+                [
+                    jnp.sum(
+                        (coarse >= thr[:, j : j + 1]).astype(jnp.int32), axis=1
+                    )
+                    for j in range(rows_.shape[1])
+                ],
+                axis=1,
             )
-            return jax.lax.psum(counts_loc, ROWS_AXES)
+            counts = jax.lax.psum(counts_loc, ROWS_AXES)
+            return jnp.where(rows_ >= 0, counts, 0)  # padded slots count 0
 
         with m._lock:
             vectors, source_ids, scales = m.device_view()
@@ -542,9 +555,9 @@ class ShardedSearcher(Searcher):
                 mesh=mesh,
                 in_specs=(
                     P(None, ROWS_AXES), P(ROWS_AXES), P(ROWS_AXES),
-                    P(None, None), P(None), P(None),
+                    P(None, None), P(None), P(None, None),
                 ),
-                out_specs=P(None),
+                out_specs=P(None, None),
                 check_vma=False,
             )(p2, s2, source_ids, q_dev, a_dev, r_dev)
         return np.asarray(counts)
@@ -561,7 +574,7 @@ class ShardedSearcher(Searcher):
 
     def _device_scan(
         self, qp: np.ndarray, kb: int, allowed: np.ndarray, engine: str,
-        use_coarse: bool = True,
+        use_coarse: bool = True, force_coarse: bool = False,
     ):
         """Mesh-wide sweep (overrides Searcher._device_scan; the shared _scan
         orchestration — padding, k-bucketing, int8 rerank + over-fetch
@@ -585,7 +598,8 @@ class ShardedSearcher(Searcher):
             # wrappers (review r3: the mesh path bypassed them)
             outs = [
                 self._device_scan(
-                    qp[s : s + MAX_QUERY_SLAB], kb, allowed, engine, use_coarse
+                    qp[s : s + MAX_QUERY_SLAB], kb, allowed, engine, use_coarse,
+                    force_coarse,
                 )
                 for s in range(0, qp.shape[0], MAX_QUERY_SLAB)
             ]
@@ -620,7 +634,7 @@ class ShardedSearcher(Searcher):
                 s2, s4 = scales
                 fine8 = p4.dtype == jnp.int8
                 interpret = platform_of(self.mesh) != "tpu"
-                if qp.shape[0] > _INT2_MAX_Q or not use_coarse:
+                if (qp.shape[0] > _INT2_MAX_Q and not force_coarse) or not use_coarse:
                     vals, rows = _sharded_scan(
                         p4, s4, source_ids, q_dev, a_dev,
                         mesh=self.mesh, k=kb, engine=engine, interpret=interpret,
