@@ -475,6 +475,13 @@ class EmbeddingMatrix:
         # falls back to "exact" where bin-collision misses would breach
         # the recall bar (dense score ties; searcher.audit_coarse).
         self.coarse_select = "approx"
+        # Adaptive coarse fetch depth (0 = the ops.topk.INT2_COARSE_FETCH
+        # default).  The self-audit measures the coarse-rank displacement
+        # of reference top-k rows on THIS corpus and shallows the fetch
+        # where the tail shows wide margin (VERDICT r3 #2c) — selection +
+        # fine-phase cost scale with the fetch, the escalation floor
+        # covers the residual exactly as at the default depth.
+        self.coarse_fetch = 0
         self.row_of: dict[int, int] = {}
         # key-group index: item id -> set of chunk keys currently stored
         self.groups: dict[int, set[int]] = {}
@@ -1151,6 +1158,7 @@ class EmbeddingMatrix:
             # self-audit (which its retier hook re-runs) says otherwise
             self.coarse_trusted = True
             self.coarse_select = "approx"
+            self.coarse_fetch = 0
             self._dirty = True  # full restage in the new storage dtype
             self._dirty_rows.clear()
             self.mutation_gen += 1  # sweep scores change between tiers

@@ -137,7 +137,7 @@ _scan_topk_xla_int4 = jax.jit(_scan_topk_xla_int4_impl, static_argnames=("k", "n
 _NO_SCALES = np.zeros((1,), np.float32)
 
 
-def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engine, interpret, n_sweep=0, use_coarse=True, select="auto"):
+def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engine, interpret, n_sweep=0, use_coarse=True, select="auto", fetch=0):
     """Traceable per-tier exact-scan dispatch -> sorted ((Q,k) vals, rows,
     floor), shared by every in-jit composition site (today: the fused text
     program) so kernel selection can never fork from the standalone
@@ -167,6 +167,7 @@ def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engi
             p2, s2, p4, s4, source_ids, qp, allowed, k,
             engine=engine, interpret=interpret, n_sweep=n_sweep,
             fine_bits=8 if p4.dtype == jnp.int8 else 4, select=select,
+            fetch=fetch,
         )
     if bits == "8t":
         if engine == "pallas":
@@ -208,7 +209,7 @@ def _tier_scan_in_jit(vectors, scales, source_ids, qp, allowed, k, *, bits, engi
     return (*_scan_topk_xla_impl(vectors, source_ids, qp, allowed, k, n_sweep), None)
 
 
-def _build_fused_search(model, searcher, aux_model=None, *, use_coarse=True, select="auto"):
+def _build_fused_search(model, searcher, aux_model=None, *, use_coarse=True, select="auto", fetch=0):
     """ONE compiled program for a text query: token ids -> encoder -> query
     pad -> scan kernel -> sorted top-k (VERDICT r2 #1; the in-process call
     stack of reference search.rs:157-193 as a single XLA executable).
@@ -250,7 +251,7 @@ def _build_fused_search(model, searcher, aux_model=None, *, use_coarse=True, sel
             vals, rows, floor = _tier_scan_in_jit(
                 vectors, scales, source_ids, qp, allowed, k,
                 bits=bits, engine=engine, interpret=interpret, n_sweep=n_sweep,
-                use_coarse=use_coarse, select=select,
+                use_coarse=use_coarse, select=select, fetch=fetch,
             )
             return q, aq, vals, rows, floor
 
@@ -262,7 +263,7 @@ def _build_fused_search(model, searcher, aux_model=None, *, use_coarse=True, sel
         vals, rows, floor = _tier_scan_in_jit(
             vectors, scales, source_ids, qp, allowed, k,
             bits=bits, engine=engine, interpret=interpret, n_sweep=n_sweep,
-            use_coarse=use_coarse, select=select,
+            use_coarse=use_coarse, select=select, fetch=fetch,
         )
         return q, vals, rows, floor
 
@@ -859,15 +860,17 @@ class Searcher:
             if sid >= 0:
                 self._src_churn[int(sid)] = self._src_churn.get(int(sid), 0) + int(c)
 
-    def _approx_bins(self) -> Optional[int]:
+    def _approx_bins(self, fetch: int = 0) -> Optional[int]:
         """Reduction-buffer (bin) count of the approx select at the
-        production (n_sweep, kc, recall_target) operating point — the
-        denominator of the audit's bin-collision risk estimate.  None when
-        the corpus is too small for the approx path to engage."""
+        production (n_sweep, kc, recall_target) operating point (``fetch``
+        overrides the depth: the audit prices candidate adaptive depths
+        before committing one) — the denominator of the audit's
+        bin-collision risk estimate.  None when the corpus is too small
+        for the approx path to engage."""
         from ..ops.topk import _INT2_APPROX_RT, INT2_COARSE_FETCH
 
         n = self.matrix.sweep_rows
-        kc = min(INT2_COARSE_FETCH, n)
+        kc = min(fetch or INT2_COARSE_FETCH, n)
         if kc >= n:
             return None  # full fetch: scan never takes the approx branch
         try:
@@ -905,6 +908,56 @@ class Searcher:
                 jnp.asarray(rows), self.engine, interpret, ns,
             )
         return np.asarray(counts)
+
+    # Adaptive coarse-fetch ladder (VERDICT r3 #2c).  Measured at
+    # 10M x 384 rt=0.98 (probe_int2_approx6, A/B-interleaved): kc 4096 ->
+    # 1024 cuts the full pipeline 2.15 -> 1.66 ms; 512 adds only 0.03 ms
+    # more at double the escalation exposure, so the ladder stops at 1024.
+    _COARSE_FETCH_LADDER = (1024, 2048)
+    # Escalation-exposure rule: the chosen depth must cover the p98
+    # per-query worst sampled displacement with 2x headroom — queries past
+    # it hit the floor trigger and escalate (correct, ~3x slower for that
+    # query), so the quantile bounds the escalation rate near 2% of the
+    # residual tail while the MAX (used by the old rule) is itself a
+    # noisy order statistic that scales with the sample count.  Measured
+    # per-query max-rank distributions (isotropic, /tmp rank probes):
+    # d=64 8k rows p98=270 (1024 fits), d=64 1M p98=1833 (default —
+    # 64-dim int2 noise is genuinely too wide), d=384 production-shaped
+    # corpora are ~6x tighter per the same noise model.
+    _COARSE_FETCH_MARGIN = 2.0
+    _COARSE_FETCH_QUANTILE = 0.98
+
+    def _pick_coarse_fetch(self, kb: int, rank_maxes) -> int:
+        """Adaptive coarse fetch depth: the shallowest ladder entry with
+        MARGIN x headroom over the QUANTILE of per-query worst sampled
+        displacements (and >= 2*kb so the depth rule still routes to the
+        coarse pass).  0 = the INT2_COARSE_FETCH default — kept whenever
+        displacement is unmeasured, the corpus is small, or no entry
+        clears the margin.  PERCEIVE_TPU_COARSE_FETCH pins it absolutely
+        (0 = default).  Soundness does not ride on the sample: rows past
+        the fetch are bounded by the coarse floor and escalate exactly as
+        at the default depth; phase 3 validates the chosen config
+        end-to-end and retries at the default before any demotion."""
+        import os
+
+        env = os.environ.get("PERCEIVE_TPU_COARSE_FETCH", "")
+        if env:
+            try:
+                return max(int(env), 0)
+            except ValueError:
+                pass
+        m = self.matrix
+        if not rank_maxes:
+            return 0
+        need = self._COARSE_FETCH_MARGIN * float(
+            np.quantile(np.asarray(rank_maxes), self._COARSE_FETCH_QUANTILE)
+        )
+        for f in self._COARSE_FETCH_LADDER:
+            if f >= INT2_COARSE_FETCH or f >= m.sweep_rows:
+                break
+            if f >= 2 * kb and f >= need:
+                return f
+        return 0
 
     @staticmethod
     def _stratified_sample(
@@ -1042,19 +1095,6 @@ class Searcher:
         # capped at _OVERFETCH_BUCKETS[-1]=8192, so Q=1 carries at most
         # 64 KB of (Q, K) state — the _scan guard only matters batched
         ref_engine = self.engine
-        # Collision rate of the PartialReduce select at this corpus size:
-        # a rank-R candidate is dropped with prob ~(R-1) * (1/bins - 1/n)
-        # (each higher-scored row shares its bin with prob ~(width-1)/n);
-        # zero when the reduction isn't compressing (bins ~ n, or the
-        # approx branch disengaged entirely) — then the rank measurement
-        # is skipped: approx is lossless there by construction.
-        bins = self._approx_bins()  # None = approx branch disengaged
-        if bins is None:
-            rate = 0.0
-        elif bins <= 0:  # estimate failed: treat as maximally risky
-            rate = float("inf")
-        else:
-            rate = max(1.0 / bins - 1.0 / max(m.sweep_rows, 1), 0.0)
         # -- phase 1: reference top-k per sample (the escalation target:
         # the fine-companion sweep, one bucket deeper) + the coarse-rank
         # displacement of those reference rows (approx-select risk input)
@@ -1083,9 +1123,12 @@ class Searcher:
                 refs.append([r for r in rr[j][:k].tolist() if r >= 0])
         # displacement ranks, batched like phase 3 (the (B, N) score buffer
         # bounds the width; 65 serial Q=1 passes measured 55 s of a 71 s
-        # CPU audit at 1.7M before batching)
+        # CPU audit at 1.7M before batching).  Collected whenever the
+        # coarse pass compresses at all: they feed BOTH the approx-select
+        # risk estimate and the adaptive fetch depth.
         rank_means: list[float] = []
-        if rate > 0.0:
+        rank_maxes: list[float] = []
+        if min(INT2_COARSE_FETCH, max(m.sweep_rows, 1)) < m.sweep_rows:
             idxs = [i for i, ref in enumerate(refs) if ref]
             B = self._AUDIT_COARSE_BATCH
             for lo in range(0, len(idxs), B):
@@ -1100,11 +1143,29 @@ class Searcher:
                     break
                 counts = np.asarray(counts)
                 for j, i in enumerate(batch):
-                    rank_means.append(float(np.mean(counts[j][: len(refs[i])])))
-        # -- phase 2: pick the coarse SELECT variant from the measured
-        # displacement: where the estimated miss breaches the budget
-        # (dense score ties inflate ranks by orders of magnitude), the
-        # exact hierarchical select takes over — slower, never lossier.
+                    cc = counts[j][: len(refs[i])]
+                    rank_means.append(float(np.mean(cc)))
+                    rank_maxes.append(float(np.max(cc)))
+        # -- phase 2a: adaptive fetch depth from the displacement TAIL
+        # (VERDICT r3 #2c): where every sampled reference row sits far
+        # inside a shallower fetch, selection + fine-phase cost shrink
+        # with it; the coarse floor/escalation covers the residual at any
+        # depth, and phase 3 validates the chosen config end-to-end.
+        fetch = self._pick_coarse_fetch(kb, rank_maxes)
+        # -- phase 2b: the coarse SELECT variant from the measured
+        # displacement at the CHOSEN depth: where the estimated
+        # bin-collision miss breaches the budget (dense score ties inflate
+        # ranks by orders of magnitude), the exact hierarchical select
+        # takes over — slower, never lossier.  A rank-R candidate is
+        # dropped with prob ~(R-1) * (1/bins - 1/n); zero when the
+        # reduction isn't compressing.
+        bins = self._approx_bins(fetch)  # None = approx branch disengaged
+        if bins is None:
+            rate = 0.0
+        elif bins <= 0:  # estimate failed: treat as maximally risky
+            rate = float("inf")
+        else:
+            rate = max(1.0 / bins - 1.0 / max(m.sweep_rows, 1), 0.0)
         approx_risk = None
         if rate <= 0.0:
             want = "approx"  # no compression, no collisions possible
@@ -1125,43 +1186,66 @@ class Searcher:
             select_changed = want != m.coarse_select
             if select_changed:
                 m.coarse_select = want
+            if fetch != m.coarse_fetch:
+                m.coarse_fetch = fetch
+                select_changed = True  # same invalidation path
+            if select_changed:
                 m.mutation_gen += 1  # cached results/programs keyed on it
         if select_changed:
             print(
-                f"int2 coarse self-audit: {'enabling' if want == 'approx' else 'disabling'} "
-                f"the PartialReduce selection (estimated candidate-miss "
+                f"int2 coarse self-audit: select={want} fetch="
+                f"{fetch or 'default'} (estimated candidate-miss "
                 f"{approx_risk if approx_risk is not None else 'n/a'} vs "
-                f"budget {_approx_risk_max():g}; mean reference coarse rank "
+                f"budget {_approx_risk_max():g}; reference coarse rank mean "
                 f"{np.mean(rank_means) if rank_means else float('nan'):.0f} "
+                f"/ max {max(rank_maxes) if rank_maxes else float('nan'):.0f} "
                 f"over {bins or 0} bins)",
                 file=sys.stderr,
             )
         # -- phase 3: end-overlap of the PRODUCTION coarse pipeline (with
-        # the select variant just decided) vs the reference
-        overlap = 0.0
-        min_overlap = 1.0
-        # the production pipeline serves Q=1 (_INT2_MAX_Q), but the coarse
+        # the select variant + fetch depth just decided) vs the reference.
+        # The production pipeline serves Q=1 (_INT2_MAX_Q), but the coarse
         # pass computes identical per-query scores/selection at any Q — the
         # audit batches _AUDIT_COARSE_BATCH samples per dispatch (the (Q, N)
         # coarse score buffer bounds the width)
-        for lo, hi, cq in _chunks(self._AUDIT_COARSE_BATCH):
-            cvals, crows, _ = self._device_scan(
-                cq, kb, allowed, self.engine, use_coarse=True, force_coarse=True
-            )
-            _, cr = self._rerank(vecs[lo:hi], cvals[: hi - lo], crows[: hi - lo])
-            for j in range(hi - lo):
-                ref = refs[lo + j]
-                if not ref:
-                    continue
-                got = set(cr[j][: len(ref)].tolist())
-                o = len(set(ref) & got) / len(ref)
-                overlap += o
-                min_overlap = min(min_overlap, o)
-        overlap /= len(qp)
+        def _end_overlap():
+            total, worst = 0.0, 1.0
+            for lo, hi, cq in _chunks(self._AUDIT_COARSE_BATCH):
+                cvals, crows, _ = self._device_scan(
+                    cq, kb, allowed, self.engine,
+                    use_coarse=True, force_coarse=True,
+                )
+                _, cr = self._rerank(
+                    vecs[lo:hi], cvals[: hi - lo], crows[: hi - lo]
+                )
+                for j in range(hi - lo):
+                    ref = refs[lo + j]
+                    if not ref:
+                        continue
+                    got = set(cr[j][: len(ref)].tolist())
+                    o = len(set(ref) & got) / len(ref)
+                    total += o
+                    worst = min(worst, o)
+            return total / len(qp), worst
+
+        overlap, min_overlap = _end_overlap()
         trusted = (
             overlap >= _coarse_audit_min()
             and min_overlap >= self._COARSE_AUDIT_MIN_SINGLE
         )
+        if not trusted and m.coarse_fetch:
+            # a flunk at a SHALLOWED fetch may be the depth's fault, not
+            # the coarse pass's: restore the default depth and re-measure
+            # before demoting the whole tier to the fine sweep
+            with m._lock:
+                m.coarse_fetch = 0
+                m.mutation_gen += 1
+            fetch = 0
+            overlap, min_overlap = _end_overlap()
+            trusted = (
+                overlap >= _coarse_audit_min()
+                and min_overlap >= self._COARSE_AUDIT_MIN_SINGLE
+            )
         with m._lock:
             demoted = m.coarse_trusted and not trusted
             if trusted != m.coarse_trusted:
@@ -1178,6 +1262,7 @@ class Searcher:
             "trusted": trusted,
             "rows": len(m),
             "select": m.coarse_select,
+            "fetch": int(m.coarse_fetch),
             "approx_risk": (
                 None if approx_risk is None else round(approx_risk, 8)
             ),
@@ -1285,6 +1370,7 @@ class Searcher:
                         p2, s2, p4, s4, source_ids,
                         jnp.asarray(qp), jnp.asarray(allowed), kb, engine, ns,
                         fine_bits=8 if fine8 else 4, select=m.coarse_select,
+                        fetch=m.coarse_fetch,
                     )
             elif m.packed4:
                 if engine == "pallas":
@@ -1341,12 +1427,12 @@ class Searcher:
             want = 2 * want  # chunk dedupe needs extra candidates
         return want
 
-    @staticmethod
-    def _coarse_pays(kb: int) -> bool:
+    def _coarse_pays(self, kb: int) -> bool:
         """THE int2 depth rule, single home (used by _scan and search_fused —
         review r3: two diverging copies): fetching half the coarse set means
-        the coarse pass stops paying; sweep the fine companion directly."""
-        return 2 * kb <= INT2_COARSE_FETCH
+        the coarse pass stops paying; sweep the fine companion directly.
+        Judged against the EFFECTIVE (audit-adaptive) fetch depth."""
+        return 2 * kb <= (self.matrix.coarse_fetch or INT2_COARSE_FETCH)
 
     def _pad_queries(self, q: np.ndarray) -> np.ndarray:
         """Zero-pad queries to the matrix's lane-aligned width — the ONE
@@ -1705,11 +1791,13 @@ class Searcher:
         if use_coarse is None:
             use_coarse = self.matrix.coarse_trusted
         select = self.matrix.coarse_select
+        fetch = self.matrix.coarse_fetch
         key = (
             self.engine,
             self.matrix.quant_bits,
             use_coarse,
             select,
+            fetch,
             aux_model is not None,
         )
         entry = self._fused_cache.get(key)
@@ -1721,10 +1809,11 @@ class Searcher:
             return entry[1]
         if aux_model is not None:
             fn = builder(model, self, aux_model, use_coarse=use_coarse,
-                         select=select)
+                         select=select, fetch=fetch)
             self._fused_cache[key] = (weakref.ref(model), fn, weakref.ref(aux_model))
         else:
-            fn = builder(model, self, use_coarse=use_coarse, select=select)
+            fn = builder(model, self, use_coarse=use_coarse, select=select,
+                         fetch=fetch)
             self._fused_cache[key] = (weakref.ref(model), fn, None)
         return fn
 

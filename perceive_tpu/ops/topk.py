@@ -1404,21 +1404,26 @@ def _select_threshold(coarse_row, kc: int, kcap: int):
     return cvals, rows, floor
 
 
-def int2_coarse_depth(k: int, n: int) -> int:
-    """Coarse candidate depth for a fine fetch of ``k``.  Constant
-    INT2_COARSE_FETCH (clamped to the corpus): escalations that need to
-    see past the coarse floor do NOT deepen this pass — the searcher
-    falls back to a full int4 sweep of the fine matrix instead
-    (searcher._scan), whose cost is bounded and whose floor semantics are
-    the proven int4-tier ones.  (Scaling the depth here would blow up the
-    hierarchical selection's final top_k, which is O(depth*128) sorted.)"""
-    return min(max(INT2_COARSE_FETCH, 2 * k), n)
+def int2_coarse_depth(k: int, n: int, fetch: int = 0) -> int:
+    """Coarse candidate depth for a fine fetch of ``k``.  ``fetch`` (0 =
+    the INT2_COARSE_FETCH default) is the audit-chosen adaptive depth
+    (VERDICT r3 #2: where the measured displacement of reference rows
+    shows wide margins, a shallower fetch cuts the selection + fine-phase
+    cost; searcher.audit_coarse bounds it by the displacement tail).
+    Clamped to the corpus; escalations that need to see past the coarse
+    floor do NOT deepen this pass — the searcher falls back to a full
+    fine-companion sweep instead (searcher._scan), whose cost is bounded
+    and whose floor semantics are the proven fine-tier ones.  (Scaling
+    the depth here would blow up the hierarchical selection's final
+    top_k, which is O(depth*128) sorted.)"""
+    return min(max(fetch or INT2_COARSE_FETCH, 2 * k), n)
 
 
 def scan_int2_coarse_fine(
     packed2, scales2, packed4, scales4, source_ids, q, allowed, k: int,
     *, k_coarse: int = 0, engine: str = "pallas", interpret: bool = False,
     n_sweep: int = 0, fine_bits: int = 4, select: str = "auto",
+    fetch: int = 0,
 ):
     """Traceable coarse-to-fine int2 scan (see section comment).
 
@@ -1447,7 +1452,7 @@ def scan_int2_coarse_fine(
     n_full = packed2.shape[1]
     n = _sweep_n(n_full, n_sweep)
     if not k_coarse:
-        k_coarse = int2_coarse_depth(k, n)
+        k_coarse = int2_coarse_depth(k, n, fetch)
     qi8, qscale = quantize_queries(q)
     if engine == "pallas":
         coarse = pallas_int2_scores(
@@ -1605,20 +1610,20 @@ def scan_int2_coarse_fine(
     return vals, rows, floor
 
 
-@functools.partial(jax.jit, static_argnames=("k", "engine", "interpret", "n_sweep", "fine_bits", "select"))
+@functools.partial(jax.jit, static_argnames=("k", "engine", "interpret", "n_sweep", "fine_bits", "select", "fetch"))
 def _scan_topk_int2(
     packed2, scales2, packed4, scales4, source_ids, q, allowed, k: int,
     engine: str, interpret: bool, n_sweep: int = 0, fine_bits: int = 4,
-    select: str = "auto",
+    select: str = "auto", fetch: int = 0,
 ):
     return scan_int2_coarse_fine(
         packed2, scales2, packed4, scales4, source_ids, q, allowed, k,
         engine=engine, interpret=interpret, n_sweep=n_sweep, fine_bits=fine_bits,
-        select=select,
+        select=select, fetch=fetch,
     )
 
 
-def scan_topk_int2(packed2, scales2, packed4, scales4, source_ids, q, allowed, k: int, engine: str, n_sweep: int = 0, fine_bits: int = 4, select: str = "auto"):
+def scan_topk_int2(packed2, scales2, packed4, scales4, source_ids, q, allowed, k: int, engine: str, n_sweep: int = 0, fine_bits: int = 4, select: str = "auto", fetch: int = 0):
     """Int2 coarse-to-fine candidates (approximate fine-companion scores;
     the Searcher reranks the fine candidates in f32.  An escalation never
     re-runs the coarse pass: the searcher demotes to a FULL fine-companion
@@ -1630,5 +1635,5 @@ def scan_topk_int2(packed2, scales2, packed4, scales4, source_ids, q, allowed, k
     interpret = engine == "pallas" and platform_of(packed2) != "tpu"
     return _scan_topk_int2(
         packed2, scales2, packed4, scales4, source_ids, q, allowed, k,
-        engine, interpret, n_sweep, fine_bits, select,
+        engine, interpret, n_sweep, fine_bits, select, fetch,
     )

@@ -196,11 +196,11 @@ def _sharded_scan_unquantized(matrix, source_ids, q, allowed, *, mesh, k, engine
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "k", "engine", "interpret", "fine_bits", "select"),
+    static_argnames=("mesh", "k", "engine", "interpret", "fine_bits", "select", "fetch"),
 )
 def _sharded_scan_int2(
     packed2, cscales, packed4, fscales, source_ids, q, allowed,
-    *, mesh, k, engine, interpret, fine_bits=4, select="auto",
+    *, mesh, k, engine, interpret, fine_bits=4, select="auto", fetch=0,
 ):
     """Sharded int2 coarse-to-fine: each chip runs the COMPLETE single-chip
     pipeline (2-bit sweep -> exact hierarchical select -> in-jit fine
@@ -229,7 +229,7 @@ def _sharded_scan_int2(
         vals, rows, floor = scan_int2_coarse_fine(
             p2, s2, p4, s4, src, q_, allowed_, kl,
             engine=engine, interpret=interpret, fine_bits=fine_bits,
-            select=select,
+            select=select, fetch=fetch,
         )
         floor_all = jax.lax.all_gather(floor, ROWS_AXES)  # (ndev, Q)
         gfloor = jnp.max(floor_all, axis=0)
@@ -291,7 +291,7 @@ def sharded_scan_topk(mesh, matrix, source_ids, q, allowed, k: int, engine: str 
     )
 
 
-def _build_fused_sharded(model, searcher, aux_model=None, *, use_coarse=True, select="auto"):
+def _build_fused_sharded(model, searcher, aux_model=None, *, use_coarse=True, select="auto", fetch=0):
     """ONE compiled program for a text query on the MESH: token ids ->
     encoder (replicated params, or GSPMD-partitioned under TP) -> the
     shard_map per-chip scan + all_gather merge (_sharded_scan) -> top-k.
@@ -322,7 +322,7 @@ def _build_fused_sharded(model, searcher, aux_model=None, *, use_coarse=True, se
                 return _sharded_scan_int2(
                     p2, s2, p4, s4, source_ids, qp, allowed,
                     mesh=mesh, k=k, engine=engine, interpret=interpret,
-                    fine_bits=8 if fine8 else 4, select=select,
+                    fine_bits=8 if fine8 else 4, select=select, fetch=fetch,
                 )
             vals, rows = _sharded_scan(
                 p4, s4, source_ids, qp, allowed,
@@ -464,7 +464,7 @@ class ShardedSearcher(Searcher):
     def _tier_for(self, n_rows: int):  # type: ignore[override]
         return self.auto_tier(n_rows, self.mesh, self.matrix.padded_dim)
 
-    def _approx_bins(self):  # type: ignore[override]
+    def _approx_bins(self, fetch: int = 0):  # type: ignore[override]
         """TOTAL PartialReduce bins across the mesh: each shard runs the
         approx select at its own (n_local, kc) operating point, and the
         audit's risk estimate divides a GLOBAL rank by these — valid when
@@ -475,7 +475,7 @@ class ShardedSearcher(Searcher):
 
         ndev = self.mesh.size
         n_local = self.matrix.capacity // ndev
-        kc = min(INT2_COARSE_FETCH, n_local)
+        kc = min(fetch or INT2_COARSE_FETCH, n_local)
         if kc >= n_local:
             return None
         try:
@@ -645,6 +645,7 @@ class ShardedSearcher(Searcher):
                         p2, s2, p4, s4, source_ids, q_dev, a_dev,
                         mesh=self.mesh, k=kb, engine=engine, interpret=interpret,
                         fine_bits=8 if fine8 else 4, select=m.coarse_select,
+                        fetch=m.coarse_fetch,
                     )
                     floor = fl
             else:

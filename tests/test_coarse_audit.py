@@ -305,7 +305,7 @@ def test_audit_select_gate_flips_on_rank_displacement(monkeypatch):
     # bins < n so the collision rate (1/bins - 1/n) is real compression
     bins = 2048
 
-    monkeypatch.setattr(Searcher, "_approx_bins", lambda self: bins)
+    monkeypatch.setattr(Searcher, "_approx_bins", lambda self, fetch=0: bins)
     ranks = {"value": 2.0}
     monkeypatch.setattr(
         Searcher,
@@ -343,7 +343,7 @@ def test_audit_select_fail_safe_without_risk_estimate(monkeypatch):
     approx branch is disengaged at this corpus size - harmless.)"""
     rng = np.random.default_rng(6)
     n, d = 8192, 64
-    monkeypatch.setattr(Searcher, "_approx_bins", lambda self: 0)
+    monkeypatch.setattr(Searcher, "_approx_bins", lambda self, fetch=0: 0)
     s = Searcher(0, 0, d, dtype=INT2, engine="xla")
     s.upsert_embeddings(list(range(1, n + 1)), [0] * n, _unit(rng, n, d))
     assert s.matrix.coarse_select == "exact"
@@ -477,3 +477,76 @@ def test_adversarial_half_percent_hidden_cluster(monkeypatch):
     p_flunk_given_hit = 0.95  # Binomial(10, .48) <= 7 is ~0.958
     p_audit = p_hit * p_flunk_given_hit
     assert 1.0 - (1.0 - p_audit) ** 4 >= 0.95
+
+
+# -- round 4: adaptive coarse fetch (VERDICT r3 #2c)
+
+
+def test_adaptive_fetch_shallows_on_easy_corpus(monkeypatch):
+    """Isotropic corpus, compressing coarse pass (kc < n): the measured
+    displacement tail is tiny, so the audit shallows the fetch to the
+    1024 ladder entry (measured 2.15 -> 1.66 ms at 10M;
+    probe_int2_approx6) and results stay exact vs the same-rows int8
+    reference (escalation floors cover the shallower depth)."""
+    monkeypatch.delenv("PERCEIVE_TPU_COARSE_FETCH", raising=False)
+    rng = np.random.default_rng(21)
+    n, d = 8192, 64
+    rows = _unit(rng, n, d)
+    ids = list(range(1, n + 1))
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    s.upsert_embeddings(ids, [0] * n, rows)
+    assert s.coarse_audit["trusted"]
+    assert s.coarse_audit["fetch"] == 1024
+    assert s.matrix.coarse_fetch == 1024
+    # exactness is preserved through the shallower fetch + rerank
+    ref = Searcher(0, 0, d, dtype=jnp.int8, engine="xla")
+    ref.upsert_embeddings(ids, [0] * n, rows)
+    for qi in (3, 1000, 7000):
+        q = rows[qi] + 0.01 * _unit(rng, 1, d)[0]
+        q /= np.linalg.norm(q)
+        got = [i for i, _ in s.search_vector(q, 10)]
+        want = [i for i, _ in ref.search_vector(q, 10)]
+        assert got == want
+
+
+def test_adaptive_fetch_stays_default_on_wide_displacement(monkeypatch):
+    """Displacement tail past the margin must keep the default fetch:
+    stubbed per-query ranks of 1200 need 2x1200 = 2400 > every ladder
+    entry."""
+    monkeypatch.delenv("PERCEIVE_TPU_COARSE_FETCH", raising=False)
+    rng = np.random.default_rng(22)
+    n, d = 8192, 64
+    monkeypatch.setattr(
+        Searcher,
+        "_audit_rank_counts",
+        lambda self, q1, rows: np.where(np.asarray(rows) >= 0, 1200.0, 0),
+    )
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    s.upsert_embeddings(list(range(1, n + 1)), [0] * n, _unit(rng, n, d))
+    assert s.coarse_audit["fetch"] == 0
+    assert s.matrix.coarse_fetch == 0
+
+
+def test_adaptive_fetch_env_pin(monkeypatch):
+    monkeypatch.setenv("PERCEIVE_TPU_COARSE_FETCH", "2048")
+    rng = np.random.default_rng(23)
+    n, d = 8192, 64
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    s.upsert_embeddings(list(range(1, n + 1)), [0] * n, _unit(rng, n, d))
+    assert s.matrix.coarse_fetch == 2048
+
+
+def test_fetch_change_bumps_mutation_gen(monkeypatch):
+    """A fetch change alone (same select verdict) must invalidate cached
+    programs/results exactly like a select flip."""
+    monkeypatch.delenv("PERCEIVE_TPU_COARSE_FETCH", raising=False)
+    rng = np.random.default_rng(24)
+    n, d = 8192, 64
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    s.upsert_embeddings(list(range(1, n + 1)), [0] * n, _unit(rng, n, d))
+    assert s.matrix.coarse_fetch == 1024
+    gen0 = s.matrix.mutation_gen
+    monkeypatch.setenv("PERCEIVE_TPU_COARSE_FETCH", "0")
+    s.audit_coarse()
+    assert s.matrix.coarse_fetch == 0
+    assert s.matrix.mutation_gen > gen0
