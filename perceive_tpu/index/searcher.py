@@ -302,12 +302,25 @@ _INT2_MAX_Q = 1
 
 
 def _margin_sigma() -> float:
+    """N-sigma quantization-noise margin on the escalation trigger.
+
+    Default 3 (round 4): the fetched-floor guarantee alone is blind to
+    rows whose QUANTIZED score underestimates the exact score by more
+    than (kth exact - floor) — invisible on gaussian corpora (margins are
+    wide, recall measured 1.000000/0.999805 int8/int4 at 10M with NO
+    margin), but on text-derived near-duplicate corpora the int4 tier
+    served recall@10 0.92 with the margin off vs >= 0.999 with sigma 3
+    (tests/test_tier_recall_textlike.py).  The cost is extra escalation
+    sweeps exactly where score ties are dense — latency, never
+    correctness; isotropic-corpus latency is unchanged because 3-sigma
+    margins almost never trigger there.  0 disables (the round-3
+    fetched-floor-only semantics)."""
     import os
 
     try:
-        return float(os.environ.get("PERCEIVE_TPU_RERANK_MARGIN_SIGMA", "0"))
+        return float(os.environ.get("PERCEIVE_TPU_RERANK_MARGIN_SIGMA", "3"))
     except ValueError:
-        return 0.0
+        return 3.0
 
 
 def _coarse_audit_queries(rows: int = 0, k: int = 10) -> int:

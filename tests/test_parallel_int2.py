@@ -111,7 +111,7 @@ def test_sharded_coarse_floor_is_max_of_shard_floors():
     from perceive_tpu.ops.topk import ALLOW_ALL, quantize_queries, xla_scores_int2
 
     rng = np.random.default_rng(11)
-    ndev, n_local = 4, 6144  # n_local > kc=4096: finite per-shard floors
+    ndev, n_local = 4, 6144  # n_local > kc: finite per-shard floors
     n, d = ndev * n_local, 64
     rows = _unit(rng, n, d)
     mesh = make_mesh(ndev)
@@ -120,7 +120,10 @@ def test_sharded_coarse_floor_is_max_of_shard_floors():
     # shards span the CAPACITY (dead tail rows carry src=-1 and mask out)
     n_cap = ss.matrix.capacity
     n_local = n_cap // ndev
-    assert n_local > 4096  # finite per-shard floors
+    # the audit may have shallowed the fetch on this easy corpus (adaptive
+    # depth, round 4) — the floor contract is stated at the EFFECTIVE kc
+    kc_eff = min(ss.matrix.coarse_fetch or 4096, 4096)
+    assert n_local > kc_eff  # finite per-shard floors
     q = _unit(rng, 1, d)
     qp = ss._pad_queries(q)
     allowed = ss._allowed_arrays(None)[0]
@@ -137,7 +140,7 @@ def test_sharded_coarse_floor_is_max_of_shard_floors():
             xla_scores_int2(jnp2.asarray(p2[:, lo:hi]), jnp2.asarray(s2[lo:hi]), qi8, qscale)
         )[0]
         scores[src[lo:hi] < 0] = -np.inf
-        want = max(want, np.sort(scores)[::-1][4095])
+        want = max(want, np.sort(scores)[::-1][kc_eff - 1])
     np.testing.assert_allclose(floor[0], want, rtol=1e-6)
     # and the bound actually holds: every row outside the fetched set
     # scores (in int2) at most the floor on its own shard, hence <= max
@@ -154,7 +157,7 @@ def test_sharded_coarse_floor_is_max_of_shard_floors():
         lo, hi = s * n_local, (s + 1) * n_local
         sh = full[lo:hi].copy()
         sh[src[lo:hi] < 0] = -np.inf
-        kc_union.extend((np.argsort(sh)[::-1][:4096] + lo).tolist())
+        kc_union.extend((np.argsort(sh)[::-1][:kc_eff] + lo).tolist())
     not_in_coarse = np.setdiff1d(outside, np.array(kc_union))
     assert (full[not_in_coarse] <= want + 1e-6).all()
 
