@@ -1795,13 +1795,13 @@ class EmbeddingMatrix:
             if "scale_hw" in files:
                 self.scale_hw = float(z["scale_hw"])
                 self.norm_hw = float(z["norm_hw"])
-            # mirror rows [0, n) straight from the f32 member (one pass,
-            # no quantization read-back)
-            t_mirror = time.perf_counter()
-            for lo, hi, vecs in self._iter_snapshot_vectors(
-                path, self._LOAD_CHUNK_ROWS, fh
-            ):
-                self._mirror.write(slice(lo, hi), vecs, self.dim)
+            # Device payload FIRST, mirror second (VERDICT r3 #4): the
+            # device_put calls dispatch asynchronously, so the host->HBM
+            # transfers overlap the f32 mirror pass below instead of
+            # serializing after it (measured 15.1 s mirror + 25.3 s device
+            # strictly sequential at 2M x 384 int8 before the reorder; the
+            # member read order through the single handle is unchanged —
+            # payload members, then vectors).
             t_dev = time.perf_counter()
             if self.quantized and n:
                 self._adopt_device(z, path, n, fh)
@@ -1810,17 +1810,25 @@ class EmbeddingMatrix:
                 )
                 self._dirty = False
                 self._dirty_rows.clear()
-            if os.environ.get("PERCEIVE_TPU_DEBUG_STARTUP"):
-                t_end = time.perf_counter()
-                print(
-                    f"adopt phases: mirror {t_dev - t_mirror:.2f}s  "
-                    f"device {t_end - t_dev:.2f}s  (n={n})",
-                    file=sys.stderr,
-                )
             else:
                 # bf16/f32 tiers store no payload: first sync casts the
                 # mirror (no quantization pass to skip)
                 self._dirty = True
+            # mirror rows [0, n) straight from the f32 member (one pass,
+            # no quantization read-back) — runs while the transfers above
+            # drain
+            t_mirror = time.perf_counter()
+            for lo, hi, vecs in self._iter_snapshot_vectors(
+                path, self._LOAD_CHUNK_ROWS, fh
+            ):
+                self._mirror.write(slice(lo, hi), vecs, self.dim)
+            if os.environ.get("PERCEIVE_TPU_DEBUG_STARTUP"):
+                t_end = time.perf_counter()
+                print(
+                    f"adopt phases: device-dispatch {t_mirror - t_dev:.2f}s  "
+                    f"mirror(+transfer drain) {t_end - t_mirror:.2f}s  (n={n})",
+                    file=sys.stderr,
+                )
             if self._mirror.path is not None:
                 self._mirror.remap()  # drop bulk-load page residency
             self.mutation_gen += 1
