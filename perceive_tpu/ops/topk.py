@@ -1232,6 +1232,158 @@ def pallas_int2_scores(packed, scales2d, src2d, qi8, qscale, allowed, interpret,
     )(allowed, q0, q1, q2, q3, qcorr, qscale, packed, src2d, scales2d)
 
 
+# Per-tile candidate width of the "tiletop" epilogue selection: the score
+# kernel bins each tile into 128 stride-128 lane-bins (PartialReduce's
+# binning) and keeps the top-(M/128) of every bin via sublane
+# max/argmax passes while the scores are still in VMEM — the (Q, N)
+# score buffer never touches HBM and no separate selection pass re-reads
+# it.  A row at global coarse rank R is dropped iff >= M/128 better rows
+# share its width-w bin (w = tile/128, 96 at the streaming tile): with
+# depth 2, P(drop) ~ (R*w/N)^2/2 — at 10M that is ~8e-4 for the
+# kc=4096-th candidate and ~1e-6 at the rank-150 displacement mean,
+# an order gentler than PartialReduce's depth-1 binning at equal buffer.
+_INT2_TILETOP_M = 256  # 2 x 128 lanes per tile
+# Depth cap: each extra 128 lanes costs one more sublane reduction pass
+# over the tile; corpora needing more depth (few tiles relative to kc)
+# are better served by the approx/exact selects.
+_INT2_TILETOP_MAX = 512
+
+
+def _tiletop_depth(n: int, tile_n: int, kc: int) -> int:
+    """Per-tile output width (a multiple of 128) for a kc-deep fetch: at
+    least the depth-2 recall floor and enough that the reduced buffer
+    holds >= 2*kc candidates.  Raises when the corpus has too few tiles
+    for that within the epilogue budget — callers (the audit's variant
+    pick) must check tiletop_viable first."""
+    t = max(n // tile_n, 1)
+    need = -(-2 * kc // t)  # ceil: buffer >= 2*kc
+    m = max(_INT2_TILETOP_M, 128 * -(-need // 128))
+    if m > _INT2_TILETOP_MAX:
+        raise ValueError(
+            f"tiletop select needs {m}-wide tiles at n={n}, kc={kc} "
+            f"(tile {tile_n}) — beyond the epilogue budget "
+            f"{_INT2_TILETOP_MAX}; use select='approx' or 'exact'"
+        )
+    return m
+
+
+def tiletop_viable(n: int, nq: int, d4: int, kc: int) -> bool:
+    """True when the epilogue-fused selection is applicable at this
+    geometry (enough tiles that the per-tile depth stays in budget)."""
+    if kc >= n:
+        return False
+    try:
+        _tiletop_depth(n, _pick_tile_int2(n, nq, d4), kc)
+    except ValueError:
+        return False
+    return True
+
+
+def _scan_kernel_int2_tiletop(
+    allowed_ref, q0_ref, q1_ref, q2_ref, q3_ref, qcorr_ref, qscale_ref,
+    m_ref, src_ref, scales_ref, vals_ref, rows_ref, *, n_filter, m_top, tile_n,
+):
+    """The scores kernel (_scan_kernel_int2_scores) + an in-VMEM top-M
+    epilogue per tile: M unrolled max/argmax extractions with index
+    masking (ties survive — masking is by LANE, not by value)."""
+    p = m_ref[:]  # (d4, TILE_N) uint8
+    b0 = jax.lax.bitcast_convert_type(p & jnp.uint8(0x03), jnp.int8)
+    b1 = jax.lax.bitcast_convert_type(p & jnp.uint8(0x0C), jnp.int8)
+    b2 = jax.lax.bitcast_convert_type(p & jnp.uint8(0x30), jnp.int8)
+    b3 = jax.lax.bitcast_convert_type(p & jnp.uint8(0xC0), jnp.int8)
+    dims = (((1,), (0,)), ((), ()))
+    m0 = jax.lax.dot_general(q0_ref[:], b0, dims, preferred_element_type=jnp.int32)
+    m1 = jax.lax.dot_general(q1_ref[:], b1, dims, preferred_element_type=jnp.int32)
+    m2 = jax.lax.dot_general(q2_ref[:], b2, dims, preferred_element_type=jnp.int32)
+    m3 = jax.lax.dot_general(q3_ref[:], b3, dims, preferred_element_type=jnp.int32)
+    raw = (
+        2.0 * m0.astype(jnp.float32)
+        + 0.5 * m1.astype(jnp.float32)
+        + 0.125 * m2.astype(jnp.float32)
+        + 0.03125 * m3.astype(jnp.float32)
+        + qcorr_ref[:]
+    )
+    scores = raw * scales_ref[:] * qscale_ref[:]
+    mask = _source_mask(src_ref[:], allowed_ref, n_filter)
+    cur = jnp.where(mask, scores, -jnp.inf)  # (nq, tile_n)
+    base = pl.program_id(0) * tile_n
+    nq = cur.shape[0]
+    # per-(lane)-bin top-p via SUBLANE reductions: reshape the tile to
+    # (nq, sub, 128) — bin l = stride-128 positions {s*128 + l}, exactly
+    # PartialReduce's binning but depth p instead of 1, and computed while
+    # the scores are still in VMEM.  p max/argmax passes over the sublane
+    # axis are cheap vector reductions (the serial full-width extract this
+    # replaces measured 5.7 ms vs approx's 2.1 at 10M — probe_int2_tiletop
+    # round 1).
+    sub = cur.shape[1] // 128
+    resh = cur.reshape(nq, sub, 128)
+    sl_iota = jax.lax.broadcasted_iota(jnp.int32, resh.shape, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nq, 128), 1)
+    vs, ps = [], []
+    for _ in range(m_top // 128):
+        v = jnp.max(resh, axis=1)  # (nq, 128)
+        a = jnp.argmax(resh, axis=1).astype(jnp.int32)  # (nq, 128)
+        vs.append(v)
+        ps.append(base + a * 128 + lane)
+        resh = jnp.where(sl_iota == a[:, None, :], -jnp.inf, resh)
+    vals_ref[:] = jnp.concatenate(vs, axis=1)
+    rows_ref[:] = jnp.concatenate(ps, axis=1)
+
+
+def pallas_int2_scores_tiletop(
+    packed, scales2d, src2d, qi8, qscale, allowed, interpret,
+    n_sweep: int = 0, kc: int = 0, m_top: int = 0,
+):
+    """Fused score + per-tile top-M selection: ((Q, T*M) f32 vals,
+    (Q, T*M) int32 global rows), T = n/tile, M from _tiletop_depth(kc)
+    unless pinned by ``m_top``.  Dropped rows (see _INT2_TILETOP_M) make
+    the downstream floor statistical-only, like the approx select; the
+    searcher's audit measures the end recall."""
+    d4, n = packed.shape
+    n = _sweep_n(n, n_sweep)
+    nq = qi8.shape[0]
+    tile_n = _pick_tile_int2(n, nq, d4)
+    if not m_top:
+        m_top = _tiletop_depth(n, tile_n, kc or 1)
+    q0, q1, q2, q3, qcorr = _int2_query_parts(qi8, d4)
+    kernel = functools.partial(
+        _scan_kernel_int2_tiletop, n_filter=allowed.shape[0], m_top=m_top,
+        tile_n=tile_n,
+    )
+    out_v, out_r = pl.pallas_call(
+        kernel,
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # allowed (F,)
+            pl.BlockSpec((nq, d4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, d4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, d4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, d4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d4, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nq, m_top), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, m_top), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, (n // tile_n) * m_top), jnp.float32),
+            jax.ShapeDtypeStruct((nq, (n // tile_n) * m_top), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * nq * n * d4 + (m_top // 128) * nq * n,
+            bytes_accessed=n * d4 + n * 8 + nq * (n // tile_n) * m_top * 8,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(allowed, q0, q1, q2, q3, qcorr, qscale, packed, src2d, scales2d)
+    return out_v, out_r
+
+
 # Window width of the hierarchical coarse selection (lane width: the
 # window max is one cheap reduce over the score row).
 _INT2_WINDOW = 128
@@ -1454,19 +1606,27 @@ def scan_int2_coarse_fine(
     if not k_coarse:
         k_coarse = int2_coarse_depth(k, n, fetch)
     qi8, qscale = quantize_queries(q)
-    if engine == "pallas":
-        coarse = pallas_int2_scores(
-            packed2, scales2.reshape(1, n_full), source_ids.reshape(1, n_full),
-            qi8, qscale, allowed, interpret, n,
-        )
-    else:
-        coarse = mask_scores(
-            xla_scores_int2(packed2[:, :n], scales2[:n], qi8, qscale),
-            source_ids[:n], allowed,
-        )
     kc = min(k_coarse, n)
     nq = q.shape[0]
     kf = min(k, kc)
+    if select == "tiletop":
+        if engine != "pallas":
+            raise ValueError("select='tiletop' requires the pallas engine")
+        if kc >= n:
+            # full fetch: nothing to select away — the exact path's plain
+            # top_k over full scores is the same result with a -inf floor
+            select = "exact"
+    if select != "tiletop":
+        if engine == "pallas":
+            coarse = pallas_int2_scores(
+                packed2, scales2.reshape(1, n_full), source_ids.reshape(1, n_full),
+                qi8, qscale, allowed, interpret, n,
+            )
+        else:
+            coarse = mask_scores(
+                xla_scores_int2(packed2[:, :n], scales2[:n], qi8, qscale),
+                source_ids[:n], allowed,
+            )
     if select == "auto":
         # round-4: "approx" (TPU PartialReduce) replaces "exact" as the
         # default — full pipeline 1.96 vs 2.53-2.72 ms at 10M
@@ -1479,7 +1639,7 @@ def scan_int2_coarse_fine(
         # statistical) and keeps the one-pass structure.  "exact" remains
         # selectable for harnesses and for parts without the custom call.
         select = "approx"
-    if select not in ("exact", "approx", "window", "threshold"):
+    if select not in ("exact", "approx", "window", "threshold", "tiletop"):
         # silent fallback would let a typo'd variant A/B exact vs exact and
         # record a bogus ~0 ms paired diff as a measurement
         raise ValueError(f"unknown select {select!r}")
@@ -1520,7 +1680,27 @@ def scan_int2_coarse_fine(
             vals = jnp.concatenate([vals, pad_v], axis=1)
             rows = jnp.concatenate([rows, pad_r], axis=1)
         return vals, rows, floor
-    if (
+    if select == "tiletop":
+        # epilogue-fused selection: the score kernel itself kept the
+        # per-tile top-M (pallas_int2_scores_tiletop) — the (Q, N) score
+        # buffer never reached HBM; finish with an exact top-kc over the
+        # ~N·M/tile-sized candidate buffer.  Floor semantics match the
+        # approx select (statistical: a row dropped in-tile can exceed
+        # the kc-th kept value); the self-audit measures the end recall
+        # of this pipeline on the actual corpus like every variant.
+        tvals, trows = pallas_int2_scores_tiletop(
+            packed2, scales2.reshape(1, n_full), source_ids.reshape(1, n_full),
+            qi8, qscale, allowed, interpret, n, kc=kc,
+        )
+        kcap = min(kc, tvals.shape[1])
+        cvals, perm = jax.lax.top_k(tvals, kcap)
+        idx = jnp.take_along_axis(trows, perm, axis=1)
+        floor = cvals[:, -1]
+        # address-order the fine gather exactly like the generic path
+        order = jnp.argsort(idx, axis=1)
+        idx = jnp.take_along_axis(idx, order, axis=1)
+        cvals = jnp.take_along_axis(cvals, order, axis=1)
+    elif (
         select == "threshold"
         and n % _INT2_WINDOW == 0
         and n // _INT2_WINDOW >= kc
