@@ -1795,38 +1795,78 @@ class EmbeddingMatrix:
             if "scale_hw" in files:
                 self.scale_hw = float(z["scale_hw"])
                 self.norm_hw = float(z["norm_hw"])
-            # Device payload FIRST, mirror second (VERDICT r3 #4): the
-            # device_put calls dispatch asynchronously, so the host->HBM
-            # transfers overlap the f32 mirror pass below instead of
-            # serializing after it (measured 15.1 s mirror + 25.3 s device
-            # strictly sequential at 2M x 384 int8 before the reorder; the
-            # member read order through the single handle is unchanged —
-            # payload members, then vectors).
+            # Overlapped restore (VERDICT r3 #4).  Two independent passes
+            # used to run strictly in sequence (measured 15.1 s mirror +
+            # 25.3 s payload staging + device_put at 2M x 384 int8):
+            #
+            #   * the f32 mirror pass (mmap page-in + memcpy into the
+            #     host mirror) runs on a WORKER thread;
+            #   * payload staging (+ the async device_put dispatches,
+            #     which drain over whatever host work follows) runs on
+            #     this thread.
+            #
+            # Both sides read the zip through positionless mmap views of
+            # the ONE open handle (_member_mmap), so the single-handle
+            # anti-mix guarantee holds and the threads never share a file
+            # position.  The mirror is exclusively owned during adopt
+            # (we hold self._lock and the matrix is empty), so the worker
+            # needs no further locking; its exception, if any, re-raises
+            # here after join.
             t_dev = time.perf_counter()
-            if self.quantized and n:
-                self._adopt_device(z, path, n, fh)
-                self._device_source_ids = jax.device_put(
-                    self.source_ids, self.ids_device
-                )
-                self._dirty = False
-                self._dirty_rows.clear()
-            else:
-                # bf16/f32 tiers store no payload: first sync casts the
-                # mirror (no quantization pass to skip)
-                self._dirty = True
-            # mirror rows [0, n) straight from the f32 member (one pass,
-            # no quantization read-back) — runs while the transfers above
-            # drain
-            t_mirror = time.perf_counter()
-            for lo, hi, vecs in self._iter_snapshot_vectors(
-                path, self._LOAD_CHUNK_ROWS, fh
-            ):
-                self._mirror.write(slice(lo, hi), vecs, self.dim)
+            # Pre-resolve the mirror source ON THIS thread: _member_mmap
+            # seeks the shared handle while locating the member, so the
+            # worker must only ever touch the returned positionless
+            # memmap.  A base whose vectors member can't map (compressed /
+            # foreign layout) falls back to the sequential order — the
+            # zipfile streaming reader owns the handle's position.
+            mapped = self._member_mmap(path, "vectors", fh)
+            if mapped is not None and mapped.dtype != np.dtype("<f4"):
+                mapped = None
+            mirror_err: list[BaseException] = []
+
+            def _mirror_pass() -> None:
+                try:
+                    rows_m = mapped.shape[0]
+                    for lo in range(0, rows_m, self._LOAD_CHUNK_ROWS):
+                        hi = min(lo + self._LOAD_CHUNK_ROWS, rows_m)
+                        self._mirror.write(slice(lo, hi), mapped[lo:hi], self.dim)
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    mirror_err.append(e)
+
+            mt = None
+            if mapped is not None:
+                mt = threading.Thread(target=_mirror_pass, name="adopt-mirror")
+                mt.start()
+            try:
+                if self.quantized and n:
+                    self._adopt_device(z, path, n, fh)
+                    self._device_source_ids = jax.device_put(
+                        self.source_ids, self.ids_device
+                    )
+                    self._dirty = False
+                    self._dirty_rows.clear()
+                else:
+                    # bf16/f32 tiers store no payload: first sync casts the
+                    # mirror (no quantization pass to skip)
+                    self._dirty = True
+            finally:
+                t_stage = time.perf_counter()
+                if mt is not None:
+                    mt.join()
+            if mirror_err:
+                raise mirror_err[0]
+            if mapped is None:
+                # sequential fallback: the streaming reader seeks fh
+                for lo, hi, vecs in self._iter_snapshot_vectors(
+                    path, self._LOAD_CHUNK_ROWS, fh
+                ):
+                    self._mirror.write(slice(lo, hi), vecs, self.dim)
             if os.environ.get("PERCEIVE_TPU_DEBUG_STARTUP"):
                 t_end = time.perf_counter()
                 print(
-                    f"adopt phases: device-dispatch {t_mirror - t_dev:.2f}s  "
-                    f"mirror(+transfer drain) {t_end - t_mirror:.2f}s  (n={n})",
+                    f"adopt phases: stage+dispatch {t_stage - t_dev:.2f}s  "
+                    f"mirror-wait {t_end - t_stage:.2f}s  "
+                    f"overlapped={mapped is not None}  (n={n})",
                     file=sys.stderr,
                 )
             if self._mirror.path is not None:
