@@ -428,7 +428,9 @@ def stats_cmd(state, args) -> None:
                 f"int2 coarse self-audit: top-{audit.get('k', 10)} overlap "
                 f"{audit['overlap']:.4f} (min {audit.get('min_overlap', audit['overlap']):.4f}) "
                 f"over {audit['queries']} sampled vectors at {audit['rows']} rows "
-                f"— {verdict}"
+                f"(select {audit.get('select', 'exact')}, fetch "
+                f"{audit.get('fetch', 0) or 'default'}, "
+                f"{audit.get('strata', 1)} strata) — {verdict}"
             )
 
 
