@@ -240,13 +240,47 @@ def deserialize_embedding(blob: bytes) -> np.ndarray:
     return np.frombuffer(blob, dtype="<f4").copy()
 
 
+# Bulk mirror-copy chunk (bytes): small enough that MADV_WILLNEED readahead
+# of chunk i+1 fits comfortably in page cache while chunk i copies, large
+# enough that the per-chunk Python overhead is noise (10M x 384 f32 -> ~230
+# chunks).
+_MIRROR_COPY_CHUNK_BYTES = 64 * 2**20
+
+
+def _mem_available_bytes() -> Optional[int]:
+    """Linux MemAvailable (the kernel's estimate of allocatable RAM without
+    swapping), or None where /proc/meminfo is absent."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except (OSError, ValueError, IndexError):
+        pass
+    return None
+
+
 def _mirror_ram_budget() -> int:
     """Bytes the host mirror may hold in RAM before spilling to a
-    memory-mapped file (PERCEIVE_TPU_MIRROR_RAM_GB, default 8)."""
-    try:
-        return int(float(os.environ.get("PERCEIVE_TPU_MIRROR_RAM_GB", "8")) * 2**30)
-    except ValueError:
+    memory-mapped file (PERCEIVE_TPU_MIRROR_RAM_GB overrides).
+
+    Default (round 5): half of MemAvailable, clamped to [8, 64] GiB.  The
+    old flat 8 GiB default spilled a 10M x 384 f32 mirror (15.4 GB) to a
+    file-backed memmap on hosts with 100+ GB free, doubling the adopt
+    pass's disk traffic (15.4 GB of page-fault writes on top of the
+    snapshot reads) — the measured "mirror-bound" startup wall
+    (BENCH_NOTES round-4 snapshot-adopt section).  Spilling remains the
+    behavior wherever the mirror genuinely exceeds free RAM."""
+    env = os.environ.get("PERCEIVE_TPU_MIRROR_RAM_GB")
+    if env is not None:
+        try:
+            return int(float(env) * 2**30)
+        except ValueError:
+            pass
+    avail = _mem_available_bytes()
+    if avail is None:
         return 8 * 2**30
+    return max(8 * 2**30, min(avail // 2, 64 * 2**30))
 
 
 def _mirror_spill_dir() -> Optional[str]:
@@ -1826,10 +1860,7 @@ class EmbeddingMatrix:
 
             def _mirror_pass() -> None:
                 try:
-                    rows_m = mapped.shape[0]
-                    for lo in range(0, rows_m, self._LOAD_CHUNK_ROWS):
-                        hi = min(lo + self._LOAD_CHUNK_ROWS, rows_m)
-                        self._mirror.write(slice(lo, hi), mapped[lo:hi], self.dim)
+                    self._mirror_copy_from(mapped)
                 except BaseException as e:  # noqa: BLE001 — re-raised below
                     mirror_err.append(e)
 
@@ -1873,6 +1904,101 @@ class EmbeddingMatrix:
                 self._mirror.remap()  # drop bulk-load page residency
             self.mutation_gen += 1
         return True
+
+    def _mirror_copy_from(self, mapped) -> None:
+        """Bulk-copy the snapshot's f32 ``vectors`` member (a positionless
+        memmap) into the host mirror.
+
+        The naive single-threaded chunk loop was page-fault bound: every
+        chunk paid a synchronous major fault per source page (disk read)
+        plus, for a spilled mirror, a fault per destination page — the
+        measured "mirror-bound" adopt floor (~25.7 s of a 34 s load at
+        2M x 384; BENCH_NOTES round-4).  Two fixes, both kernel-level, so
+        they help even on a 1-core host where threads cannot add CPU:
+
+        * ``madvise``: MADV_SEQUENTIAL over the whole member (double
+          readahead, drop-behind), plus MADV_WILLNEED per chunk before its
+          copy — the kernel issues the chunk's disk reads asynchronously
+          while the previous chunk's memcpy runs.
+        * a small worker pool (PERCEIVE_TPU_MIRROR_THREADS, default 4)
+          pulling chunks off a shared counter: numpy's assignment loop
+          releases the GIL, so concurrent workers overlap their major-
+          fault IO waits even with one CPU.
+
+        Exclusively owned during adopt (matrix lock held, matrix empty) —
+        workers write disjoint row slices, no further locking."""
+        import mmap as _mmapmod
+
+        rows_m = int(mapped.shape[0])
+        if rows_m == 0:
+            return
+        rowbytes = int(mapped.shape[1]) * mapped.dtype.itemsize
+        chunk = max(1, _MIRROR_COPY_CHUNK_BYTES // max(rowbytes, 1))
+        mm = getattr(mapped, "_mmap", None)
+        base_off = 0
+        if mm is not None:
+            try:
+                base_off = int(mapped.offset) % _mmapmod.ALLOCATIONGRANULARITY
+                mm.madvise(_mmapmod.MADV_SEQUENTIAL)
+            except (AttributeError, ValueError, OSError):
+                mm = None  # advisory only: copy still works without it
+
+        def _advise(lo: int, hi: int) -> None:
+            if mm is None:
+                return
+            try:
+                ps = _mmapmod.PAGESIZE
+                start = base_off + lo * rowbytes
+                end = min(base_off + hi * rowbytes, len(mm))
+                start -= start % ps
+                if end > start:
+                    mm.madvise(_mmapmod.MADV_WILLNEED, start, end - start)
+            except (ValueError, OSError):
+                pass
+
+        nchunks = -(-rows_m // chunk)
+        try:
+            nthreads = int(os.environ.get("PERCEIVE_TPU_MIRROR_THREADS", "4"))
+        except ValueError:
+            nthreads = 4
+        nthreads = max(1, min(nthreads, nchunks))
+
+        def _copy_chunk(ci: int) -> None:
+            lo = ci * chunk
+            hi = min(lo + chunk, rows_m)
+            _advise(lo, hi)
+            self._mirror.write(slice(lo, hi), mapped[lo:hi], self.dim)
+
+        if nthreads == 1:
+            for ci in range(nchunks):
+                _copy_chunk(ci)
+            return
+        counter = iter(range(nchunks))
+        clock = threading.Lock()
+        errs: list[BaseException] = []
+
+        def _worker() -> None:
+            while True:
+                with clock:
+                    ci = next(counter, None)
+                if ci is None or errs:
+                    return
+                try:
+                    _copy_chunk(ci)
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    errs.append(e)
+                    return
+
+        workers = [
+            threading.Thread(target=_worker, name=f"adopt-mirror-{i}")
+            for i in range(nthreads)
+        ]
+        for w in workers:
+            w.start()
+        for w in workers:
+            w.join()
+        if errs:
+            raise errs[0]
 
     def _adopt_device(self, z, path: str, n: int, fh=None) -> None:
         """Device arrays from the snapshot's payload members, laid out

@@ -297,3 +297,52 @@ def test_retier_forces_full_base_rewrite(tmp_path):
     # upgrade is one-time: the next small save deltas again
     m.upsert([chunk_key(901)], [1], rng.standard_normal((1, DIM)).astype(np.float32))
     assert m.save_snapshot(snap) == "delta"
+
+
+def test_adopt_mirror_copy_parallel_chunks(tmp_path, monkeypatch):
+    """The adopt mirror pass (matrix._mirror_copy_from) copies through a
+    worker pool over small chunks (round 5: the single-threaded loop was
+    page-fault bound — BENCH_NOTES round-4 adopt section).  Forcing tiny
+    chunks + several workers must produce byte-identical mirror contents,
+    including the zeroed pad tail, for an odd (non-chunk-aligned) row
+    count."""
+    from perceive_tpu.index import matrix as mx
+
+    monkeypatch.setattr(mx, "_MIRROR_COPY_CHUNK_BYTES", 256)  # many chunks
+    monkeypatch.setenv("PERCEIVE_TPU_MIRROR_THREADS", "3")
+    m1, _ = _filled_matrix(jnp.int8, n=67)
+    snap = str(tmp_path / "snap.npz")
+    m1.save_snapshot(snap)
+    m2 = EmbeddingMatrix(DIM, dtype=jnp.int8)
+    assert m2.adopt_snapshot(snap)
+    n = m1.rows
+    np.testing.assert_array_equal(
+        np.asarray(m2._host_vectors[:n]), np.asarray(m1._host_vectors[:n])
+    )
+    # pad tail beyond dim stays zero (mirror.write zeroes it per chunk)
+    assert not np.asarray(m2._host_vectors[:n, DIM:]).any()
+
+
+def test_adopt_mirror_copy_propagates_worker_error(monkeypatch, tmp_path):
+    """A worker exception mid-copy must surface from adopt, not vanish."""
+    from perceive_tpu.index import matrix as mx
+
+    monkeypatch.setattr(mx, "_MIRROR_COPY_CHUNK_BYTES", 256)
+    monkeypatch.setenv("PERCEIVE_TPU_MIRROR_THREADS", "2")
+    m1, _ = _filled_matrix(jnp.int8, n=40)
+    snap = str(tmp_path / "snap.npz")
+    m1.save_snapshot(snap)
+    m2 = EmbeddingMatrix(DIM, dtype=jnp.int8)
+
+    calls = []
+    orig = m2._mirror.write
+
+    def boom(rows, vals, dim):
+        calls.append(rows)
+        if len(calls) == 3:
+            raise RuntimeError("disk gone")
+        return orig(rows, vals, dim)
+
+    monkeypatch.setattr(m2._mirror, "write", boom)
+    with pytest.raises(RuntimeError, match="disk gone"):
+        m2.adopt_snapshot(snap)
