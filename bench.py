@@ -49,6 +49,67 @@ QUERY_BATCH = 2048
 TIMED_ITERS = 5
 EMBED_BATCH, EMBED_SEQ = 256, 128
 
+# Device-weather calibration (VERDICT r4 #2).  Healthy-session capability
+# figures for the two health probes, measured on the bench chip
+# 2026-08-20 (round 5, tunnel RT 32-43 ms session; see BENCH_NOTES
+# "round-5 health calibration").  A run whose probe exceeds CALIBRATION *
+# DEGRADED_FACTOR is stamped degraded: the round-4 artifact carried 23-75x
+# swings on secondary walls with no flag, and a reader concluded bf16
+# regressed 23x when the tunnel was simply sick that day.
+_HEALTH_CALIBRATION = {
+    "tunnel_roundtrip_ms": 45.0,
+    "ref_sweep_524k_ms": 0.16,
+}
+_DEGRADED_FACTOR = 2.5
+
+
+def measure_health(tag: str, *, ref_matrix=None) -> dict:
+    """Cheap device-health probe: tunnel round trip (distinct tiny arrays —
+    the tunnel memoizes identical calls) + a fixed 524k x 384 bf16
+    single-query sweep via the same in-jit marginal as every bench metric.
+    Returns {"tag", "tunnel_roundtrip_ms", "ref_sweep_524k_ms",
+    "degraded"}; callers re-run it between heavy phases so each key group
+    in the artifact carries the device weather it was measured under."""
+    rts = []
+    for i in range(5):
+        x = np.full((64, 64), float(i), np.float32)
+        t0 = time.perf_counter()
+        np.asarray(jax.device_put(x) + 1.0)
+        rts.append(time.perf_counter() - t0)
+    rt_ms = float(np.median(rts)) * 1e3
+
+    n_ref, d = 524_288, 384
+    allowed = jnp.asarray(np.array([ALLOW_ALL] + [-9] * 15, np.int32))
+    own = ref_matrix is None
+    try:
+        m = (
+            jax.block_until_ready(
+                jax.random.normal(jax.random.PRNGKey(3), (n_ref, d), jnp.bfloat16)
+            )
+            if own
+            else ref_matrix
+        )
+        src = jax.block_until_ready(jnp.zeros((n_ref,), jnp.int32))
+        sweep_s, _ = _marginal_sweep_s(m, src, allowed, 1, 16, reps=(1, 9))
+        sweep_ms = sweep_s * 1e3
+        if own:
+            del m
+    except Exception as e:  # noqa: BLE001 — health info must not kill the run
+        print(f"# health ref sweep unavailable ({e})", flush=True)
+        sweep_ms = None
+    degraded = rt_ms > _HEALTH_CALIBRATION["tunnel_roundtrip_ms"] * _DEGRADED_FACTOR or (
+        sweep_ms is not None
+        and sweep_ms > _HEALTH_CALIBRATION["ref_sweep_524k_ms"] * _DEGRADED_FACTOR
+    )
+    out = {
+        "tag": tag,
+        "tunnel_roundtrip_ms": round(rt_ms, 1),
+        "ref_sweep_524k_ms": sweep_ms and round(sweep_ms, 3),
+        "degraded": bool(degraded),
+    }
+    print(f"# health[{tag}]: {out}", flush=True)
+    return out
+
 
 def _marginal_sweep_s(matrix, source_ids, allowed, batch: int, k: int, *, reps, iters=3):
     """True per-sweep seconds via the in-jit repeat method (module
@@ -277,6 +338,7 @@ def _marginal_single_query_tiers(n: int, d: int, allowed, *, rounds=10, r=8):
     median per tier.  The f32 rerank of 128 candidates is host-side
     microseconds, so these marginals ARE the p50s.  Returns
     (int2_seconds, int4_seconds), either None on kernel failure."""
+    from perceive_tpu.index.searcher import _scan_topk_xla_int8t_impl
     from perceive_tpu.ops.topk import (
         pallas_topk_int4_unsorted,
         quantize_queries,
@@ -329,6 +391,61 @@ def _marginal_single_query_tiers(n: int, d: int, allowed, *, rounds=10, r=8):
         v, rows = pallas_topk_int4_unsorted(p4, sc2, s2, qi8, qsc, allowed, 128, False)
         return jnp.sum(v) + jnp.sum(rows.astype(jnp.float32))
 
+    def measure_recall(nq: int = 128, kc: int = 4096) -> dict | None:
+        """Served recall of the PRODUCTION coarse-to-fine pipeline vs its
+        own escalation reference (the full int8 fine-companion sweep), on
+        the bench corpus, THIS run (VERDICT r4 #6: with approx_max_k the
+        default select, recall parity is an audited claim — the artifact
+        must carry the measured number, not a BENCH_NOTES citation).
+
+          candidate_recall_at_10: fraction of the reference top-10 present
+            in the coarse pass's selected candidate set (the quantity the
+            approx-select bin-collision risk governs; tie-insensitive)
+          agreement_at_10: top-10 set agreement of the served pipeline vs
+            the reference (carries int8-precision tie swaps, so it can
+            read slightly below candidate recall without any true miss)
+        """
+        from perceive_tpu.ops.topk import scan_int2_coarse_fine as _scf
+
+        try:
+            B = 8
+            f_cand = jax.jit(
+                lambda q: _scf(
+                    packed2, scales, m8t, scales, src, q, allowed, kc,
+                    k_coarse=kc, fine_bits=8, select="approx",
+                )[1]
+            )
+            f_got = jax.jit(
+                lambda q: _scf(
+                    packed2, scales, m8t, scales, src, q, allowed, 10,
+                    fine_bits=8, select="approx",
+                )[1]
+            )
+            f_ref = jax.jit(
+                lambda q: _scan_topk_xla_int8t_impl(
+                    m8t, scales, src, q, allowed, 10
+                )[1]
+            )
+            cand_hits = agree_hits = total = 0
+            for i in range(0, nq, B):
+                q = queries(7000 + i, B)[:, 0, :].reshape(B, d)
+                cand = np.asarray(f_cand(q))
+                got = np.asarray(f_got(q))
+                ref = np.asarray(f_ref(q))
+                for j in range(B):
+                    rset = set(ref[j][:10].tolist())
+                    cand_hits += len(rset & set(cand[j].tolist()))
+                    agree_hits += len(rset & set(got[j][:10].tolist()))
+                    total += 10
+            return {
+                "recall_queries": total // 10,
+                "candidate_recall_at_10": round(cand_hits / total, 6),
+                "agreement_at_10": round(agree_hits / total, 6),
+            }
+        except Exception as e:  # noqa: BLE001 — additive info
+            print(f"# recall phase unavailable ({e})", flush=True)
+            return None
+
     cases = {
         "int2": (body_int2, (packed2, scales, src, m8t)),
         "int4": (body_int4, (packed4, scales2d, src2d)),
@@ -356,9 +473,11 @@ def _marginal_single_query_tiers(n: int, d: int, allowed, *, rounds=10, r=8):
             np.asarray(fR(qR, *args))
             wR = time.perf_counter() - t0
             marg[name].append(max((wR - w1) / (r - 1), 1e-9))
+    recall = measure_recall() if marg.get("int2") else None
     return (
         float(np.median(marg["int2"])) if marg.get("int2") else None,
         float(np.median(marg["int4"])) if marg.get("int4") else None,
+        recall,
     )
 
 
@@ -521,6 +640,17 @@ def main() -> None:
     n = 10_002_432 if on_tpu else 102_400
     d = 384
 
+    # device-weather preamble (VERDICT r4 #2): a degraded tunnel/chip shows
+    # 2-75x swings on the dispatch-heavy secondary walls; stamp the run and
+    # retry ONCE after a cool-down before measuring anything expensive
+    health = {}
+    if on_tpu:
+        health["pre"] = measure_health("pre")
+        if health["pre"]["degraded"]:
+            print("# device degraded at preamble; cooling down 120 s", flush=True)
+            time.sleep(120)
+            health["pre_retry"] = measure_health("pre_retry")
+
     matrix = jax.block_until_ready(jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.bfloat16))
     source_ids = jax.block_until_ready(jnp.zeros((n,), jnp.int32))
     allowed = jnp.asarray(np.array([ALLOW_ALL] + [-9] * 15, np.int32))
@@ -535,12 +665,18 @@ def main() -> None:
     p50_ms = p50_s * 1e3
 
     del matrix  # free 7.7 GB before the int2/int4/int8 corpora / embed tower
-    p50_int2_s, p50_int4_s = (
-        _marginal_single_query_tiers(n, d, allowed) if on_tpu else (None, None)
+    if on_tpu:
+        health["post_bf16"] = measure_health("post_bf16")
+    p50_int2_s, p50_int4_s, recall = (
+        _marginal_single_query_tiers(n, d, allowed)
+        if on_tpu
+        else (None, None, None)
     )
     qps_int8t = _marginal_int8t_qps(n, d, allowed) if on_tpu else None
     qps_int4 = _marginal_int4_qps(n, d, allowed) if on_tpu else None
     qps_int8 = _marginal_int8_qps(n, d, allowed) if on_tpu else None
+    if on_tpu:
+        health["post_tiers"] = measure_health("post_tiers")
     embed_dps = measure_embed_docs_per_sec()
     serve_stats = measure_serve_latency() if on_tpu else None
 
@@ -610,6 +746,22 @@ def main() -> None:
                     and jax.default_backend() == "tpu"
                     else None
                 ),
+                # measured served recall of the default tier THIS run
+                # (VERDICT r4 #6): candidate recall vs the pipeline's own
+                # escalation reference on the bench corpus; the shipped
+                # select variant + fetch are the production defaults
+                **(recall or {
+                    "candidate_recall_at_10": None, "agreement_at_10": None,
+                    "recall_queries": None,
+                }),
+                "coarse_select": "approx(rt=0.98)+self-audit",
+                # device-weather stamps (VERDICT r4 #2): per-phase health
+                # probes vs the stored healthy-session calibration; any
+                # degraded:true means the NEARBY key group was measured on
+                # a sick tunnel/chip and capability figures live in
+                # BENCH_NOTES instead
+                "health": health or None,
+                "degraded_any": any(h["degraded"] for h in health.values()) or None,
                 "timing_method": (
                     "in-jit repeat marginal; int2/int4 p50 A/B-interleaved "
                     "(module docstring)"

@@ -268,19 +268,47 @@ class AppState:
         if self.model.model_version == RANDOM_FALLBACK_VERSION:
             return  # still on the fallback: its own rows are the right dim
         want_len = 4 * self.model.dim
+        # One-time per (model, version, dim) — ADVICE r4: the unconditional
+        # DELETE ran a full-table LENGTH() scan on EVERY startup, and a
+        # checkpoint swap that changed dim without bumping model_version
+        # would silently destroy all prior embeddings on the next launch.
+        # The marker makes the scan run once per configuration; a dim
+        # change mints a new marker, so the pass still runs exactly once
+        # there — but now counts first and logs loudly before deleting.
+        marker = (
+            f"quarantined:{self.model.model_id}"
+            f":{self.model.model_version}:{self.model.dim}"
+        )
+        if self.db.read().execute(
+            "SELECT 1 FROM config WHERE key = ?", (marker,)
+        ).fetchone():
+            return
+        n_bad = self.db.read().execute(
+            """SELECT COUNT(*) FROM item_embeddings
+               WHERE model_id = ? AND model_version = ?
+                 AND LENGTH(embedding) != ?""",
+            (self.model.model_id, self.model.model_version, want_len),
+        ).fetchone()[0]
         with self.db.write() as conn:
-            n = conn.execute(
-                """DELETE FROM item_embeddings
-                   WHERE model_id = ? AND model_version = ?
-                     AND LENGTH(embedding) != ?""",
-                (self.model.model_id, self.model.model_version, want_len),
-            ).rowcount
-        if n:
-            print(
-                f"Deleted {n} legacy wrong-dim embeddings (random-fallback "
-                "era rows under the real checkpoint's keyspace); re-scan "
-                "sources to embed those items with the real checkpoint",
-                file=sys.stderr,
+            if n_bad:
+                print(
+                    f"Quarantining {n_bad} wrong-dim embeddings under model "
+                    f"{self.model.model_id} v{self.model.model_version} "
+                    f"(expected {self.model.dim}-dim): random-fallback-era "
+                    "rows (or a checkpoint dim change) can never score "
+                    "against this model's queries.  Deleting them; re-scan "
+                    "sources to re-embed those items.",
+                    file=sys.stderr,
+                )
+                conn.execute(
+                    """DELETE FROM item_embeddings
+                       WHERE model_id = ? AND model_version = ?
+                         AND LENGTH(embedding) != ?""",
+                    (self.model.model_id, self.model.model_version, want_len),
+                )
+            conn.execute(
+                "INSERT OR REPLACE INTO config (key, value) VALUES (?, '1')",
+                (marker,),
             )
 
     def refresh_sources(self) -> None:

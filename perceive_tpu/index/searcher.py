@@ -1104,10 +1104,19 @@ class Searcher:
         allowed = self._allowed_arrays(None)[0]
         kb = _k_bucket(self._first_fetch(k), m.sweep_rows)
         kb_ref = _k_bucket(4 * kb, m.sweep_rows)
-        # single-query buffers can't blow the kernel VMEM budget: kb is
-        # capped at _OVERFETCH_BUCKETS[-1]=8192, so Q=1 carries at most
-        # 64 KB of (Q, K) state — the _scan guard only matters batched
+        # Audit phases run BATCHED (Q=_AUDIT_REF_BATCH refs / Q=_AUDIT_
+        # COARSE_BATCH coarse) through _device_scan, which bypasses _scan's
+        # VMEM engine guard — apply the same Q*kb byte bound here so a
+        # large-k audit can't hand the pallas kernel an oversized (Q, K)
+        # carry (ADVICE r4; safe at the default k=10, a latent blowup past
+        # it).  The coarse phase needs no guard: that path carries no
+        # (Q, K) kernel state.
         ref_engine = self.engine
+        if (
+            ref_engine == "pallas"
+            and self._AUDIT_REF_BATCH * kb_ref * 8 > _KERNEL_TOPK_BYTES
+        ):
+            ref_engine = "xla"
         # -- phase 1: reference top-k per sample (the escalation target:
         # the fine-companion sweep, one bucket deeper) + the coarse-rank
         # displacement of those reference rows (approx-select risk input)
@@ -1259,6 +1268,36 @@ class Searcher:
                 overlap >= _coarse_audit_min()
                 and min_overlap >= self._COARSE_AUDIT_MIN_SINGLE
             )
+        if not trusted and m.coarse_trusted and m.coarse_select == "approx":
+            # a flunk under the approx select may be bin collisions the
+            # risk estimate under-called (non-uniform within-query
+            # displacement), not the coarse TIER's fault: re-measure with
+            # the exact select before demoting — keeping the ~1.2 ms
+            # coarse sweep at the exact select's ~0.5 ms surcharge beats
+            # losing the whole coarse speedup (ADVICE r4).  Only on the
+            # trusted->demote edge: an already-demoted tier re-flunking is
+            # the same verdict, and retrying there would ping-pong
+            # coarse_select/mutation_gen on every repeat audit.
+            with m._lock:
+                m.coarse_select = "exact"
+                m.mutation_gen += 1
+            overlap, min_overlap = _end_overlap()
+            trusted = (
+                overlap >= _coarse_audit_min()
+                and min_overlap >= self._COARSE_AUDIT_MIN_SINGLE
+            )
+            print(
+                "int2 coarse self-audit: approx select flunked end-overlap; "
+                f"exact-select retry {'passed' if trusted else 'failed'} "
+                f"({overlap:.4f})",
+                file=sys.stderr,
+            )
+            if not trusted:
+                # the retry didn't rescue the tier: the demotion below
+                # bumps mutation_gen and sidelines the coarse pass, so
+                # restore the risk-based select without a second bump
+                with m._lock:
+                    m.coarse_select = want
         with m._lock:
             demoted = m.coarse_trusted and not trusted
             if trusted != m.coarse_trusted:

@@ -213,3 +213,89 @@ def test_scan_with_nonzero_model_version_registers_fk(tmp_db, tmp_path):
         (RANDOM_FALLBACK_VERSION,),
     ).fetchone()[0]
     assert n >= 1
+
+
+def test_quarantine_runs_once_per_model_config(tmp_db):
+    """ADVICE r4: the wrong-dim quarantine is gated by a one-time config
+    marker per (model, version, dim) — no full-table LENGTH() scan on
+    every startup, and a wrong-dim row inserted AFTER the pass survives
+    until the configuration changes (the marker is the evidence the scan
+    already ran)."""
+    from types import SimpleNamespace
+
+    from perceive_tpu.cli.state import AppState
+    from perceive_tpu.db import add_source
+    from perceive_tpu.index.matrix import serialize_embedding
+    from perceive_tpu.types import Source
+
+    src = add_source(tmp_db, Source(name="s", config={"type": "fs"}, location="/x"))
+    rng = np.random.default_rng(4)
+
+    def insert(dim, seq):
+        with tmp_db.write() as conn:
+            cur = conn.execute(
+                "INSERT INTO items (source_id, external_id, hash, content) VALUES (?,?,?,?)",
+                (src.id, f"d{seq}", "", "c"),
+            )
+            conn.execute(
+                """INSERT INTO item_embeddings (item_id, item_index_version,
+                     embedding, model_id, model_version, chunk_idx, seq)
+                   VALUES (?,?,?,0,0,0,?)""",
+                (cur.lastrowid, 1,
+                 serialize_embedding(rng.standard_normal(dim).astype(np.float32)),
+                 seq),
+            )
+
+    insert(128, 1)  # wrong dim for the 8-dim model below
+    state = AppState.__new__(AppState)
+    state.db = tmp_db
+    state.model = SimpleNamespace(model_id=0, model_version=0, dim=8)
+    state._quarantine_legacy_fallback_rows()
+    count = lambda: tmp_db.read().execute(  # noqa: E731
+        "SELECT COUNT(*) FROM item_embeddings"
+    ).fetchone()[0]
+    assert count() == 0  # wrong-dim row quarantined
+    assert tmp_db.read().execute(
+        "SELECT 1 FROM config WHERE key = 'quarantined:0:0:8'"
+    ).fetchone()
+    insert(128, 2)  # same wrong dim, AFTER the marker
+    state._quarantine_legacy_fallback_rows()
+    assert count() == 1  # marker present: the pass does not re-run
+    # a dim change mints a new marker, so the pass runs once more there
+    state.model = SimpleNamespace(model_id=0, model_version=0, dim=16)
+    state._quarantine_legacy_fallback_rows()
+    assert count() == 0
+
+
+def test_audit_flunk_retries_exact_select_before_demoting(monkeypatch):
+    """ADVICE r4: when phase 3 flunks under the approx select, the audit
+    re-measures with select='exact' before demoting the whole coarse tier
+    — an underestimated bin-collision rate should cost the ~0.5 ms exact
+    select, not the entire coarse speedup."""
+    from perceive_tpu.index.matrix import INT2
+
+    rng = np.random.default_rng(11)
+    d = 64
+    base = rng.standard_normal((4096, d)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    s = Searcher(0, 0, d, dtype=INT2, engine="xla")
+    if s.matrix.quant_bits != 2:
+        pytest.skip("int2 tier unavailable")
+    s.upsert_embeddings(list(range(1, len(base) + 1)), [1] * len(base), base)
+    s.matrix.coarse_select = "approx"
+    s.matrix.coarse_trusted = True
+
+    # force phase 3 to flunk exactly when the approx select is active and
+    # pass when the exact select is active — isolating the retry logic
+    real = s._device_scan
+    def fake(qp, kb, allowed, engine, use_coarse=True, force_coarse=False):
+        if force_coarse and s.matrix.coarse_select == "approx":
+            v, r, f = real(qp, kb, allowed, engine, use_coarse=use_coarse,
+                           force_coarse=force_coarse)
+            return np.full_like(v, -np.inf), np.full_like(r, -1), f
+        return real(qp, kb, allowed, engine, use_coarse=use_coarse,
+                    force_coarse=force_coarse)
+    monkeypatch.setattr(s, "_device_scan", fake)
+    s.audit_coarse(max_queries=8)
+    assert s.matrix.coarse_trusted          # rescued, not demoted
+    assert s.matrix.coarse_select == "exact"  # by the exact select
