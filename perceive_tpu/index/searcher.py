@@ -35,6 +35,7 @@ import numpy as np
 
 from ..db import ITEM_COLUMNS, Database, deserialize_item_row, json_ids
 from ..ops.topk import ALLOW_ALL, INT2_COARSE_FETCH, mask_scores
+from ..utils import dispatchmeter
 from ..types import Item
 from .matrix import (
     CHUNK_STRIDE,
@@ -1456,6 +1457,7 @@ class Searcher:
                 vals, rows = _scan_topk_xla(
                     vectors, source_ids, jnp.asarray(qp), jnp.asarray(allowed), kb, ns
                 )
+        dispatchmeter.count("sweep")
         return (
             np.asarray(vals),
             np.asarray(rows),
@@ -1956,6 +1958,7 @@ class Searcher:
                     model.params, self._fused_put(ids), vectors, src_dev, scales,
                     self._fused_put(allowed), kb, ns,
                 )
+        dispatchmeter.count("fused")
         # one batched readback outside the lock (separate np.asarray calls
         # would pay a transfer round trip each on tunneled deployments)
         if fuse_aux:

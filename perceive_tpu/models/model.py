@@ -182,6 +182,9 @@ class Model:
         per-shard transfer); staging through jnp.asarray first would copy
         the full batch to the default device and THEN reshard — a redundant
         whole-batch transfer per ingest dispatch (review r3)."""
+        from ..utils import dispatchmeter
+
+        dispatchmeter.count("encode")
         n = ids.shape[0] if hasattr(ids, "shape") else len(ids)
         if self._mesh is not None and n % self._data_parallel == 0:
             a = jax.device_put(np.asarray(ids), self._batch_sharding)
