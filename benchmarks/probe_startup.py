@@ -36,18 +36,42 @@ def main():
     from perceive_tpu.index.searcher import Searcher
     from perceive_tpu.types import Source
 
-    base = tempfile.mkdtemp(prefix="startup_probe_")
+    # PERCEIVE_TPU_STARTUP_DIR: reuse an existing probe dir (the N-row
+    # insert phase costs ~13 min at 10M; a timed-out run's dir survives)
+    reuse = os.environ.get("PERCEIVE_TPU_STARTUP_DIR")
+    base = reuse or tempfile.mkdtemp(prefix="startup_probe_")
+    keep = bool(reuse) or os.environ.get("PERCEIVE_TPU_STARTUP_KEEP") == "1"
     try:
+        have = (
+            reuse
+            and os.path.exists(f"{base}/probe.sqlite3")
+            and os.path.getsize(f"{base}/probe.sqlite3") > N * D
+        )
         db = Database(f"{base}/probe.sqlite3")
-        src = add_source(db, Source(name="p", config={"type": "fs"}, location="/x"))
-        mid, mver = db.read().execute(
-            "SELECT model_id, version FROM model_versions ORDER BY model_id LIMIT 1"
-        ).fetchone()
+        if have:
+            src_id, mid, mver = db.read().execute(
+                "SELECT source_id, model_id, model_version FROM item_embeddings"
+                " JOIN items ON items.id = item_embeddings.item_id LIMIT 1"
+            ).fetchone()
+            n_have = db.read().execute(
+                "SELECT COUNT(*) FROM item_embeddings"
+            ).fetchone()[0]
+            assert n_have == N, f"reused dir has {n_have} rows, want {N}"
+            print(f"# reusing {base} ({n_have} rows)", flush=True)
+        src = (
+            None
+            if have
+            else add_source(db, Source(name="p", config={"type": "fs"}, location="/x"))
+        )
+        if not have:
+            mid, mver = db.read().execute(
+                "SELECT model_id, version FROM model_versions ORDER BY model_id LIMIT 1"
+            ).fetchone()
 
         rng = np.random.default_rng(0)
         t0 = time.perf_counter()
         next_id = 1
-        for start in range(0, N, CHUNK):
+        for start in [] if have else range(0, N, CHUNK):
             n = min(CHUNK, N - start)
             vecs = rng.standard_normal((n, D), dtype=np.float32)
             vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
@@ -67,7 +91,8 @@ def main():
             next_id += n
         t_insert = time.perf_counter() - t0
         db_gb = os.path.getsize(f"{base}/probe.sqlite3") / 1e9
-        print(f"# inserted {N} rows ({db_gb:.2f} GB sqlite) in {t_insert:.1f}s", flush=True)
+        if not have:
+            print(f"# inserted {N} rows ({db_gb:.2f} GB sqlite) in {t_insert:.1f}s", flush=True)
 
         dtype = auto_matrix_dtype(N, D)
         t0 = time.perf_counter()
@@ -106,7 +131,8 @@ def main():
             "speedup": round(t_cold / t_warm, 1),
         }), flush=True)
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        if not keep:
+            shutil.rmtree(base, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import sys
 import time
 from typing import Optional, Sequence
@@ -514,12 +515,29 @@ class Searcher:
         it (seq > snapshot max_seq), instead of deserializing every BLOB —
         the fast-reload path of SURVEY.md §5.4.
         """
+        dbg = os.environ.get("PERCEIVE_TPU_DEBUG_STARTUP")
         s = cls(model_id, model_version, dim, dtype=dtype, engine=engine)
         if use_snapshot and s._load_snapshot(db):
+            t0 = time.perf_counter()
             s._audit_coarse_if_stale()
+            if dbg:
+                print(
+                    f"build: snapshot path, audit {time.perf_counter() - t0:.1f}s",
+                    file=sys.stderr,
+                )
             return s
+        t0 = time.perf_counter()
         s._load(db, extra_sql="", params=())
+        t1 = time.perf_counter()
+        s.matrix.sync()  # stage device arrays HERE, attributable, not lazily
+        t2 = time.perf_counter()
         s._audit_coarse_if_stale()
+        if dbg:
+            print(
+                f"build: cold stream+upsert {t1 - t0:.1f}s  device stage "
+                f"{t2 - t1:.1f}s  audit {time.perf_counter() - t2:.1f}s",
+                file=sys.stderr,
+            )
         return s
 
     # -- snapshots (vector_shards manifest; TPU-native fast startup) ---------
@@ -659,12 +677,20 @@ class Searcher:
         )
         total = 0
         skipped_dim = 0
+        dbg = os.environ.get("PERCEIVE_TPU_DEBUG_STARTUP")
+        t0 = time.perf_counter()
         # f32-LE BLOBs (reference search.rs:281-294)
         want_len = 4 * self.matrix.dim
         while True:
             rows = cur.fetchmany(self._LOAD_DB_CHUNK_ROWS)
             if not rows:
                 break
+            if dbg and total and total % 1_048_576 < self._LOAD_DB_CHUNK_ROWS:
+                el = time.perf_counter() - t0
+                print(
+                    f"load: {total} rows in {el:.1f}s ({total / el:.0f}/s)",
+                    file=sys.stderr,
+                )
             # Rows written by a different-dim encoder under the same
             # (model_id, model_version) — e.g. 128-dim random-fallback rows
             # from before the reserved-version split (cli/state.py
