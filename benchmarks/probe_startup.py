@@ -136,6 +136,12 @@ def main():
 
 
 if __name__ == "__main__":
+    # persistent jit cache (same policy as bench.py / the CLI): through the
+    # tunnel compiler the capacity-shaped kernels cost minutes of first
+    # compiles; cached re-runs pay none
+    from perceive_tpu.cli.state import _enable_jit_cache
+
+    _enable_jit_cache()
     main()
 
 # RESULT (1x v5e-class chip via tunnel, 2026-08-20):
