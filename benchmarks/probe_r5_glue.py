@@ -105,6 +105,23 @@ def body_fineapx(q, p2, sc, s1, m8, allowed):
     return jnp.sum(vals) + jnp.sum(rows.astype(jnp.float32)) + cvals[-1]
 
 
+def make_rt(rt):
+    """nosort-pipeline variant at a different PartialReduce recall_target
+    (buffer ~3.1k/(1-rt): rt .98 -> 313k sorted by the custom call's
+    aggregation; .95 halves it, .90 quarters — latency-only probe, recall
+    gate separately if one wins)."""
+
+    def body(q, p2, sc, s1, m8, allowed):
+        coarse, qi8, qscale = _coarse(q, p2, sc, s1, allowed)
+        cvals, idx = jax.lax.approx_max_k(coarse[0], KC, recall_target=rt)
+        fine = _fine(idx, cvals, m8, sc, qi8, qscale, K)
+        vals, perm = jax.lax.top_k(fine, K)
+        rows = jnp.take(idx, perm)
+        return jnp.sum(vals) + jnp.sum(rows.astype(jnp.float32)) + cvals[-1]
+
+    return body
+
+
 def main():
     assert jax.default_backend() == "tpu"
     allowed = jnp.asarray(allowed_np)
@@ -121,6 +138,8 @@ def main():
             "prod": (body_prod, (p2, sc, s1, m8, allowed)),
             "nosort": (body_nosort, (p2, sc, s1, m8, allowed)),
             "fineapx": (body_fineapx, (p2, sc, s1, m8, allowed)),
+            "rt95": (make_rt(0.95), (p2, sc, s1, m8, allowed)),
+            "rt90": (make_rt(0.90), (p2, sc, s1, m8, allowed)),
         },
         queries, r=8, rounds=15,
     )
