@@ -1108,6 +1108,13 @@ INT2_COARSE_FETCH = 4096
 # the jit cache keys on the select name only.
 _INT2_APPROX_RT = float(os.environ.get("PERCEIVE_TPU_INT2_APPROX_RT", "0.98"))
 
+# Address-order the approx branch's candidate gather (argsort + two
+# take_along_axis) before the fine phase.  Round-3 isolated measurement
+# favored ordering (0.14 vs 0.52 ms); round-5 composed A/B measured the
+# ordering COSTING ~0.12 ms at 10M (probe_r5_glue: prod 2.046 / nosort
+# 1.929).  Default off for the approx branch; the exact branches keep it.
+_INT2_ADDR_ORDER = os.environ.get("PERCEIVE_TPU_INT2_ADDR_ORDER", "0") == "1"
+
 # Extra candidate slots past the coarse depth for the sort-free threshold
 # selection (select="threshold"): absorbs score-tie classes straddling the
 # kc-th window max so the common path stays sort-free.  A tie class wider
@@ -1736,6 +1743,21 @@ def scan_int2_coarse_fine(
             ]
             cvals = jnp.stack([v for v, _ in outs])
             idx = jnp.stack([p for _, p in outs])
+            if not _INT2_ADDR_ORDER:
+                # round-5 (probe_r5_glue): composed A/B measured the
+                # argsort address-ordering COSTING ~0.12 ms here (prod
+                # 2.046 vs nosort 1.929 ms at 10M) — the 4096-argsort +
+                # two take_along_axis outweigh the coalesced-gather win
+                # for the approx branch's value-sorted output.  cvals are
+                # already best-first, so the floor below is unchanged and
+                # the fine top_k re-sorts regardless.  The exact branch
+                # keeps ordering (its r3 isolated measurement favored it);
+                # PERCEIVE_TPU_INT2_ADDR_ORDER=1 restores it here.
+                floor = jnp.where(kc >= n, -jnp.inf, cvals[:, -1])
+                return _int2_fine_phase(
+                    cvals, idx, packed4, scales4, qi8, qscale, k, nq,
+                    fine_bits, floor,
+                )
         elif n % _INT2_WINDOW == 0 and n // _INT2_WINDOW >= kc:
             # UNROLLED per-query select, never vmapped: vmapping the window
             # gather turns the clean 2D `jnp.take(blocks, widx, axis=0)` into
@@ -1760,9 +1782,16 @@ def scan_int2_coarse_fine(
         order = jnp.argsort(idx, axis=1)
         idx = jnp.take_along_axis(idx, order, axis=1)
         cvals = jnp.take_along_axis(cvals, order, axis=1)
-    # fine pass: gather the candidates' int4/int8 columns, rescore, keep the
-    # best k.  Invalid slots carry -inf coarse scores; re-mask after the
-    # gather so garbage fine bytes can't resurface them.
+    return _int2_fine_phase(
+        cvals, idx, packed4, scales4, qi8, qscale, k, nq, fine_bits, floor
+    )
+
+
+def _int2_fine_phase(cvals, idx, packed4, scales4, qi8, qscale, k, nq, fine_bits, floor):
+    """Fine pass shared by the select branches: gather the candidates'
+    int4/int8 columns, rescore, keep the best k.  Invalid slots carry -inf
+    coarse scores; re-mask after the gather so garbage fine bytes can't
+    resurface them."""
     depth = idx.shape[1]
     cols = jnp.take(packed4, idx.reshape(-1), axis=1)  # (D', Q*depth)
     if fine_bits == 8:
