@@ -46,12 +46,15 @@ def main():
     print("arrays resident", flush=True)
 
     def cand_fn(rt):
+        # arrays as ARGS, never captured: a closure variant lowered 3.9 GB
+        # of constants into each executable and the remote compiler took
+        # 20+ min per program
         @jax.jit
-        def f(q):
+        def f(q, p2_, sc_, s1_, m8_, allowed_):
             qi8, qscale = quantize_queries(q)
             coarse = pallas_int2_scores(
-                p2, sc.reshape(1, N), s1.reshape(1, N), qi8, qscale,
-                allowed, False, N,
+                p2_, sc_.reshape(1, N), s1_.reshape(1, N), qi8, qscale,
+                allowed_, False, N,
             )
             outs = [
                 jax.lax.approx_max_k(coarse[i], KC, recall_target=rt)
@@ -61,8 +64,8 @@ def main():
         return f
 
     @jax.jit
-    def ref_fn(q):
-        return _scan_topk_xla_int8t_impl(m8, sc, s1, q, allowed, 10)[1]
+    def ref_fn(q, m8_, sc_, s1_, allowed_):
+        return _scan_topk_xla_int8t_impl(m8_, sc_, s1_, q, allowed_, 10)[1]
 
     fns = {rt: cand_fn(rt) for rt in RTS}
 
@@ -75,8 +78,10 @@ def main():
     total = 0
     for i in range(0, NQ, B):
         q = queries(4000 + i)
-        ref = np.asarray(ref_fn(q))
-        cands = {rt: np.asarray(fns[rt](q)) for rt in RTS}
+        ref = np.asarray(ref_fn(q, m8, sc, s1, allowed))
+        cands = {
+            rt: np.asarray(fns[rt](q, p2, sc, s1, m8, allowed)) for rt in RTS
+        }
         for j in range(B):
             rset = set(ref[j][:10].tolist())
             total += 10

@@ -171,6 +171,14 @@ def test_serve(state, tmp_path, capsys):
         assert metrics["perceive_search_queries_total"] >= 4
         assert metrics["perceive_search_sweeps_total"] >= 4
         assert metrics["perceive_search_query_errors_total"] == 0
+        # device-dispatch accounting (round 5, VERDICT r4 #5): the counter
+        # and the serving ratio are exported; the uncontended fused path
+        # costs ~1 dispatch/request (2 allows for floor-escalation
+        # re-sweeps on this tiny random-weight corpus)
+        assert metrics["perceive_device_dispatches_total"] > 0
+        assert 0.0 < metrics["perceive_dispatches_per_request"] <= 2.0, metrics[
+            "perceive_dispatches_per_request"
+        ]
         # highlight chunk cache observability (round 3)
         assert metrics["perceive_highlight_cache_docs"] >= 1
         assert metrics["perceive_highlight_cache_bytes"] > 0
