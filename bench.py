@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from perceive_tpu.ops.topk import ALLOW_ALL
+from perceive_tpu.ops.topk import ALLOW_ALL, _INT2_APPROX_RT
 
 K = 10
 QUERY_BATCH = 2048
@@ -754,7 +754,7 @@ def main() -> None:
                     "candidate_recall_at_10": None, "agreement_at_10": None,
                     "recall_queries": None,
                 }),
-                "coarse_select": "approx(rt=0.98)+self-audit",
+                "coarse_select": f"approx(rt={_INT2_APPROX_RT})+self-audit",
                 # device-weather stamps (VERDICT r4 #2): per-phase health
                 # probes vs the stored healthy-session calibration; any
                 # degraded:true means the NEARBY key group was measured on

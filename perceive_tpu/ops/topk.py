@@ -1106,7 +1106,14 @@ INT2_COARSE_FETCH = 4096
 # coarse ranks — 0.95 measured recall-clean at 10M (see BENCH_NOTES
 # round-4); 0.90's 40k bins measurably graze the tail.  Baked at import:
 # the jit cache keys on the select name only.
-_INT2_APPROX_RT = float(os.environ.get("PERCEIVE_TPU_INT2_APPROX_RT", "0.98"))
+# recall_target of the PartialReduce select.  Round 5 default 0.98 -> 0.95:
+# the aggregation buffer (~3.1k/(1-rt)) halves (313k -> 157k), its sort is
+# the dominant select cost (probe_r5_glue), and rt .95's candidate misses
+# measured IDENTICAL to .98 on the 10M gaussian corpus twice
+# (candidate-recall@10 0.999219 both, same miss set: a within-32-rows bin
+# collision collides at both widths — BENCH_NOTES round-4).  rt=0.90
+# measured 0.998047 (FAILS the 0.999 bar) and is not a valid default.
+_INT2_APPROX_RT = float(os.environ.get("PERCEIVE_TPU_INT2_APPROX_RT", "0.95"))
 
 # Address-order the approx branch's candidate gather (argsort + two
 # take_along_axis) before the fine phase.  Round-3 isolated measurement
