@@ -66,6 +66,40 @@ _HEALTH_CALIBRATION = {
 _DEGRADED_FACTOR = 2.5
 
 
+def _with_timeout(fn, seconds: float, default=None, label: str = "phase"):
+    """Run ``fn()`` on a daemon worker thread, give up after ``seconds``.
+
+    This session's remote compile service took 25-40 min for single fresh
+    programs and once broke mid-compile (BENCH_NOTES round-5 operational
+    notes).  A wedged phase must cost its own keys (None), never the whole
+    artifact: the driver's timeout killing the process would leave NO
+    BENCH JSON at all.  The worker thread keeps blocking in the native
+    compile call after we give up — main() finishes, prints the JSON, and
+    exits via os._exit so the hung thread can't block interpreter
+    teardown."""
+    import threading
+
+    out: list = [default]
+
+    def run():
+        try:
+            out[0] = fn()
+        except Exception as e:  # noqa: BLE001 — phase failure is phase-local
+            print(f"# {label} failed ({e})", flush=True)
+
+    t = threading.Thread(target=run, daemon=True, name=f"bench-{label}")
+    t.start()
+    t.join(seconds)
+    if t.is_alive():
+        print(f"# {label} timed out after {seconds:.0f}s (likely a wedged "
+              "remote compile); continuing without it", flush=True)
+        return default
+    return out[0]
+
+
+_PHASE_TIMEOUT_S = float(os.environ.get("PERCEIVE_TPU_BENCH_PHASE_TIMEOUT", "2700"))
+
+
 def measure_health(tag: str, *, ref_matrix=None) -> dict:
     """Cheap device-health probe: tunnel round trip (distinct tiny arrays —
     the tunnel memoizes identical calls) + a fixed 524k x 384 bf16
@@ -671,17 +705,37 @@ def main() -> None:
     if on_tpu:
         health["post_bf16"] = measure_health("post_bf16")
     p50_int2_s, p50_int4_s, recall = (
-        _marginal_single_query_tiers(n, d, allowed)
+        _with_timeout(
+            lambda: _marginal_single_query_tiers(n, d, allowed),
+            _PHASE_TIMEOUT_S, default=(None, None, None), label="tier-phase",
+        )
         if on_tpu
         else (None, None, None)
     )
-    qps_int8t = _marginal_int8t_qps(n, d, allowed) if on_tpu else None
-    qps_int4 = _marginal_int4_qps(n, d, allowed) if on_tpu else None
-    qps_int8 = _marginal_int8_qps(n, d, allowed) if on_tpu else None
+    qps_int8t = (
+        _with_timeout(lambda: _marginal_int8t_qps(n, d, allowed),
+                      _PHASE_TIMEOUT_S, label="int8t-qps")
+        if on_tpu else None
+    )
+    qps_int4 = (
+        _with_timeout(lambda: _marginal_int4_qps(n, d, allowed),
+                      _PHASE_TIMEOUT_S, label="int4-qps")
+        if on_tpu else None
+    )
+    qps_int8 = (
+        _with_timeout(lambda: _marginal_int8_qps(n, d, allowed),
+                      _PHASE_TIMEOUT_S, label="int8-qps")
+        if on_tpu else None
+    )
     if on_tpu:
         health["post_tiers"] = measure_health("post_tiers")
-    embed_dps = measure_embed_docs_per_sec()
-    serve_stats = measure_serve_latency() if on_tpu else None
+    embed_dps = _with_timeout(
+        measure_embed_docs_per_sec, _PHASE_TIMEOUT_S, label="embed"
+    )
+    serve_stats = (
+        _with_timeout(measure_serve_latency, _PHASE_TIMEOUT_S, label="serve")
+        if on_tpu else None
+    )
 
     # The DEFAULT configuration at this corpus size is the int2 coarse-to-
     # fine tier (index.matrix.auto_matrix_dtype: 4M-24M rows -> int2) with
@@ -723,8 +777,8 @@ def main() -> None:
                 # HBM rate of the SINGLE-query bf16 sweep (bandwidth-bound;
                 # the batch sweep is MXU-bound so bytes/time would mislead)
                 "effective_gbps": round(n * d * 2 / p50_s / 1e9, 1),
-                "embed_docs_per_sec": round(embed_dps, 1),
-                "embed_vs_baseline": round(embed_dps / 5_000.0, 3),
+                "embed_docs_per_sec": embed_dps and round(embed_dps, 1),
+                "embed_vs_baseline": embed_dps and round(embed_dps / 5_000.0, 3),
                 # end-to-end HTTP serve walls (VERDICT r3 #6): unique
                 # queries (the result cache never hits) against the real
                 # stack — encoder + fused sweep + retrieve + highlight
@@ -862,3 +916,9 @@ if __name__ == "__main__":
         main_ingest()
     else:
         main()
+        # a phase worker thread may still be blocked inside a wedged native
+        # compile call (_with_timeout); the JSON line is printed+flushed,
+        # so exit hard rather than hang interpreter teardown on it
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
