@@ -510,7 +510,15 @@ def _marginal_single_query_tiers(n: int, d: int, allowed, *, rounds=10, r=8):
             np.asarray(fR(qR, *args))
             wR = time.perf_counter() - t0
             marg[name].append(max((wR - w1) / (r - 1), 1e-9))
-    recall = measure_recall() if marg.get("int2") else None
+    # recall gets its OWN bound: its three fresh programs compile AFTER the
+    # headline marginals are already measured, and a wedged compile there
+    # must not void the p50 numbers (the tier phase returns as a whole)
+    recall = (
+        _with_timeout(measure_recall, min(_PHASE_TIMEOUT_S, 1800),
+                      label="recall")
+        if marg.get("int2")
+        else None
+    )
     return (
         float(np.median(marg["int2"])) if marg.get("int2") else None,
         float(np.median(marg["int4"])) if marg.get("int4") else None,
