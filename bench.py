@@ -388,6 +388,64 @@ def _marginal_single_query_tiers(n: int, d: int, allowed, *, rounds=10, r=8):
             jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(rows, n)
         )
 
+    def consistent_int2_corpus(key):
+        """ONE normalized gaussian row set quantized into BOTH the int2
+        coarse matrix (matrix._quantize2 semantics: {-3,-1,1,3} grid at
+        s=rms/2, planes 0-2 raw crumbs + plane 3 two's complement) and the
+        transposed int8 companion (matrix._quantize: absmax/127).  The
+        round-4 corpora were INDEPENDENT random bytes — fine for timing,
+        but recall against them is chance overlap (kc/n ~ 4e-4), so the
+        per-run recall keys (VERDICT r4 #6) require this consistent build.
+        Chunked: the f32 transient stays under 1 GB."""
+        d4 = d // 4
+        chunk = n // 16
+        p2 = jnp.zeros((d4, n), jnp.uint8)
+        m8 = jnp.zeros((d, n), jnp.int8)
+        s2 = jnp.zeros((n,), jnp.float32)
+        s8 = jnp.zeros((n,), jnp.float32)
+
+        @jax.jit
+        def gen(k):
+            f = jax.random.normal(k, (chunk, d), jnp.float32)
+            f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
+            sc2 = jnp.maximum(jnp.sqrt(jnp.mean(f * f, axis=1)) / 2.0, 1e-12)
+            c = jnp.clip(
+                jnp.round((f / sc2[:, None] + 3.0) / 2.0), 0, 3
+            ).astype(jnp.uint8)
+            t3 = (c[:, 3 * d4 :] - 2) & 3
+            pk = (
+                c[:, :d4]
+                | (c[:, d4 : 2 * d4] << 2)
+                | (c[:, 2 * d4 : 3 * d4] << 4)
+                | (t3 << 6)
+            )
+            sc8 = jnp.maximum(jnp.max(jnp.abs(f), axis=1), 1e-12) / 127.0
+            q8 = jnp.clip(jnp.round(f / sc8[:, None]), -127, 127).astype(jnp.int8)
+            return pk.T, sc2, q8.T, sc8
+
+        fill_m = jax.jit(
+            lambda mm, cc, i: jax.lax.dynamic_update_slice(mm, cc, (jnp.int32(0), i)),
+            donate_argnums=0,
+        )
+        fill_v = jax.jit(
+            lambda vv, cc, i: jax.lax.dynamic_update_slice(vv, cc, (i,)),
+            donate_argnums=0,
+        )
+        for lo in range(0, n, chunk):
+            pk, sc2c, q8c, sc8c = gen(jax.random.fold_in(key, lo))
+            i = jnp.int32(lo)
+            p2 = fill_m(p2, pk, i)
+            m8 = fill_m(m8, q8c, i)
+            s2 = fill_v(s2, sc2c, i)
+            s8 = fill_v(s8, sc8c, i)
+            del pk, sc2c, q8c, sc8c
+        return (
+            jax.block_until_ready(p2),
+            jax.block_until_ready(s2),
+            jax.block_until_ready(m8),
+            jax.block_until_ready(s8),
+        )
+
     def queries(seed, reps):
         q = jax.random.normal(jax.random.PRNGKey(seed), (reps, 1, d), jnp.float32)
         return jax.block_until_ready(q / jnp.linalg.norm(q, axis=2, keepdims=True))
@@ -407,7 +465,10 @@ def _marginal_single_query_tiers(n: int, d: int, allowed, *, rounds=10, r=8):
         # budget), so the coarse-to-fine pipeline is measured against an
         # int8 (D, N) companion — chunk-built (_rand_i8t) because a
         # full-size build's transients would OOM on top of the 2.9 GB
-        # packed corpora (15.75 GB HBM)
+        # packed corpora (15.75 GB HBM).  These TIMING corpora are
+        # independent random bytes (value-independent compute; keeps the
+        # exact cached program structure) — the recall phase below builds
+        # its own CONSISTENT corpus after these are freed.
         m8t = _rand_i8t(jax.random.PRNGKey(17), d, n)
         scales = jax.block_until_ready(jnp.full((n,), 0.01, jnp.float32))
         scales2d = jax.block_until_ready(scales.reshape(1, n))
@@ -415,7 +476,7 @@ def _marginal_single_query_tiers(n: int, d: int, allowed, *, rounds=10, r=8):
         src2d = jax.block_until_ready(src.reshape(1, n))
     except Exception as e:  # noqa: BLE001 — no corpora, nothing to measure
         print(f"# quantized single-query tiers unavailable ({e})", flush=True)
-        return None, None
+        return None, None, None
 
     def body_int2(q, p2, sc, s1, m8):
         v, rows, fl = scan_int2_coarse_fine(
@@ -442,33 +503,55 @@ def _marginal_single_query_tiers(n: int, d: int, allowed, *, rounds=10, r=8):
             the reference (carries int8-precision tie swaps, so it can
             read slightly below candidate recall without any true miss)
         """
-        from perceive_tpu.ops.topk import scan_int2_coarse_fine as _scf
+        from perceive_tpu.ops.topk import (
+            _INT2_APPROX_RT as _rt,
+            pallas_int2_scores,
+            quantize_queries,
+            scan_int2_coarse_fine as _scf,
+        )
 
         try:
             B = 8
-            f_cand = jax.jit(
-                lambda q: _scf(
-                    packed2, scales, m8t, scales, src, q, allowed, kc,
-                    k_coarse=kc, fine_bits=8, select="approx",
-                )[1]
-            )
-            f_got = jax.jit(
-                lambda q: _scf(
-                    packed2, scales, m8t, scales, src, q, allowed, 10,
+            # the recall corpus must be CONSISTENT (one row set quantized
+            # into both tiers) — the timing corpora above are independent
+            # random bytes whose cross-tier overlap is chance (kc/n).
+            # They are freed by the caller before this runs.
+            rp2, rs2, rm8, rs8 = consistent_int2_corpus(jax.random.PRNGKey(29))
+
+            # the candidate SET is approx_max_k's output directly — no
+            # 4096-wide fine phase (that larger program repeatedly broke
+            # this session's remote compile endpoint mid-compile); arrays
+            # as jit ARGS, never captured (BENCH_NOTES round-5 op notes)
+            @jax.jit
+            def f_cand(q, p2, sc, s1, al):
+                qi8, qscale = quantize_queries(q)
+                coarse = pallas_int2_scores(
+                    p2, sc.reshape(1, n), s1.reshape(1, n), qi8, qscale,
+                    al, False, n,
+                )
+                outs = [
+                    jax.lax.approx_max_k(coarse[i], kc, recall_target=_rt)
+                    for i in range(B)
+                ]
+                return jnp.stack([p for _, p in outs])
+
+            @jax.jit
+            def f_got(q, p2, sc, s1, m8, sc8, al):
+                return _scf(
+                    p2, sc, m8, sc8, s1, q, al, 10,
                     fine_bits=8, select="approx",
                 )[1]
-            )
-            f_ref = jax.jit(
-                lambda q: _scan_topk_xla_int8t_impl(
-                    m8t, scales, src, q, allowed, 10
-                )[1]
-            )
+
+            @jax.jit
+            def f_ref(q, m8, sc8, s1, al):
+                return _scan_topk_xla_int8t_impl(m8, sc8, s1, q, al, 10)[1]
+
             cand_hits = agree_hits = total = 0
             for i in range(0, nq, B):
                 q = queries(7000 + i, B)[:, 0, :].reshape(B, d)
-                cand = np.asarray(f_cand(q))
-                got = np.asarray(f_got(q))
-                ref = np.asarray(f_ref(q))
+                cand = np.asarray(f_cand(q, rp2, rs2, src, allowed))
+                got = np.asarray(f_got(q, rp2, rs2, src, rm8, rs8, allowed))
+                ref = np.asarray(f_ref(q, rm8, rs8, src, allowed))
                 for j in range(B):
                     rset = set(ref[j][:10].tolist())
                     cand_hits += len(rset & set(cand[j].tolist()))
@@ -510,20 +593,22 @@ def _marginal_single_query_tiers(n: int, d: int, allowed, *, rounds=10, r=8):
             np.asarray(fR(qR, *args))
             wR = time.perf_counter() - t0
             marg[name].append(max((wR - w1) / (r - 1), 1e-9))
-    # recall gets its OWN bound: its three fresh programs compile AFTER the
-    # headline marginals are already measured, and a wedged compile there
-    # must not void the p50 numbers (the tier phase returns as a whole)
+    p50_int2 = float(np.median(marg["int2"])) if marg.get("int2") else None
+    p50_int4 = float(np.median(marg["int4"])) if marg.get("int4") else None
+    had_int2 = bool(marg.get("int2"))
+    # free the TIMING corpora before the recall corpus builds (the two sets
+    # together would breach HBM at 10M); then recall gets its OWN bound:
+    # its fresh programs compile AFTER the headline marginals are already
+    # measured, and a wedged compile there must not void the p50 numbers
+    del cases, fns, marg
+    del packed2, packed4, m8t, scales
     recall = (
         _with_timeout(measure_recall, min(_PHASE_TIMEOUT_S, 1800),
                       label="recall")
-        if marg.get("int2")
+        if had_int2
         else None
     )
-    return (
-        float(np.median(marg["int2"])) if marg.get("int2") else None,
-        float(np.median(marg["int4"])) if marg.get("int4") else None,
-        recall,
-    )
+    return (p50_int2, p50_int4, recall)
 
 
 def measure_serve_latency() -> dict | None:
@@ -826,7 +911,10 @@ def main() -> None:
                 # a sick tunnel/chip and capability figures live in
                 # BENCH_NOTES instead
                 "health": health or None,
-                "degraded_any": any(h["degraded"] for h in health.values()) or None,
+                "degraded_any": (
+                    any(h["degraded"] for h in health.values())
+                    if health else None
+                ),
                 "timing_method": (
                     "in-jit repeat marginal; int2/int4 p50 A/B-interleaved "
                     "(module docstring)"
