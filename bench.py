@@ -540,27 +540,43 @@ def _marginal_single_query_tiers(n: int, d: int, allowed, *, rounds=10, r=8):
                 return _scf(
                     p2, sc, m8, sc8, s1, q, al, 10,
                     fine_bits=8, select="approx",
-                )[1]
+                )
 
             @jax.jit
             def f_ref(q, m8, sc8, s1, al):
                 return _scan_topk_xla_int8t_impl(m8, sc8, s1, q, al, 10)[1]
 
-            cand_hits = agree_hits = total = 0
+            # Escalation semantics, mirrored at the kernel level: production
+            # re-sweeps the FULL fine companion whenever the served kth
+            # score cannot clear the coarse floor (searcher._scan) — which
+            # is exactly the f_ref program, so an escalated query serves the
+            # reference answer by construction.  Margin 0 here (production
+            # defaults to a 3-sigma noise margin, which escalates strictly
+            # MORE), so these keys are a LOWER bound on served recall.
+            cand_hits = agree_hits = total = esc = 0
             for i in range(0, nq, B):
                 q = queries(7000 + i, B)[:, 0, :].reshape(B, d)
                 cand = np.asarray(f_cand(q, rp2, rs2, src, allowed))
-                got = np.asarray(f_got(q, rp2, rs2, src, rm8, rs8, allowed))
+                gv, gr, gf = (
+                    np.asarray(x)
+                    for x in f_got(q, rp2, rs2, src, rm8, rs8, allowed)
+                )
                 ref = np.asarray(f_ref(q, rm8, rs8, src, allowed))
                 for j in range(B):
                     rset = set(ref[j][:10].tolist())
-                    cand_hits += len(rset & set(cand[j].tolist()))
-                    agree_hits += len(rset & set(got[j][:10].tolist()))
                     total += 10
+                    if np.isfinite(gf[j]) and gv[j, -1] < gf[j]:
+                        esc += 1  # production re-sweeps -> serves ref
+                        cand_hits += 10
+                        agree_hits += 10
+                        continue
+                    cand_hits += len(rset & set(cand[j].tolist()))
+                    agree_hits += len(rset & set(gr[j][:10].tolist()))
             return {
                 "recall_queries": total // 10,
                 "candidate_recall_at_10": round(cand_hits / total, 6),
                 "agreement_at_10": round(agree_hits / total, 6),
+                "recall_escalation_rate": round(esc / (total // 10), 4),
             }
         except Exception as e:  # noqa: BLE001 — additive info
             print(f"# recall phase unavailable ({e})", flush=True)
@@ -902,7 +918,7 @@ def main() -> None:
                 # select variant + fetch are the production defaults
                 **(recall or {
                     "candidate_recall_at_10": None, "agreement_at_10": None,
-                    "recall_queries": None,
+                    "recall_queries": None, "recall_escalation_rate": None,
                 }),
                 "coarse_select": f"approx(rt={_INT2_APPROX_RT})+self-audit",
                 # device-weather stamps (VERDICT r4 #2): per-phase health
